@@ -1,0 +1,166 @@
+package graft.dbc
+
+import scala.io.Source
+
+/** Multiplex role of a signal within its message.
+  *
+  * Mirrors the reference's mux gating (`/root/reference/src/decoder.cpp:85-88`):
+  * a `MuxValue(n)` signal is decoded only when the message's `MuxSwitch`
+  * signal decodes to `n`.
+  */
+sealed trait Mux
+object Mux {
+  case object None extends Mux
+  case object Switch extends Mux // "M" — the selector signal
+  final case class Value(switchValue: Long) extends Mux // "mN"
+}
+
+/** One DBC signal definition.
+  *
+  * Field semantics follow the Vector DBC `SG_` line as consumed by the
+  * reference via dbcppp (`/root/reference/src/decoder.cpp:17-73`):
+  *
+  *   SG_ <name> [M|m<N>] : <startBit>|<bitLen>@<order><sign> (<factor>,<offset>) [<min>|<max>] "<unit>" <receivers>
+  *
+  * `littleEndian` = `@1` (Intel); `@0` is Motorola big-endian with DBC
+  * "sawtooth" start-bit numbering (start bit = MSB position, bytewise
+  * MSB-first — see [[Signal.motorolaMsbPos]]).
+  *
+  * `isFlt32`: the reference's `flt32_` convention
+  * (`/root/reference/README.md:58`, `/root/reference/src/decoder.cpp:28-37`):
+  * the raw 32-bit little-endian field is reinterpreted as an IEEE-754 float
+  * and the column is named with the prefix stripped. The reference's live
+  * wiring of this feature is broken (looks up the unstripped name in the
+  * stripped schema, `/root/reference/src/decoder.cpp:92-118`); we implement
+  * the documented semantics.
+  */
+final case class Signal(
+    name: String,
+    startBit: Int,
+    bitLen: Int,
+    littleEndian: Boolean,
+    signed: Boolean,
+    factor: Double,
+    offset: Double,
+    min: Double,
+    max: Double,
+    unit: String,
+    mux: Mux,
+    isFlt32: Boolean
+) {
+  require(bitLen >= 1 && bitLen <= 64, s"signal $name: bitLen $bitLen out of [1,64]")
+  require(startBit >= 0 && startBit < 64, s"signal $name: startBit $startBit out of [0,64)")
+
+  /** For Motorola (`@0`) signals: the bit offset of the signal's MSB counted
+    * from the left of the big-endian byte string (byte 0 = most significant).
+    * DBC numbers bits within each byte LSB=0..MSB=7, so DBC start bit `s`
+    * maps to position `(s/8)*8 + (7 - s%8)` from the left.
+    */
+  def motorolaMsbPos: Int = (startBit / 8) * 8 + (7 - startBit % 8)
+
+  /** Unsigned mask for the raw field; full -1L when bitLen == 64. */
+  def mask: Long = if (bitLen >= 64) -1L else (1L << bitLen) - 1L
+
+  /** True when factor/offset are the identity (raw == physical). */
+  def isIdentityScale: Boolean = factor == 1.0 && offset == 0.0
+}
+
+/** One DBC message (`BO_ <id> <name>: <dlc> <sender>`). CAN ids above
+  * 0x7FF are extended-frame; the DBC encodes the extended flag in bit 31,
+  * which we mask off like dbcppp does.
+  */
+final case class Message(
+    id: Long,
+    name: String,
+    dlc: Int,
+    signals: Seq[Signal]
+) {
+  def muxSwitch: Option[Signal] = signals.find(_.mux == Mux.Switch)
+}
+
+/** The parsed network: an ordered list of messages (DBC file order —
+  * the reference flattens schema columns in message order then signal
+  * order, `/root/reference/src/decoder.cpp:17-73`, and we preserve that).
+  */
+final case class Network(messages: Seq[Message]) {
+  def signalsInOrder: Seq[(Message, Signal)] =
+    messages.flatMap(m => m.signals.map(s => (m, s)))
+  def messageById: Map[Long, Message] = messages.map(m => m.id -> m).toMap
+}
+
+/** Pure-Scala parser for the DBC subset the reference consumes
+  * (`BO_` messages and `SG_` signals incl. multiplexer markers).
+  * Everything else (VERSION, NS_, BU_, comments, attributes, value
+  * tables) is skipped — the reference's schema derivation only uses
+  * messages and signals (`/root/reference/src/decoder.cpp:15-73`).
+  *
+  * The `flt32_` prefix is handled here: name stripped, `isFlt32` set —
+  * fixing the reference's broken decode wiring (SURVEY.md §1.2).
+  */
+object DbcParser {
+
+  private val BoRe = """^BO_\s+(\d+)\s+([A-Za-z0-9_]+)\s*:\s*(\d+)\s+(\S+)\s*$""".r
+  // SG_ Name [M|mN] : start|len@order[+-] (factor,offset) [min|max] "unit" receivers
+  private val SgRe =
+    ("""^\s*SG_\s+([A-Za-z0-9_]+)\s*(M|m\d+)?\s*:\s*""" +
+      """(\d+)\|(\d+)@([01])([+-])\s*""" +
+      """\(\s*([^,()]+)\s*,\s*([^,()]+)\s*\)\s*""" +
+      """\[\s*([^|\]]+)\s*\|\s*([^|\]]+)\s*\]\s*""" +
+      """"([^"]*)"\s*(.*)$""").r
+
+  def parseFile(path: String): Network = {
+    val src = Source.fromFile(path)
+    try parse(src.getLines()) finally src.close()
+  }
+
+  def parseString(content: String): Network = parse(content.linesIterator)
+
+  def parse(lines: Iterator[String]): Network = {
+    val messages = Seq.newBuilder[Message]
+    var current: Option[(Long, String, Int)] = None
+    var sigs = Seq.newBuilder[Signal]
+
+    def flush(): Unit = {
+      current.foreach { case (id, name, dlc) =>
+        messages += Message(id, name, dlc, sigs.result())
+      }
+      current = None
+      sigs = Seq.newBuilder[Signal]
+    }
+
+    for (raw <- lines) {
+      val line = raw.replaceAll("[\r\n]+$", "")
+      line match {
+        case BoRe(id, name, dlc, _) =>
+          flush()
+          // mask the extended-frame flag (bit 31) like dbcppp's IMessage::Id
+          current = Some(((id.toLong & 0x1FFFFFFFL), name, dlc.toInt))
+        case SgRe(name, muxStr, start, len, order, sign, factor, offset, mn, mx, unit, _)
+            if current.isDefined =>
+          val mux = Option(muxStr) match {
+            case None        => Mux.None
+            case Some("M")   => Mux.Switch
+            case Some(m)     => Mux.Value(m.drop(1).toLong)
+          }
+          val isFlt = name.startsWith("flt32_")
+          sigs += Signal(
+            name = if (isFlt) name.stripPrefix("flt32_") else name,
+            startBit = start.toInt,
+            bitLen = len.toInt,
+            littleEndian = order == "1",
+            signed = sign == "-",
+            factor = factor.trim.toDouble,
+            offset = offset.trim.toDouble,
+            min = mn.trim.toDouble,
+            max = mx.trim.toDouble,
+            unit = unit,
+            mux = mux,
+            isFlt32 = isFlt
+          )
+        case _ => // skip: VERSION, NS_, BS_, BU_, CM_, BA_, VAL_, blank, ...
+      }
+    }
+    flush()
+    Network(messages.result())
+  }
+}

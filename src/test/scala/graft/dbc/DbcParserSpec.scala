@@ -1,0 +1,99 @@
+package graft.dbc
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+
+class DbcParserSpec extends AnyFunSuite {
+
+  lazy val net: Network = DbcParser.parseFile("fixtures/mini.dbc")
+
+  test("parses all messages in file order") {
+    assert(net.messages.map(_.name) == Seq("ENGINE", "SENSORS", "VDM_GPS", "MUXED"))
+    assert(net.messages.map(_.id) == Seq(256L, 512L, 1024L).patch(2, Seq(768L, 1024L), 1))
+    assert(net.messageById(256L).dlc == 8)
+  }
+
+  test("signal fields: intel unsigned scaled") {
+    val s = net.messageById(256L).signals.head
+    assert(s.name == "Engine_Speed")
+    assert(s.startBit == 0 && s.bitLen == 16 && s.littleEndian && !s.signed)
+    assert(s.factor == 0.25 && s.offset == 0.0)
+    assert(s.unit == "rpm")
+    assert(s.mux == Mux.None)
+  }
+
+  test("signal fields: offset and 1-bit") {
+    val Seq(_, temp, on) = net.messageById(256L).signals
+    assert(temp.name == "Engine_Temp" && temp.factor == 1.0 && temp.offset == -40.0)
+    assert(on.name == "Engine_On" && on.bitLen == 1)
+  }
+
+  test("motorola signed signal + sawtooth MSB position") {
+    val p = net.messageById(512L).signals.find(_.name == "Pressure_BE").get
+    assert(!p.littleEndian && p.signed && p.bitLen == 12)
+    // DBC start 16 (byte 2, bit-in-byte 0=LSB) → 16 + (7-0) = 23 from the left
+    assert(p.motorolaMsbPos == 23)
+  }
+
+  test("flt32_ prefix stripped and flagged") {
+    val g = net.messageById(768L).signals.head
+    assert(g.name == "GPS_Speed" && g.isFlt32)
+    assert(g.bitLen == 32 && g.littleEndian)
+  }
+
+  test("multiplex markers") {
+    val m = net.messageById(1024L)
+    assert(m.muxSwitch.map(_.name).contains("MuxSel"))
+    assert(m.signals.find(_.name == "Val_A").get.mux == Mux.Value(0))
+    assert(m.signals.find(_.name == "Val_B").get.mux == Mux.Value(1))
+    assert(m.signals.find(_.name == "Val_B").get.signed)
+  }
+
+  test("extended-frame id flag masked") {
+    val n = DbcParser.parseString(
+      "BO_ 2566857156 EXT_MSG: 8 ECU\n SG_ X : 0|8@1+ (1,0) [0|255] \"\" T\n")
+    assert(n.messages.head.id == (2566857156L & 0x1FFFFFFFL))
+  }
+
+  test("wide schema: Time_ms first, message then signal order, nullable") {
+    val sch = DbcSchema.wideSchema(net, TypingMode.Intended)
+    assert(sch.fields.head == StructField("Time_ms", DoubleType, nullable = false))
+    assert(sch.fieldNames.toSeq == Seq("Time_ms",
+      "Engine_Speed", "Engine_Temp", "Engine_On",
+      "Mode", "Counter_A", "Pressure_BE",
+      "GPS_Speed", "MuxSel", "Val_A", "Val_B"))
+    assert(sch.fields.tail.forall(_.nullable))
+  }
+
+  test("typing: intended mode") {
+    val sch = DbcSchema.wideSchema(net, TypingMode.Intended)
+    def t(n: String) = sch(n).dataType
+    assert(t("Engine_Speed") == FloatType)   // scaled, <32 bits
+    assert(t("Engine_Temp") == IntegerType)  // factor 1 → int (intended)
+    assert(t("Engine_On") == BooleanType)    // 1-bit
+    assert(t("Counter_A") == IntegerType)
+    assert(t("Pressure_BE") == FloatType)    // scaled 0.1, <32 bits
+    assert(t("GPS_Speed") == FloatType)      // flt32 reinterpret
+    assert(t("Val_B") == IntegerType)        // factor 1 signed
+  }
+
+  test("typing: de-facto mode (dead integer branches)") {
+    val sch = DbcSchema.wideSchema(net, TypingMode.DeFacto)
+    def t(n: String) = sch(n).dataType
+    assert(t("Engine_Temp") == FloatType)    // <32 bits → float, not int
+    assert(t("Counter_A") == FloatType)
+    assert(t("Engine_On") == BooleanType)    // bool branch still live
+    assert(t("GPS_Speed") == FloatType)
+  }
+
+  test("typing: factor-1 long and scaled double for wide signals") {
+    val n = DbcParser.parseString(
+      """BO_ 1 W: 8 ECU
+        | SG_ Big_Int : 0|48@1+ (1,0) [0|0] "" T
+        | SG_ Big_Scaled : 0|48@1+ (0.5,0) [0|0] "" T
+        |""".stripMargin)
+    val sch = DbcSchema.wideSchema(n, TypingMode.Intended)
+    assert(sch("Big_Int").dataType == LongType)
+    assert(sch("Big_Scaled").dataType == DoubleType)
+  }
+}
