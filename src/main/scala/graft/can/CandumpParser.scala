@@ -1,0 +1,90 @@
+package graft.can
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Candump text-line parsing (reference P1/F2/P8):
+  * `"(1694651234.123456) can0 123#DEADBEEF"` →
+  * `(ts_ms: Double, iface: String, can_id: Long, data: Binary)`.
+  *
+  * Mirrors `/root/reference/src/inputs/candump_parse.h:38-101`: whitespace
+  * split, `(...)` stripped, `ID#HEX` split on `#`, hex→id, hex-pairs→bytes
+  * capped at 8; malformed lines are dropped (the reference's `good=false`
+  * skip path, `candump_parse.h:44-56`). Remote-frame `R` payloads decode to
+  * empty payloads like the reference (the `#R` branch yields no data bytes).
+  *
+  * All parsing is built-in expressions (`regexp_extract`/`conv`/`unhex`) so
+  * the whole stage is codegen'd and usable identically in batch
+  * (`spark.read.text`) and streaming (`readStream` text/socket) plans.
+  */
+object CandumpParser {
+
+  /** Extraction regex. Group 1 = epoch whole seconds, 2 = fractional digits,
+    * 3 = iface, 4 = hex id, 5 = hex payload (may be empty; `R` = remote
+    * frame → no payload).
+    */
+  private val LineRe = """^\s*\((\d+)\.?(\d*)\)\s+(\S+)\s+([0-9A-Fa-f]+)#R?([0-9A-Fa-f]*)\s*$"""
+
+  /** Parse a DataFrame of raw lines (column `value`) into frames.
+    * Output: `ts_us: long, iface: string, can_id: long, data: binary`.
+    * Malformed lines → dropped (F2).
+    *
+    * Timestamps are held as exact integer microseconds — candump prints 6
+    * fractional digits, and epoch-scale doubles cannot represent them (the
+    * reference's double math drifts by ~1e-4 ms at epoch scale; integer
+    * micros make later subtraction exact).
+    */
+  def parseLines(lines: DataFrame, col: String = "value"): DataFrame = {
+    val c = lines(col)
+    val sec = regexp_extract(c, LineRe, 1)
+    val frac = regexp_extract(c, LineRe, 2)
+    val iface = regexp_extract(c, LineRe, 3)
+    val idHex = regexp_extract(c, LineRe, 4)
+    val dataHex = regexp_extract(c, LineRe, 5)
+    // cap at 8 bytes (16 hex chars), drop any trailing odd nibble —
+    // candump_parse.h:86-90 walks hex pairs and stops at 8 bytes
+    val evenHex = expr(s"substring($dataHexAlias, 1, least(16, length($dataHexAlias) - length($dataHexAlias) % 2))")
+    lines
+      .withColumn(dataHexAlias, dataHex)
+      .withColumn("ts_us",
+        when(sec =!= "",
+          sec.cast("long") * 1000000L +
+            rpad(substring(frac, 1, 6), 6, "0").cast("long")))
+      .withColumn("iface", when(iface =!= "", iface))
+      .withColumn("can_id", when(idHex =!= "", conv(idHex, 16, -10).cast("long")))
+      .withColumn("data", unhex(evenHex))
+      .filter(org.apache.spark.sql.functions.col("can_id").isNotNull &&
+        org.apache.spark.sql.functions.col("ts_us").isNotNull)
+      .select("ts_us", "iface", "can_id", "data")
+  }
+
+  private val dataHexAlias = "_data_hex"
+
+  /** P8 timestamp normalization: `ts_ms = (ts_s - t0) * 1000` with t0 the
+    * dataset minimum (the reference uses the first line's ts,
+    * `/root/reference/src/inputs/fileInput.cpp:16-31`, which equals the min
+    * for monotonic logs). `adjust = false` keeps raw epoch ms
+    * (`--no-adjust-timestamp`, `/root/reference/src/arguments.h:93-96`).
+    *
+    * Implemented as an aggregate + broadcast cross join of the 1-row min —
+    * NOT a global window (which would force all data through a single
+    * partition; the 1-row broadcast join keeps the scan fully parallel at
+    * any scale).
+    */
+  def withTsMs(frames: DataFrame, adjust: Boolean = true): DataFrame =
+    if (!adjust) frames.withColumn("ts_ms", col("ts_us") / 1000.0).drop("ts_us")
+    else {
+      val t0 = frames.agg(min("ts_us").as("_t0"))
+      frames.crossJoin(broadcast(t0))
+        .withColumn("ts_ms", (col("ts_us") - col("_t0")) / 1000.0)
+        .drop("ts_us", "_t0")
+    }
+
+  /** Full source: candump log file(s) → frames with normalized ts_ms.
+    * S1 (`spark.read.text` is splittable and parallel over large logs —
+    * the 100 TB path is many log files / large line-split files).
+    */
+  def readLog(spark: org.apache.spark.sql.SparkSession, path: String,
+      adjustTimestamp: Boolean = true): DataFrame =
+    withTsMs(parseLines(spark.read.text(path)), adjustTimestamp)
+}

@@ -1,0 +1,119 @@
+package graft.can
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.dbc._
+
+/** Compiles a parsed [[graft.dbc.Network]] into per-signal decode `Column`
+  * expressions over a frames DataFrame `(ts_ms, can_id, data)`.
+  *
+  * This is the Spark-first re-expression of the reference's per-frame decode
+  * loop (`/root/reference/src/decoder.cpp:76-129`): instead of a runtime
+  * hash-dispatch + per-signal interpreter, the whole DBC is compiled at plan
+  * time into a static `select` of expression trees — message dispatch becomes
+  * `when(can_id === id, ...)` (P2), bit extraction becomes shift/mask
+  * arithmetic (P3), scaling is constant-folded multiply-add (P4), mux gating
+  * is a nested `when` (P5), and typing is a `cast` (P7). Everything lands in
+  * whole-stage codegen; no UDF is on the hot path except the 32-bit
+  * float-reinterpret (P6), which is rare by construction.
+  */
+object SignalDecoder {
+
+  /** Big-endian u64 of the (zero-padded) 8-byte payload: byte 0 of the frame
+    * is the most significant byte. Built via hex-string + signed conv so the
+    * full unsigned 64-bit range round-trips under ANSI mode.
+    */
+  def beU64(data: Column): Column =
+    conv(rpad(hex(data), 16, "0"), 16, -10).cast(LongType)
+
+  /** Little-endian u64 (byte 0 = least significant): Long.reverseBytes(be)
+    * as an expression tree — pure long arithmetic, codegen-friendly.
+    */
+  def leU64(be: Column): Column = {
+    def b(shiftIn: Int, shiftOut: Int): Column = {
+      val x = if (shiftIn > 0) shiftrightunsigned(be, shiftIn) else be
+      val m = x.bitwiseAND(lit(0xFFL))
+      if (shiftOut > 0) shiftleft(m, shiftOut) else m
+    }
+    (0 to 7).map(i => b(8 * (7 - i), 8 * i)).reduce(_ bitwiseOR _)
+  }
+
+  /** Raw (unscaled) field value of one signal from the helper columns.
+    * Sign-extended for signed signals. `le`/`be` are the two u64 views.
+    */
+  def rawExpr(sig: Signal, le: Column, be: Column): Column = {
+    val L = sig.bitLen
+    val unsignedRaw =
+      if (sig.littleEndian) {
+        val shifted = if (sig.startBit > 0) shiftrightunsigned(le, sig.startBit) else le
+        if (L >= 64) shifted else shifted.bitwiseAND(lit(sig.mask))
+      } else {
+        val sh = 64 - sig.motorolaMsbPos - L
+        require(sh >= 0, s"signal ${sig.name}: extends past 8-byte payload")
+        val shifted = if (sh > 0) shiftrightunsigned(be, sh) else be
+        if (L >= 64) shifted else shifted.bitwiseAND(lit(sig.mask))
+      }
+    if (sig.signed && L < 64)
+      shiftright(shiftleft(unsignedRaw, 64 - L), 64 - L)
+    else unsignedRaw
+  }
+
+  /** IEEE-754 reinterpret for `flt32_` signals (P6): native codegen
+    * Expression (graft.plans.IntBitsToFloat) — stays in whole-stage codegen.
+    */
+  def intBitsToFloat(raw: Column): Column = graft.plans.FloatReinterpret.intBitsToFloat(raw)
+
+  /** Physical (scaled, typed) value of one signal (P4/P6/P7). */
+  def physExpr(sig: Signal, le: Column, be: Column, mode: TypingMode): Column = {
+    val raw = rawExpr(sig, le, be)
+    val target = DbcSchema.sparkType(sig, mode)
+    val v: Column =
+      if (sig.isFlt32) intBitsToFloat(raw)
+      else if (target == BooleanType) raw =!= 0L
+      else if (sig.isIdentityScale) raw.cast(target)
+      else (raw.cast(DoubleType) * lit(sig.factor) + lit(sig.offset)).cast(target)
+    v
+  }
+
+  /** Full per-signal column incl. message dispatch (P2) and mux gating (P5):
+    * null unless `can_id` matches the signal's message (inner-join semantics
+    * — unknown ids produce all-null signal cells and are filtered by F1
+    * upstream) and, for multiplexed signals, the mux switch matches.
+    */
+  def signalColumn(msg: Message, sig: Signal, canId: Column, le: Column, be: Column,
+      mode: TypingMode): Column = {
+    val base = physExpr(sig, le, be, mode)
+    val gated = sig.mux match {
+      case Mux.Value(sw) =>
+        val muxSig = msg.muxSwitch.getOrElse(
+          throw new IllegalArgumentException(
+            s"signal ${sig.name} is multiplexed but message ${msg.name} has no mux switch"))
+        when(rawExpr(muxSig, le, be) === lit(sw), base)
+      case _ => base
+    }
+    when(canId === lit(msg.id), gated).as(sig.name)
+  }
+
+  /** frames(ts_ms, can_id, data) → wide per-frame table:
+    * `(ts_ms, sig1, sig2, ...)` — one row per frame, nulls for signals not
+    * carried by that frame's message. The known-id filter (F1) is applied
+    * here and pushes down to the scan.
+    *
+    * The two u64 views are materialized once as helper columns so all
+    * signal expressions share them (subexpression reuse instead of
+    * recomputing the hex/conv per signal).
+    */
+  def wideFrame(net: Network, frames: DataFrame,
+      mode: TypingMode = TypingMode.Intended): DataFrame = {
+    val ids = net.messages.map(_.id)
+    val withU64 = frames
+      .filter(col("can_id").isin(ids: _*)) // F1: unknown ids dropped
+      .withColumn("_be", beU64(col("data")))
+      .withColumn("_le", leU64(col("_be")))
+    val sigCols = net.signalsInOrder.map { case (m, s) =>
+      signalColumn(m, s, col("can_id"), col("_le"), col("_be"), mode)
+    }
+    withU64.select(col("ts_ms") +: sigCols: _*)
+  }
+}

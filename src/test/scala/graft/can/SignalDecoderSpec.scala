@@ -1,0 +1,178 @@
+package graft.can
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.SparkTestSession
+import graft.dbc._
+
+/** Independent reference packer/unpacker for property tests (SURVEY §5.2):
+  * bit-by-bit, structured nothing like the shift/mask expression trees.
+  */
+object BitRef {
+  /** Extract raw unsigned value; data is the 8-byte payload. */
+  def extract(data: Array[Byte], startBit: Int, len: Int, littleEndian: Boolean): BigInt = {
+    def bit(i: Int): Int = (data(i / 8) >> (i % 8)) & 1
+    if (littleEndian) {
+      var v = BigInt(0)
+      for (k <- 0 until len) v |= BigInt(bit(startBit + k)) << k
+      v
+    } else {
+      var v = BigInt(0)
+      var b = startBit / 8
+      var j = startBit % 8
+      for (_ <- 0 until len) {
+        v = (v << 1) | bit(b * 8 + j)
+        j -= 1
+        if (j < 0) { b += 1; j = 7 }
+      }
+      v
+    }
+  }
+  def signExtend(v: BigInt, len: Int): BigInt =
+    if (v.testBit(len - 1)) v - (BigInt(1) << len) else v
+}
+
+class SignalDecoderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def sig(start: Int, len: Int, le: Boolean, signed: Boolean,
+      factor: Double = 1.0, offset: Double = 0.0, mux: Mux = Mux.None,
+      flt32: Boolean = false, name: String = "S") =
+    Signal(name, start, len, le, signed, factor, offset, 0, 0, "", mux, flt32)
+
+  /** Evaluate rawExpr over one payload. */
+  def rawOf(data: Array[Byte], s: Signal): Long = {
+    val df = Seq(Tuple1(data)).toDF("data")
+    val be = SignalDecoder.beU64(col("data"))
+    df.select(SignalDecoder.rawExpr(s, SignalDecoder.leU64(be), be).as("r"))
+      .as[Long].head()
+  }
+
+  test("intel unsigned: Engine_Speed fixture golden") {
+    // payload 40 1F 4B 01 → le u64 low 16 bits = 0x1F40 = 8000
+    val d = Array[Byte](0x40, 0x1F, 0x4B, 0x01)
+    assert(rawOf(d, sig(0, 16, le = true, signed = false)) == 0x1F40L)
+  }
+
+  test("motorola signed: Pressure_BE fixture golden") {
+    val d = Array[Byte](0x02, 0xE8.toByte, 0x03, 0, 0, 0, 0, 0)
+    // start 16 len 12 @0-: raw 0x800 → sign-extended -2048
+    assert(rawOf(d, sig(16, 12, le = false, signed = true)) == -2048L)
+  }
+
+  test("full 64-bit fields, both endians") {
+    val d = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val beVal = BigInt("0102030405060708", 16).toLong
+    val leVal = BigInt("0807060504030201", 16).toLong
+    assert(rawOf(d, sig(0, 64, le = true, signed = false)) == leVal)
+    // motorola 64-bit starts at DBC bit 7 (MSB of byte 0)
+    assert(rawOf(d, sig(7, 64, le = false, signed = false)) == beVal)
+    assert(rawOf(d, sig(7, 64, le = false, signed = true)) == beVal)
+  }
+
+  test("unsigned 64-bit with high bit set survives (no ANSI overflow)") {
+    val d = Array.fill[Byte](8)(0xFF.toByte)
+    assert(rawOf(d, sig(0, 64, le = true, signed = false)) == -1L) // u64 max as Long bits
+  }
+
+  test("property: extraction matches independent bit-reference") {
+    val gen = for {
+      le <- Gen.oneOf(true, false)
+      len <- Gen.choose(1, 64)
+      // motorola: pick the left-position p then map back to DBC sawtooth numbering
+      start <-
+        if (le) Gen.choose(0, 64 - len)
+        else Gen.choose(0, 64 - len).map(p => (p / 8) * 8 + (7 - p % 8))
+      signed <- Gen.oneOf(true, false)
+      bytes <- Gen.containerOfN[Array, Byte](8, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (le, start, len, signed, bytes)
+
+    // batch the cases into one DataFrame pass for speed
+    val cases = Gen.listOfN(120, gen).sample.get
+    val df = cases.zipWithIndex.map { case ((_, _, _, _, bytes), i) => (i, bytes) }.toDF("i", "data")
+    val be = SignalDecoder.beU64(col("data"))
+    val le64 = SignalDecoder.leU64(be)
+    val cols = cases.zipWithIndex.map { case ((le, start, len, signed, _), i) =>
+      SignalDecoder.rawExpr(sig(start, len, le, signed), le64, be).as(s"r$i")
+    }
+    val row = df.orderBy("i").select(cols: _*).collect()
+    val m64 = (BigInt(1) << 64) - 1
+    cases.zipWithIndex.foreach { case ((le, start, len, signed, bytes), i) =>
+      val exp0 = BitRef.extract(bytes, start, len, le)
+      val exp = if (signed) BitRef.signExtend(exp0, len) else exp0
+      val got = row(i).getAs[Long](s"r$i")
+      // compare as 64-bit bit patterns (covers u64-max-as-negative-Long)
+      assert((BigInt(got) & m64) == (exp & m64),
+        s"case $i: le=$le start=$start len=$len signed=$signed bytes=${bytes.map("%02X".format(_)).mkString}")
+    }
+  }
+
+  test("scaling, offset, typing (P4/P7)") {
+    val net = DbcParser.parseFile("fixtures/mini.dbc")
+    val frames = Seq(
+      (0.0, 0x100L, Array[Byte](0x40, 0x1F, 0x4B, 0x01)), // ENGINE
+      (4.0, 0x200L, Array[Byte](0x02, 0xE8.toByte, 0x03, 0, 0, 0, 0, 0)) // SENSORS
+    ).toDF("ts_ms", "can_id", "data")
+    val wide = SignalDecoder.wideFrame(net, frames)
+    val rows = wide.orderBy("ts_ms").collect()
+    val engine = rows(0)
+    assert(engine.getAs[Float]("Engine_Speed") == 2000.0f) // 0x1F40 * 0.25
+    assert(engine.getAs[Int]("Engine_Temp") == 0x4B - 40) // 75 - 40 = 35
+    assert(engine.getAs[Boolean]("Engine_On") == true) // bit 24 of 0x014B1F40
+    assert(engine.isNullAt(engine.fieldIndex("Mode"))) // other message's signals null
+    val sensors = rows(1)
+    assert(sensors.getAs[Int]("Mode") == 2)
+    assert(sensors.getAs[Int]("Counter_A") == 1000)
+    assert(sensors.getAs[Float]("Pressure_BE") == -204.8f)
+  }
+
+  test("flt32 reinterpret (P6): 0x3F800000 -> 1.0f") {
+    val net = DbcParser.parseFile("fixtures/mini.dbc")
+    val frames = Seq((8.0, 0x300L, Array[Byte](0, 0, 0x80.toByte, 0x3F))).toDF("ts_ms", "can_id", "data")
+    val r = SignalDecoder.wideFrame(net, frames).select("GPS_Speed").as[Float].head()
+    assert(r == 1.0f)
+  }
+
+  test("flt32 round-trip property vs floatToIntBits") {
+    val floats = Seq(0.0f, 1.0f, -1.5f, 3.14159f, Float.MaxValue, Float.MinPositiveValue, 1e-38f)
+    val net = DbcParser.parseString(
+      "BO_ 768 G: 8 E\n SG_ flt32_V : 0|32@1+ (1,0) [0|0] \"\" T\n")
+    val frames = floats.zipWithIndex.map { case (f, i) =>
+      val bits = java.lang.Float.floatToIntBits(f)
+      val d = Array[Byte](bits.toByte, (bits >> 8).toByte, (bits >> 16).toByte, (bits >> 24).toByte)
+      (i.toDouble, 768L, d)
+    }.toDF("ts_ms", "can_id", "data")
+    val got = SignalDecoder.wideFrame(net, frames).orderBy("ts_ms").select("V").as[Float].collect()
+    assert(got.toSeq == floats)
+  }
+
+  test("mux gating (P5): value signals only when switch matches") {
+    val net = DbcParser.parseFile("fixtures/mini.dbc")
+    val frames = Seq(
+      (12.0, 0x400L, Array[Byte](0x00, 0xD0.toByte, 0x07)), // MuxSel=0 → Val_A = 0x07D0*0.5
+      (16.0, 0x400L, Array[Byte](0x01, 0xFF.toByte, 0x7F)) // MuxSel=1 → Val_B = 0x7FFF
+    ).toDF("ts_ms", "can_id", "data")
+    val rows = SignalDecoder.wideFrame(net, frames).orderBy("ts_ms").collect()
+    assert(rows(0).getAs[Int]("MuxSel") == 0)
+    assert(rows(0).getAs[Float]("Val_A") == 1000.0f)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("Val_B")))
+    assert(rows(1).getAs[Int]("MuxSel") == 1)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("Val_A")))
+    assert(rows(1).getAs[Int]("Val_B") == 0x7FFF)
+  }
+
+  test("unknown ids dropped (F1) and short payloads zero-padded") {
+    val net = DbcParser.parseFile("fixtures/mini.dbc")
+    val frames = Seq(
+      (20.0, 0x7FFL, Array[Byte](0xDE.toByte, 0xAD.toByte)),
+      (50.0, 0x100L, Array[Byte](0x00)) // 1-byte payload: rest reads as 0
+    ).toDF("ts_ms", "can_id", "data")
+    val rows = SignalDecoder.wideFrame(net, frames).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Float]("Engine_Speed") == 0.0f)
+    assert(rows(0).getAs[Int]("Engine_Temp") == -40)
+  }
+}
