@@ -1,0 +1,181 @@
+package graft.can
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time-bucketing of the wide per-frame table (reference T1-T4,
+  * `/root/reference/src/main.cpp:122-150`, SURVEY §2.4).
+  *
+  * Two fidelity modes:
+  *
+  *   - [[BucketMode.Tumbling]] — fixed tumbling grid `floor(ts/cacheMs)`.
+  *     Fully parallel hash aggregation (partial aggregation map-side, one
+  *     shuffle on the bucket key). Differs from the reference only when
+  *     traffic gaps exceed `cacheMs` (the reference's data-driven bucket
+  *     spans the gap; a tumbling grid leaves empty buckets — which simply
+  *     don't appear, since buckets exist only where data does).
+  *   - [[BucketMode.Exact]] — the reference's exact data-driven chaining:
+  *     a row closes when a frame arrives more than `cacheMs` after the
+  *     bucket opened, and the closing frame opens the next bucket at its own
+  *     timestamp (`src/main.cpp:127-131`). Boundaries chain sequentially, so
+  *     this is inherently order-dependent; it runs as a sorted fold, per
+  *     group key if given (parallel across keys; single partition when
+  *     keyless — the documented fidelity fallback, SURVEY §7.4).
+  *
+  * `cacheMs == 0` ⇒ one row per frame (`/root/reference/src/arguments.h:29`).
+  *
+  * Within-bucket combine (T4): `LastWins` (legacy main, the default — most
+  * recent sample in bucket) or `FirstWins` (current main's append-only
+  * builder). Implemented as an order-insensitive argmin/argmax over
+  * `struct(ts, value)` so the parallel aggregation is deterministic
+  * regardless of row order — no `first()`/`last()` nondeterminism.
+  */
+sealed trait BucketMode
+object BucketMode {
+  final case class Tumbling(cacheMs: Double) extends BucketMode
+  final case class Exact(cacheMs: Double, keyCols: Seq[String] = Nil) extends BucketMode
+  case object PerFrame extends BucketMode
+}
+
+sealed trait CombinePolicy
+object CombinePolicy {
+  case object FirstWins extends CombinePolicy
+  case object LastWins extends CombinePolicy
+}
+
+object Bucketer {
+
+  import DbcColumns._
+
+  /** wide(ts_ms, sig...) → bucketed(Time_ms, sig...). */
+  def bucket(wide: DataFrame, mode: BucketMode,
+      policy: CombinePolicy = CombinePolicy.LastWins): DataFrame = mode match {
+    case BucketMode.PerFrame =>
+      wide.withColumnRenamed("ts_ms", TimeCol)
+    case BucketMode.Tumbling(cacheMs) if cacheMs <= 0 =>
+      bucket(wide, BucketMode.PerFrame, policy)
+    case BucketMode.Tumbling(cacheMs) =>
+      val sigCols = wide.columns.filter(_ != "ts_ms")
+      val pick: Column => Column = policy match {
+        case CombinePolicy.LastWins  => max
+        case CombinePolicy.FirstWins => min
+      }
+      // T2: row timestamp = ts of the first frame in the bucket; T3/T4: the
+      // argmin/argmax struct trick gives first/last non-null deterministically.
+      wide
+        .groupBy(floor(col("ts_ms") / lit(cacheMs)).as("_bucket"))
+        .agg(
+          min(col("ts_ms")).as(TimeCol),
+          sigCols.map { s =>
+            pick(when(col(s).isNotNull, struct(col("ts_ms").as("t"), col(s).as("v"))))
+              .getField("v").as(s)
+          }: _*)
+        .drop("_bucket")
+    case BucketMode.Exact(cacheMs, _) if cacheMs <= 0 =>
+      bucket(wide, BucketMode.PerFrame, policy)
+    case BucketMode.Exact(cacheMs, keyCols) =>
+      exactFold(wide, cacheMs, keyCols, policy, forwardFill = false)
+  }
+
+  /** Exact data-driven bucketing as a sorted fold (T1b), reproducing
+    * `/root/reference/src/main.cpp:127-131` byte-for-byte:
+    *
+    * {{{
+    * if (ts > rowStart + cacheMs) { close(row @ rowStart); rowStart = ts }
+    * }}}
+    *
+    * With `keyCols` the fold runs independently per key (e.g. per source
+    * file / interface), hash-partitioned and sorted within partitions —
+    * parallel at any scale. Keyless, it is the honest single-partition
+    * sequential semantics of the reference.
+    *
+    * `forwardFill = true` additionally carries last-seen values across rows
+    * (T5 exact semantics, legacy main `/root/reference/src/main.cpp.bak:399-405`).
+    */
+  def exactFold(wide: DataFrame, cacheMs: Double, keyCols: Seq[String],
+      policy: CombinePolicy, forwardFill: Boolean): DataFrame = {
+    val inSchema = wide.schema
+    val tsIdx = inSchema.fieldIndex("ts_ms")
+    val keyIdx = keyCols.map(inSchema.fieldIndex)
+    val sigIdx = inSchema.indices.filter(i => i != tsIdx && !keyIdx.contains(i))
+    val outFields =
+      keyCols.map(inSchema(_)) ++
+        (StructField(TimeCol, DoubleType, nullable = false) +:
+          sigIdx.map(inSchema(_)).toSeq)
+    val outSchema = StructType(outFields.toSeq)
+
+    val prepared =
+      if (keyCols.isEmpty) wide.repartition(1).sortWithinPartitions("ts_ms")
+      else wide.repartition(keyCols.map(col): _*)
+        .sortWithinPartitions((keyCols :+ "ts_ms").map(col): _*)
+
+    val n = sigIdx.length
+    prepared.mapPartitions { it =>
+      new Iterator[Row] {
+        private var bucketOpen = false
+        private var bucketStart = 0.0
+        private var curKey: Seq[Any] = null
+        private val cells = new Array[Any](n)
+        private val setInBucket = new Array[Boolean](n)
+        private var pendingOut: Row = null
+        private var done = false
+
+        private def closeRow(): Row = {
+          // clone: cells is cleared below and Array.toSeq may wrap, not copy
+          val vals = curKey ++ (bucketStart +: cells.clone().toSeq)
+          if (!forwardFill) java.util.Arrays.fill(cells.asInstanceOf[Array[AnyRef]], null)
+          java.util.Arrays.fill(setInBucket, false)
+          Row.fromSeq(vals)
+        }
+
+        private def consume(r: Row): Row = {
+          val ts = r.getDouble(tsIdx)
+          val key = keyIdx.map(r.get)
+          var out: Row = null
+          if (bucketOpen && (key != curKey || ts > bucketStart + cacheMs)) {
+            out = closeRow()
+            bucketOpen = false
+          }
+          if (!bucketOpen) {
+            bucketOpen = true
+            bucketStart = ts
+            if (key != curKey && forwardFill)
+              java.util.Arrays.fill(cells.asInstanceOf[Array[AnyRef]], null)
+            curKey = key
+          }
+          var j = 0
+          while (j < n) {
+            val v = r.get(sigIdx(j))
+            if (v != null && (policy == CombinePolicy.LastWins || !setInBucket(j))) {
+              cells(j) = v
+              setInBucket(j) = true
+            }
+            j += 1
+          }
+          out
+        }
+
+        def hasNext: Boolean = {
+          if (pendingOut != null) return true
+          while (it.hasNext) {
+            val out = consume(it.next())
+            if (out != null) { pendingOut = out; return true }
+          }
+          if (!done && bucketOpen) { pendingOut = closeRow(); done = true; return true }
+          false
+        }
+
+        def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = pendingOut; pendingOut = null; r
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}
+
+/** Shared column-name constants. */
+object DbcColumns {
+  val TimeCol: String = graft.dbc.DbcSchema.TimeCol
+}

@@ -1,0 +1,76 @@
+package graft.can
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dbc._
+
+/** End-to-end composition of the reference pipeline (SURVEY §3.1):
+  * candump log → parse → decode → bucket → (forward-fill) → wide table,
+  * ready for `write.parquet` (K1).
+  *
+  * Config mirrors the reference CLI (`/root/reference/src/arguments.h:12`):
+  * `--cache <ms>` → `cacheMs`; `--forward-fill` → `forwardFill`;
+  * `--no-adjust-timestamp` → `adjustTimestamp = false`. Divergences from the
+  * shipped binary are deliberate and documented in SURVEY §1.2/§2.4:
+  * last-wins combine and real forward-fill (legacy-main semantics), intended
+  * typing, working flt32 decode.
+  */
+final case class CanPipelineConfig(
+    cacheMs: Double = 0.0,
+    exact: Boolean = false,
+    exactKeys: Seq[String] = Nil,
+    forwardFill: Boolean = false,
+    adjustTimestamp: Boolean = true,
+    typing: TypingMode = TypingMode.Intended,
+    combine: CombinePolicy = CombinePolicy.LastWins)
+
+object CanPipeline {
+
+  def decodeLog(spark: SparkSession, dbcPath: String, logPath: String,
+      cfg: CanPipelineConfig = CanPipelineConfig()): DataFrame = {
+    val net = DbcParser.parseFile(dbcPath)
+    val frames = CandumpParser.readLog(spark, logPath, cfg.adjustTimestamp)
+    fromFrames(net, frames, cfg)
+  }
+
+  /** frames(ts_ms, can_id, data) → bucketed wide table. */
+  def fromFrames(net: Network, frames: DataFrame, cfg: CanPipelineConfig): DataFrame = {
+    val wide = SignalDecoder.wideFrame(net, frames, cfg.typing)
+    if (cfg.exact && cfg.cacheMs > 0)
+      // exact mode folds forward-fill into the same pass (legacy-main shape)
+      Bucketer.exactFold(wide, cfg.cacheMs, cfg.exactKeys, cfg.combine, cfg.forwardFill)
+    else {
+      val bucketed = Bucketer.bucket(wide,
+        if (cfg.cacheMs > 0) BucketMode.Tumbling(cfg.cacheMs) else BucketMode.PerFrame,
+        cfg.combine)
+      if (cfg.forwardFill)
+        ForwardFill.distributed(bucketed, DbcColumns.TimeCol)
+      else bucketed
+    }
+  }
+}
+
+/** Legacy Parquet re-ingest time migration (reference T6,
+  * `/root/reference/src/main.cpp.bak:295-304`, `:328-331`): columns named
+  * `Time`/`timestamp`/`Seconds` hold seconds → `Time_ms = v * 1000`;
+  * `Time_ms` passes through; with no time column at all, synthesize the
+  * legacy 11.91 ms/row ramp (84 Hz, `/root/reference/src/main.cpp.bak:329`).
+  */
+object TimeMigration {
+  import org.apache.spark.sql.expressions.Window
+
+  val LegacySecondsCols = Seq("Time", "timestamp", "Seconds")
+
+  def migrate(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val candidates =
+      (if (cols.contains(DbcColumns.TimeCol)) Seq(col(DbcColumns.TimeCol)) else Nil) ++
+        LegacySecondsCols.filter(cols.contains).map(c => col(c) * 1000.0)
+    val timeExpr =
+      if (candidates.nonEmpty) coalesce(candidates: _*)
+      else // legacy synthetic ramp — small-file migration path only (global window)
+        (row_number().over(Window.orderBy(monotonically_increasing_id())) - 1).cast("double") * 11.91
+    df.withColumn(DbcColumns.TimeCol, timeExpr)
+      .drop(LegacySecondsCols.filter(cols.contains): _*)
+  }
+}

@@ -1,0 +1,143 @@
+package graft.can
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.SparkTestSession
+import graft.dbc._
+
+class BucketerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // wide-shaped frame: ts_ms, a, b
+  def wide(rows: (Double, java.lang.Integer, java.lang.Double)*) =
+    rows.toDF("ts_ms", "a", "b")
+
+  test("PerFrame: identity, renamed Time_ms") {
+    val out = Bucketer.bucket(wide((0.0, 1, null), (5.0, 2, 2.5)), BucketMode.PerFrame)
+    assert(out.columns.toSeq == Seq("Time_ms", "a", "b"))
+    assert(out.count() == 2)
+  }
+
+  test("Tumbling: groups by fixed grid, Time_ms = min ts in bucket (T2)") {
+    val out = Bucketer.bucket(
+      wide((0.0, 1, null), (4.0, 2, 1.0), (12.0, 3, null), (26.0, null, 2.0)),
+      BucketMode.Tumbling(10.0)).orderBy("Time_ms").collect()
+    assert(out.map(_.getDouble(0)).toSeq == Seq(0.0, 12.0, 26.0))
+  }
+
+  test("Tumbling: last-wins vs first-wins combine (T4), null cells ignored") {
+    val w = wide((0.0, 1, 1.0), (4.0, 2, null), (8.0, null, 3.0))
+    val lastW = Bucketer.bucket(w, BucketMode.Tumbling(10.0)).collect().head
+    assert(lastW.getInt(1) == 2 && lastW.getDouble(2) == 3.0) // last non-null each
+    val firstW = Bucketer.bucket(w, BucketMode.Tumbling(10.0), CombinePolicy.FirstWins)
+      .collect().head
+    assert(firstW.getInt(1) == 1 && firstW.getDouble(2) == 1.0)
+  }
+
+  test("Exact: data-driven boundaries chain from closing frame (T1b)") {
+    // cache=10: frames at 0,4,11,22,40 → reference fold:
+    //   row1 opens @0 (frames 0,4) closes on 11 (11 > 0+10)
+    //   row2 opens @11 (frame 11... then 22 > 11+10 closes)
+    //   row3 opens @22 (22,  then 40 > 22+10 closes)
+    //   row4 opens @40
+    val w = wide((0.0, 1, null), (4.0, 2, null), (11.0, 3, null), (22.0, 4, null), (40.0, 5, null))
+    val out = Bucketer.bucket(w, BucketMode.Exact(10.0)).orderBy("Time_ms").collect()
+    assert(out.map(_.getDouble(0)).toSeq == Seq(0.0, 11.0, 22.0, 40.0))
+    assert(out.map(_.getInt(1)).toSeq == Seq(2, 3, 4, 5)) // last-wins
+    // tumbling would instead put 0,4 | 11 | 22 | 40 in buckets 0,1,2,4 — same
+    // count here, but a >cacheMs gap starting mid-bucket shifts boundaries:
+    val w2 = wide((8.0, 1, null), (15.0, 2, null))
+    val exact = Bucketer.bucket(w2, BucketMode.Exact(10.0)).collect()
+    assert(exact.length == 1) // 15 <= 8+10 → same data-driven row
+    val tumb = Bucketer.bucket(w2, BucketMode.Tumbling(10.0)).collect()
+    assert(tumb.length == 2) // grid splits at 10
+  }
+
+  test("Exact: first-wins respects append-only builder semantics") {
+    val w = wide((0.0, 1, 1.0), (4.0, 2, null))
+    val out = Bucketer.bucket(w, BucketMode.Exact(10.0), CombinePolicy.FirstWins).collect()
+    assert(out.head.getInt(1) == 1)
+  }
+
+  test("Exact with keys: independent folds per key, parallel") {
+    val df = Seq(
+      ("x", 0.0, 1), ("x", 4.0, 2), ("x", 15.0, 3),
+      ("y", 0.0, 7), ("y", 30.0, 8)
+    ).toDF("k", "ts_ms", "a")
+    val out = Bucketer.exactFold(df, 10.0, Seq("k"), CombinePolicy.LastWins, forwardFill = false)
+      .orderBy("k", "Time_ms").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSeq ==
+      Seq(("x", 0.0, 2), ("x", 15.0, 3), ("y", 0.0, 7), ("y", 30.0, 8)))
+  }
+
+  test("Exact with forward-fill carries values across rows (T5 exact)") {
+    val w = wide((0.0, 1, 5.0), (15.0, 2, null), (30.0, null, null))
+    val out = Bucketer.exactFold(w, 10.0, Nil, CombinePolicy.LastWins, forwardFill = true)
+      .orderBy("Time_ms").collect()
+    assert(out.map(r => (r.getDouble(0), r.getInt(1), r.getDouble(2))).toSeq ==
+      Seq((0.0, 1, 5.0), (15.0, 2, 5.0), (30.0, 2, 5.0)))
+  }
+
+  test("forward-fill: windowed and distributed agree (differential)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      (i.toDouble,
+        if (rnd.nextBoolean()) Int.box(rnd.nextInt(100)) else null.asInstanceOf[java.lang.Integer],
+        if (rnd.nextInt(4) == 0) Double.box(rnd.nextDouble()) else null.asInstanceOf[java.lang.Double])
+    }
+    val df = rows.toDF("Time_ms", "a", "b").repartition(7)
+    val wexp = ForwardFill.windowed(df, "Time_ms").orderBy("Time_ms").collect()
+    val dist = ForwardFill.distributed(df, "Time_ms", numPartitions = 5)
+      .orderBy("Time_ms").collect()
+    assert(wexp.toSeq == dist.toSeq)
+    // head rows before any value stay null
+    assert(dist.head.isNullAt(2) == (rows.head._3 == null))
+  }
+
+  test("end-to-end golden: mini.log + mini.dbc, cache 10ms, exact (§7.2 spine)") {
+    val out = CanPipeline.decodeLog(spark, "fixtures/mini.dbc", "fixtures/mini.log",
+      CanPipelineConfig(cacheMs = 10.0, exact = true))
+    val rows = out.orderBy("Time_ms").collect()
+    // frames at 0,4,8 (row1: 0-10); 12,16 (row2 opens @12); 50 (row3)
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.0, 12.0, 50.0))
+    val r1 = rows(0)
+    assert(r1.getAs[Float]("Engine_Speed") == 2000.0f)
+    assert(r1.getAs[Int]("Counter_A") == 1000)
+    assert(r1.getAs[Float]("GPS_Speed") == 1.0f)
+    val r2 = rows(1)
+    assert(r2.getAs[Float]("Val_A") == 1000.0f)
+    assert(r2.getAs[Int]("Val_B") == 32767) // last-wins across the two mux frames
+    val r3 = rows(2)
+    assert(r3.getAs[Float]("Engine_Speed") == 0.0f)
+    // forward-fill variant: row3 keeps row1's GPS_Speed
+    val ff = CanPipeline.decodeLog(spark, "fixtures/mini.dbc", "fixtures/mini.log",
+      CanPipelineConfig(cacheMs = 10.0, exact = true, forwardFill = true))
+      .orderBy("Time_ms").collect()
+    assert(ff(2).getAs[Float]("GPS_Speed") == 1.0f)
+    assert(ff(2).getAs[Int]("Val_B") == 32767)
+  }
+
+  test("tumbling pipeline + distributed forward-fill (scalable path)") {
+    val out = CanPipeline.decodeLog(spark, "fixtures/mini.dbc", "fixtures/mini.log",
+      CanPipelineConfig(cacheMs = 10.0, forwardFill = true))
+    val rows = out.orderBy("Time_ms").collect()
+    // grid buckets: [0,10)→0.0, [10,20)→12.0 (12 & 16 share it), [50,60)→50.0
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.0, 12.0, 50.0))
+    assert(rows(2).getAs[Float]("GPS_Speed") == 1.0f) // carried from row1
+    assert(rows(1).getAs[Int]("Val_B") == 32767)      // last-wins within bucket
+  }
+
+  test("time migration (T6): legacy seconds columns and passthrough") {
+    val legacy = Seq((1.5, 10), (2.5, 20)).toDF("Time", "v")
+    val m = TimeMigration.migrate(legacy).orderBy("Time_ms").collect()
+    assert(m.map(_.getAs[Double]("Time_ms")).toSeq == Seq(1500.0, 2500.0))
+    assert(!m.head.schema.fieldNames.contains("Time"))
+    val pass = Seq((42.0, 1)).toDF("Time_ms", "v")
+    assert(TimeMigration.migrate(pass).select("Time_ms").as[Double].head() == 42.0)
+    val none = Seq((1, "x"), (2, "y")).toDF("v", "w")
+    val synth = TimeMigration.migrate(none).select("Time_ms").as[Double].collect().sorted
+    assert(synth.toSeq == Seq(0.0, 11.91))
+  }
+}
