@@ -1,13 +1,480 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.can._
+import graft.dbc._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query takes `(spark, sfDir)` over the driver's parquet tables and
+  * has a matching DuckDB oracle in [[oracleSql]] (same column names; driver
+  * hash-compares). Determinism rules used throughout:
+  *   - money/double sums go through exact integer cents
+  *     (`sum(cast(round(x*100) as bigint))`) so aggregation order can't
+  *     change low bits;
+  *   - arg-max/min selection uses unique keys (event ts/ids are unique);
+  *   - timestamps are output as DATE or epoch BIGINT (parquet timestamp
+  *     annotation semantics differ between engines);
+  *   - DuckDB BIGINT sums are HUGEINT — always cast or divide to match
+  *     Spark's LongType/DoubleType output schema.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map to
+    * TimestampType; read it as a nanos long (legacy conf) and truncate to
+    * micros — exactly what DuckDB's `epoch_us(ts)` sees on its side.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact integer-cents sum, emitted as double (scale 10^d). */
+  private def centSum(c: Column, digits: Int = 2): Column = {
+    val scale = math.pow(10, digits)
+    sum(round(c * scale).cast("long")) / scale
+  }
+
+  /** Deterministic last/first non-null of `v` ordered by unique key `k`. */
+  private def lastBy(v: Column, k: Column): Column =
+    max(when(v.isNotNull, struct(k.as("k"), v.as("v")))).getField("v")
+  private def firstBy(v: Column, k: Column): Column =
+    min(when(v.isNotNull, struct(k.as("k"), v.as("v")))).getField("v")
+
+  // ---------------------------------------------------------------------
+  // CAN synthesis: deterministic frames derived from the events table so
+  // the decode pipeline has an arithmetic (string-free) DuckDB oracle.
+  // Shared byte formulas (documented in oracle SQL as CTE `b`):
+  //   v  = cast(round(value*100) as bigint)   (0..49002)
+  //   d0 = v & 255, d1 = (v>>8) & 255, d2 = user_id & 255,
+  //   d3 = event_id & 255, d4 = (event_id>>8) & 255,
+  //   d5 = (user_id*7+3) & 255, d6 = event_id % 2, d7 = (event_id*31+user_id) & 255
+  //   can_id = 0x100 when user_id even else 0x200
+  // ---------------------------------------------------------------------
+
+  private val canTestDbc =
+    """BO_ 256 M1: 8 E
+      | SG_ SPEED : 0|16@1+ (0.25,-10) [0|0] "" X
+      | SG_ CNT8 : 16|8@1- (1,0) [0|0] "" X
+      | SG_ FLAG : 24|1@1+ (1,0) [0|0] "" X
+      | SG_ MOTO12 : 39|12@0- (0.5,0) [0|0] "" X
+      | SG_ MUXSEL M : 48|2@1+ (1,0) [0|0] "" X
+      | SG_ VA m0 : 56|8@1+ (1,0) [0|0] "" X
+      | SG_ VB m1 : 56|8@1- (1,0) [0|0] "" X
+      |BO_ 512 M2: 8 E
+      | SG_ U31 : 0|31@1+ (1,0) [0|0] "" X
+      | SG_ BIG48 : 8|48@1+ (1,0) [0|0] "" X
+      | SG_ MOTO16 : 7|16@0+ (0.01,5) [0|0] "" X
+      |""".stripMargin
+
+  private def hex2(c: Column): Column = lpad(hex(c), 2, "0")
+
+  /** events → candump text lines (one per event). */
+  private def canLines(ev: DataFrame): DataFrame = {
+    val e = col("event_id"); val u = col("user_id")
+    val v = round(col("value") * 100).cast("long")
+    val us = unix_micros(col("ts"))
+    val d = Seq(
+      v.bitwiseAND(255), shiftrightunsigned(v, 8).bitwiseAND(255),
+      u.bitwiseAND(255), e.bitwiseAND(255),
+      shiftrightunsigned(e, 8).bitwiseAND(255), (u * 7 + 3).bitwiseAND(255),
+      e % 2, (e * 31 + u).bitwiseAND(255))
+    val payloadHex = concat(d.map(hex2): _*)
+    val idHex = when(u % 2 === 0, "100").otherwise("200")
+    ev.select(
+      e.as("event_id"),
+      format_string("(%d.%06d) vcan0 %s#%s",
+        expr("unix_micros(ts) div 1000000"), us % 1000000L, idHex, payloadHex).as("value"))
+  }
+
+  /** The oracle-side byte CTE (kept in one place; spliced into qc_* SQL). */
+  private val canBytesCte =
+    """WITH b AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CAST(round(value*100) AS BIGINT) AS v,
+      |    CAST(round(value*100) AS BIGINT) & 255 AS d0,
+      |    (CAST(round(value*100) AS BIGINT) >> 8) & 255 AS d1,
+      |    user_id & 255 AS d2,
+      |    event_id & 255 AS d3,
+      |    (event_id >> 8) & 255 AS d4,
+      |    (user_id*7+3) & 255 AS d5,
+      |    event_id % 2 AS d6,
+      |    (event_id*31+user_id) & 255 AS d7,
+      |    CASE WHEN user_id % 2 = 0 THEN 256 ELSE 512 END AS can_id
+      |  FROM events
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------------
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q2_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- relational core (SURVEY §2.4 "query side": Spark built-ins) ---
+
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          centSum(col("l_extendedprice")).as("sum_base_price"),
+          centSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q2_revenue_by_nation" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(centSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q3_top_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      li.groupBy("l_orderkey")
+        .agg(centSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q4_distinct_parts" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q5_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q6_anti_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val n = t(s, dir, "nation")
+      // anti join against a filtered right side (non-empty at all SFs)
+      c.join(o.filter(o("o_totalprice") > 400000),
+          c("c_custkey") === o("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_name")
+    }),
+
+    "q7_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    "q8_rollup_revenue" -> ((s, dir) => {
+      // via the spark.sql surface: Dataset.rollup over a join tree trips a
+      // false ambiguous-self-join check (Expand duplicates the child's
+      // attribute ids); the SQL path analyzes cleanly.
+      Seq("orders", "customer", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT r_name, n_name,
+          |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
+          |  count(*) AS n_orders
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP(r_name, n_name)
+          |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+    }),
+
+    "q9_running_balance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("running",
+          sum(round(col("value") * 100).cast("long")).over(w) / 100.0)
+        .select(col("event_id"), col("user_id"), col("running"))
+    }),
+
+    "q10_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val gapUs = 1800000000L // 30 min
+      events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("new_s",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    "q11_hourly_events" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_unix"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), centSum(col("value")).as("total"))
+        .orderBy("hour_unix", "event_type")
+    }),
+
+    "q12_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+        .orderBy("event_type")
+    }),
+
+    // --- CAN pipeline operators on synthesized frames (SURVEY §2.1-2.4) ---
+
+    "qc_candump_parse" -> ((s, dir) => {
+      // P1/F2: parse with malformed lines injected every 7th event
+      val lines = canLines(events(s, dir))
+        .select(when(col("event_id") % 7 === 0, "not a can line")
+          .otherwise(col("value")).as("value"))
+      CandumpParser.parseLines(lines)
+        .select(col("ts_us"), col("iface"), col("can_id"), hex(col("data")).as("payload_hex"))
+    }),
+
+    "qc_pipeline_decode" -> ((s, dir) => {
+      // full spine: synth lines → parse (P1) → dispatch (P2) → bit extract
+      // (P3) → scale (P4) → mux (P5) → cast (P7); wide per-frame output
+      val net = DbcParser.parseString(canTestDbc)
+      val frames = CandumpParser.parseLines(canLines(events(s, dir)))
+        .withColumnRenamed("ts_us", "ts_ms") // decode is ts-unit-agnostic
+      SignalDecoder.wideFrame(net, frames)
+        .withColumnRenamed("ts_ms", "ts_us")
+    }),
+
+    "qc_bucket_tumbling" -> ((s, dir) => {
+      // T1a/T2/T3/T4 via the production Bucketer on sparse signals
+      val ev = events(s, dir)
+        .withColumn("ts_ms",
+          (unix_micros(col("ts")) - 1704067200000000L) / 1000.0)
+        .withColumn("a", when(col("event_type") === "click", col("value")))
+        .withColumn("b", when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")))
+        .withColumn("c", when(col("event_type") === "error", col("user_id")))
+        .select("ts_ms", "a", "b", "c")
+      Bucketer.bucket(ev, BucketMode.Tumbling(60000.0))
+        .orderBy("Time_ms")
+    }),
+
+    "qc_bucket_first_wins" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("ts_ms",
+          (unix_micros(col("ts")) - 1704067200000000L) / 1000.0)
+        .withColumn("a", when(col("event_type") === "click", col("value")))
+        .select("ts_ms", "a")
+      Bucketer.bucket(ev, BucketMode.Tumbling(60000.0), CombinePolicy.FirstWins)
+        .orderBy("Time_ms")
+    }),
+
+    "qc_ffill_distributed" -> ((s, dir) => {
+      // T5 scalable two-pass fill, ordered by unique event_id
+      val ev = events(s, dir)
+        .withColumn("x", when(col("event_type").isin("click", "purchase"), col("value")))
+        .select("event_id", "user_id", "x")
+      ForwardFill.distributed(ev, "event_id", Seq("x"))
+        .withColumnRenamed("x", "x_fill")
+    }),
+
+    "qc_time_migration" -> ((s, dir) => {
+      // T6: legacy `Seconds` column → Time_ms
+      val legacy = events(s, dir)
+        .select(((unix_micros(col("ts")) - 1704067200000000L) / 1000000.0).as("Seconds"),
+          col("event_id"))
+      TimeMigration.migrate(legacy).select("event_id", "Time_ms")
+    })
+  )
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted for non-SQL-expressible ops → driver
+    * records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, revenue
+        |FROM (SELECT l_orderkey,
+        |        sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS revenue
+        |      FROM lineitem GROUP BY 1) r
+        |JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q4_distinct_parts" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q5_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q6_anti_customers" ->
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q7_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 3""".stripMargin,
+
+    "q8_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q9_running_balance" ->
+      """SELECT event_id, user_id,
+        |  sum(CAST(round(value*100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running
+        |FROM events""".stripMargin,
+
+    "q10_sessions" ->
+      """SELECT user_id,
+        |  CAST(sum(new_s) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)) x
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_hourly_events" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_unix, event_type,
+        |  count(*) AS n,
+        |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q12_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(CAST(props->>'$.k' AS BIGINT)) AS n_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "qc_candump_parse" -> (canBytesCte +
+      """
+        |SELECT us AS ts_us, 'vcan0' AS iface, CAST(can_id AS BIGINT) AS can_id,
+        |  upper(lpad(to_hex(d0),2,'0') || lpad(to_hex(d1),2,'0') ||
+        |        lpad(to_hex(d2),2,'0') || lpad(to_hex(d3),2,'0') ||
+        |        lpad(to_hex(d4),2,'0') || lpad(to_hex(d5),2,'0') ||
+        |        lpad(to_hex(d6),2,'0') || lpad(to_hex(d7),2,'0')) AS payload_hex
+        |FROM b WHERE event_id % 7 <> 0""".stripMargin),
+
+    "qc_pipeline_decode" -> (canBytesCte +
+      """
+        |SELECT us AS ts_us,
+        |  CASE WHEN can_id = 256 THEN CAST((d0 + d1*256)*0.25 - 10 AS FLOAT4) END AS SPEED,
+        |  CASE WHEN can_id = 256 THEN CAST(CASE WHEN d2 >= 128 THEN d2 - 256 ELSE d2 END AS INTEGER) END AS CNT8,
+        |  CASE WHEN can_id = 256 THEN d3 % 2 = 1 END AS FLAG,
+        |  CASE WHEN can_id = 256 THEN CAST((CASE WHEN d4*16 + (d5 // 16) >= 2048
+        |    THEN d4*16 + (d5 // 16) - 4096 ELSE d4*16 + (d5 // 16) END) * 0.5 AS FLOAT4) END AS MOTO12,
+        |  CASE WHEN can_id = 256 THEN CAST(d6 & 3 AS INTEGER) END AS MUXSEL,
+        |  CASE WHEN can_id = 256 AND d6 & 3 = 0 THEN CAST(d7 AS INTEGER) END AS VA,
+        |  CASE WHEN can_id = 256 AND d6 & 3 = 1 THEN
+        |    CAST(CASE WHEN d7 >= 128 THEN d7 - 256 ELSE d7 END AS INTEGER) END AS VB,
+        |  CASE WHEN can_id = 512 THEN
+        |    CAST(d0 + d1*256 + d2*65536 + (d3 & 127)*16777216 AS INTEGER) END AS U31,
+        |  CASE WHEN can_id = 512 THEN
+        |    d1 + d2*256 + d3*65536 + d4*16777216 + d5*4294967296 + d6*1099511627776 END AS BIG48,
+        |  CASE WHEN can_id = 512 THEN CAST((d0*256 + d1)*0.01 + 5 AS FLOAT4) END AS MOTO16
+        |FROM b""".stripMargin),
+
+    "qc_bucket_tumbling" ->
+      """WITH w AS (
+        |  SELECT (epoch_us(ts) - 1704067200000000) / 1000.0 AS ts_ms,
+        |    CASE WHEN event_type = 'click' THEN value END AS a,
+        |    CASE WHEN event_type = 'purchase' THEN CAST(round(value*100) AS BIGINT) END AS b,
+        |    CASE WHEN event_type = 'error' THEN user_id END AS c
+        |  FROM events)
+        |SELECT min(ts_ms) AS Time_ms,
+        |  max_by(a, CASE WHEN a IS NOT NULL THEN ts_ms END) AS a,
+        |  max_by(b, CASE WHEN b IS NOT NULL THEN ts_ms END) AS b,
+        |  max_by(c, CASE WHEN c IS NOT NULL THEN ts_ms END) AS c
+        |FROM w GROUP BY floor(ts_ms / 60000) ORDER BY Time_ms""".stripMargin,
+
+    "qc_bucket_first_wins" ->
+      """WITH w AS (
+        |  SELECT (epoch_us(ts) - 1704067200000000) / 1000.0 AS ts_ms,
+        |    CASE WHEN event_type = 'click' THEN value END AS a
+        |  FROM events)
+        |SELECT min(ts_ms) AS Time_ms,
+        |  min_by(a, CASE WHEN a IS NOT NULL THEN ts_ms END) AS a
+        |FROM w GROUP BY floor(ts_ms / 60000) ORDER BY Time_ms""".stripMargin,
+
+    "qc_ffill_distributed" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type IN ('click','purchase') THEN value END
+        |    IGNORE NULLS) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x_fill
+        |FROM events""".stripMargin,
+
+    "qc_time_migration" ->
+      """SELECT event_id,
+        |  (epoch_us(ts) - 1704067200000000) / 1000000.0 * 1000.0 AS Time_ms
+        |FROM events""".stripMargin
+  )
 }
