@@ -115,7 +115,8 @@ object SparkEntry {
     queries("q2_revenue_by_nation")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
 
     // --- relational core (SURVEY §2.4 "query side": Spark built-ins) ---
 
@@ -309,6 +310,89 @@ object SparkEntry {
           col("event_id"))
       TimeMigration.migrate(legacy).select("event_id", "Time_ms")
     })
+  ) ++ opsQueries
+
+  // ---------------------------------------------------------------------
+  // Training-data pipeline operators (dedup / similarity / text /
+  // multimodal) over the documents and embeddings tables.
+  // ---------------------------------------------------------------------
+
+  import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+  private def opsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "qt_token_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy("lang").agg(
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          sum(TextAnalysis.regexTokenCount(col("text")).cast("long")).as("sum_bpeish"),
+          sum(TextAnalysis.punctCount(col("text")).cast("long")).as("sum_punct"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    "qt_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val comps = TextAnalysis.qualityComponents(col("text"))
+      d.select(
+        col("doc_id") +: comps.map { case (n, c) => c.as(n) } :+
+          TextAnalysis.qualityScore(col("text")).as("quality"): _*)
+    }),
+
+    "qt_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        (TextAnalysis.langId(col("text")) === col("lang")).as("is_match"))
+    }),
+
+    "qt_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.md5Long(col("text")).as("fp60"))
+    }),
+
+    "qd_exact_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bow = d.groupBy(Dedup.bowSignature(col("text")).as("sig"))
+        .agg(count(lit(1)).as("n"))
+      d.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct_text"))
+        .crossJoin(broadcast(
+          bow.agg(
+            sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_bow_groups"),
+            sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_bow_dup_docs"))))
+    }),
+
+    "qd_bow_groups" -> ((s, dir) => {
+      Dedup.dupGroups(t(s, dir, "documents"), "doc_id", Dedup.bowSignature(col("text")))
+        .orderBy("sig")
+    }),
+
+    "qd_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "qd_simhash" -> ((s, dir) => {
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", col("text")).orderBy("doc_id")
+    }),
+
+    "qd_cosine_nn" -> ((s, dir) =>
+      Similarity.nearestNeighborPerVector(t(s, dir, "embeddings"))),
+
+    "qs_ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+
+    "qs_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5)),
+
+    "qm_media_decode" -> ((s, dir) => {
+      val payloads = Multimodal.fakePayload(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeStub(payloads)
+    })
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -476,5 +560,178 @@ object SparkEntry {
       """SELECT event_id,
         |  (epoch_us(ts) - 1704067200000000) / 1000000.0 * 1000.0 AS Time_ms
         |FROM events""".stripMargin
-  )
+  ) ++ opsOracles
+
+  /** DuckDB equivalents of the ops queries. Repetitive hash SQL is
+    * generated from the same Scala constants the Spark side uses.
+    */
+  private def opsOracles: Map[String, String] = {
+    val P = Dedup.P
+    // portable md5-based 60-bit hash
+    def h(x: String) = s"CAST('0x'||substr(md5($x),1,15) AS BIGINT)"
+    val toks = """string_split_regex(trim(text),'\s+')"""
+    val bpeish = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
+    val punct = """[^A-Za-z0-9\s]"""
+
+    val shinglesCte =
+      s"""WITH tk AS (SELECT doc_id, $toks w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${h("s")} AS sh FROM (
+         |  SELECT doc_id, unnest(list_transform(range(len(w)-2),
+         |    i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
+         |  FROM tk WHERE len(w) >= 3) x)""".stripMargin
+
+    val minhashSig = (0 until Dedup.NumHashes).map { i =>
+      s"min((${Dedup.hashA(i)}*(sh%$P)+${Dedup.hashB(i)})%$P) AS m$i"
+    }.mkString(", ")
+    val bandRows = (0 until Dedup.numBands).map { b =>
+      val cols = (0 until Dedup.BandSize).map(r => s"m${b * Dedup.BandSize + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+
+    val simSums = (0 until Dedup.SimHashBits).map { b =>
+      s"sum(CASE WHEN (h>>$b)&1=1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val simAssemble = (0 until Dedup.SimHashBits).map { b =>
+      s"(CASE WHEN s$b>0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+    // language-id profiles (same constants as TextAnalysis)
+    def profCount(ws: Seq[String]) =
+      s"len(list_filter($toks, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x)))"
+    val profiles = TextAnalysis.StopwordProfiles.filter(_._2.nonEmpty)
+    val profCols = profiles.map { case (l, ws) => s"${profCount(ws)} AS c_$l" }.mkString(", ")
+    val mx = s"greatest(${profiles.map(p => s"c_${p._1}").mkString(",")})"
+    val pickCase = profiles.map { case (l, _) => s"WHEN c_$l = mx THEN '$l'" }.mkString(" ")
+    val langPred =
+      s"""CASE WHEN cjk*5 > len THEN 'zh'
+         |     WHEN mx > 0 THEN CASE $pickCase END
+         |     ELSE 'unknown' END""".stripMargin
+
+    // cosine plumbing over quantized embeddings
+    val quantCte =
+      """WITH q AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, qe,
+        |  list_reduce(list_transform(qe, x -> x*x), (a,b) -> a+b) AS nrm FROM q)""".stripMargin
+    val dotAB = "list_reduce(list_transform(list_zip(a.qe,b.qe), t -> t[1]*t[2]), (x,y) -> x+y)"
+
+    val planeLits = (0 until Similarity.NumPlanes).map { p =>
+      "[" + (0 until 64).map(j => Similarity.planeWeight(p, j)).mkString(",") + "]"
+    }
+    val bucketExpr = (0 until Similarity.NumPlanes).map { p =>
+      s"(CASE WHEN list_reduce(list_transform(list_zip(qe, ${planeLits(p)}), t -> t[1]*t[2]), (x,y) -> x+y) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+    Map(
+      "qt_token_stats" ->
+        s"""SELECT lang,
+           |  CAST(sum(CASE WHEN len(trim(text))=0 THEN 0 ELSE len($toks) END) AS BIGINT) AS sum_tokens,
+           |  CAST(sum(len(regexp_extract_all(text, '$bpeish'))) AS BIGINT) AS sum_bpeish,
+           |  CAST(sum(len(regexp_extract_all(text, '$punct'))) AS BIGINT) AS sum_punct,
+           |  count(*) AS n_docs
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "qt_quality" ->
+        s"""SELECT doc_id,
+           |  CAST(length(text) AS BIGINT) AS n_chars_m,
+           |  CAST(len($toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(regexp_extract_all(text, '$punct')) AS BIGINT) AS n_punct,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) AS alpha_ratio,
+           |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($toks) AS mean_tok_len,
+           |  CAST(${profCount(TextAnalysis.StopwordProfiles.head._2)} AS DOUBLE) / len($toks) AS stop_ratio,
+           |  (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)) * 0.4
+           |   + least(CAST(${profCount(TextAnalysis.StopwordProfiles.head._2)} AS DOUBLE) / len($toks) * 4.0, 1.0) * 0.3
+           |   + least(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($toks) / 8.0, 1.0) * 0.3 AS quality
+           |FROM documents""".stripMargin,
+
+      "qt_langid" ->
+        s"""WITH c AS (SELECT doc_id, lang, length(text) AS len,
+           |    len(regexp_extract_all(text, '[一-鿿]')) AS cjk, $profCols
+           |  FROM documents),
+           |m AS (SELECT *, $mx AS mx FROM c)
+           |SELECT doc_id, $langPred AS lang_pred, ($langPred) = lang AS is_match FROM m""".stripMargin,
+
+      "qt_fingerprint" ->
+        s"""SELECT doc_id, md5(text) AS fp, ${h("text")} AS fp60 FROM documents""",
+
+      "qd_exact_stats" ->
+        """WITH bow AS (
+          |  SELECT md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text),'\s+'))),'string_agg','|')) AS sig,
+          |         count(*) AS n
+          |  FROM documents GROUP BY 1)
+          |SELECT (SELECT count(*) FROM documents) AS n_docs,
+          |  (SELECT count(DISTINCT text) FROM documents) AS n_distinct_text,
+          |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bow_groups,
+          |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_bow_dup_docs
+          |FROM bow""".stripMargin,
+
+      "qd_bow_groups" ->
+        """SELECT md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text),'\s+'))),'string_agg','|')) AS sig,
+          |  count(*) AS n_docs, min(doc_id) AS keep_id
+          |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+      "qd_minhash_pairs" -> (shinglesCte +
+        s""",
+           |sig AS (SELECT doc_id, $minhashSig FROM sh GROUP BY 1),
+           |bands AS ($bandRows),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id<b.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+           |common AS (SELECT doc_a, doc_b, count(*) AS n_common
+           |  FROM cand JOIN sh sa ON sa.doc_id=doc_a JOIN sh sb ON sb.doc_id=doc_b AND sa.sh=sb.sh
+           |  GROUP BY 1,2)
+           |SELECT doc_a, doc_b,
+           |  CAST(n_common AS DOUBLE)/(na+nb-n_common) AS jaccard
+           |FROM common
+           |JOIN (SELECT doc_id, nsh AS na FROM sizes) x ON doc_a = x.doc_id
+           |JOIN (SELECT doc_id, nsh AS nb FROM sizes) y ON doc_b = y.doc_id
+           |WHERE CAST(n_common AS DOUBLE)/(na+nb-n_common) >= 0.4
+           |ORDER BY doc_a, doc_b""".stripMargin),
+
+      "qd_simhash" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+           |th AS (SELECT doc_id, ${h("w")} AS h FROM tok),
+           |s AS (SELECT doc_id, $simSums FROM th GROUP BY 1)
+           |SELECT doc_id, CAST($simAssemble AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin,
+
+      "qd_cosine_nn" -> (quantCte +
+        s""",
+           |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+           |    $dotAB / (sqrt(a.nrm)*sqrt(b.nrm)) AS cos
+           |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+           |r AS (SELECT va, vb, cos,
+           |    row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn FROM p)
+           |SELECT va AS vec_id, vb AS nn_id, cos AS nn_cos FROM r WHERE rn = 1""".stripMargin),
+
+      "qs_ann_topk" -> (quantCte +
+        s""",
+           |qq AS (SELECT qe, nrm FROM n WHERE vec_id = 0)
+           |SELECT a.vec_id,
+           |  list_reduce(list_transform(list_zip(a.qe, qq.qe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |    / (sqrt(a.nrm)*sqrt(qq.nrm)) AS score
+           |FROM n a, qq WHERE a.vec_id <> 0
+           |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin),
+
+      "qs_lsh_topk" -> (quantCte +
+        s""",
+           |bkt AS (SELECT vec_id, qe, nrm, $bucketExpr AS bucket FROM n),
+           |qq AS (SELECT qe, nrm, bucket FROM bkt WHERE vec_id = 0)
+           |SELECT a.vec_id,
+           |  list_reduce(list_transform(list_zip(a.qe, qq.qe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |    / (sqrt(a.nrm)*sqrt(qq.nrm)) AS score
+           |FROM bkt a, qq WHERE a.bucket = qq.bucket AND a.vec_id <> 0
+           |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin),
+
+      "qm_media_decode" ->
+        """SELECT doc_id,
+          |  CAST(doc_id % 95 + 32 AS INTEGER) AS img_w,
+          |  CAST((doc_id*7) % 95 + 32 AS INTEGER) AS img_h,
+          |  CAST(n_chars + 2 AS INTEGER) AS blob_len,
+          |  CAST((doc_id % 95 + 32 + (doc_id*7) % 95 + 32 +
+          |    list_reduce(list_transform(string_split(substr(text,1,14),''), c -> ord(c)),
+          |      (a,b) -> a+b)) % 256 AS INTEGER) AS brightness
+          |FROM documents""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * bag-of-words signature, MinHash+LSH banding, SimHash. All hash math is
+  * md5-based and modular-arithmetic so the DuckDB oracle reproduces it
+  * bit-for-bit; all DataFrame shapes are shuffle-minimal (hash-aggregate by
+  * signature; band-join instead of all-pairs).
+  *
+  * Scale design: exact/BOW dedup is one hash aggregation (fully parallel).
+  * MinHash is explode→aggregate (map-side combine on doc_id) followed by a
+  * band self-join whose fan-out is bounded by band-bucket sizes — the
+  * standard way to avoid the quadratic all-pairs join at 100 TB. Candidate
+  * verification joins only candidate pairs back to shingle sets.
+  */
+object Dedup {
+
+  val P = 1000000007L
+  val NumHashes = 16
+  val BandSize = 4
+  def numBands: Int = NumHashes / BandSize
+
+  /** Per-hash linear-permutation constants (fixed, shared with oracle). */
+  val hashA: Seq[Long] = (0 until NumHashes).map(i => ((i + 1) * 2654435761L) % P)
+  val hashB: Seq[Long] = (0 until NumHashes).map(i => (i * 40503L + 7919L) % P)
+
+  import TextAnalysis.{md5Long, tokens}
+
+  /** Exact-identity signature: md5 of the full text. */
+  def exactSignature(text: Column): Column = md5(text)
+
+  /** Bag-of-words signature: md5 over the sorted distinct token set —
+    * catches reorderings/repetitions of the same vocabulary.
+    */
+  def bowSignature(text: Column): Column =
+    md5(concat_ws("|", array_sort(array_distinct(tokens(text)))))
+
+  /** Duplicate groups under a signature: (sig, n_docs, min_doc_id). */
+  def dupGroups(df: DataFrame, idCol: String, sig: Column): DataFrame =
+    df.groupBy(sig.as("sig"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Word n-gram shingles of the text (n consecutive tokens, space-joined). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+  }
+
+  /** Exploded distinct shingle hashes: (idCol, sh) — the common input of
+    * minhash and jaccard verification.
+    */
+  def shingleHashes(df: DataFrame, idCol: String, text: Column, n: Int = 3): DataFrame =
+    df.filter(size(tokens(text)) >= n) // sequence(0, neg) would run backwards
+      .select(col(idCol), explode(array_distinct(shingles(text, n))).as("shingle"))
+      .select(col(idCol), md5Long(col("shingle")).as("sh"))
+
+  /** MinHash signature aggregation: k columns m0..m{k-1}. */
+  def minhashAgg(sh: DataFrame, idCol: String): DataFrame = {
+    val aggs = (0 until NumHashes).map { i =>
+      min((lit(hashA(i)) * (col("sh") % P) + hashB(i)) % P).as(s"m$i")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys: one row per (doc, band) with a hashed band signature. */
+  def bandKeys(sig: DataFrame, idCol: String): DataFrame = {
+    val bands = (0 until numBands).map { b =>
+      val cols = (0 until BandSize).map(r => col(s"m${b * BandSize + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bkey"))
+    }
+    sig.select(col(idCol), explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Candidate pairs from LSH banding (distinct, a < b). */
+  def candidatePairs(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val sh = shingleHashes(df, idCol, text)
+    val bands = bandKeys(minhashAgg(sh, idCol), idCol)
+    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Verified near-duplicate pairs: candidates with true shingle-set
+    * Jaccard >= threshold. Jaccard is an exact ratio of integer counts.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, text: Column,
+      threshold: Double = 0.4): DataFrame = {
+    val sh = shingleHashes(df, idCol, text).cache()
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("nsh"))
+    val cands = candidatePairs(df, idCol, text)
+    val common = cands
+      .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
+      .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
+      .filter(col("sha") === col("shb"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash bits (default 48 to stay in positive long territory). */
+  val SimHashBits = 48
+
+  /** SimHash per document over whitespace tokens (with repetition):
+    * bit b set iff sum over tokens of ±1 (by bit b of the token hash) > 0.
+    */
+  def simhash(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(text)).as("w"))
+      .select(col(idCol), md5Long(col("w")).as("h"))
+    val bitSums = (0 until SimHashBits).map { b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"s$b")
+    }
+    val assembled = (0 until SimHashBits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    tok.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), assembled.as("simhash"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scores are computed on integer-quantized vectors (`round(x*1000)`) so
+  * dot products and norms are exact integers; the final cosine is a
+  * deterministic double (same integer operands → same IEEE result in every
+  * engine), which makes brute-force and LSH variants oracle-checkable.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (one
+  * broadcast of the query vector, fully parallel map + a k-row ordered
+  * take). The LSH variant buckets vectors by hyperplane sign bits so a
+  * 100 TB corpus only scans the query's bucket (candidates ≈ N / 2^planes),
+  * at a recall cost; both are exposed side by side.
+  */
+object Similarity {
+
+  /** Integer quantization of a float vector (exact arithmetic downstream). */
+  def quantize(v: Column, scale: Int = 1000): Column =
+    transform(v, x => round(x * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact integer squared norm. */
+  def qnorm2(a: Column): Column = qdot(a, a)
+
+  /** Deterministic cosine from quantized vectors. */
+  def cosine(a: Column, b: Column): Column =
+    qdot(a, b).cast("double") / (sqrt(qnorm2(a).cast("double")) * sqrt(qnorm2(b).cast("double")))
+
+  /** Brute-force top-k nearest to the vector with id `queryId`.
+    * Deterministic: ordered by (cosine desc, vec_id).
+    */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(quantize(col("embedding")).as("qv"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(quantize(col("embedding")), col("qv")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic hyperplane weights (shared with the oracle SQL). */
+  val NumPlanes = 6
+  def planeWeight(plane: Int, dim: Int): Long =
+    ((plane * 64L + dim) * 2654435761L) % 1000003L - 501001L
+
+  /** LSH bucket id from hyperplane sign bits. */
+  def lshBucket(qv: Column, dims: Int = 64): Column =
+    (0 until NumPlanes).map { p =>
+      val w = array((0 until dims).map(j => lit(planeWeight(p, j))): _*)
+      when(aggregate(zip_with(qv, w, (x, y) => x * y), lit(0L), (a, v) => a + v) >= 0,
+        lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed top-k: scan only the query's bucket. */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val withBucket = emb
+      .withColumn("qv", quantize(col("embedding")))
+      .withColumn("bucket", lshBucket(col("qv")))
+    val q = withBucket.filter(col("vec_id") === queryId)
+      .select(col("qv").as("query_v"), col("bucket").as("qbucket"))
+    withBucket
+      .crossJoin(broadcast(q))
+      .filter(col("bucket") === col("qbucket") && col("vec_id") =!= queryId)
+      .select(col("vec_id"), cosine(col("qv"), col("query_v")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Per-vector nearest neighbor within the same label block (embedding
+    * near-dup detection). Deterministic via (cosine desc, vec_id) rank.
+    */
+  def nearestNeighborPerVector(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+    val a = q.select(col("vec_id").as("va"), col("label"), col("qv").as("qa"))
+    val b = q.select(col("vec_id").as("vb"), col("label"), col("qv").as("qb"))
+    val pairs = a.join(b, "label").filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"), cosine(col("qa"), col("qb")).as("cos"))
+    val w = Window.partitionBy("va").orderBy(col("cos").desc, col("vb"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("va").as("vec_id"), col("vb").as("nn_id"), col("cos").as("nn_cos"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline:
+  * token counting, quality scoring, language-ID heuristics, document
+  * fingerprinting. Everything is a pure `Column` expression (whole-stage
+  * codegen, no UDFs) and has a DuckDB-expressible equivalent so the driver
+  * oracle can hash-compare results.
+  *
+  * Portability rules: hashing goes through md5 (identical hex in both
+  * engines); ratios are divisions of exactly-computed integers (IEEE
+  * division of identical operands is bit-identical).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count (0 for blank text). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation.
+    * Pattern kept to character classes shared by Java regex and RE2.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def regexTokenCount(text: Column): Column = regexp_count(text, lit(BpeishPattern))
+
+  /** First 60 bits of md5 as a positive long — the portable base hash used
+    * by minhash/simhash (DuckDB: `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`).
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Rolling-fingerprint of a document: md5 of the text (exact identity). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Non-alphanumeric, non-space character count. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+
+  /** Count of alphabetic characters. */
+  def alphaCount(text: Column): Column = regexp_count(text, lit("[A-Za-z]"))
+
+  /** Stopword profiles for the language-ID heuristic. */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein", "nicht", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "est", "des", "du", "pour"),
+    "es" -> Seq("el", "los", "y", "un", "una", "es", "de", "que", "por", "como"),
+    "zh" -> Nil // zh detected by CJK codepoints, not stopwords
+  )
+
+  private val Cjk = "[一-鿿]"
+
+  /** Tokens matching a stopword list (with repetition). */
+  def stopwordCount(text: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(text), w => array_contains(arr, w)))
+  }
+
+  /** CJK character count. */
+  def cjkCount(text: Column): Column = regexp_count(text, lit(Cjk))
+
+  /** Heuristic language id: zh when CJK-dense, else the stopword profile
+    * with the highest hit count (ties resolved in profile order).
+    */
+  def langId(text: Column): Column = {
+    val profiles = StopwordProfiles.filter(_._2.nonEmpty)
+    val counts = profiles.map { case (l, ws) => l -> stopwordCount(text, ws) }
+    // pred = first profile whose count equals the max (profile-order ties)
+    val maxC = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = counts.foldRight(lit("unknown")) { case ((l, c), acc) =>
+      when(c === maxC && maxC > 0, lit(l)).otherwise(acc)
+    }
+    when(cjkCount(text) * 5 > length(text), lit("zh")).otherwise(pick)
+  }
+
+  /** Quality components (all exact or deterministic-double). */
+  def qualityComponents(text: Column): Seq[(String, Column)] = {
+    val len = length(text)
+    val nTok = tokenCount(text)
+    Seq(
+      "n_chars_m" -> len.cast("long"),
+      "n_tokens" -> nTok.cast("long"),
+      "n_punct" -> punctCount(text).cast("long"),
+      "alpha_ratio" -> alphaCount(text).cast("double") / len,
+      "mean_tok_len" -> (length(regexp_replace(text, "\\s", "")).cast("double") / nTok),
+      "stop_ratio" -> (stopwordCount(text, StopwordProfiles.head._2).cast("double") / nTok)
+    )
+  }
+
+  /** Composite quality score in [0,1]-ish: weighted deterministic blend. */
+  def qualityScore(text: Column): Column = {
+    val comp = qualityComponents(text).toMap
+    comp("alpha_ratio") * 0.4 +
+      least(comp("stop_ratio") * 4.0, lit(1.0)) * 0.3 +
+      least(comp("mean_tok_len") / 8.0, lit(1.0)) * 0.3
+  }
+}

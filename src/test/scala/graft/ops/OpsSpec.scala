@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "dog lazy the over jumps fox brown quick the"), // reordered (same bag)
+    (4L, "completely different text with other words entirely here now"),
+    (5L, "the quick brown fox jumps over the lazy cat") // near dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact + bow dedup find the right groups") {
+    val exact = Dedup.dupGroups(docs, "doc_id", Dedup.exactSignature(col("text"))).collect()
+    assert(exact.length == 1 && exact.head.getAs[Long]("n_docs") == 2)
+    val bow = Dedup.dupGroups(docs, "doc_id", Dedup.bowSignature(col("text"))).collect()
+    assert(bow.length == 1 && bow.head.getAs[Long]("n_docs") == 3) // 1,2,3 share vocab
+    assert(bow.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("shingles produce n-2 trigrams in order") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(Dedup.shingles(col("text")).as("s")).as[Seq[String]].head()
+    assert(sh.length == 7)
+    assert(sh.head == "the quick brown" && sh.last == "the lazy dog")
+  }
+
+  test("minhash near-dups: exact/reordered pairs found, distinct text not") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", col("text"), threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical shingle sets
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical texts equal, near texts close in hamming") {
+    val sims = Dedup.simhash(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sims(1L), sims(5L)) < hamming(sims(1L), sims(4L)))
+  }
+
+  test("langId picks stopword-dense profile; zh via CJK") {
+    val r = Seq(
+      (1, "the cat and the dog of a house in the morning"),
+      (2, "der Hund und die Katze ist mit ein Haus"),
+      (3, "le chat et la maison est un des animaux"),
+      (4, "这是一个中文句子 完全没有英文单词")
+    ).toDF("id", "text")
+      .select($"id", TextAnalysis.langId(col("text")).as("p"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(r(1) == "en" && r(2) == "de" && r(3) == "fr" && r(4) == "zh")
+  }
+
+  test("similarity: self-cosine is 1, orthogonal is 0") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(e, 0L, 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(top(0).getDouble(1) == 1.0 && top(1).getDouble(1) == 0.0 && top(2).getDouble(1) == -1.0)
+  }
+
+  test("multimodal: payload roundtrip, frames, thumbnail") {
+    val p = Multimodal.fakePayload(docs, "doc_id", "text")
+    val d = Multimodal.decodeStub(p).collect().map(r => r.getLong(0) -> r).toMap
+    assert(d(1L).getAs[Int]("img_w") == (1 % 95 + 32))
+    assert(d(1L).getAs[Int]("img_h") == (7 % 95 + 32))
+    assert(d(1L).getAs[Int]("blob_len") ==
+      "the quick brown fox jumps over the lazy dog".length + 2)
+    val frames = Multimodal.sampleFrames(p, "doc_id", frameSize = 10, every = 2)
+      .filter($"doc_id" === 1).select("frames").collect().head.getSeq[Array[Byte]](0)
+    assert(frames.nonEmpty && frames.head.length == 10)
+    val thumb = p.select(Multimodal.thumbnail(col("payload"), 4).as("t"))
+      .limit(1).as[Array[Byte]].head()
+    assert(thumb.length == 4)
+  }
+}
