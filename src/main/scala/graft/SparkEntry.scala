@@ -85,10 +85,13 @@ object SparkEntry {
       e % 2, (e * 31 + u).bitwiseAND(255))
     val payloadHex = concat(d.map(hex2): _*)
     val idHex = when(u % 2 === 0, "100").otherwise("200")
+    // the bench parquet has a single row group (scan = 1 task); fan the
+    // synthesized lines out the way a many-file 100 TB input would be
     ev.select(
       e.as("event_id"),
       format_string("(%d.%06d) vcan0 %s#%s",
         expr("unix_micros(ts) div 1000000"), us % 1000000L, idHex, payloadHex).as("value"))
+      .repartition(ev.sparkSession.sparkContext.defaultParallelism)
   }
 
   /** The oracle-side byte CTE (kept in one place; spliced into qc_* SQL). */

@@ -22,8 +22,17 @@ object CandumpParser {
   /** Extraction regex. Group 1 = epoch whole seconds, 2 = fractional digits,
     * 3 = iface, 4 = hex id, 5 = hex payload (may be empty; `R` = remote
     * frame → no payload).
+    *
+    * Quantifiers are bounded (13 second digits ≈ year 318857, 9 fractional,
+    * 8 hex id digits = the 29-bit extended-id space) so a line that passes
+    * the gate can never overflow the integer extraction — which lets the
+    * malformed-line filter (F2) be a single cheap `RLIKE` instead of
+    * per-field null checks. That matters for plan shape: predicate pushdown
+    * substitutes filter expressions through exchanges, and a multi-extract
+    * null filter would re-evaluate its (possibly expensive) input once per
+    * field on the pre-shuffle side.
     */
-  private val LineRe = """^\s*\((\d+)\.?(\d*)\)\s+(\S+)\s+([0-9A-Fa-f]+)#R?([0-9A-Fa-f]*)\s*$"""
+  private val LineRe = """^\s*\((\d{1,13})\.?(\d{0,9})\)\s+(\S+)\s+([0-9A-Fa-f]{1,8})#R?([0-9A-Fa-f]*)\s*$"""
 
   /** Parse a DataFrame of raw lines (column `value`) into frames.
     * Output: `ts_us: long, iface: string, can_id: long, data: binary`.
@@ -45,16 +54,14 @@ object CandumpParser {
     // candump_parse.h:86-90 walks hex pairs and stops at 8 bytes
     val evenHex = expr(s"substring($dataHexAlias, 1, least(16, length($dataHexAlias) - length($dataHexAlias) % 2))")
     lines
+      .filter(c.rlike(LineRe)) // F2: one-regex validity gate
       .withColumn(dataHexAlias, dataHex)
       .withColumn("ts_us",
-        when(sec =!= "",
-          sec.cast("long") * 1000000L +
-            rpad(substring(frac, 1, 6), 6, "0").cast("long")))
-      .withColumn("iface", when(iface =!= "", iface))
-      .withColumn("can_id", when(idHex =!= "", conv(idHex, 16, -10).cast("long")))
+        sec.cast("long") * 1000000L +
+          rpad(substring(frac, 1, 6), 6, "0").cast("long"))
+      .withColumn("iface", iface)
+      .withColumn("can_id", conv(idHex, 16, -10).cast("long"))
       .withColumn("data", unhex(evenHex))
-      .filter(org.apache.spark.sql.functions.col("can_id").isNotNull &&
-        org.apache.spark.sql.functions.col("ts_us").isNotNull)
       .select("ts_us", "iface", "can_id", "data")
   }
 

@@ -44,20 +44,29 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
 
-  /** Word n-gram shingles of the text (n consecutive tokens, space-joined). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles over a MATERIALIZED token-array column.
+    *
+    * The token array must be a plain column reference, not an inline
+    * `split(...)`: lambda bodies re-evaluate embedded subexpressions per
+    * element, so an inline split would re-tokenize the document for every
+    * token of every shingle (measured 8× slowdown on the bench corpus).
+    */
+  def shinglesOfTokens(toks: Column, n: Int = 3): Column =
     transform(
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
-  }
 
   /** Exploded distinct shingle hashes: (idCol, sh) — the common input of
-    * minhash and jaccard verification.
+    * minhash and jaccard verification. Repartitions to full parallelism
+    * first: the explode fan-out is the expensive part and the upstream
+    * table is often a single parquet row group.
     */
   def shingleHashes(df: DataFrame, idCol: String, text: Column, n: Int = 3): DataFrame =
-    df.filter(size(tokens(text)) >= n) // sequence(0, neg) would run backwards
-      .select(col(idCol), explode(array_distinct(shingles(text, n))).as("shingle"))
+    df.select(col(idCol), tokens(text).as("_toks"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .filter(size(col("_toks")) >= n) // sequence(0, neg) would run backwards
+      .select(col(idCol),
+        explode(array_distinct(shinglesOfTokens(col("_toks"), n))).as("shingle"))
       .select(col(idCol), md5Long(col("shingle")).as("sh"))
 
   /** MinHash signature aggregation: k columns m0..m{k-1}. */
@@ -78,9 +87,10 @@ object Dedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
-  /** Candidate pairs from LSH banding (distinct, a < b). */
-  def candidatePairs(df: DataFrame, idCol: String, text: Column): DataFrame = {
-    val sh = shingleHashes(df, idCol, text)
+  /** Candidate pairs from LSH banding (distinct, a < b) over a
+    * (possibly cached) shingle-hash relation.
+    */
+  def candidatePairsFromShingles(sh: DataFrame, idCol: String): DataFrame = {
     val bands = bandKeys(minhashAgg(sh, idCol), idCol)
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
     val b = bands.select(col(idCol).as("doc_b"), col("band"), col("bkey"))
@@ -96,7 +106,7 @@ object Dedup {
       threshold: Double = 0.4): DataFrame = {
     val sh = shingleHashes(df, idCol, text).cache()
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("nsh"))
-    val cands = candidatePairs(df, idCol, text)
+    val cands = candidatePairsFromShingles(sh, idCol)
     val common = cands
       .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
       .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sh", "shb"), "doc_b")

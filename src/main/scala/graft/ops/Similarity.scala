@@ -23,9 +23,11 @@ object Similarity {
   def quantize(v: Column, scale: Int = 1000): Column =
     transform(v, x => round(x * scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors — native codegen
+    * expression (HOF `zip_with`+`aggregate` stays interpreted; the custom
+    * `ArrayDotProduct` loop keeps the scan in whole-stage codegen).
+    */
+  def qdot(a: Column, b: Column): Column = graft.plans.ArrayDotProduct(a, b)
 
   /** Exact integer squared norm. */
   def qnorm2(a: Column): Column = qdot(a, a)

@@ -26,7 +26,8 @@ class OpsSpec extends AnyFunSuite {
 
   test("shingles produce n-2 trigrams in order") {
     val sh = docs.filter($"doc_id" === 1)
-      .select(Dedup.shingles(col("text")).as("s")).as[Seq[String]].head()
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+      .select(Dedup.shinglesOfTokens(col("t")).as("s")).as[Seq[String]].head()
     assert(sh.length == 7)
     assert(sh.head == "the quick brown" && sh.last == "the lazy dog")
   }
