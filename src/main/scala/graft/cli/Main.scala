@@ -1,0 +1,91 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import graft.can._
+import graft.dbc.DbcParser
+import graft.streaming.CanStream
+
+/** Flag-compatible CLI entry (reference `/root/reference/src/arguments.h:12`,
+  * README.md:27):
+  *
+  * {{{
+  * graft.cli.Main <dbc> --if <input> --of <out.parquet> \
+  *   [--file | --socket | --stdin] [--cache <ms>] [--exact] \
+  *   [--forward-fill] [--live-decode SIG]... [--no-adjust-timestamp]
+  * }}}
+  *
+  * Fixes the reference's ignored-DBC-positional bug (its arg parser starts
+  * at index 2 and never reads argv[1], `src/arguments.h:46` — the cwd's
+  * `fs.dbc` was always used); here argv(0) is honored. `--socket` takes
+  * `host:port` of a candump text stream (the reference's own remote-capture
+  * shape); `--stdin` is covered by `--socket` + `nc -l` per README.md:52-55.
+  * `--exact` selects reference-exact data-driven bucketing; default is the
+  * scalable tumbling grid (divergence documented in SURVEY §2.4 T1).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 1) { System.err.println(usage); sys.exit(2) }
+    val dbc = args(0)
+    var in = ""; var out = "out.parquet"; var mode = "file"
+    var cacheMs = 0.0; var exact = false; var ffill = false; var adjust = true
+    var live: List[String] = Nil
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--if" => in = args(i + 1); i += 2
+        case "--of" => out = args(i + 1); i += 2
+        case "--file" => mode = "file"; i += 1
+        case "--socket" => mode = "socket"; i += 1
+        case "--stdin" => mode = "socket"; i += 1 // nc use-case: socket IS stdin's source
+        case "--cache" => cacheMs = args(i + 1).toDouble; i += 2
+        case "--exact" => exact = true; i += 1
+        case "--forward-fill" => ffill = true; i += 1
+        case "--live-decode" => live ::= args(i + 1); i += 2
+        case "--no-adjust-timestamp" => adjust = false; i += 1
+        case other => System.err.println(s"unknown flag $other\n$usage"); sys.exit(2)
+      }
+    }
+    val spark = SparkSession.builder()
+      .appName("graft-can")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    mode match {
+      case "file" =>
+        val cfg = CanPipelineConfig(cacheMs = cacheMs, exact = exact,
+          forwardFill = ffill, adjustTimestamp = adjust)
+        val wide = CanPipeline.decodeLog(spark, dbc, in, cfg)
+        wide.write.mode("append").parquet(out) // K1 batch
+        if (live.nonEmpty)
+          wide.select((DbcColumns.TimeCol +: live.reverse).map(org.apache.spark.sql.functions.col): _*)
+            .show(50, truncate = false) // K3 batch
+      case "socket" =>
+        val Array(host, port) = in.split(":")
+        val net = DbcParser.parseFile(dbc)
+        val frames = CanStream.framesFromSocket(spark, host, port.toInt)
+        val wide = CanStream.decoded(net, frames)
+        val bucketed =
+          if (cacheMs <= 0) wide.drop("ts")
+          else if (exact) CanStream.exactStream(wide.drop("ts"), cacheMs)
+          else CanStream.bucketedStream(wide, cacheMs.toLong)
+        val q = CanStream.parquetSink(bucketed, out, s"$out.checkpoint",
+          Trigger.ProcessingTime("1 second"))
+        val liveQ = if (live.nonEmpty)
+          Some(CanStream.consoleSink(
+            if (cacheMs <= 0) wide.withColumnRenamed("ts_ms", DbcColumns.TimeCol) else bucketed,
+            live.reverse))
+        else None
+        sys.addShutdownHook { q.stop(); liveQ.foreach(_.stop()) } // SIGINT parity
+        q.awaitTermination()
+    }
+    spark.stop()
+  }
+
+  private val usage =
+    """usage: graft.cli.Main <dbc> --if <input> --of <out.parquet>
+      |  [--file | --socket | --stdin] [--cache <ms>] [--exact]
+      |  [--forward-fill] [--live-decode SIG]... [--no-adjust-timestamp]""".stripMargin
+}

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.can.{Bucketer, CandumpParser, CombinePolicy, SignalDecoder}
+import graft.dbc.{Network, TypingMode}
+
+/** Structured Streaming parity for the reference's unbounded modes
+  * (SURVEY §2.9): SocketCAN live capture → S2 maps to a socket text stream
+  * in candump format (the reference's own remote-capture path is literally
+  * `candump | nc`, README.md:52-55); file replay → S1 as a file stream.
+  *
+  * The decode stage is the exact same expression catalog as batch
+  * ([[SignalDecoder.wideFrame]] is plan-agnostic), so batch/stream parity
+  * is by construction. Bucketing:
+  *
+  *   - tumbling (T1a): event-time `window()` aggregation with a watermark —
+  *     parallel, late-data-tolerant, append-mode output;
+  *   - exact (T1b): [[exactStream]] via `flatMapGroupsWithState`, carrying
+  *     the open bucket in state — the reference's chained boundaries
+  *     (`src/main.cpp:127-131`) in streaming form.
+  */
+object CanStream {
+
+  /** S3/S2 portable form: candump-format lines over a TCP socket. */
+  def framesFromSocket(spark: SparkSession, host: String, port: Int): DataFrame =
+    CandumpParser.parseLines(
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port).load())
+
+  /** S1 streaming replay: candump log files appearing under a directory. */
+  def framesFromTextFiles(spark: SparkSession, path: String): DataFrame =
+    CandumpParser.parseLines(spark.readStream.text(path))
+
+  /** Decode frames to the wide per-frame table. Streaming keeps absolute
+    * time: `ts_ms = ts_us / 1000` (epoch ms; the reference's socket mode
+    * stamps relative wall-clock, `--no-adjust-timestamp` shape — a t0
+    * subtraction can be applied by the caller where needed) plus an
+    * event-time `ts` column for watermarks/windows.
+    */
+  def decoded(net: Network, frames: DataFrame,
+      typing: TypingMode = TypingMode.Intended): DataFrame = {
+    val withTs = frames.withColumn("ts_ms", col("ts_us") / 1000.0)
+    SignalDecoder.wideFrame(net, withTs, typing)
+      .withColumn("ts", timestamp_millis(col("ts_ms").cast("long")))
+  }
+
+  /** T1a streaming: tumbling event-time windows with watermark; same
+    * argmin/argmax combine as the batch [[Bucketer]].
+    */
+  def bucketedStream(wide: DataFrame, cacheMs: Long,
+      watermark: String = "0 seconds",
+      policy: CombinePolicy = CombinePolicy.LastWins): DataFrame = {
+    val sigCols = wide.columns.filterNot(Set("ts_ms", "ts"))
+    val pick: org.apache.spark.sql.Column => org.apache.spark.sql.Column = policy match {
+      case CombinePolicy.LastWins  => max
+      case CombinePolicy.FirstWins => min
+    }
+    wide
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$cacheMs milliseconds"))
+      .agg(
+        min(col("ts_ms")).as(graft.can.DbcColumns.TimeCol),
+        sigCols.map { s =>
+          pick(when(col(s).isNotNull, struct(col("ts_ms").as("t"), col(s).as("v"))))
+            .getField("v").as(s)
+        }.toSeq: _*)
+      .drop("window")
+  }
+
+  /** Mutable open-bucket state for [[exactStream]] (kryo-serialized). */
+  final class OpenBucket(
+      var startMs: Double,
+      var cells: Array[Any],
+      var setInBucket: Array[Boolean]) extends Serializable
+
+  /** T1b streaming: exact data-driven bucketing via flatMapGroupsWithState.
+    * One state per key (single global key when `keyCol` is None — same
+    * sequential-fidelity tradeoff as batch exact mode). Rows are sorted by
+    * ts within each micro-batch (the reference assumes monotonic input;
+    * out-of-order *across* micro-batches lands in the open bucket, matching
+    * its current-bucket behavior at `src/main.cpp:127`).
+    */
+  def exactStream(wide: DataFrame, cacheMs: Double, keyCol: Option[String] = None,
+      policy: CombinePolicy = CombinePolicy.LastWins): DataFrame = {
+    val inSchema = wide.schema
+    val tsIdx = inSchema.fieldIndex("ts_ms")
+    val keyIdx = keyCol.map(inSchema.fieldIndex)
+    val sigIdx = inSchema.indices.filter(i => i != tsIdx && !keyIdx.contains(i))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(graft.can.DbcColumns.TimeCol,
+        org.apache.spark.sql.types.DoubleType, nullable = false) +:
+        sigIdx.map(inSchema(_)).toSeq)
+    val n = sigIdx.length
+
+    implicit val stateEnc = Encoders.kryo[OpenBucket]
+    implicit val rowEnc = Encoders.row(outSchema)
+    implicit val strEnc = Encoders.STRING
+
+    wide.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).getOrElse(""))
+      .flatMapGroupsWithState[OpenBucket, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[OpenBucket]) =>
+          val sorted = rows.toSeq.sortBy(_.getDouble(tsIdx))
+          val st = state.getOption.getOrElse(
+            new OpenBucket(Double.NaN, new Array[Any](n), new Array[Boolean](n)))
+          val out = Seq.newBuilder[Row]
+          def close(): Unit = {
+            out += Row.fromSeq(st.startMs +: st.cells.clone().toSeq)
+            java.util.Arrays.fill(st.cells.asInstanceOf[Array[AnyRef]], null)
+            java.util.Arrays.fill(st.setInBucket, false)
+          }
+          sorted.foreach { r =>
+            val ts = r.getDouble(tsIdx)
+            if (st.startMs.isNaN) st.startMs = ts
+            else if (ts > st.startMs + cacheMs) { close(); st.startMs = ts }
+            var j = 0
+            while (j < n) {
+              val v = r.get(sigIdx(j))
+              if (v != null && (policy == CombinePolicy.LastWins || !st.setInBucket(j))) {
+                st.cells(j) = v; st.setInBucket(j) = true
+              }
+              j += 1
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** K1 streaming sink: parquet with checkpointing. */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** K3 live decode: print selected signals per micro-batch. */
+  def consoleSink(df: DataFrame, signals: Seq[String]): StreamingQuery =
+    df.select((graft.can.DbcColumns.TimeCol +: signals).map(col): _*)
+      .writeStream.format("console").outputMode("append").start()
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkTestSession
+import graft.can.CandumpParser
+import graft.dbc.DbcParser
+
+class CanStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val net = DbcParser.parseFile("fixtures/mini.dbc")
+
+  def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("streaming parse + decode matches batch on the fixture lines") {
+    val input = MemoryStream[String](spark)
+    input.addData(scala.io.Source.fromFile("fixtures/mini.log").getLines().toSeq)
+    val wide = CanStream.decoded(net, CandumpParser.parseLines(input.toDF()))
+    runToMemory(wide.drop("ts"), "s1")
+    val got = spark.table("s1").orderBy("ts_ms").collect()
+    assert(got.length == 6) // 7 parseable minus unknown id 7FF
+    assert(got.head.getAs[Float]("Engine_Speed") == 2000.0f)
+    assert(got.map(_.getAs[Any]("GPS_Speed")).count(_ != null) == 1)
+  }
+
+  test("streaming tumbling windows with watermark aggregate like batch") {
+    val input = MemoryStream[String](spark)
+    input.addData(scala.io.Source.fromFile("fixtures/mini.log").getLines().toSeq)
+    val wide = CanStream.decoded(net, CandumpParser.parseLines(input.toDF()))
+    val bucketed = CanStream.bucketedStream(wide, cacheMs = 10L, watermark = "0 seconds")
+    // append mode only emits closed windows; a complete-mode memory sink
+    // shows all — use update-less complete for the assertion
+    val q = bucketed.writeStream.format("memory").queryName("s2")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s2").orderBy("Time_ms").collect()
+    // epoch-ms buckets of the fixture: 3 windows with data
+    assert(rows.length == 3)
+    assert(rows.head.getAs[Float]("Engine_Speed") == 2000.0f)
+    assert(rows(1).getAs[Int]("Val_B") == 32767) // last-wins in [10,20)
+  }
+
+  test("exactStream reproduces batch exact bucketing across micro-batches") {
+    val input = MemoryStream[String](spark)
+    val lines = scala.io.Source.fromFile("fixtures/mini.log").getLines().toSeq
+    val wide = CanStream.decoded(net, CandumpParser.parseLines(input.toDF())).drop("ts")
+    val exact = CanStream.exactStream(wide, cacheMs = 10.0)
+    val q = exact.writeStream.format("memory").queryName("s3")
+      .outputMode("append").start()
+    // feed in two micro-batches to exercise state carry-over
+    input.addData(lines.take(5))
+    q.processAllAvailable()
+    input.addData(lines.drop(5))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("s3").orderBy("Time_ms").collect()
+    // batch-exact gives rows opening at 0, 12, 50 epoch-offset ms — the
+    // stream never closes the last bucket (no EOF), so 2 closed rows
+    val t0 = 1700000000000.0
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(t0, t0 + 12))
+    assert(rows(1).getAs[Int]("Val_B") == 32767)
+  }
+
+  test("file-stream replay to parquet sink (K1) with AvailableNow") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val logDir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    java.nio.file.Files.copy(java.nio.file.Paths.get("fixtures/mini.log"),
+      java.nio.file.Paths.get(s"$logDir/mini.log"))
+    val frames = CanStream.framesFromTextFiles(spark, logDir)
+    val wide = CanStream.decoded(net, frames).drop("ts")
+    val q = CanStream.parquetSink(wide, s"$outDir/data", s"$outDir/ckpt",
+      Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val back = spark.read.parquet(s"$outDir/data")
+    assert(back.count() == 6)
+    assert(back.schema.fieldNames.contains("Engine_Speed"))
+  }
+
+  test("arrow IPC sink round-trips batches (K2)") {
+    import graft.sinks.ArrowIpcSink
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ipc").toString
+    val input = MemoryStream[String](spark)
+    input.addData(scala.io.Source.fromFile("fixtures/mini.log").getLines().toSeq)
+    val wide = CanStream.decoded(net, CandumpParser.parseLines(input.toDF())).drop("ts")
+    val q = ArrowIpcSink.fileSink(wide, s"$outDir/ipc", s"$outDir/ckpt")
+    q.awaitTermination(60000)
+    val files = new java.io.File(s"$outDir/ipc").listFiles().filter(_.getName.endsWith(".arrows"))
+    assert(files.nonEmpty)
+    // read back with Arrow and count rows
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val in = new java.io.FileInputStream(files.head)
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+    var rows = 0
+    while (reader.loadNextBatch()) rows += reader.getVectorSchemaRoot.getRowCount
+    reader.close(); in.close(); alloc.close()
+    assert(rows == 6)
+  }
+}
