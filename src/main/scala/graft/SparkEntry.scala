@@ -320,7 +320,7 @@ object SparkEntry {
   // multimodal) over the documents and embeddings tables.
   // ---------------------------------------------------------------------
 
-  import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+  import graft.ops.{AsOfJoin, Dedup, Multimodal, Similarity, SkewJoin, TextAnalysis}
 
   private def opsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -395,6 +395,77 @@ object SparkEntry {
     "qm_media_decode" -> ((s, dir) => {
       val payloads = Multimodal.fakePayload(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.decodeStub(payloads)
+    }),
+
+    // --- joins/analytics beyond the reference surface ---
+
+    "qj_asof" -> ((s, dir) => {
+      // as-of join: each event's most recent prior purchase by the same user
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      AsOfJoin.backward(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          key = "user_id", ts = "ts", payload = Seq("purchase_id", "purchase_value"))
+        .select("event_id", "user_id", "prev_purchase_id", "prev_purchase_value")
+    }),
+
+    "qj_skew_salted" -> ((s, dir) => {
+      // salted join result must equal the plain join (oracle is unsalted)
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      SkewJoin.saltedInner(li, o, "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(centSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q13_cube" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
+          |  count(*) AS n
+          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }),
+
+    "q14_setops" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT 'both_halves' AS grp, count(*) AS n FROM (
+          |  SELECT o_custkey FROM orders WHERE o_orderdate < '1995-01-01'
+          |  INTERSECT
+          |  SELECT o_custkey FROM orders WHERE o_orderdate >= '1995-01-01') x
+          |UNION ALL
+          |SELECT 'early_only' AS grp, count(*) AS n FROM (
+          |  SELECT o_custkey FROM orders WHERE o_orderdate < '1995-01-01'
+          |  EXCEPT
+          |  SELECT o_custkey FROM orders WHERE o_orderdate >= '1995-01-01') y
+          |ORDER BY grp""".stripMargin)
+    }),
+
+    "q15_lag_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      events(s, dir).select(
+        col("event_id"), col("user_id"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+    }),
+
+    "q16_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val w = Window.partitionBy("o_orderstatus")
+      val x = t(s, dir, "orders")
+        .select(col("o_orderstatus"), cents.as("c"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w.orderBy(col("c"), col("o_orderkey"))))
+        .withColumn("n", count(lit(1)).over(w))
+      x.filter(col("rn") === expr("(n+1) div 2") || col("rn") === expr("(n+2) div 2"))
+        .groupBy("o_orderstatus")
+        .agg((sum(col("c")).cast("double") / count(lit(1)) / 100.0).as("median_price"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -734,7 +805,57 @@ object SparkEntry {
           |  CAST((doc_id % 95 + 32 + (doc_id*7) % 95 + 32 +
           |    list_reduce(list_transform(string_split(substr(text,1,14),''), c -> ord(c)),
           |      (a,b) -> a+b)) % 256 AS INTEGER) AS brightness
-          |FROM documents""".stripMargin
+          |FROM documents""".stripMargin,
+
+      "qj_asof" ->
+        """SELECT e.event_id, e.user_id,
+          |  p.event_id AS prev_purchase_id, p.value AS prev_purchase_value
+          |FROM events e
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          |  ON e.user_id = p.user_id AND e.ts > p.ts""".stripMargin,
+
+      "qj_skew_salted" ->
+        """SELECT o_orderpriority,
+          |  sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q13_cube" ->
+        """SELECT o_orderstatus, o_orderpriority,
+          |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
+          |  count(*) AS n
+          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+      "q14_setops" ->
+        """SELECT 'both_halves' AS grp, count(*) AS n FROM (
+          |  SELECT o_custkey FROM orders WHERE o_orderdate < '1995-01-01'
+          |  INTERSECT
+          |  SELECT o_custkey FROM orders WHERE o_orderdate >= '1995-01-01') x
+          |UNION ALL
+          |SELECT 'early_only' AS grp, count(*) AS n FROM (
+          |  SELECT o_custkey FROM orders WHERE o_orderdate < '1995-01-01'
+          |  EXCEPT
+          |  SELECT o_custkey FROM orders WHERE o_orderdate >= '1995-01-01') y
+          |ORDER BY grp""".stripMargin,
+
+      "q15_lag_delta" ->
+        """SELECT event_id, user_id,
+          |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS delta
+          |FROM events""".stripMargin,
+
+      "q16_median" ->
+        """WITH x AS (
+          |  SELECT o_orderstatus, CAST(round(o_totalprice*100) AS BIGINT) AS c,
+          |    row_number() OVER (PARTITION BY o_orderstatus
+          |      ORDER BY round(o_totalprice*100), o_orderkey) AS rn,
+          |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+          |  FROM orders)
+          |SELECT o_orderstatus,
+          |  CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS median_price
+          |FROM x WHERE rn = (n+1)//2 OR rn = (n+2)//2
+          |GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of (backward) join: for each left row, the most recent
+  * right row with `right.ts < left.ts` (strict; `<=` when `strict=false`)
+  * and equal key.
+  *
+  * The reference has no joins beyond hash dispatch (SURVEY §2.5), but its
+  * time-bucketing is exactly what an as-of engine calls resampling — this
+  * operator is the general form, built Spark-first: instead of a custom
+  * `SparkPlan`, union both sides and carry the right payload forward with a
+  * keyed ordered window:
+  *
+  *   1. tag: left side=0, right side=1, right payload columns nulled on the
+  *      left rows;
+  *   2. window per key ordered by (ts, side): `last(payload, ignoreNulls)`
+  *      over unbounded-preceding. At equal ts the ordering of `side`
+  *      decides strictness (left-before-right excludes same-instant right
+  *      rows = strict `<`);
+  *   3. keep left rows.
+  *
+  * One shuffle on the key, sort within partitions, no row explosion —
+  * scales with key cardinality like any windowed aggregation (skewed single
+  * keys degrade exactly like they would in a merge-join as-of).
+  */
+object AsOfJoin {
+
+  def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String], strict: Boolean = true): DataFrame = {
+    val (lSide, rSide) = if (strict) (0, 1) else (1, 0)
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("_side", lit(lSide))
+    val r0 = right.select((key +: ts +: payload).map(col): _*)
+    val r = payload.foldLeft(r0)((d, c) => d.withColumnRenamed(c, s"_asof_$c"))
+      .withColumn("_side", lit(rSide))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"_asof_$c", last(col(s"_asof_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_side") === lSide)
+      .select((leftCols.map(col) ++ payload.map(c => col(s"_asof_$c").as(s"prev_$c"))): _*)
+  }
+}
+
+/** Skew-mitigated equi-join: salt the (possibly skewed) left side into S
+  * sub-keys and replicate the right side S times, so one hot key spreads
+  * over S tasks instead of one straggler. Result is exactly the plain
+  * join (verified by oracle query qj_skew_salted). AQE's skew-join
+  * handling covers sort-merge cases adaptively; explicit salting remains
+  * the tool when a single key exceeds what one task can hold.
+  */
+object SkewJoin {
+
+  def saltedInner(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, salts: Int): DataFrame = {
+    val l = left.withColumn("_salt",
+      pmod(xxhash64(col(leftKey), monotonically_increasing_id()), lit(salts)).cast("int"))
+    val r = right.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    l.join(r, l(leftKey) === r(rightKey) && l("_salt") === r("_salt"))
+      .drop("_salt")
+  }
+}
