@@ -297,6 +297,19 @@ object SparkEntry {
         .orderBy("Time_ms")
     }),
 
+    "qc_bucket_exact" -> ((s, dir) => {
+      // T1b: the reference's exact data-driven chained boundaries, checked
+      // against a DuckDB recursive-CTE replay of the same fold. Bounded to
+      // a deterministic 2000-row subset: the oracle recursion is O(n²).
+      val ev = events(s, dir).filter(col("event_id") < 2000)
+        .withColumn("ts_ms",
+          (unix_micros(col("ts")) - 1704067200000000L) / 1000.0)
+        .withColumn("a", when(col("event_type") === "click", col("value")))
+        .withColumn("c", when(col("event_type") === "error", col("user_id")))
+        .select("ts_ms", "a", "c")
+      Bucketer.bucket(ev, BucketMode.Exact(60000.0)).orderBy("Time_ms")
+    }),
+
     "qc_ffill_distributed" -> ((s, dir) => {
       // T5 scalable two-pass fill, ordered by unique event_id
       val ev = events(s, dir)
@@ -622,6 +635,24 @@ object SparkEntry {
         |SELECT min(ts_ms) AS Time_ms,
         |  min_by(a, CASE WHEN a IS NOT NULL THEN ts_ms END) AS a
         |FROM w GROUP BY floor(ts_ms / 60000) ORDER BY Time_ms""".stripMargin,
+
+    "qc_bucket_exact" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT (epoch_us(ts) - 1704067200000000) / 1000.0 AS ts_ms,
+        |    CASE WHEN event_type = 'click' THEN value END AS a,
+        |    CASE WHEN event_type = 'error' THEN user_id END AS c
+        |  FROM events WHERE event_id < 2000),
+        |b(start) AS (
+        |  SELECT min(ts_ms) FROM w
+        |  UNION ALL
+        |  SELECT (SELECT min(ts_ms) FROM w WHERE ts_ms > b.start + 60000) FROM b
+        |  WHERE (SELECT min(ts_ms) FROM w WHERE ts_ms > b.start + 60000) IS NOT NULL),
+        |assigned AS (
+        |  SELECT w.*, (SELECT max(start) FROM b WHERE start <= w.ts_ms) AS bstart FROM w)
+        |SELECT bstart AS Time_ms,
+        |  max_by(a, CASE WHEN a IS NOT NULL THEN ts_ms END) AS a,
+        |  max_by(c, CASE WHEN c IS NOT NULL THEN ts_ms END) AS c
+        |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "qc_ffill_distributed" ->
       """SELECT event_id, user_id,

@@ -86,3 +86,30 @@ class OpsSpec extends AnyFunSuite {
     assert(thumb.length == 4)
   }
 }
+
+class JoinOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("asof backward: strict vs non-strict at equal ts; missing matches null") {
+    val l = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "v", 5L)).toDF("id", "k", "t")
+    val r = Seq(("u", 10L, 100L), ("u", 15L, 150L)).toDF("k", "t", "p")
+    val strict = AsOfJoin.backward(l, r, "k", "t", Seq("p")).orderBy("id")
+      .collect().map(x => x.getAs[Any]("prev_p"))
+    assert(strict.toSeq == Seq(null, 150L, null))
+    val nonstrict = AsOfJoin.backward(l, r, "k", "t", Seq("p"), strict = false)
+      .orderBy("id").collect().map(x => x.getAs[Any]("prev_p"))
+    assert(nonstrict.toSeq == Seq(100L, 150L, null))
+  }
+
+  test("salted join equals plain join") {
+    val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
+    val r = Seq((1L, 10), (1L, 11), (2L, 20)).toDF("rk", "rv")
+    val plain = l.join(r, l("k") === r("rk")).select("k", "lv", "rv")
+      .collect().map(_.toSeq).toSet
+    val salted = SkewJoin.saltedInner(l, r, "k", "rk", salts = 4)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.size == 5)
+  }
+}
