@@ -405,6 +405,9 @@ object SparkEntry {
     "qs_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5)),
 
+    "qs_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5)),
+
     "qm_media_decode" -> ((s, dir) => {
       val payloads = Multimodal.fakePayload(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.decodeStub(payloads)
@@ -826,6 +829,23 @@ object SparkEntry {
            |  list_reduce(list_transform(list_zip(a.qe, qq.qe), t -> t[1]*t[2]), (x,y) -> x+y)
            |    / (sqrt(a.nrm)*sqrt(qq.nrm)) AS score
            |FROM bkt a, qq WHERE a.bucket = qq.bucket AND a.vec_id <> 0
+           |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin),
+
+      "qs_ivf_topk" -> (quantCte +
+        s""",
+           |cents AS (SELECT vec_id AS cent_id, qe AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+           |scored AS (SELECT n.vec_id, n.qe, n.nrm, cents.cent_id,
+           |    list_reduce(list_transform(list_zip(n.qe, cents.cv), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(n.nrm)*sqrt(cents.cnrm)) AS cc
+           |  FROM n CROSS JOIN cents),
+           |assigned AS (SELECT vec_id, qe, nrm, cent_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id) AS rn
+           |  FROM scored) WHERE rn = 1),
+           |qq AS (SELECT qe, nrm, cent_id FROM assigned WHERE vec_id = 0)
+           |SELECT a.vec_id,
+           |  list_reduce(list_transform(list_zip(a.qe, qq.qe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |    / (sqrt(a.nrm)*sqrt(qq.nrm)) AS score
+           |FROM assigned a, qq WHERE a.cent_id = qq.cent_id AND a.vec_id <> 0
            |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin),
 
       "qm_media_decode" ->

@@ -77,6 +77,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style bucketing: the first `k` vectors (by vec_id) act as
+    * deterministic "centroids"; every vector is assigned to its
+    * highest-cosine centroid (ties → lowest centroid id). A query then
+    * scans only its centroid's inverted list — candidates ≈ N/k on
+    * balanced data. Deterministic stand-in for a k-means codebook: the
+    * assignment/search mechanics (the part that matters for the plan
+    * shape at scale) are identical, only the codebook training differs.
+    */
+  def ivfAssign(emb: DataFrame, centroids: Int): DataFrame = {
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cents = q.filter(col("vec_id") < centroids)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cent_id"))
+    q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("cent_id"), cosine(col("qv"), col("cv")).as("cc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("cent_id"))
+  }
+
+  /** IVF top-k: scan only the query vector's inverted list. */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, centroids: Int = 16): DataFrame = {
+    val assigned = ivfAssign(emb, centroids)
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("qv").as("query_v"), col("cent_id").as("qcent"))
+    assigned
+      .crossJoin(broadcast(q))
+      .filter(col("cent_id") === col("qcent") && col("vec_id") =!= queryId)
+      .select(col("vec_id"), cosine(col("qv"), col("query_v")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-vector nearest neighbor within the same label block (embedding
     * near-dup detection). Deterministic via (cosine desc, vec_id) rank.
     */
