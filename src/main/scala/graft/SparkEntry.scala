@@ -273,6 +273,25 @@ object SparkEntry {
         .withColumnRenamed("ts_ms", "ts_us")
     }),
 
+    "qc_stream_decode" -> ((s, dir) => {
+      // the SAME decode spine as qc_pipeline_decode, but executed through
+      // Structured Streaming (file source → decode → checkpointed parquet
+      // sink, Trigger.AvailableNow) — putting the streaming engine itself
+      // under the DuckDB oracle. Shares qc_pipeline_decode's oracle SQL.
+      import graft.streaming.CanStream
+      val tmp = java.nio.file.Files.createTempDirectory("graft_qsd").toString
+      canLines(events(s, dir)).select("value")
+        .write.mode("overwrite").text(s"$tmp/lines")
+      val net = DbcParser.parseString(canTestDbc)
+      val frames = CanStream.framesFromTextFiles(s, s"$tmp/lines")
+        .withColumnRenamed("ts_us", "ts_ms")
+      val wide = SignalDecoder.wideFrame(net, frames)
+        .withColumnRenamed("ts_ms", "ts_us")
+      val q = CanStream.parquetSink(wide, s"$tmp/out", s"$tmp/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+    }),
+
     "qc_bucket_tumbling" -> ((s, dir) => {
       // T1a/T2/T3/T4 via the production Bucketer on sparse signals
       val ev = events(s, dir)
@@ -668,7 +687,12 @@ object SparkEntry {
       """SELECT event_id,
         |  (epoch_us(ts) - 1704067200000000) / 1000000.0 * 1000.0 AS Time_ms
         |FROM events""".stripMargin
-  ) ++ opsOracles
+  ) match {
+    case base =>
+      // the streaming decode run must produce byte-identical results to the
+      // batch spine, so it shares the same oracle
+      base + ("qc_stream_decode" -> base("qc_pipeline_decode")) ++ opsOracles
+  }
 
   /** DuckDB equivalents of the ops queries. Repetitive hash SQL is
     * generated from the same Scala constants the Spark side uses.
