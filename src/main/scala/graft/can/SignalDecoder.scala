@@ -59,61 +59,86 @@ object SignalDecoder {
     else unsignedRaw
   }
 
+  /** Native byte-level extraction (graft.plans.CanSignalExtract): one
+    * codegen loop per signal, no hex-string/u64 materialization.
+    */
+  def rawNative(data: Column, sig: Signal): Column =
+    graft.plans.CanSignalExtract(data, sig.startBit, sig.bitLen,
+      sig.littleEndian, sig.signed)
+
   /** IEEE-754 reinterpret for `flt32_` signals (P6): native codegen
     * Expression (graft.plans.IntBitsToFloat) — stays in whole-stage codegen.
     */
   def intBitsToFloat(raw: Column): Column = graft.plans.FloatReinterpret.intBitsToFloat(raw)
 
-  /** Physical (scaled, typed) value of one signal (P4/P6/P7). */
-  def physExpr(sig: Signal, le: Column, be: Column, mode: TypingMode): Column = {
-    val raw = rawExpr(sig, le, be)
+  /** Physical (scaled, typed) value of one signal (P4/P6/P7) from its raw. */
+  def physExprFrom(raw: Column, sig: Signal, mode: TypingMode): Column = {
     val target = DbcSchema.sparkType(sig, mode)
-    val v: Column =
-      if (sig.isFlt32) intBitsToFloat(raw)
-      else if (target == BooleanType) raw =!= 0L
-      else if (sig.isIdentityScale) raw.cast(target)
-      else (raw.cast(DoubleType) * lit(sig.factor) + lit(sig.offset)).cast(target)
-    v
+    if (sig.isFlt32) intBitsToFloat(raw)
+    else if (target == BooleanType) raw =!= 0L
+    else if (sig.isIdentityScale) raw.cast(target)
+    else (raw.cast(DoubleType) * lit(sig.factor) + lit(sig.offset)).cast(target)
   }
+
+  def physExpr(sig: Signal, le: Column, be: Column, mode: TypingMode): Column =
+    physExprFrom(rawExpr(sig, le, be), sig, mode)
 
   /** Full per-signal column incl. message dispatch (P2) and mux gating (P5):
     * null unless `can_id` matches the signal's message (inner-join semantics
     * — unknown ids produce all-null signal cells and are filtered by F1
     * upstream) and, for multiplexed signals, the mux switch matches.
     */
-  def signalColumn(msg: Message, sig: Signal, canId: Column, le: Column, be: Column,
-      mode: TypingMode): Column = {
-    val base = physExpr(sig, le, be, mode)
+  def signalColumnFrom(msg: Message, sig: Signal, canId: Column,
+      rawOf: Signal => Column, mode: TypingMode): Column = {
+    val base = physExprFrom(rawOf(sig), sig, mode)
     val gated = sig.mux match {
       case Mux.Value(sw) =>
         val muxSig = msg.muxSwitch.getOrElse(
           throw new IllegalArgumentException(
             s"signal ${sig.name} is multiplexed but message ${msg.name} has no mux switch"))
-        when(rawExpr(muxSig, le, be) === lit(sw), base)
+        when(rawOf(muxSig) === lit(sw), base)
       case _ => base
     }
     when(canId === lit(msg.id), gated).as(sig.name)
   }
+
+  def signalColumn(msg: Message, sig: Signal, canId: Column, le: Column, be: Column,
+      mode: TypingMode): Column =
+    signalColumnFrom(msg, sig, canId, s => rawExpr(s, le, be), mode)
 
   /** frames(ts_ms, can_id, data) → wide per-frame table:
     * `(ts_ms, sig1, sig2, ...)` — one row per frame, nulls for signals not
     * carried by that frame's message. The known-id filter (F1) is applied
     * here and pushes down to the scan.
     *
-    * The two u64 views are materialized once as helper columns so all
-    * signal expressions share them (subexpression reuse instead of
-    * recomputing the hex/conv per signal).
+    * `nativeExtract = true` (default) extracts each signal straight from
+    * the payload bytes with [[graft.plans.CanSignalExtract]]; the built-in
+    * composition (hex/conv u64 views shared via helper columns) is kept as
+    * the differential baseline.
     */
   def wideFrame(net: Network, frames: DataFrame,
-      mode: TypingMode = TypingMode.Intended): DataFrame = {
+      mode: TypingMode = TypingMode.Intended,
+      nativeExtract: Boolean = true): DataFrame = {
     val ids = net.messages.map(_.id)
-    val withU64 = frames
-      .filter(col("can_id").isin(ids: _*)) // F1: unknown ids dropped
-      .withColumn("_be", beU64(col("data")))
-      .withColumn("_le", leU64(col("_be")))
-    val sigCols = net.signalsInOrder.map { case (m, s) =>
-      signalColumn(m, s, col("can_id"), col("_le"), col("_be"), mode)
+    val known = frames.filter(col("can_id").isin(ids: _*)) // F1: unknown ids dropped
+    if (nativeExtract) {
+      // shared native u64 assembly (one byte loop per endianness per frame),
+      // constant shift/mask per signal
+      val withU64 = known
+        .withColumn("_be", graft.plans.PayloadU64(col("data"), littleEndian = false))
+        .withColumn("_le", graft.plans.PayloadU64(col("data"), littleEndian = true))
+      val sigCols = net.signalsInOrder.map { case (m, s) =>
+        signalColumn(m, s, col("can_id"), col("_le"), col("_be"), mode)
+      }
+      withU64.select(col("ts_ms") +: sigCols: _*)
+    } else {
+      val withU64 = known
+        .withColumn("_be", beU64(col("data")))
+        .withColumn("_le", leU64(col("_be")))
+      val sigCols = net.signalsInOrder.map { case (m, s) =>
+        signalColumn(m, s, col("can_id"), col("_le"), col("_be"), mode)
+      }
+      withU64.select(col("ts_ms") +: sigCols: _*)
     }
-    withU64.select(col("ts_ms") +: sigCols: _*)
   }
 }

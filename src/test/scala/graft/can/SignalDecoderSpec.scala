@@ -98,15 +98,23 @@ class SignalDecoderSpec extends AnyFunSuite {
     val cols = cases.zipWithIndex.map { case ((le, start, len, signed, _), i) =>
       SignalDecoder.rawExpr(sig(start, len, le, signed), le64, be).as(s"r$i")
     }
+    val nativeCols = cases.zipWithIndex.map { case ((le, start, len, signed, _), i) =>
+      SignalDecoder.rawNative(col("data"),
+        sig(start, len, le, signed)).as(s"n$i")
+    }
     val row = df.orderBy("i").select(cols: _*).collect()
+    val nrow = df.orderBy("i").select(nativeCols: _*).collect()
     val m64 = (BigInt(1) << 64) - 1
     cases.zipWithIndex.foreach { case ((le, start, len, signed, bytes), i) =>
       val exp0 = BitRef.extract(bytes, start, len, le)
       val exp = if (signed) BitRef.signExtend(exp0, len) else exp0
       val got = row(i).getAs[Long](s"r$i")
+      val gotNative = nrow(i).getAs[Long](s"n$i")
       // compare as 64-bit bit patterns (covers u64-max-as-negative-Long)
       assert((BigInt(got) & m64) == (exp & m64),
         s"case $i: le=$le start=$start len=$len signed=$signed bytes=${bytes.map("%02X".format(_)).mkString}")
+      assert(gotNative == got,
+        s"native mismatch case $i: le=$le start=$start len=$len signed=$signed")
     }
   }
 
