@@ -489,6 +489,46 @@ object SparkEntry {
         (col("value") - lag(col("value"), 1).over(w)).as("delta"))
     }),
 
+    "q17_session_window" -> ((s, dir) => {
+      // built-in session_window (dynamic-gap session aggregation) vs a
+      // gaps-and-islands oracle
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), centSum(col("value")).as("total"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"), col("total"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    "qd_ngram_jaccard" -> ((s, dir) => {
+      // character-trigram Jaccard near-dups within (lang, source) blocks
+      val d = t(s, dir, "documents")
+      val grams = d.select(col("doc_id"), col("lang"), col("source"),
+          explode(array_distinct(transform(
+            sequence(lit(1), length(col("text")) - 2),
+            i => col("text").substr(i, lit(3))))).as("gram"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          graft.ops.TextAnalysis.md5Long(col("gram")).as("gh"))
+        .repartition(col("lang"), col("source"))
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // gram-level self-join within blocks: total pair fan-out is Σk² per
+      // shared gram either way, and the join stays in codegen (a
+      // collect_list + combinations rewrite measured slower — HOF pair
+      // generation is interpreted)
+      val a = grams.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("gh"))
+      val b = grams.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("gh"))
+      a.join(b, Seq("lang", "source", "gh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("na") + col("nb") - col("common")))
+        .filter(col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "q16_median" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val cents = round(col("o_totalprice") * 100).cast("long")
@@ -919,6 +959,37 @@ object SparkEntry {
         """SELECT event_id, user_id,
           |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS delta
           |FROM events""".stripMargin,
+
+      "q17_session_window" ->
+        """WITH s AS (
+          |  SELECT user_id, epoch_us(ts) AS us, value,
+          |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)
+          |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
+          |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS total
+          |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+
+      "qd_ngram_jaccard" ->
+        """WITH g AS (
+          |  SELECT DISTINCT doc_id, lang, source,
+          |    CAST('0x'||substr(md5(unnest(list_transform(range(length(text)-2),
+          |      i -> substr(text, i+1, 3)))),1,15) AS BIGINT) AS gh
+          |  FROM documents),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+          |pairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          |  FROM g a JOIN g b
+          |    ON a.lang=b.lang AND a.source=b.source AND a.gh=b.gh AND a.doc_id<b.doc_id
+          |  GROUP BY 1,2)
+          |SELECT doc_a, doc_b,
+          |  CAST(common AS DOUBLE)/(x.n+y.n-common) AS jaccard
+          |FROM pairs JOIN sizes x ON doc_a=x.doc_id JOIN sizes y ON doc_b=y.doc_id
+          |WHERE CAST(common AS DOUBLE)/(x.n+y.n-common) >= 0.6
+          |ORDER BY doc_a, doc_b""".stripMargin,
 
       "q16_median" ->
         """WITH x AS (
