@@ -292,6 +292,24 @@ object SparkEntry {
       s.read.parquet(s"$tmp/out")
     }),
 
+    "qc_decode_defacto" -> ((s, dir) => {
+      // §1.2 DeFacto typing: the shipped binary's dead integer branches —
+      // every non-bool signal lands in the scaled float/double path
+      val net = DbcParser.parseString(canTestDbc)
+      val frames = CandumpParser.parseLines(canLines(events(s, dir)))
+        .withColumnRenamed("ts_us", "ts_ms")
+      SignalDecoder.wideFrame(net, frames, TypingMode.DeFacto)
+        .withColumnRenamed("ts_ms", "ts_us")
+        .select("ts_us", "CNT8", "MUXSEL", "U31", "BIG48")
+    }),
+
+    "qc_ts_normalize" -> ((s, dir) => {
+      // P8: subtract-first-timestamp normalization (broadcast-min join)
+      val frames = CandumpParser.parseLines(canLines(events(s, dir)))
+      CandumpParser.withTsMs(frames)
+        .select(col("can_id"), col("ts_ms"))
+    }),
+
     "qc_bucket_tumbling" -> ((s, dir) => {
       // T1a/T2/T3/T4 via the production Bucketer on sparse signals
       val ev = events(s, dir)
@@ -404,6 +422,14 @@ object SparkEntry {
     "qd_bow_groups" -> ((s, dir) => {
       Dedup.dupGroups(t(s, dir, "documents"), "doc_id", Dedup.bowSignature(col("text")))
         .orderBy("sig")
+    }),
+
+    "qd_dedup_keep" -> ((s, dir) => {
+      // exact dedup keeper set: lowest doc_id per bag-of-words signature
+      val d = t(s, dir, "documents")
+      d.groupBy(Dedup.bowSignature(col("text")).as("sig"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id").orderBy("doc_id")
     }),
 
     "qd_minhash_pairs" -> ((s, dir) => {
@@ -676,6 +702,23 @@ object SparkEntry {
         |  CASE WHEN can_id = 512 THEN CAST((d0*256 + d1)*0.01 + 5 AS FLOAT4) END AS MOTO16
         |FROM b""".stripMargin),
 
+    "qc_decode_defacto" -> (canBytesCte +
+      """
+        |SELECT us AS ts_us,
+        |  CASE WHEN can_id = 256 THEN CAST(CASE WHEN d2 >= 128 THEN d2 - 256 ELSE d2 END AS FLOAT4) END AS CNT8,
+        |  CASE WHEN can_id = 256 THEN CAST(d6 & 3 AS FLOAT4) END AS MUXSEL,
+        |  CASE WHEN can_id = 512 THEN
+        |    CAST(d0 + d1*256 + d2*65536 + (d3 & 127)*16777216 AS FLOAT4) END AS U31,
+        |  CASE WHEN can_id = 512 THEN
+        |    CAST(d1 + d2*256 + d3*65536 + d4*16777216 + d5*4294967296 + d6*1099511627776 AS DOUBLE) END AS BIG48
+        |FROM b""".stripMargin),
+
+    "qc_ts_normalize" -> (canBytesCte +
+      """
+        |SELECT CAST(can_id AS BIGINT) AS can_id,
+        |  (us - (SELECT min(us) FROM b)) / 1000.0 AS ts_ms
+        |FROM b""".stripMargin),
+
     "qc_bucket_tumbling" ->
       """WITH w AS (
         |  SELECT (epoch_us(ts) - 1704067200000000) / 1000.0 AS ts_ms,
@@ -842,6 +885,11 @@ object SparkEntry {
         """SELECT md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text),'\s+'))),'string_agg','|')) AS sig,
           |  count(*) AS n_docs, min(doc_id) AS keep_id
           |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+      "qd_dedup_keep" ->
+        """SELECT min(doc_id) AS doc_id FROM documents
+          |GROUP BY md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text),'\s+'))),'string_agg','|'))
+          |ORDER BY doc_id""".stripMargin,
 
       "qd_minhash_pairs" -> (shinglesCte +
         s""",
