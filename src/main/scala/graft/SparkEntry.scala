@@ -555,6 +555,17 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "q18_sketches" -> ((s, dir) => {
+      // approximate sketch surface (HLL distinct, quantile sketch) — no
+      // SQL-exact oracle possible, so the driver records a rows-only check;
+      // exactness of the exact counterparts is covered by q4/q16
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "q16_median" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val cents = round(col("o_totalprice") * 100).cast("long")

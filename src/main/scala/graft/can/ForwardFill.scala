@@ -30,10 +30,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object ForwardFill {
 
-  /** Single-partition window fill. `cols` default: all but `orderCol`. */
-  def windowed(df: DataFrame, orderCol: String, cols: Seq[String] = Nil): DataFrame = {
-    val fillCols = if (cols.nonEmpty) cols else df.columns.toSeq.filter(_ != orderCol)
-    val w = Window.orderBy(orderCol).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  /** Window fill. Keyless: single-partition global window (small outputs /
+    * differential oracle). With `keyCols`: partitioned window — one shuffle
+    * on the keys, fully parallel, the right tool when fill semantics are
+    * per-entity (per signal source, per user) rather than global.
+    */
+  def windowed(df: DataFrame, orderCol: String, cols: Seq[String] = Nil,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val fillCols =
+      if (cols.nonEmpty) cols
+      else df.columns.toSeq.filter(c => c != orderCol && !keyCols.contains(c))
+    val base = if (keyCols.isEmpty) Window.orderBy(orderCol)
+      else Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
+    val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val projected = df.columns.map { c =>
       if (fillCols.contains(c)) last(col(c), ignoreNulls = true).over(w).as(c)
       else col(c)

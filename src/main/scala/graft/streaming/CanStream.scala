@@ -83,7 +83,8 @@ object CanStream {
     * its current-bucket behavior at `src/main.cpp:127`).
     */
   def exactStream(wide: DataFrame, cacheMs: Double, keyCol: Option[String] = None,
-      policy: CombinePolicy = CombinePolicy.LastWins): DataFrame = {
+      policy: CombinePolicy = CombinePolicy.LastWins,
+      forwardFill: Boolean = false): DataFrame = {
     val inSchema = wide.schema
     val tsIdx = inSchema.fieldIndex("ts_ms")
     val keyIdx = keyCol.map(inSchema.fieldIndex)
@@ -108,7 +109,8 @@ object CanStream {
           val out = Seq.newBuilder[Row]
           def close(): Unit = {
             out += Row.fromSeq(st.startMs +: st.cells.clone().toSeq)
-            java.util.Arrays.fill(st.cells.asInstanceOf[Array[AnyRef]], null)
+            if (!forwardFill) // T5: carried values persist across rows
+              java.util.Arrays.fill(st.cells.asInstanceOf[Array[AnyRef]], null)
             java.util.Arrays.fill(st.setInBucket, false)
           }
           sorted.foreach { r =>

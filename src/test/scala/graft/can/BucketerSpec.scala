@@ -96,6 +96,16 @@ class BucketerSpec extends AnyFunSuite {
     assert(dist.head.isNullAt(2) == (rows.head._3 == null))
   }
 
+  test("forward-fill: keyed windowed variant fills per key in parallel") {
+    val df = Seq(
+      ("u", 1L, Some(10)), ("u", 2L, None), ("v", 1L, None), ("v", 2L, Some(7)), ("v", 3L, None)
+    ).map { case (k, t, v) => (k, t, v.map(Int.box).orNull.asInstanceOf[java.lang.Integer]) }
+      .toDF("k", "t", "x")
+    val out = ForwardFill.windowed(df, "t", Seq("x"), keyCols = Seq("k"))
+      .orderBy("k", "t").collect().map(_.getAs[Any]("x"))
+    assert(out.toSeq == Seq(10, 10, null, 7, 7))
+  }
+
   test("end-to-end golden: mini.log + mini.dbc, cache 10ms, exact (§7.2 spine)") {
     val out = CanPipeline.decodeLog(spark, "fixtures/mini.dbc", "fixtures/mini.log",
       CanPipelineConfig(cacheMs = 10.0, exact = true))

@@ -70,6 +70,23 @@ class CanStreamSpec extends AnyFunSuite {
     assert(rows(1).getAs[Int]("Val_B") == 32767)
   }
 
+  test("exactStream forward-fill carries values across buckets and batches") {
+    val input = MemoryStream[String](spark)
+    val lines = scala.io.Source.fromFile("fixtures/mini.log").getLines().toSeq
+    val wide = CanStream.decoded(net, CandumpParser.parseLines(input.toDF())).drop("ts")
+    val exact = CanStream.exactStream(wide, cacheMs = 10.0, forwardFill = true)
+    val q = exact.writeStream.format("memory").queryName("sff")
+      .outputMode("append").start()
+    input.addData(lines.take(5)); q.processAllAvailable()
+    input.addData(lines.drop(5)); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sff").orderBy("Time_ms").collect()
+    // second closed row (opens @+12) must carry GPS_Speed=1.0 from row 1
+    assert(rows.length == 2)
+    assert(rows(1).getAs[Float]("GPS_Speed") == 1.0f)
+    assert(rows(1).getAs[Float]("Engine_Speed") == 2000.0f)
+  }
+
   test("file-stream replay to parquet sink (K1) with AvailableNow") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
     val logDir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
