@@ -50,6 +50,40 @@ object CanPipeline {
   }
 }
 
+/** Output layout for the wide table at fleet scale (K1 grown up): the
+  * reference appends one flat parquet file; a 100 TB corpus needs
+  * partition pruning on the time axis. `writeTimePartitioned` derives an
+  * hour-bucket column from `Time_ms` and writes
+  * `.../hour_bucket=N/part-*.parquet`, so time-range queries prune
+  * directories before touching data (verified via `PartitionFilters` in
+  * the scan). `maxRecordsPerFile` bounds file sizes the way the
+  * reference's 10k-row chunks did.
+  */
+object WideTableWriter {
+  import org.apache.spark.sql.functions._
+
+  def writeTimePartitioned(df: DataFrame, path: String,
+      bucketMs: Long = 3600 * 1000L, maxRecordsPerFile: Long = 5000000L): Unit =
+    df.withColumn("hour_bucket",
+        floor(col(DbcColumns.TimeCol) / bucketMs.toDouble).cast("long"))
+      .write
+      .partitionBy("hour_bucket")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("append")
+      .parquet(path)
+
+  /** Time-range read with directory-level pruning. */
+  def readTimeRange(spark: SparkSession, path: String,
+      fromMs: Double, untilMs: Double, bucketMs: Long = 3600 * 1000L): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .filter(col("hour_bucket") >= math.floor(fromMs / bucketMs).toLong &&
+        col("hour_bucket") <= math.floor(untilMs / bucketMs).toLong &&
+        col(DbcColumns.TimeCol) >= fromMs && col(DbcColumns.TimeCol) < untilMs)
+      .drop("hour_bucket")
+  }
+}
+
 /** Legacy Parquet re-ingest time migration (reference T6,
   * `/root/reference/src/main.cpp.bak:295-304`, `:328-331`): columns named
   * `Time`/`timestamp`/`Seconds` hold seconds → `Time_ms = v * 1000`;

@@ -139,6 +139,17 @@ class BucketerSpec extends AnyFunSuite {
     assert(rows(1).getAs[Int]("Val_B") == 32767)      // last-wins within bucket
   }
 
+  test("time-partitioned write prunes directories on time-range reads") {
+    val out = java.nio.file.Files.createTempDirectory("graft_tpart").toString + "/wide"
+    val df = (0 until 100).map(i => (i * 120000.0, i)).toDF("Time_ms", "v")
+    WideTableWriter.writeTimePartitioned(df, out, bucketMs = 3600 * 1000L)
+    val back = WideTableWriter.readTimeRange(spark, out, 3600000.0, 7200000.0)
+    assert(back.count() == 30) // Time_ms in [3.6e6, 7.2e6) → i in 30..59
+    assert(back.columns.toSeq == Seq("Time_ms", "v"))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("hour_bucket"))
+  }
+
   test("time migration (T6): legacy seconds columns and passthrough") {
     val legacy = Seq((1.5, 10), (2.5, 20)).toDF("Time", "v")
     val m = TimeMigration.migrate(legacy).orderBy("Time_ms").collect()
