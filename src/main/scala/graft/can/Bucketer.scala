@@ -75,7 +75,85 @@ object Bucketer {
     case BucketMode.Exact(cacheMs, _) if cacheMs <= 0 =>
       bucket(wide, BucketMode.PerFrame, policy)
     case BucketMode.Exact(cacheMs, keyCols) =>
-      exactFold(wide, cacheMs, keyCols, policy, forwardFill = false)
+      if (keyCols.isEmpty) exactDistributed(wide, cacheMs, policy)
+      else exactFold(wide, cacheMs, keyCols, policy, forwardFill = false)
+  }
+
+  /** Distributed EXACT data-driven bucketing — the scalable form of the
+    * reference's chained fold.
+    *
+    * Key property: the boundary chain resyncs at any inter-frame gap
+    * larger than `cacheMs`. If `ts_next - ts_prev > cacheMs`, then for any
+    * open bucket start `s ≤ ts_prev`, `ts_next > s + cacheMs`, so the
+    * bucket always closes at the gap and the next bucket anchors at
+    * `ts_next` — independent of all earlier history. Frames between two
+    * such gaps therefore form an independent segment, and the global
+    * sequential fold equals per-segment folds run in parallel.
+    *
+    * Implementation (two passes over a range-partitioned sort, same shape
+    * as [[ForwardFill.distributed]]):
+    *   1. per partition: first/last ts + count of internal resync gaps;
+    *   2. driver: prefix-combine partition summaries (adding boundary gaps
+    *      between consecutive partitions) into per-partition segment-id
+    *      offsets; broadcast;
+    *   3. per partition: assign each frame its global segment id;
+    *   4. [[exactFold]] keyed by segment id — parallel across segments.
+    *
+    * Degenerates gracefully: a stream with no gaps > cacheMs is one
+    * segment (the honest sequential case); real telemetry at ms-scale
+    * windows has gaps everywhere, giving near-linear parallelism.
+    */
+  def exactDistributed(wide: org.apache.spark.sql.DataFrame, cacheMs: Double,
+      policy: CombinePolicy = CombinePolicy.LastWins,
+      numPartitions: Int = 0): org.apache.spark.sql.DataFrame = {
+    val spark = wide.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val tsIdx = wide.schema.fieldIndex("ts_ms")
+    val sorted = wide.repartitionByRange(parts, col("ts_ms"))
+      .sortWithinPartitions("ts_ms")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Pass 1: per-partition (firstTs, lastTs, internalGapCount); empty → null
+    val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var first = Double.NaN; var last = Double.NaN; var gaps = 0L
+      it.foreach { r =>
+        val ts = r.getDouble(tsIdx)
+        if (first.isNaN) first = ts
+        else if (ts - last > cacheMs) gaps += 1
+        last = ts
+      }
+      Iterator.single((pid, first, last, gaps))
+    }.collect().sortBy(_._1)
+
+    // Driver prefix: segment-id offset at the start of each partition
+    val offsets = new Array[Long](summaries.length)
+    var segBase = 0L
+    var prevLast = Double.NaN
+    summaries.foreach { case (pid, first, last, gaps) =>
+      if (!first.isNaN && !prevLast.isNaN && first - prevLast > cacheMs) segBase += 1
+      offsets(pid) = segBase
+      if (!first.isNaN) { segBase += gaps; prevLast = last }
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // Pass 2: assign global segment ids
+    val segField = org.apache.spark.sql.types.StructField("_seg", org.apache.spark.sql.types.LongType, nullable = false)
+    val withSegSchema = org.apache.spark.sql.types.StructType(wide.schema.fields :+ segField)
+    val withSeg = spark.createDataFrame(
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var seg = bc.value(pid)
+        var last = Double.NaN
+        it.map { r =>
+          val ts = r.getDouble(tsIdx)
+          if (!last.isNaN && ts - last > cacheMs) seg += 1
+          last = ts
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ seg)
+        }
+      }, withSegSchema)
+
+    exactFold(withSeg, cacheMs, Seq("_seg"), policy, forwardFill = false)
+      .drop("_seg")
   }
 
   /** Exact data-driven bucketing as a sorted fold (T1b), reproducing

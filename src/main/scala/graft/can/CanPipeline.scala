@@ -36,10 +36,18 @@ object CanPipeline {
   /** frames(ts_ms, can_id, data) → bucketed wide table. */
   def fromFrames(net: Network, frames: DataFrame, cfg: CanPipelineConfig): DataFrame = {
     val wide = SignalDecoder.wideFrame(net, frames, cfg.typing)
-    if (cfg.exact && cfg.cacheMs > 0)
-      // exact mode folds forward-fill into the same pass (legacy-main shape)
-      Bucketer.exactFold(wide, cfg.cacheMs, cfg.exactKeys, cfg.combine, cfg.forwardFill)
-    else {
+    if (cfg.exact && cfg.cacheMs > 0) {
+      if (cfg.exactKeys.nonEmpty)
+        // keyed: independent folds per key, forward-fill in-pass
+        Bucketer.exactFold(wide, cfg.cacheMs, cfg.exactKeys, cfg.combine, cfg.forwardFill)
+      else {
+        // keyless: gap-segmented distributed exact fold; post-hoc
+        // distributed fill is equivalent to in-pass carry (observed values
+        // always win over carried ones under either combine policy)
+        val b = Bucketer.exactDistributed(wide, cfg.cacheMs, cfg.combine)
+        if (cfg.forwardFill) ForwardFill.distributed(b, DbcColumns.TimeCol) else b
+      }
+    } else {
       val bucketed = Bucketer.bucket(wide,
         if (cfg.cacheMs > 0) BucketMode.Tumbling(cfg.cacheMs) else BucketMode.PerFrame,
         cfg.combine)

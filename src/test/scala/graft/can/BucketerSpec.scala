@@ -80,6 +80,33 @@ class BucketerSpec extends AnyFunSuite {
       Seq((0.0, 1, 5.0), (15.0, 2, 5.0), (30.0, 2, 5.0)))
   }
 
+  test("exactDistributed equals sequential exact fold (differential, gappy data)") {
+    val rnd = new scala.util.Random(11)
+    // bursts of dense traffic separated by > cacheMs gaps, plus jitter
+    var t = 0.0
+    val rows = (0 until 2000).map { i =>
+      t += (if (rnd.nextInt(20) == 0) 35.0 + rnd.nextDouble() * 50 else rnd.nextDouble() * 6)
+      (t, if (rnd.nextBoolean()) Int.box(rnd.nextInt(100)) else null.asInstanceOf[java.lang.Integer],
+        if (rnd.nextInt(3) == 0) Double.box(rnd.nextDouble()) else null.asInstanceOf[java.lang.Double])
+    }
+    val df = rows.toDF("ts_ms", "a", "b").repartition(13)
+    for (policy <- Seq(CombinePolicy.LastWins, CombinePolicy.FirstWins)) {
+      val seq = Bucketer.exactFold(df, 10.0, Nil, policy, forwardFill = false)
+        .orderBy("Time_ms").collect()
+      val dist = Bucketer.exactDistributed(df, 10.0, policy, numPartitions = 7)
+        .orderBy("Time_ms").collect()
+      assert(seq.toSeq == dist.toSeq, s"policy $policy: ${seq.length} vs ${dist.length} rows")
+    }
+    // pathological: no gaps at all → single segment, still exact
+    val dense = (0 until 200).map(i => (i * 1.0, Int.box(i), null.asInstanceOf[java.lang.Double]))
+      .toDF("ts_ms", "a", "b")
+    val s1 = Bucketer.exactFold(dense, 10.0, Nil, CombinePolicy.LastWins, forwardFill = false)
+      .orderBy("Time_ms").collect()
+    val s2 = Bucketer.exactDistributed(dense, 10.0, numPartitions = 5)
+      .orderBy("Time_ms").collect()
+    assert(s1.toSeq == s2.toSeq)
+  }
+
   test("forward-fill: windowed and distributed agree (differential)") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 500).map { i =>
