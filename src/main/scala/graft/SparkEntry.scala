@@ -403,7 +403,8 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
-        TextAnalysis.md5Long(col("text")).as("fp60"))
+        TextAnalysis.md5Long(col("text")).as("fp60"),
+        TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
     }),
 
     "qd_exact_stats" -> ((s, dir) => {
@@ -456,6 +457,16 @@ object SparkEntry {
     "qm_media_decode" -> ((s, dir) => {
       val payloads = Multimodal.fakePayload(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.decodeStub(payloads)
+    }),
+
+    "qm_frame_sample" -> ((s, dir) => {
+      // video-shaped plumbing: split payload into 32-byte frames, keep
+      // every 3rd; output per-doc frame stats (arithmetic oracle)
+      val payloads = Multimodal.fakePayload(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(payloads, "doc_id", frameSize = 32, every = 3)
+        .select(col("doc_id"), size(col("frames")).as("n_frames"),
+          length(element_at(col("frames"), 1)).as("first_len"),
+          length(element_at(col("frames"), -1)).as("last_len"))
     }),
 
     // --- joins/analytics beyond the reference surface ---
@@ -879,7 +890,11 @@ object SparkEntry {
            |SELECT doc_id, $langPred AS lang_pred, ($langPred) = lang AS is_match FROM m""".stripMargin,
 
       "qt_fingerprint" ->
-        s"""SELECT doc_id, md5(text) AS fp, ${h("text")} AS fp60 FROM documents""",
+        s"""SELECT doc_id, md5(text) AS fp, ${h("text")} AS fp60,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(string_split(text,''), c -> CAST(ord(c) AS BIGINT))),
+           |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
+           |FROM documents""".stripMargin,
 
       "qd_exact_stats" ->
         """WITH bow AS (
@@ -979,6 +994,14 @@ object SparkEntry {
           |  CAST((doc_id % 95 + 32 + (doc_id*7) % 95 + 32 +
           |    list_reduce(list_transform(string_split(substr(text,1,14),''), c -> ord(c)),
           |      (a,b) -> a+b)) % 256 AS INTEGER) AS brightness
+          |FROM documents""".stripMargin,
+
+      "qm_frame_sample" ->
+        """SELECT doc_id,
+          |  CAST(((n_chars + 2 + 31)//32 + 2)//3 AS INTEGER) AS n_frames,
+          |  CAST(least(32, n_chars + 2) AS INTEGER) AS first_len,
+          |  CAST(least(32, n_chars + 2 -
+          |    ((((n_chars + 2 + 31)//32) - 1)//3)*3*32) AS INTEGER) AS last_len
           |FROM documents""".stripMargin,
 
       "qj_asof" ->

@@ -37,6 +37,19 @@ object TextAnalysis {
   /** Rolling-fingerprint of a document: md5 of the text (exact identity). */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Polynomial rolling hash over the character stream:
+    * `h = fold(c => (h*31 + code(c)) mod P)` seeded at 0 — the classic
+    * incremental document fingerprint, kept in modular range so the DuckDB
+    * oracle (`list_reduce` with a prepended 0 seed) folds identically.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % P)
+
+  val P = 1000000007L
+
   /** Non-alphanumeric, non-space character count. */
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[^A-Za-z0-9\\s]"))
