@@ -455,14 +455,23 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5)),
 
     "qm_media_decode" -> ((s, dir) => {
-      val payloads = Multimodal.fakePayload(t(s, dir, "documents"), "doc_id", "text")
+      // oracle computes byte math from characters, so restrict the gate to
+      // ASCII docs (bytes == chars); the stub itself is byte-correct for
+      // any input
+      val ascii = t(s, dir, "documents")
+        .filter(octet_length(col("text")) === length(col("text")))
+      val payloads = Multimodal.fakePayload(ascii, "doc_id", "text")
       Multimodal.decodeStub(payloads)
     }),
 
     "qm_frame_sample" -> ((s, dir) => {
       // video-shaped plumbing: split payload into 32-byte frames, keep
-      // every 3rd; output per-doc frame stats (arithmetic oracle)
-      val payloads = Multimodal.fakePayload(t(s, dir, "documents"), "doc_id", "text")
+      // every 3rd; output per-doc frame stats (arithmetic oracle; ASCII
+      // subset for the same bytes-vs-chars reason as qm_media_decode)
+      val payloads = Multimodal.fakePayload(
+        t(s, dir, "documents")
+          .filter(octet_length(col("text")) === length(col("text"))),
+        "doc_id", "text")
       Multimodal.sampleFrames(payloads, "doc_id", frameSize = 32, every = 3)
         .select(col("doc_id"), size(col("frames")).as("n_frames"),
           length(element_at(col("frames"), 1)).as("first_len"),
@@ -539,8 +548,9 @@ object SparkEntry {
     }),
 
     "qd_ngram_jaccard" -> ((s, dir) => {
-      // character-trigram Jaccard near-dups within (lang, source) blocks
-      val d = t(s, dir, "documents")
+      // character-trigram Jaccard near-dups within (lang, source) blocks;
+      // guard: sequence(1, len-2) runs backwards for texts under 3 chars
+      val d = t(s, dir, "documents").filter(length(col("text")) >= 3)
       val grams = d.select(col("doc_id"), col("lang"), col("source"),
           explode(array_distinct(transform(
             sequence(lit(1), length(col("text")) - 2),
@@ -994,7 +1004,7 @@ object SparkEntry {
           |  CAST((doc_id % 95 + 32 + (doc_id*7) % 95 + 32 +
           |    list_reduce(list_transform(string_split(substr(text,1,14),''), c -> ord(c)),
           |      (a,b) -> a+b)) % 256 AS INTEGER) AS brightness
-          |FROM documents""".stripMargin,
+          |FROM documents WHERE octet_length(encode(text)) = length(text)""".stripMargin,
 
       "qm_frame_sample" ->
         """SELECT doc_id,
@@ -1002,7 +1012,7 @@ object SparkEntry {
           |  CAST(least(32, n_chars + 2) AS INTEGER) AS first_len,
           |  CAST(least(32, n_chars + 2 -
           |    ((((n_chars + 2 + 31)//32) - 1)//3)*3*32) AS INTEGER) AS last_len
-          |FROM documents""".stripMargin,
+          |FROM documents WHERE octet_length(encode(text)) = length(text)""".stripMargin,
 
       "qj_asof" ->
         """SELECT e.event_id, e.user_id,

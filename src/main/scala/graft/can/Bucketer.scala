@@ -114,13 +114,17 @@ object Bucketer {
       .sortWithinPartitions("ts_ms")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Pass 1: per-partition (firstTs, lastTs, internalGapCount); empty → null
+    // Pass 1: per-partition (firstTs, lastTs, internalGapCount); empty → null.
+    // The gap test MUST be the fold's own close test with the worst-case
+    // bucket start (s = previous ts): `ts > last + cacheMs`, computed with
+    // the identical floating-point expression — `ts - last > cacheMs`
+    // rounds differently and could split a bucket the fold keeps open.
     val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var first = Double.NaN; var last = Double.NaN; var gaps = 0L
       it.foreach { r =>
         val ts = r.getDouble(tsIdx)
         if (first.isNaN) first = ts
-        else if (ts - last > cacheMs) gaps += 1
+        else if (ts > last + cacheMs) gaps += 1
         last = ts
       }
       Iterator.single((pid, first, last, gaps))
@@ -131,7 +135,7 @@ object Bucketer {
     var segBase = 0L
     var prevLast = Double.NaN
     summaries.foreach { case (pid, first, last, gaps) =>
-      if (!first.isNaN && !prevLast.isNaN && first - prevLast > cacheMs) segBase += 1
+      if (!first.isNaN && !prevLast.isNaN && first > prevLast + cacheMs) segBase += 1
       offsets(pid) = segBase
       if (!first.isNaN) { segBase += gaps; prevLast = last }
     }
@@ -146,7 +150,7 @@ object Bucketer {
         var last = Double.NaN
         it.map { r =>
           val ts = r.getDouble(tsIdx)
-          if (!last.isNaN && ts - last > cacheMs) seg += 1
+          if (!last.isNaN && ts > last + cacheMs) seg += 1
           last = ts
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ seg)
         }

@@ -35,7 +35,8 @@ object CanPipeline {
 
   /** frames(ts_ms, can_id, data) → bucketed wide table. */
   def fromFrames(net: Network, frames: DataFrame, cfg: CanPipelineConfig): DataFrame = {
-    val wide = SignalDecoder.wideFrame(net, frames, cfg.typing)
+    val wide = SignalDecoder.wideFrame(net, frames, cfg.typing,
+      carryCols = cfg.exactKeys)
     if (cfg.exact && cfg.cacheMs > 0) {
       if (cfg.exactKeys.nonEmpty)
         // keyed: independent folds per key, forward-fill in-pass

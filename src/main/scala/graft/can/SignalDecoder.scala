@@ -111,14 +111,23 @@ object SignalDecoder {
     * carried by that frame's message. The known-id filter (F1) is applied
     * here and pushes down to the scan.
     *
-    * `nativeExtract = true` (default) extracts each signal straight from
-    * the payload bytes with [[graft.plans.CanSignalExtract]]; the built-in
-    * composition (hex/conv u64 views shared via helper columns) is kept as
-    * the differential baseline.
+    * `nativeExtract = true` (default) assembles the two shared u64 views
+    * with [[graft.plans.PayloadU64]] (one codegen byte loop per endianness
+    * per frame, no string materialization) and extracts each signal with
+    * constant shift/mask; `false` uses the pure-built-in assembly
+    * (`conv(rpad(hex(...)))` + expression-level reverseBytes) as the
+    * differential baseline. Per-signal [[graft.plans.CanSignalExtract]]
+    * ([[rawNative]]) exists for single-signal use and SQL, but repeats the
+    * assembly per signal — shared views win once messages carry several
+    * signals.
+    *
+    * `carryCols` are passed through unchanged (e.g. `iface` as an exact-
+    * bucketing key).
     */
   def wideFrame(net: Network, frames: DataFrame,
       mode: TypingMode = TypingMode.Intended,
-      nativeExtract: Boolean = true): DataFrame = {
+      nativeExtract: Boolean = true,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val ids = net.messages.map(_.id)
     val known = frames.filter(col("can_id").isin(ids: _*)) // F1: unknown ids dropped
     if (nativeExtract) {
@@ -130,7 +139,7 @@ object SignalDecoder {
       val sigCols = net.signalsInOrder.map { case (m, s) =>
         signalColumn(m, s, col("can_id"), col("_le"), col("_be"), mode)
       }
-      withU64.select(col("ts_ms") +: sigCols: _*)
+      withU64.select(col("ts_ms") +: carryCols.map(col) ++: sigCols: _*)
     } else {
       val withU64 = known
         .withColumn("_be", beU64(col("data")))
@@ -138,7 +147,7 @@ object SignalDecoder {
       val sigCols = net.signalsInOrder.map { case (m, s) =>
         signalColumn(m, s, col("can_id"), col("_le"), col("_be"), mode)
       }
-      withU64.select(col("ts_ms") +: sigCols: _*)
+      withU64.select(col("ts_ms") +: carryCols.map(col) ++: sigCols: _*)
     }
   }
 }

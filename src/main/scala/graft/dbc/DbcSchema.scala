@@ -29,13 +29,20 @@ object DbcSchema {
 
   /** Spark type for one signal under the given typing mode
     * (typing table at `/root/reference/src/decoder.cpp:24-65`, SURVEY §1.2).
+    *
+    * Deviations from the reference's (dead) integer branches, for ANSI
+    * soundness: the integer branch additionally requires a whole-number
+    * offset (a factor-1 signal with offset 0.5 would silently truncate in
+    * an int column), and an unsigned 32-bit signal maps to LongType — its
+    * raw range exceeds Int.MaxValue, and the ANSI cast would throw.
     */
   def sparkType(sig: Signal, mode: TypingMode): DataType =
     if (sig.isFlt32) FloatType // `flt32_` reinterpret → float32 (decoder.cpp:28-37)
     else if (sig.bitLen == 1) BooleanType // 1-bit → boolean (decoder.cpp:41-44)
     else mode match {
-      case TypingMode.Intended if sig.factor == 1.0 =>
-        if (sig.bitLen <= 32) IntegerType else LongType // decoder.cpp:45-51 (intended guard)
+      case TypingMode.Intended if sig.factor == 1.0 && sig.offset.isWhole =>
+        if (sig.bitLen < 32 || (sig.bitLen == 32 && sig.signed)) IntegerType
+        else LongType // decoder.cpp:45-51 (intended guard, ANSI-sound)
       case _ =>
         if (sig.bitLen < 32) FloatType else DoubleType // scaled: decoder.cpp:56-63
     }

@@ -33,17 +33,21 @@ object AsOfJoin {
     val (lSide, rSide) = if (strict) (0, 1) else (1, 0)
     val leftCols = left.columns.toSeq
     val l = left.withColumn("_side", lit(lSide))
-    val r0 = right.select((key +: ts +: payload).map(col): _*)
-    val r = payload.foldLeft(r0)((d, c) => d.withColumnRenamed(c, s"_asof_$c"))
+    // carry the payload as ONE struct so the matched right row is atomic —
+    // per-column fills would mix fields from different right rows whenever
+    // the latest match has a null field (an as-of join must return the
+    // matched row's nulls, not older non-null values)
+    val r = right.select(col(key), col(ts),
+        struct(payload.map(col): _*).as("_asof_p"))
       .withColumn("_side", lit(rSide))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col(ts).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"_asof_$c", last(col(s"_asof_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn("_asof_p",
+      last(col("_asof_p"), ignoreNulls = true).over(w))
     filled.filter(col("_side") === lSide)
-      .select((leftCols.map(col) ++ payload.map(c => col(s"_asof_$c").as(s"prev_$c"))): _*)
+      .select((leftCols.map(col) ++
+        payload.map(c => col(s"_asof_p.$c").as(s"prev_$c"))): _*)
   }
 }
 

@@ -177,6 +177,26 @@ class BucketerSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("hour_bucket"))
   }
 
+  test("pipeline exactKeys: key columns survive decode (regression)") {
+    val out = CanPipeline.decodeLog(spark, "fixtures/mini.dbc", "fixtures/mini.log",
+      CanPipelineConfig(cacheMs = 10.0, exact = true, exactKeys = Seq("iface")))
+    val rows = out.orderBy("Time_ms").collect()
+    assert(out.columns.head == "iface")
+    assert(rows.forall(_.getString(0) == "vcan0"))
+    assert(rows.map(_.getAs[Double]("Time_ms")).toSeq == Seq(0.0, 12.0, 50.0))
+  }
+
+  test("exactDistributed FP boundary: gap test matches fold's close test") {
+    // ts - last > cache would call this a gap; ts > last + cache (the
+    // fold's arithmetic) does not -> must stay one bucket
+    val df = Seq((0.1, 1), (0.30000000000000004, 2))
+      .toDF("ts_ms", "a").withColumn("b", org.apache.spark.sql.functions.lit(null).cast("double"))
+    val seqr = Bucketer.exactFold(df, 0.2, Nil, CombinePolicy.LastWins, forwardFill = false)
+      .collect()
+    val dist = Bucketer.exactDistributed(df, 0.2, numPartitions = 2).collect()
+    assert(seqr.length == 1 && dist.length == 1)
+  }
+
   test("time migration (T6): legacy seconds columns and passthrough") {
     val legacy = Seq((1.5, 10), (2.5, 20)).toDF("Time", "v")
     val m = TimeMigration.migrate(legacy).orderBy("Time_ms").collect()

@@ -86,6 +86,19 @@ class DbcParserSpec extends AnyFunSuite {
     assert(t("GPS_Speed") == FloatType)
   }
 
+  test("typing: ANSI-soundness — u32 factor-1 is Long; fractional offset is float") {
+    val n = DbcParser.parseString(
+      """BO_ 1 W: 8 ECU
+        | SG_ U32 : 0|32@1+ (1,0) [0|0] "" T
+        | SG_ S32 : 0|32@1- (1,0) [0|0] "" T
+        | SG_ HalfOff : 0|8@1+ (1,0.5) [0|0] "" T
+        |""".stripMargin)
+    val sch = DbcSchema.wideSchema(n, TypingMode.Intended)
+    assert(sch("U32").dataType == LongType)    // raw up to 2^32-1 overflows int
+    assert(sch("S32").dataType == IntegerType) // signed 32-bit fits
+    assert(sch("HalfOff").dataType == FloatType) // int column would truncate +0.5
+  }
+
   test("typing: factor-1 long and scaled double for wide signals") {
     val n = DbcParser.parseString(
       """BO_ 1 W: 8 ECU

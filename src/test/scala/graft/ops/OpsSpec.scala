@@ -103,6 +103,17 @@ class JoinOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(nonstrict.toSeq == Seq(100L, 150L, null))
   }
 
+  test("asof payload is atomic: matched row's null fields stay null") {
+    val l = Seq((1L, "u", 30L)).toDF("id", "k", "t")
+    val r = Seq(("u", 10L, Some(100L), Some(5.0)), ("u", 20L, Some(200L), None))
+      .map { case (k, t, p, v) => (k, t, p.map(Long.box).orNull.asInstanceOf[java.lang.Long],
+        v.map(Double.box).orNull.asInstanceOf[java.lang.Double]) }
+      .toDF("k", "t", "p", "v")
+    val out = AsOfJoin.backward(l, r, "k", "t", Seq("p", "v")).collect().head
+    assert(out.getAs[Any]("prev_p") == 200L) // latest match
+    assert(out.isNullAt(out.fieldIndex("prev_v"))) // its null field stays null
+  }
+
   test("salted join equals plain join") {
     val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
     val r = Seq((1L, 10), (1L, 11), (2L, 20)).toDF("rk", "rv")
