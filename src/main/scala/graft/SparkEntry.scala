@@ -445,6 +445,35 @@ object SparkEntry {
     "qd_cosine_nn" -> ((s, dir) =>
       Similarity.nearestNeighborPerVector(t(s, dir, "embeddings"))),
 
+    "qt_sample" -> ((s, dir) => {
+      // reproducible systematic sampling: keep docs whose 60-bit md5 hash
+      // lands in a 1/10 residue class — deterministic across engines and
+      // runs, unlike rand()-based sampling
+      t(s, dir, "documents")
+        .filter(TextAnalysis.md5Long(col("text")) % 10 === 0)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
+    "qd_cross_source" -> ((s, dir) => {
+      // contamination check: identical bag-of-words across distinct sources
+      t(s, dir, "documents")
+        .groupBy(Dedup.bowSignature(col("text")).as("sig"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"))
+        .filter(col("n_sources") > 1)
+        .orderBy("sig")
+    }),
+
+    "qt_vocab" -> ((s, dir) => {
+      // vocabulary building: top 50 tokens by corpus frequency
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok"))
+        .limit(50)
+    }),
+
     "qs_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
 
@@ -921,6 +950,20 @@ object SparkEntry {
         """SELECT md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text),'\s+'))),'string_agg','|')) AS sig,
           |  count(*) AS n_docs, min(doc_id) AS keep_id
           |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+      "qt_sample" ->
+        s"""SELECT lang, count(*) AS n_sampled FROM documents
+           |WHERE ${h("text")} % 10 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "qd_cross_source" ->
+        """SELECT md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text),'\s+'))),'string_agg','|')) AS sig,
+          |  count(DISTINCT source) AS n_sources, count(*) AS n_docs
+          |FROM documents GROUP BY 1 HAVING count(DISTINCT source) > 1 ORDER BY 1""".stripMargin,
+
+      "qt_vocab" ->
+        """SELECT tok, count(*) AS freq FROM (
+          |  SELECT unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents) t
+          |GROUP BY 1 ORDER BY freq DESC, tok LIMIT 50""".stripMargin,
 
       "qd_dedup_keep" ->
         """SELECT min(doc_id) AS doc_id FROM documents
