@@ -1,5 +1,8 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query at SPARK_GRAFT_SF_DIR and
@@ -8,11 +11,29 @@ import org.apache.spark.sql.SparkSession
   * cores, small maxPartitionBytes so single-file local inputs still fan out
   * across all cores (the 100 TB case has many files; a 5 MB bench file must
   * not serialize the whole scan onto one task), AQE on.
+  *
+  * Timing methodology:
+  *   - the timed action is a `noop`-format write, which fully materializes
+  *     every output column (a bare `.count()` lets Catalyst prune
+  *     projection-only work, under-charging map-only decode queries);
+  *   - each query runs 3 times and the median is reported, which discards
+  *     first-run JIT/codegen cost and one-off host-contention spikes;
+  *   - the JSON line goes to stdout AND to a bare file (bench_out.json, or
+  *     $SPARK_GRAFT_BENCH_OUT) so log-prefix wrapping (sbt's "[info] ")
+  *     cannot break downstream parsing.
   */
 object Bench {
+  private val Reps = 3
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,18 +50,28 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // drop lingering per-query caches so later queries aren't charged
-      // earlier queries' memory pressure
-      spark.catalog.clearCache()
-      name -> sec
+      val times = (1 to Reps).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          // noop sink: consumes every row and column without writing bytes,
+          // so projection work is charged but disk I/O is not
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case _: Throwable => () }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // drop lingering per-query caches so later runs aren't charged
+        // earlier runs' memory pressure
+        spark.catalog.clearCache()
+        sec
+      }
+      name -> median(times)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -69,9 +69,17 @@ object SparkEntry {
       | SG_ U31 : 0|31@1+ (1,0) [0|0] "" X
       | SG_ BIG48 : 8|48@1+ (1,0) [0|0] "" X
       | SG_ MOTO16 : 7|16@0+ (0.01,5) [0|0] "" X
+      |BO_ 768 M3: 8 E
+      | SG_ flt32_FVAL : 0|32@1+ (1,0) [0|0] "" X
+      | SG_ SEQ : 32|32@1+ (1,0) [0|0] "" X
       |""".stripMargin
 
   private def hex2(c: Column): Column = lpad(hex(c), 2, "0")
+
+  /** Gram document-frequency cap for qd_ngram_jaccard (posting-list
+    * truncation bound, shared with the oracle SQL).
+    */
+  private val NgramDfCap = 20
 
   /** events → candump text lines (one per event). */
   private def canLines(ev: DataFrame): DataFrame = {
@@ -91,6 +99,31 @@ object SparkEntry {
       e.as("event_id"),
       format_string("(%d.%06d) vcan0 %s#%s",
         expr("unix_micros(ts) div 1000000"), us % 1000000L, idHex, payloadHex).as("value"))
+      .repartition(ev.sparkSession.sparkContext.defaultParallelism)
+  }
+
+  /** events → candump lines for message M3 (id 0x300): bytes 0-3 are IEEE-754
+    * float bits chosen so the decoded value is exactly representable and
+    * DuckDB can state it arithmetically — `±(1 + m/2^23)` with
+    * `m = event_id % 2^23` and sign from `user_id` parity (biased exponent
+    * 127, mantissa m ⇒ bits `0x3F800000 | m`, value `1 + m/2^23`, exact in
+    * both float and double). Bytes 4-7 carry event_id as a u32 join key.
+    */
+  private def flt32Lines(ev: DataFrame): DataFrame = {
+    val e = col("event_id"); val u = col("user_id")
+    val us = unix_micros(col("ts"))
+    val bits = lit(0x3F800000L)
+      .bitwiseOR(e % 8388608L)
+      .bitwiseOR(when(u % 2 === 1, 0x80000000L).otherwise(0L))
+    val d = Seq(
+      bits.bitwiseAND(255), shiftrightunsigned(bits, 8).bitwiseAND(255),
+      shiftrightunsigned(bits, 16).bitwiseAND(255), shiftrightunsigned(bits, 24).bitwiseAND(255),
+      e.bitwiseAND(255), shiftrightunsigned(e, 8).bitwiseAND(255),
+      shiftrightunsigned(e, 16).bitwiseAND(255), shiftrightunsigned(e, 24).bitwiseAND(255))
+    val payloadHex = concat(d.map(hex2): _*)
+    ev.select(
+      format_string("(%d.%06d) vcan0 300#%s",
+        expr("unix_micros(ts) div 1000000"), us % 1000000L, payloadHex).as("value"))
       .repartition(ev.sparkSession.sparkContext.defaultParallelism)
   }
 
@@ -199,8 +232,14 @@ object SparkEntry {
       // attribute ids); the SQL path analyzes cleanly.
       Seq("orders", "customer", "nation", "region")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      // Subtotal rows carry GROUPING() indicators + '<ALL>' sentinels instead
+      // of NULL group keys: NULL-key canonicalization differs between the
+      // driver's hasher and DuckDB, so the output must be NULL-free.
       s.sql(
-        """SELECT r_name, n_name,
+        """SELECT coalesce(r_name, '<ALL>') AS r_grp,
+          |  coalesce(n_name, '<ALL>') AS n_grp,
+          |  CAST(grouping(r_name) AS BIGINT) AS g_r,
+          |  CAST(grouping(n_name) AS BIGINT) AS g_n,
           |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
           |  count(*) AS n_orders
           |FROM orders
@@ -208,7 +247,7 @@ object SparkEntry {
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY ROLLUP(r_name, n_name)
-          |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+          |ORDER BY r_grp, n_grp""".stripMargin)
     }),
 
     "q9_running_balance" -> ((s, dir) => {
@@ -303,10 +342,25 @@ object SparkEntry {
         .select("ts_us", "CNT8", "MUXSEL", "U31", "BIG48")
     }),
 
+    "qc_flt32_decode" -> ((s, dir) => {
+      // P6 `flt32_` IEEE reinterpret (graft.plans.IntBitsToFloat) end-to-end:
+      // synth M3 frames whose payload bits are constructed floats, decode via
+      // the same wideFrame spine, key rows by the u32 SEQ signal. The oracle
+      // restates the float arithmetically (exactly-representable values).
+      val net = DbcParser.parseString(canTestDbc)
+      val frames = CandumpParser.parseLines(flt32Lines(events(s, dir)))
+        .withColumnRenamed("ts_us", "ts_ms")
+      SignalDecoder.wideFrame(net, frames)
+        .select(col("SEQ").as("seq"), col("FVAL").as("fval"))
+        .orderBy("seq")
+    }),
+
     "qc_ts_normalize" -> ((s, dir) => {
-      // P8: subtract-first-timestamp normalization (broadcast-min join)
+      // P8: subtract-first-timestamp normalization. Eager t0 (scalar min via
+      // the column-pruned ts-only pass) keeps the returned plan at exactly
+      // one regex-parse of the input.
       val frames = CandumpParser.parseLines(canLines(events(s, dir)))
-      CandumpParser.withTsMs(frames)
+      CandumpParser.withTsMsEager(frames)
         .select(col("can_id"), col("ts_ms"))
     }),
 
@@ -533,12 +587,17 @@ object SparkEntry {
 
     "q13_cube" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders")
+      // NULL-free cube output: GROUPING() indicators + '<ALL>' sentinels
+      // (driver hasher vs DuckDB NULL-key canonicalization mismatch).
       s.sql(
-        """SELECT o_orderstatus, o_orderpriority,
+        """SELECT coalesce(o_orderstatus, '<ALL>') AS status_grp,
+          |  coalesce(o_orderpriority, '<ALL>') AS prio_grp,
+          |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_s,
+          |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_p,
           |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
           |  count(*) AS n
           |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+          |ORDER BY status_grp, prio_grp""".stripMargin)
     }),
 
     "q14_setops" -> ((s, dir) => {
@@ -580,18 +639,29 @@ object SparkEntry {
       // character-trigram Jaccard near-dups within (lang, source) blocks;
       // guard: sequence(1, len-2) runs backwards for texts under 3 chars
       val d = t(s, dir, "documents").filter(length(col("text")) >= 3)
-      val grams = d.select(col("doc_id"), col("lang"), col("source"),
+      val allGrams = d.select(col("doc_id"), col("lang"), col("source"),
           explode(array_distinct(transform(
             sequence(lit(1), length(col("text")) - 2),
             i => col("text").substr(i, lit(3))))).as("gram"))
         .select(col("doc_id"), col("lang"), col("source"),
           graft.ops.TextAnalysis.md5Long(col("gram")).as("gh"))
         .repartition(col("lang"), col("source"))
+      // document-frequency cap (posting-list truncation): a gram shared by k
+      // docs fans out k² join pairs, and stopword-ish grams ("the", "ing")
+      // appear in nearly every doc — quadratic in block size at 100 TB.
+      // Dropping grams with df > cap bounds the per-gram fan-out at cap²;
+      // near-dups still share plenty of rare grams, and jaccard is computed
+      // consistently over the rare-gram subspace (sizes come from the same
+      // truncated set).
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "source", "gh")
+      val grams = allGrams
+        .withColumn("df", count(lit(1)).over(w))
+        .filter(col("df") <= NgramDfCap)
+        .drop("df")
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // gram-level self-join within blocks: total pair fan-out is Σk² per
-      // shared gram either way, and the join stays in codegen (a
-      // collect_list + combinations rewrite measured slower — HOF pair
-      // generation is interpreted)
+      // gram-level self-join within blocks: per-gram fan-out now bounded at
+      // cap², and the join stays in codegen (a collect_list + combinations
+      // rewrite measured slower — HOF pair generation is interpreted)
       val a = grams.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("gh"))
       val b = grams.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("gh"))
       a.join(b, Seq("lang", "source", "gh")).filter(col("doc_a") < col("doc_b"))
@@ -694,7 +764,10 @@ object SparkEntry {
         |WHERE rn <= 3""".stripMargin,
 
     "q8_rollup_revenue" ->
-      """SELECT r_name, n_name,
+      """SELECT coalesce(r_name, '<ALL>') AS r_grp,
+        |  coalesce(n_name, '<ALL>') AS n_grp,
+        |  CAST(grouping(r_name) AS BIGINT) AS g_r,
+        |  CAST(grouping(n_name) AS BIGINT) AS g_n,
         |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
         |  count(*) AS n_orders
         |FROM orders
@@ -702,7 +775,7 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
-        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+        |ORDER BY r_grp, n_grp""".stripMargin,
 
     "q9_running_balance" ->
       """SELECT event_id, user_id,
@@ -760,8 +833,16 @@ object SparkEntry {
         |    CAST(d0 + d1*256 + d2*65536 + (d3 & 127)*16777216 AS INTEGER) END AS U31,
         |  CASE WHEN can_id = 512 THEN
         |    d1 + d2*256 + d3*65536 + d4*16777216 + d5*4294967296 + d6*1099511627776 END AS BIG48,
-        |  CASE WHEN can_id = 512 THEN CAST((d0*256 + d1)*0.01 + 5 AS FLOAT4) END AS MOTO16
+        |  CASE WHEN can_id = 512 THEN CAST((d0*256 + d1)*0.01 + 5 AS FLOAT4) END AS MOTO16,
+        |  CAST(NULL AS FLOAT4) AS FVAL,
+        |  CAST(NULL AS BIGINT) AS SEQ
         |FROM b""".stripMargin),
+
+    "qc_flt32_decode" ->
+      """SELECT CAST(event_id AS BIGINT) AS seq,
+        |  CAST((CASE WHEN user_id % 2 = 1 THEN -1 ELSE 1 END)
+        |    * (1 + (event_id % 8388608) / 8388608.0) AS FLOAT4) AS fval
+        |FROM events ORDER BY seq""".stripMargin,
 
     "qc_decode_defacto" -> (canBytesCte +
       """
@@ -898,6 +979,10 @@ object SparkEntry {
     val bucketExpr = (0 until Similarity.NumPlanes).map { p =>
       s"(CASE WHEN list_reduce(list_transform(list_zip(qe, ${planeLits(p)}), t -> t[1]*t[2]), (x,y) -> x+y) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+    // 4-plane variant for qd_cosine_nn's candidate buckets
+    val nnBucketExpr = (0 until Similarity.NnPlanes).map { p =>
+      s"(CASE WHEN list_reduce(list_transform(list_zip(qe, ${planeLits(p)}), t -> t[1]*t[2]), (x,y) -> x+y) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
 
     Map(
       "qt_token_stats" ->
@@ -996,9 +1081,17 @@ object SparkEntry {
 
       "qd_cosine_nn" -> (quantCte +
         s""",
-           |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-           |    $dotAB / (sqrt(a.nrm)*sqrt(b.nrm)) AS cos
-           |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+           |bkt AS (SELECT vec_id, label, $nnBucketExpr AS bucket FROM n),
+           |bp AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM bkt a JOIN bkt b
+           |  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           |rng AS (SELECT vec_id,
+           |    lag(vec_id) OVER (PARTITION BY label ORDER BY vec_id) AS pv,
+           |    lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id) AS nv FROM n),
+           |cand AS (SELECT va, vb FROM bp
+           |  UNION SELECT vec_id, pv FROM rng WHERE pv IS NOT NULL
+           |  UNION SELECT vec_id, nv FROM rng WHERE nv IS NOT NULL),
+           |p AS (SELECT va, vb, $dotAB / (sqrt(a.nrm)*sqrt(b.nrm)) AS cos
+           |  FROM cand JOIN n a ON va = a.vec_id JOIN n b ON vb = b.vec_id),
            |r AS (SELECT va, vb, cos,
            |    row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn FROM p)
            |SELECT va AS vec_id, vb AS nn_id, cos AS nn_cos FROM r WHERE rn = 1""".stripMargin),
@@ -1072,11 +1165,14 @@ object SparkEntry {
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q13_cube" ->
-        """SELECT o_orderstatus, o_orderpriority,
+        """SELECT coalesce(o_orderstatus, '<ALL>') AS status_grp,
+          |  coalesce(o_orderpriority, '<ALL>') AS prio_grp,
+          |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_s,
+          |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_p,
           |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
           |  count(*) AS n
           |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+          |ORDER BY status_grp, prio_grp""".stripMargin,
 
       "q14_setops" ->
         """SELECT 'both_halves' AS grp, count(*) AS n FROM (
@@ -1109,11 +1205,15 @@ object SparkEntry {
           |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
 
       "qd_ngram_jaccard" ->
-        """WITH g AS (
+        s"""WITH g0 AS (
           |  SELECT DISTINCT doc_id, lang, source,
           |    CAST('0x'||substr(md5(unnest(list_transform(range(length(text)-2),
           |      i -> substr(text, i+1, 3)))),1,15) AS BIGINT) AS gh
           |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, lang, source, gh FROM (
+          |    SELECT *, count(*) OVER (PARTITION BY lang, source, gh) AS df
+          |    FROM g0) WHERE df <= $NgramDfCap),
           |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
           |pairs AS (
           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common

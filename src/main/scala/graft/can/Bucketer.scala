@@ -110,9 +110,14 @@ object Bucketer {
     val parts = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val tsIdx = wide.schema.fieldIndex("ts_ms")
+    // Eager localCheckpoint (not persist): materializes the sort once so
+    // both passes see identical partition boundaries, truncates lineage,
+    // and the blocks are auto-released by the ContextCleaner when the
+    // result frame is dropped — no leaked persistent RDD for the caller to
+    // remember to unpersist.
     val sorted = wide.repartitionByRange(parts, col("ts_ms"))
       .sortWithinPartitions("ts_ms")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // Pass 1: per-partition (firstTs, lastTs, internalGapCount); empty → null.
     // The gap test MUST be the fold's own close test with the worst-case

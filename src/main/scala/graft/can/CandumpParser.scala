@@ -81,11 +81,29 @@ object CandumpParser {
   def withTsMs(frames: DataFrame, adjust: Boolean = true): DataFrame =
     if (!adjust) frames.withColumn("ts_ms", col("ts_us") / 1000.0).drop("ts_us")
     else {
+      // Catalyst column-prunes the agg branch down to the two ts regex
+      // fields + the RLIKE gate (verified on the optimized plan), so this is
+      // a cheap ts-only pass + the full parse — not two full parses.
       val t0 = frames.agg(min("ts_us").as("_t0"))
       frames.crossJoin(broadcast(t0))
         .withColumn("ts_ms", (col("ts_us") - col("_t0")) / 1000.0)
         .drop("ts_us", "_t0")
     }
+
+  /** [[withTsMs]] with t0 resolved eagerly: runs the (column-pruned,
+    * ts-only) min aggregate now and embeds the result as a literal, so the
+    * RETURNED plan contains exactly one regex-parse of the input — no join,
+    * no second branch. Batch-only (an eager action can't sit in a streaming
+    * plan); prefer this form when the frame source is expensive to re-scan.
+    */
+  def withTsMsEager(frames: DataFrame): DataFrame = {
+    val row = frames.agg(min("ts_us")).head()
+    if (row.isNullAt(0)) frames.withColumn("ts_ms", col("ts_us") / 1000.0).drop("ts_us")
+    else {
+      val t0 = row.getLong(0)
+      frames.withColumn("ts_ms", (col("ts_us") - lit(t0)) / 1000.0).drop("ts_us")
+    }
+  }
 
   /** Full source: candump log file(s) → frames with normalized ts_ms.
     * S1 (`spark.read.text` is splittable and parallel over large logs —

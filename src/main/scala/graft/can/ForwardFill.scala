@@ -3,7 +3,6 @@ package graft.can
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Forward-fill (reference T5, `--forward-fill`): values persist across rows
   * until superseded. Real implementation only in the legacy driver
@@ -61,11 +60,14 @@ object ForwardFill {
     val fillIdx = fillCols.map(schema.fieldIndex).toArray
     val n = fillIdx.length
 
-    // Range-partition + sort once; persist so the summary pass and the fill
-    // pass see identical partition boundaries (range sampling would
-    // otherwise be free to re-draw them between jobs).
+    // Range-partition + sort once, materialized via eager localCheckpoint:
+    // the summary pass and the fill pass see identical partition boundaries
+    // (range sampling would otherwise be free to re-draw them between
+    // jobs), lineage is truncated, and the ContextCleaner releases the
+    // blocks when the result frame is dropped — unlike a bare persist,
+    // nothing is left for the caller to unpersist.
     val sorted = df.repartitionByRange(parts, col(orderCol)).sortWithinPartitions(orderCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // Pass 1: per-partition last non-null per fill column.
     val summaries: Array[(Int, Array[Any])] = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>

@@ -104,21 +104,28 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, text: Column,
       threshold: Double = 0.4): DataFrame = {
+    // The shingle table feeds four consumers (sizes, candidate join ×2,
+    // verify join), so it is cached — and released deterministically: the
+    // (candidate-bounded, small) result is materialized eagerly via
+    // localCheckpoint, after which the cache is dropped in `finally`.
     val sh = shingleHashes(df, idCol, text).cache()
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("nsh"))
-    val cands = candidatePairsFromShingles(sh, idCol)
-    val common = cands
-      .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
-      .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
-      .filter(col("sha") === col("shb"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    try {
+      val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("nsh"))
+      val cands = candidatePairsFromShingles(sh, idCol)
+      val common = cands
+        .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
+        .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
+        .filter(col("sha") === col("shb"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+        .withColumn("jaccard",
+          col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally sh.unpersist()
   }
 
   /** SimHash bits (default 48 to stay in positive long territory). */

@@ -55,8 +55,8 @@ object Similarity {
     ((plane * 64L + dim) * 2654435761L) % 1000003L - 501001L
 
   /** LSH bucket id from hyperplane sign bits. */
-  def lshBucket(qv: Column, dims: Int = 64): Column =
-    (0 until NumPlanes).map { p =>
+  def lshBucket(qv: Column, dims: Int = 64, numPlanes: Int = NumPlanes): Column =
+    (0 until numPlanes).map { p =>
       val w = array((0 until dims).map(j => lit(planeWeight(p, j))): _*)
       when(aggregate(zip_with(qv, w, (x, y) => x * y), lit(0L), (a, v) => a + v) >= 0,
         lit(1L << p)).otherwise(0L)
@@ -110,10 +110,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hyperplane count for [[nearestNeighborPerVector]]'s candidate buckets
+    * (shared with the oracle SQL): 2^NnPlanes buckets per label block.
+    */
+  val NnPlanes = 4
+
   /** Per-vector nearest neighbor within the same label block (embedding
     * near-dup detection). Deterministic via (cosine desc, vec_id) rank.
+    *
+    * Scale path: an all-pairs block join is k² per label, which dies on a
+    * 100 TB label block. Candidates instead come from (a) LSH sign-buckets
+    * within the label — pairs only form inside a (label, bucket) cell,
+    * ≈ k/2^NnPlanes per cell — and (b) an id-adjacency "ring" fallback
+    * (each vector paired with its lag/lead by vec_id within the label),
+    * which guarantees every vector in a ≥2-vector block still gets a
+    * candidate (bounded at 2 extra pairs per vector). Exact cosine re-rank
+    * runs over candidates only. Approximate by construction: a vector whose
+    * true NN lands in another bucket reports its best candidate instead
+    * ([[nearestNeighborPerVectorExact]] is the small-block differential
+    * baseline).
     */
   def nearestNeighborPerVector(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+    val withB = q.withColumn("bucket", lshBucket(col("qv"), numPlanes = NnPlanes))
+    val bkA = withB.select(col("vec_id").as("va"), col("label"), col("bucket"))
+    val bkB = withB.select(col("vec_id").as("vb"), col("label"), col("bucket"))
+    val bucketPairs = bkA.join(bkB, Seq("label", "bucket"))
+      .filter(col("va") =!= col("vb")).select("va", "vb")
+    val w = Window.partitionBy("label").orderBy("vec_id")
+    val ring = q.select(col("vec_id"), col("label"))
+      .withColumn("prev", lag(col("vec_id"), 1).over(w))
+      .withColumn("next", lead(col("vec_id"), 1).over(w))
+    val ringPairs = ring.filter(col("prev").isNotNull)
+      .select(col("vec_id").as("va"), col("prev").as("vb"))
+      .union(ring.filter(col("next").isNotNull)
+        .select(col("vec_id").as("va"), col("next").as("vb")))
+    val cand = bucketPairs.union(ringPairs).distinct()
+    val pairs = cand
+      .join(q.select(col("vec_id").as("va"), col("qv").as("qa")), "va")
+      .join(q.select(col("vec_id").as("vb"), col("qv").as("qb")), "vb")
+      .select(col("va"), col("vb"), cosine(col("qa"), col("qb")).as("cos"))
+    val wr = Window.partitionBy("va").orderBy(col("cos").desc, col("vb"))
+    pairs.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("va").as("vec_id"), col("vb").as("nn_id"), col("cos").as("nn_cos"))
+  }
+
+  /** All-pairs exact form of [[nearestNeighborPerVector]] — correctness
+    * baseline for small blocks and the differential test; k² per label, so
+    * not the scale path.
+    */
+  def nearestNeighborPerVectorExact(emb: DataFrame): DataFrame = {
     val q = emb.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
     val a = q.select(col("vec_id").as("va"), col("label"), col("qv").as("qa"))
     val b = q.select(col("vec_id").as("vb"), col("label"), col("qv").as("qb"))

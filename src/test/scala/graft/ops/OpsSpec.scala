@@ -71,6 +71,26 @@ class OpsSpec extends AnyFunSuite {
     assert(top(0).getDouble(1) == 1.0 && top(1).getDouble(1) == 0.0 && top(2).getDouble(1) == -1.0)
   }
 
+  test("bucketed NN: full coverage, never beats exact, high recall") {
+    // deterministic 64-dim vectors over 2 labels (formulaic, no RNG)
+    val vecs = (0L until 40L).map { i =>
+      val emb = Array.tabulate(64)(j =>
+        (((i * 31 + j * 17) % 101) - 50).toFloat / 50.0f)
+      (i, emb, (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.nearestNeighborPerVectorExact(vecs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bucketed = Similarity.nearestNeighborPerVector(vecs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // ring fallback ⇒ every vector still reports a neighbor
+    assert(bucketed.keySet == exact.keySet)
+    // candidate subset ⇒ bucketed score can never exceed the exact NN
+    bucketed.foreach { case (id, c) => assert(c <= exact(id) + 1e-12) }
+    // sanity recall: most vectors find their true NN through the buckets
+    val hits = bucketed.count { case (id, c) => math.abs(c - exact(id)) < 1e-12 }
+    assert(hits >= bucketed.size / 2, s"recall too low: $hits/${bucketed.size}")
+  }
+
   test("multimodal: payload roundtrip, frames, thumbnail") {
     val p = Multimodal.fakePayload(docs, "doc_id", "text")
     val d = Multimodal.decodeStub(p).collect().map(r => r.getLong(0) -> r).toMap
