@@ -635,6 +635,29 @@ object SparkEntry {
         .orderBy("user_id", "session_start_us")
     }),
 
+    "qc_stream_sessions" -> ((s, dir) => {
+      // the q17 session aggregation executed through Structured Streaming
+      // (parquet file source → session_window agg, complete mode) — putting
+      // streaming session state under the batch oracle. Complete mode holds
+      // final sessions without a watermark-driven close, so the finite
+      // replay emits exactly the batch result.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_qss").toString
+      val in = events(s, dir).select(col("user_id"), col("ts"), col("value"))
+      in.write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(s.read.parquet(s"$tmp/in").schema)
+        .parquet(s"$tmp/in")
+      val agg = stream
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), centSum(col("value")).as("total"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"), col("total"))
+      val q = agg.writeStream.format("memory").queryName("graft_qss_tbl")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_qss_tbl").orderBy("user_id", "session_start_us")
+    }),
+
     "qd_ngram_jaccard" -> ((s, dir) => {
       // character-trigram Jaccard near-dups within (lang, source) blocks;
       // guard: sequence(1, len-2) runs backwards for texts under 3 chars
@@ -916,7 +939,9 @@ object SparkEntry {
     case base =>
       // the streaming decode run must produce byte-identical results to the
       // batch spine, so it shares the same oracle
-      base + ("qc_stream_decode" -> base("qc_pipeline_decode")) ++ opsOracles
+      val all = base + ("qc_stream_decode" -> base("qc_pipeline_decode")) ++ opsOracles
+      // the streaming session run shares the batch session oracle the same way
+      all + ("qc_stream_sessions" -> all("q17_session_window"))
   }
 
   /** DuckDB equivalents of the ops queries. Repetitive hash SQL is

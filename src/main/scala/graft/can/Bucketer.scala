@@ -34,7 +34,8 @@ import org.apache.spark.sql.types._
 sealed trait BucketMode
 object BucketMode {
   final case class Tumbling(cacheMs: Double) extends BucketMode
-  final case class Exact(cacheMs: Double, keyCols: Seq[String] = Nil) extends BucketMode
+  final case class Exact(cacheMs: Double, keyCols: Seq[String] = Nil,
+      closeOrder: CloseOrder = CloseOrder.Clean) extends BucketMode
   case object PerFrame extends BucketMode
 }
 
@@ -42,6 +43,31 @@ sealed trait CombinePolicy
 object CombinePolicy {
   case object FirstWins extends CombinePolicy
   case object LastWins extends CombinePolicy
+}
+
+/** Which row the bucket-closing frame lands in (T1b fidelity).
+  *
+  * The reference decodes the incoming frame into the CURRENT row *before*
+  * the gap check (`/root/reference/src/main.cpp:125-131`), so the frame
+  * that closes a row has its values in the row being closed while its
+  * timestamp opens the next bucket; the gap test is the subtract form
+  * `ts - rowStart > cacheMs`. [[CloseOrder.DeFacto]] reproduces that.
+  * [[CloseOrder.Clean]] (default) assigns the closing frame to the bucket
+  * it opens — self-consistent (a row's values all carry timestamps within
+  * `[Time_ms, Time_ms + cacheMs]`) and oracle-friendly, but a deliberate
+  * divergence from the reference's loop ordering. Both use each mode's own
+  * FP gap expression verbatim (`ts - start > cache` vs `ts > start +
+  * cache`), which round differently at exact boundaries.
+  *
+  * Not reproduced in either mode: the reference's init quirk that discards
+  * the first parseable frame (`/root/reference/src/inputs/fileInput.h:26`)
+  * and the legacy driver stamping a closed row with the NEXT bucket's start
+  * (`/root/reference/src/main.cpp.bak:346-349`).
+  */
+sealed trait CloseOrder
+object CloseOrder {
+  case object Clean extends CloseOrder
+  case object DeFacto extends CloseOrder
 }
 
 object Bucketer {
@@ -72,11 +98,14 @@ object Bucketer {
               .getField("v").as(s)
           }: _*)
         .drop("_bucket")
-    case BucketMode.Exact(cacheMs, _) if cacheMs <= 0 =>
+    case BucketMode.Exact(cacheMs, _, _) if cacheMs <= 0 =>
       bucket(wide, BucketMode.PerFrame, policy)
-    case BucketMode.Exact(cacheMs, keyCols) =>
-      if (keyCols.isEmpty) exactDistributed(wide, cacheMs, policy)
-      else exactFold(wide, cacheMs, keyCols, policy, forwardFill = false)
+    case BucketMode.Exact(cacheMs, keyCols, closeOrder) =>
+      // DeFacto is fold-only (see exactFold doc): gap segmentation assumes
+      // Clean ownership of the closing frame
+      if (keyCols.isEmpty && closeOrder == CloseOrder.Clean)
+        exactDistributed(wide, cacheMs, policy)
+      else exactFold(wide, cacheMs, keyCols, policy, forwardFill = false, closeOrder)
   }
 
   /** Distributed EXACT data-driven bucketing — the scalable form of the
@@ -165,12 +194,16 @@ object Bucketer {
       .drop("_seg")
   }
 
-  /** Exact data-driven bucketing as a sorted fold (T1b), reproducing
-    * `/root/reference/src/main.cpp:127-131` byte-for-byte:
-    *
-    * {{{
-    * if (ts > rowStart + cacheMs) { close(row @ rowStart); rowStart = ts }
-    * }}}
+  /** Exact data-driven bucketing as a sorted fold (T1b) over the
+    * reference's chained-boundary semantics (`/root/reference/src/main.cpp:122-131`):
+    * a row closes when a frame arrives more than `cacheMs` after the bucket
+    * opened, and the closing frame's timestamp anchors the next bucket.
+    * Which ROW the closing frame's values land in is [[CloseOrder]]:
+    * `Clean` (default, repo semantics — closing frame belongs to the bucket
+    * it opens) or `DeFacto` (reference loop ordering — closing frame's
+    * values land in the row being closed). See [[CloseOrder]] for the full
+    * divergence list; this fold is NOT a byte-level replay of the reference
+    * loop in Clean mode.
     *
     * With `keyCols` the fold runs independently per key (e.g. per source
     * file / interface), hash-partitioned and sorted within partitions —
@@ -179,9 +212,16 @@ object Bucketer {
     *
     * `forwardFill = true` additionally carries last-seen values across rows
     * (T5 exact semantics, legacy main `/root/reference/src/main.cpp.bak:399-405`).
+    *
+    * In DeFacto mode a trailing bucket that received no frame values (its
+    * opener's values went to the closed row and nothing followed) is not
+    * emitted. DeFacto is fold-only: [[exactDistributed]]'s gap segmentation
+    * assumes the closing frame belongs to the segment it opens, so the
+    * distributed path is Clean by construction.
     */
   def exactFold(wide: DataFrame, cacheMs: Double, keyCols: Seq[String],
-      policy: CombinePolicy, forwardFill: Boolean): DataFrame = {
+      policy: CombinePolicy, forwardFill: Boolean,
+      closeOrder: CloseOrder = CloseOrder.Clean): DataFrame = {
     val inSchema = wide.schema
     val tsIdx = inSchema.fieldIndex("ts_ms")
     val keyIdx = keyCols.map(inSchema.fieldIndex)
@@ -205,6 +245,7 @@ object Bucketer {
         private var curKey: Seq[Any] = null
         private val cells = new Array[Any](n)
         private val setInBucket = new Array[Boolean](n)
+        private var framesInBucket = 0L
         private var pendingOut: Row = null
         private var done = false
 
@@ -213,24 +254,11 @@ object Bucketer {
           val vals = curKey ++ (bucketStart +: cells.clone().toSeq)
           if (!forwardFill) java.util.Arrays.fill(cells.asInstanceOf[Array[AnyRef]], null)
           java.util.Arrays.fill(setInBucket, false)
+          framesInBucket = 0L
           Row.fromSeq(vals)
         }
 
-        private def consume(r: Row): Row = {
-          val ts = r.getDouble(tsIdx)
-          val key = keyIdx.map(r.get)
-          var out: Row = null
-          if (bucketOpen && (key != curKey || ts > bucketStart + cacheMs)) {
-            out = closeRow()
-            bucketOpen = false
-          }
-          if (!bucketOpen) {
-            bucketOpen = true
-            bucketStart = ts
-            if (key != curKey && forwardFill)
-              java.util.Arrays.fill(cells.asInstanceOf[Array[AnyRef]], null)
-            curKey = key
-          }
+        private def writeValues(r: Row): Unit = {
           var j = 0
           while (j < n) {
             val v = r.get(sigIdx(j))
@@ -240,8 +268,62 @@ object Bucketer {
             }
             j += 1
           }
-          out
+          framesInBucket += 1L
         }
+
+        private def openBucket(ts: Double, key: Seq[Any]): Unit = {
+          bucketOpen = true
+          bucketStart = ts
+          if (key != curKey && forwardFill)
+            java.util.Arrays.fill(cells.asInstanceOf[Array[AnyRef]], null)
+          curKey = key
+        }
+
+        private def consume(r: Row): Row = closeOrder match {
+          case CloseOrder.Clean =>
+            val ts = r.getDouble(tsIdx)
+            val key = keyIdx.map(r.get)
+            var out: Row = null
+            // Clean gap test: additive form, frame goes to the NEW bucket
+            if (bucketOpen && (key != curKey || ts > bucketStart + cacheMs)) {
+              out = closeRow()
+              bucketOpen = false
+            }
+            if (!bucketOpen) openBucket(ts, key)
+            writeValues(r)
+            out
+          case CloseOrder.DeFacto =>
+            val ts = r.getDouble(tsIdx)
+            val key = keyIdx.map(r.get)
+            var out: Row = null
+            // key switch still closes cleanly — the reference is keyless, so
+            // cross-key leakage would be an invention, not fidelity
+            if (bucketOpen && key != curKey) {
+              out = closeRow()
+              bucketOpen = false
+            }
+            if (!bucketOpen) {
+              openBucket(ts, key)
+              writeValues(r)
+              out
+            } else {
+              // reference ordering: decode into the CURRENT row first...
+              writeValues(r)
+              // ...then the subtract-form gap test; the frame's values stay
+              // in the closed row, its ts anchors the next (empty) bucket
+              if (ts - bucketStart > cacheMs) {
+                out = closeRow()
+                bucketStart = ts
+              }
+              out
+            }
+        }
+
+        private def emitTrailing: Boolean =
+          bucketOpen && (closeOrder match {
+            case CloseOrder.Clean   => true
+            case CloseOrder.DeFacto => framesInBucket > 0L
+          })
 
         def hasNext: Boolean = {
           if (pendingOut != null) return true
@@ -249,7 +331,7 @@ object Bucketer {
             val out = consume(it.next())
             if (out != null) { pendingOut = out; return true }
           }
-          if (!done && bucketOpen) { pendingOut = closeRow(); done = true; return true }
+          if (!done && emitTrailing) { pendingOut = closeRow(); done = true; return true }
           false
         }
 

@@ -89,10 +89,13 @@ object CanStream {
     val tsIdx = inSchema.fieldIndex("ts_ms")
     val keyIdx = keyCol.map(inSchema.fieldIndex)
     val sigIdx = inSchema.indices.filter(i => i != tsIdx && !keyIdx.contains(i))
+    // keyed streams carry the key column through to the output (state is
+    // per-key, so each emitted row belongs to exactly one key)
     val outSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField(graft.can.DbcColumns.TimeCol,
-        org.apache.spark.sql.types.DoubleType, nullable = false) +:
-        sigIdx.map(inSchema(_)).toSeq)
+      keyIdx.map(inSchema(_)).toSeq ++
+        (org.apache.spark.sql.types.StructField(graft.can.DbcColumns.TimeCol,
+          org.apache.spark.sql.types.DoubleType, nullable = false) +:
+          sigIdx.map(inSchema(_)).toSeq))
     val n = sigIdx.length
 
     implicit val stateEnc = Encoders.kryo[OpenBucket]
@@ -104,11 +107,14 @@ object CanStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Row], state: GroupState[OpenBucket]) =>
           val sorted = rows.toSeq.sortBy(_.getDouble(tsIdx))
+          // group invocations always carry ≥1 row under NoTimeout, so the
+          // original-typed key value is recoverable from any row
+          val keyVals = keyIdx.map(i => sorted.head.get(i)).toSeq
           val st = state.getOption.getOrElse(
             new OpenBucket(Double.NaN, new Array[Any](n), new Array[Boolean](n)))
           val out = Seq.newBuilder[Row]
           def close(): Unit = {
-            out += Row.fromSeq(st.startMs +: st.cells.clone().toSeq)
+            out += Row.fromSeq(keyVals ++ (st.startMs +: st.cells.clone().toSeq))
             if (!forwardFill) // T5: carried values persist across rows
               java.util.Arrays.fill(st.cells.asInstanceOf[Array[AnyRef]], null)
             java.util.Arrays.fill(st.setInBucket, false)
@@ -130,6 +136,24 @@ object CanStream {
           out.result().iterator
       }
   }
+
+  /** Streaming session windows (dynamic-gap sessions, the streaming
+    * counterpart of the batch session_window query): watermarked event-time
+    * `session_window` aggregation per key. A session extends while events
+    * arrive within `gapMs` of the previous one; state is per (key, session)
+    * and fully partition-parallel. Requires an event-time `ts` column (as
+    * produced by [[decoded]]).
+    */
+  def sessionStream(wide: DataFrame, gapMs: Long, keyCol: String,
+      watermark: String = "0 seconds"): DataFrame =
+    wide
+      .withWatermark("ts", watermark)
+      .groupBy(col(keyCol), session_window(col("ts"), s"$gapMs milliseconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"))
 
   /** K1 streaming sink: parquet with checkpointing. */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,

@@ -55,6 +55,30 @@ class BucketerSpec extends AnyFunSuite {
     assert(tumb.length == 2) // grid splits at 10
   }
 
+  test("Exact DeFacto: closing frame lands in closed row, ts opens next bucket") {
+    // cache=10, frames at 0,4,11,22,40 (values 1,2,3,4,5):
+    //   reference loop: decode-then-check, so frame@11 is decoded into the
+    //   row opened @0 BEFORE 11-0>10 closes it → closed row holds value 3;
+    //   @11 opens empty; frame@22 decodes into it then closes it (value 4);
+    //   @22 opens empty; frame@40 decodes into it then closes it (value 5);
+    //   @40 opens empty and receives nothing → not emitted.
+    val w = wide((0.0, 1, null), (4.0, 2, null), (11.0, 3, null), (22.0, 4, null), (40.0, 5, null))
+    val defacto = Bucketer.bucket(w,
+      BucketMode.Exact(10.0, closeOrder = CloseOrder.DeFacto)).orderBy("Time_ms").collect()
+    assert(defacto.map(_.getDouble(0)).toSeq == Seq(0.0, 11.0, 22.0))
+    assert(defacto.map(_.getInt(1)).toSeq == Seq(3, 4, 5))
+    // Clean mode on identical input: same boundaries, different row ownership
+    val clean = Bucketer.bucket(w, BucketMode.Exact(10.0)).orderBy("Time_ms").collect()
+    assert(clean.map(_.getDouble(0)).toSeq == Seq(0.0, 11.0, 22.0, 40.0))
+    assert(clean.map(_.getInt(1)).toSeq == Seq(2, 3, 4, 5))
+    // FP boundary divergence: ts exactly cacheMs after start. Clean's
+    // additive test keeps ts==start+cache in-bucket; DeFacto's subtract
+    // test agrees here (10-0 is exact in FP) — both one row.
+    val boundary = wide((0.0, 1, null), (10.0, 2, null))
+    assert(Bucketer.bucket(boundary,
+      BucketMode.Exact(10.0, closeOrder = CloseOrder.DeFacto)).collect().length == 1)
+  }
+
   test("Exact: first-wins respects append-only builder semantics") {
     val w = wide((0.0, 1, 1.0), (4.0, 2, null))
     val out = Bucketer.bucket(w, BucketMode.Exact(10.0), CombinePolicy.FirstWins).collect()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.SparkTestSession
-import graft.can.CandumpParser
+import graft.can.{Bucketer, CandumpParser, CombinePolicy}
 import graft.dbc.DbcParser
 
 class CanStreamSpec extends AnyFunSuite {
@@ -85,6 +85,55 @@ class CanStreamSpec extends AnyFunSuite {
     assert(rows.length == 2)
     assert(rows(1).getAs[Float]("GPS_Speed") == 1.0f)
     assert(rows(1).getAs[Float]("Engine_Speed") == 2000.0f)
+  }
+
+  test("keyed exactStream: per-key state, key column in output, batch parity") {
+    val input = MemoryStream[(Double, String, Int)](spark)
+    val wide = input.toDF().toDF("ts_ms", "k", "a")
+    val exact = CanStream.exactStream(wide, cacheMs = 10.0, keyCol = Some("k"))
+    val q = exact.writeStream.format("memory").queryName("skey")
+      .outputMode("append").start()
+    // micro-batch 1: both keys open buckets; x closes one at 15
+    input.addData((0.0, "x", 1), (4.0, "x", 2), (15.0, "x", 3), (0.0, "y", 7))
+    q.processAllAvailable()
+    // micro-batch 2: y's gap closes its bucket from batch 1 (state carry)
+    input.addData((30.0, "y", 8), (100.0, "x", 9))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("skey").orderBy("k", "Time_ms").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    // open buckets (x@100, y@30) are unclosed — no EOF in a stream
+    assert(rows.toSeq == Seq(("x", 0.0, 2), ("x", 15.0, 3), ("y", 0.0, 7)))
+    // batch parity on the closed rows: keyed exactFold over the same data
+    val batch = Bucketer.exactFold(
+      Seq((0.0, "x", 1), (4.0, "x", 2), (15.0, "x", 3), (0.0, "y", 7),
+        (30.0, "y", 8), (100.0, "x", 9)).toDF("ts_ms", "k", "a"),
+      10.0, Seq("k"), CombinePolicy.LastWins, forwardFill = false)
+      .orderBy("k", "Time_ms").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    // the stream's unclosed trailing buckets (x@100, y@30) exist only in
+    // the batch fold (EOF closes them) — drop them before comparing
+    assert(batch.toSeq.filterNot(r => r == (("x", 100.0, 9)) || r == (("y", 30.0, 8)))
+      == rows.toSeq)
+  }
+
+  test("streaming session windows group bursts per key across micro-batches") {
+    val input = MemoryStream[(Long, String)](spark)
+    val wide = input.toDF().toDF("ms", "k")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val sessions = CanStream.sessionStream(wide, gapMs = 1000L, keyCol = "k")
+    val q = sessions.writeStream.format("memory").queryName("ssw")
+      .outputMode("complete").start()
+    // burst 1 for x (0,400,800ms), then >1s silence, burst 2 (3000,3100);
+    // y has one event inside x's silence
+    input.addData((0L, "x"), (400L, "x"), (800L, "x"), (1500L, "y"))
+    q.processAllAvailable()
+    input.addData((3000L, "x"), (3100L, "x"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssw").orderBy("k", "session_start_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(rows.toSeq == Seq(("x", 0L, 3L), ("x", 3000L, 2L), ("y", 1500L, 1L)))
   }
 
   test("file-stream replay to parquet sink (K1) with AvailableNow") {
