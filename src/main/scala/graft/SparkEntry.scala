@@ -496,6 +496,12 @@ object SparkEntry {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", col("text")).orderBy("doc_id")
     }),
 
+    "qd_simhash_pairs" -> ((s, dir) => {
+      // hamming-banded near-dup pairing over the simhash signatures
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "qd_cosine_nn" -> ((s, dir) =>
       Similarity.nearestNeighborPerVector(t(s, dir, "embeddings"))),
 
@@ -1103,6 +1109,21 @@ object SparkEntry {
            |th AS (SELECT doc_id, ${h("w")} AS h FROM tok),
            |s AS (SELECT doc_id, $simSums FROM th GROUP BY 1)
            |SELECT doc_id, CAST($simAssemble AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin,
+
+      "qd_simhash_pairs" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+           |th AS (SELECT doc_id, ${h("w")} AS h FROM tok),
+           |s AS (SELECT doc_id, $simSums FROM th GROUP BY 1),
+           |sig AS (SELECT doc_id, CAST($simAssemble AS BIGINT) AS simhash FROM s),
+           |bnd AS (SELECT doc_id, simhash, unnest(range(4)) AS band FROM sig),
+           |k AS (SELECT doc_id, simhash, band, (simhash >> (band*12)) & 4095 AS bkey FROM bnd),
+           |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.simhash AS ha, b.simhash AS hb
+           |  FROM k a JOIN k b ON a.band = b.band AND a.bkey = b.bkey
+           |    AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+           |FROM p WHERE bit_count(xor(ha, hb)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin,
 
       "qd_cosine_nn" -> (quantCte +
         s""",

@@ -33,6 +33,30 @@ object CanPipeline {
     fromFrames(net, frames, cfg)
   }
 
+  /** S3 literal stdin: the reference's `cat log | engine --stdin` path
+    * (`/root/reference/src/inputs/stdinInput.cpp:12-42`) reads candump
+    * lines from the process's standard input until EOF. A pipe is
+    * inherently a single driver-side byte stream — no Spark source can
+    * split it — so the lines are drained on the driver, parallelized
+    * across the cluster, and the decode/bucket pipeline downstream is the
+    * same distributed plan as the file path. Bounded by driver memory,
+    * which is exactly the reference's own single-process envelope; a
+    * 100 TB corpus arrives as files or sockets, not a pipe.
+    */
+  def decodeStdin(spark: SparkSession, dbcPath: String,
+      cfg: CanPipelineConfig = CanPipelineConfig(),
+      in: java.io.InputStream = System.in): DataFrame = {
+    val net = DbcParser.parseFile(dbcPath)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    val lines = Iterator.continually(reader.readLine()).takeWhile(_ != null).toSeq
+    val df = spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("value")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val frames = CandumpParser.withTsMs(CandumpParser.parseLines(df), cfg.adjustTimestamp)
+    fromFrames(net, frames, cfg)
+  }
+
   /** frames(ts_ms, can_id, data) → bucketed wide table. */
   def fromFrames(net: Network, frames: DataFrame, cfg: CanPipelineConfig): DataFrame = {
     val wide = SignalDecoder.wideFrame(net, frames, cfg.typing,

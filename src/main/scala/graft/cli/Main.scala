@@ -19,9 +19,19 @@ import graft.streaming.CanStream
   * at index 2 and never reads argv[1], `src/arguments.h:46` — the cwd's
   * `fs.dbc` was always used); here argv(0) is honored. `--socket` takes
   * `host:port` of a candump text stream (the reference's own remote-capture
-  * shape); `--stdin` is covered by `--socket` + `nc -l` per README.md:52-55.
-  * `--exact` selects reference-exact data-driven bucketing; default is the
-  * scalable tumbling grid (divergence documented in SURVEY §2.4 T1).
+  * shape); `--stdin` reads candump lines from the process's standard input
+  * until EOF (`cat log | graft.cli.Main <dbc> --stdin ...`), batch
+  * semantics like the reference's stdinInput. `--exact` selects
+  * reference-exact data-driven bucketing; default is the scalable tumbling
+  * grid (divergence documented in SURVEY §2.4 T1).
+  *
+  * S2 native PF_CAN capture: this sandboxless JVM cannot bind
+  * `AF_CAN/SOCK_RAW`, so live capture uses the reference's own documented
+  * remote-capture bridge (`/root/reference/README.md:52-55`) — on the host
+  * with the CAN interface run `candump -L can0 | nc -l <port>` (or
+  * `candump -L can0 > /dev/tcp/<host>/<port>`), then here
+  * `--if <host>:<port> --socket`. The line format is identical to `--file`
+  * replay, so the whole decode surface is exercised either way.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -37,7 +47,7 @@ object Main {
         case "--of" => out = args(i + 1); i += 2
         case "--file" => mode = "file"; i += 1
         case "--socket" => mode = "socket"; i += 1
-        case "--stdin" => mode = "socket"; i += 1 // nc use-case: socket IS stdin's source
+        case "--stdin" => mode = "stdin"; i += 1
         case "--cache" => cacheMs = args(i + 1).toDouble; i += 2
         case "--exact" => exact = true; i += 1
         case "--forward-fill" => ffill = true; i += 1
@@ -53,15 +63,22 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def writeBatch(wide: org.apache.spark.sql.DataFrame): Unit = {
+      wide.write.mode("append").parquet(out) // K1 batch
+      if (live.nonEmpty)
+        wide.select((DbcColumns.TimeCol +: live.reverse).map(org.apache.spark.sql.functions.col): _*)
+          .show(50, truncate = false) // K3 batch
+    }
+
     mode match {
       case "file" =>
         val cfg = CanPipelineConfig(cacheMs = cacheMs, exact = exact,
           forwardFill = ffill, adjustTimestamp = adjust)
-        val wide = CanPipeline.decodeLog(spark, dbc, in, cfg)
-        wide.write.mode("append").parquet(out) // K1 batch
-        if (live.nonEmpty)
-          wide.select((DbcColumns.TimeCol +: live.reverse).map(org.apache.spark.sql.functions.col): _*)
-            .show(50, truncate = false) // K3 batch
+        writeBatch(CanPipeline.decodeLog(spark, dbc, in, cfg))
+      case "stdin" => // S3: `cat log | graft.cli.Main <dbc> --stdin`
+        val cfg = CanPipelineConfig(cacheMs = cacheMs, exact = exact,
+          forwardFill = ffill, adjustTimestamp = adjust)
+        writeBatch(CanPipeline.decodeStdin(spark, dbc, cfg))
       case "socket" =>
         val Array(host, port) = in.split(":")
         val net = DbcParser.parseFile(dbc)

@@ -148,4 +148,34 @@ object Dedup {
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol), assembled.as("simhash"))
   }
+
+  /** SimHash near-duplicate pairs: band the signature into `bands`
+    * contiguous bit slices; by pigeonhole, any pair within hamming distance
+    * `maxHamming < bands` matches exactly on at least one band, so
+    * candidates come from a band-key equi-join (bucketed, not all-pairs —
+    * same scale shape as MinHash LSH), then exact hamming verifies.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, text: Column,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) < bands ($bands)")
+    require(SimHashBits % bands == 0, s"bands ($bands) must divide $SimHashBits")
+    val bitsPerBand = SimHashBits / bands
+    val sims = simhash(df, idCol, text)
+    val banded = sims.select(col(idCol), col("simhash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("simhash"), b * bitsPerBand)
+              .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bkey"))): _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.bkey"))
+    val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("ha"),
+      col("band"), col("bkey"))
+    val b = banded.select(col(idCol).as("doc_b"), col("simhash").as("hb"),
+      col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

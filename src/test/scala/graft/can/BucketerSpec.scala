@@ -180,6 +180,17 @@ class BucketerSpec extends AnyFunSuite {
     assert(ff(2).getAs[Int]("Val_B") == 32767)
   }
 
+  test("stdin pipeline (S3) equals file pipeline on the same lines") {
+    val cfg = CanPipelineConfig(cacheMs = 10.0, exact = true)
+    val fromFile = CanPipeline.decodeLog(spark, "fixtures/mini.dbc", "fixtures/mini.log", cfg)
+      .orderBy("Time_ms").collect().map(_.toSeq)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("fixtures/mini.log"))
+    val fromStdin = CanPipeline.decodeStdin(spark, "fixtures/mini.dbc", cfg,
+        new java.io.ByteArrayInputStream(bytes))
+      .orderBy("Time_ms").collect().map(_.toSeq)
+    assert(fromStdin.toSeq == fromFile.toSeq)
+  }
+
   test("tumbling pipeline + distributed forward-fill (scalable path)") {
     val out = CanPipeline.decodeLog(spark, "fixtures/mini.dbc", "fixtures/mini.log",
       CanPipelineConfig(cacheMs = 10.0, forwardFill = true))

@@ -47,6 +47,15 @@ class OpsSpec extends AnyFunSuite {
     assert(hamming(sims(1L), sims(5L)) < hamming(sims(1L), sims(4L)))
   }
 
+  test("simhash banded pairing finds near-dups, skips distinct text") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", col("text"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // identical texts: hamming 0, must pair
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    // the unrelated doc 4 is far from everything in hamming space
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("langId picks stopword-dense profile; zh via CJK") {
     val r = Seq(
       (1, "the cat and the dog of a house in the morning"),
