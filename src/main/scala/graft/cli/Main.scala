@@ -47,6 +47,7 @@ object Main {
         case "--of" => out = args(i + 1); i += 2
         case "--file" => mode = "file"; i += 1
         case "--socket" => mode = "socket"; i += 1
+        case "--process" => mode = "process"; i += 1 // S2 bridge: --if is the command
         case "--stdin" => mode = "stdin"; i += 1
         case "--cache" => cacheMs = args(i + 1).toDouble; i += 2
         case "--exact" => exact = true; i += 1
@@ -79,10 +80,14 @@ object Main {
         val cfg = CanPipelineConfig(cacheMs = cacheMs, exact = exact,
           forwardFill = ffill, adjustTimestamp = adjust)
         writeBatch(CanPipeline.decodeStdin(spark, dbc, cfg))
-      case "socket" =>
-        val Array(host, port) = in.split(":")
+      case "socket" | "process" =>
         val net = DbcParser.parseFile(dbc)
-        val frames = CanStream.framesFromSocket(spark, host, port.toInt)
+        val frames =
+          if (mode == "process") CanStream.framesFromProcess(spark, in)
+          else {
+            val Array(host, port) = in.split(":")
+            CanStream.framesFromSocket(spark, host, port.toInt)
+          }
         val wide = CanStream.decoded(net, frames)
         val bucketed =
           if (cacheMs <= 0) wide.drop("ts")
@@ -103,6 +108,8 @@ object Main {
 
   private val usage =
     """usage: graft.cli.Main <dbc> --if <input> --of <out.parquet>
-      |  [--file | --socket | --stdin] [--cache <ms>] [--exact]
-      |  [--forward-fill] [--live-decode SIG]... [--no-adjust-timestamp]""".stripMargin
+      |  [--file | --socket | --stdin | --process] [--cache <ms>] [--exact]
+      |  [--forward-fill] [--live-decode SIG]... [--no-adjust-timestamp]
+      |  --socket: --if is host:port of a candump text stream
+      |  --process: --if is a bridge command (e.g. "candump -L can0")""".stripMargin
 }

@@ -33,6 +33,15 @@ object CanStream {
   def framesFromTextFiles(spark: SparkSession, path: String): DataFrame =
     CandumpParser.parseLines(spark.readStream.text(path))
 
+  /** S2 bridge form: spawn a capture process (`candump -L can0`, or any
+    * command emitting candump lines) via [[graft.sources.ProcessSource]]
+    * and stream its stdout.
+    */
+  def framesFromProcess(spark: SparkSession, command: String): DataFrame =
+    CandumpParser.parseLines(
+      spark.readStream.format("graft.sources.ProcessSource")
+        .option("command", command).load())
+
   /** Decode frames to the wide per-frame table. Streaming keeps absolute
     * time: `ts_ms = ts_us / 1000` (epoch ms; the reference's socket mode
     * stamps relative wall-clock, `--no-adjust-timestamp` shape — a t0

@@ -136,6 +136,22 @@ class CanStreamSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("x", 0L, 3L), ("x", 3000L, 2L), ("y", 1500L, 1L)))
   }
 
+  test("process bridge source (S2) streams a command's stdout and decodes") {
+    val frames = CanStream.framesFromProcess(spark, "cat fixtures/mini.log")
+    val wide = CanStream.decoded(net, frames).drop("ts")
+    val q = wide.writeStream.format("memory").queryName("sproc")
+      .outputMode("append").start()
+    // the bridge process is finite; drain until its EOF has been ingested
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.table("sproc").count() < 6 && System.nanoTime() < deadline) {
+      q.processAllAvailable(); Thread.sleep(100)
+    }
+    q.stop()
+    val got = spark.table("sproc").orderBy("ts_ms").collect()
+    assert(got.length == 6) // parity with the batch/file replay tests
+    assert(got.head.getAs[Float]("Engine_Speed") == 2000.0f)
+  }
+
   test("file-stream replay to parquet sink (K1) with AvailableNow") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
     val logDir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
@@ -149,6 +165,59 @@ class CanStreamSpec extends AnyFunSuite {
     val back = spark.read.parquet(s"$outDir/data")
     assert(back.count() == 6)
     assert(back.schema.fieldNames.contains("Engine_Speed"))
+  }
+
+  test("websocket IPC transport (K2): handshake, one binary frame per chunk") {
+    import graft.sinks.WebSocketIpc
+    // minimal RFC6455 server: accept one connection, validate the
+    // handshake, read one masked binary frame, hand back its payload
+    val server = new java.net.ServerSocket(0)
+    val received = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]]()
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new java.io.DataInputStream(s.getInputStream)
+      val out = new java.io.DataOutputStream(s.getOutputStream)
+      val head = new StringBuilder
+      while (!head.endsWith("\r\n\r\n")) head.append(in.readByte().toChar)
+      val key = head.toString.linesIterator
+        .find(_.toLowerCase.startsWith("sec-websocket-key:")).get.split(":", 2)(1).trim
+      out.write(("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+        "Connection: Upgrade\r\nSec-WebSocket-Accept: " +
+        WebSocketIpc.acceptToken(key) + "\r\n\r\n").getBytes("US-ASCII"))
+      out.flush()
+      val b0 = in.readByte(); val b1 = in.readByte()
+      assert((b0 & 0x0f) == 0x2 && (b1 & 0x80) != 0) // binary, masked
+      val len = (b1 & 0x7f) match {
+        case 126 => in.readUnsignedShort().toLong
+        case 127 => in.readLong()
+        case n => n.toLong
+      }
+      val mask = new Array[Byte](4); in.readFully(mask)
+      val data = new Array[Byte](len.toInt); in.readFully(data)
+      for (i <- data.indices) data(i) = (data(i) ^ mask(i % 4)).toByte
+      received.put(data)
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+
+    val input = MemoryStream[String](spark)
+    input.addData(scala.io.Source.fromFile("fixtures/mini.log").getLines().toSeq)
+    val wide = CanStream.decoded(net, CandumpParser.parseLines(input.toDF())).drop("ts")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ws").toString
+    val q = WebSocketIpc.wsSink(wide, "127.0.0.1", server.getLocalPort, "/ipc", ckpt)
+    q.awaitTermination(60000)
+    val payload = received.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+    assert(payload != null && payload.nonEmpty)
+    // the binary message is a complete Arrow IPC stream
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(payload), alloc)
+    var rows = 0
+    while (reader.loadNextBatch()) rows += reader.getVectorSchemaRoot.getRowCount
+    val fields = reader.getVectorSchemaRoot.getSchema.getFields
+    reader.close(); alloc.close(); server.close()
+    assert(rows == 6)
+    assert(fields.toString.contains("Engine_Speed"))
   }
 
   test("arrow IPC sink round-trips batches (K2)") {
