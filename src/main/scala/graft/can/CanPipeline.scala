@@ -22,7 +22,8 @@ final case class CanPipelineConfig(
     forwardFill: Boolean = false,
     adjustTimestamp: Boolean = true,
     typing: TypingMode = TypingMode.Intended,
-    combine: CombinePolicy = CombinePolicy.LastWins)
+    combine: CombinePolicy = CombinePolicy.LastWins,
+    observeMetrics: Boolean = false)
 
 object CanPipeline {
 
@@ -32,6 +33,11 @@ object CanPipeline {
     val frames = CandumpParser.readLog(spark, logPath, cfg.adjustTimestamp)
     fromFrames(net, frames, cfg)
   }
+
+  /** T7: thread the observed frame/row counters through when asked. */
+  private def withMetrics(df: DataFrame, cfg: CanPipelineConfig,
+      f: DataFrame => DataFrame): DataFrame =
+    if (cfg.observeMetrics) f(df) else df
 
   /** S3 literal stdin: the reference's `cat log | engine --stdin` path
     * (`/root/reference/src/inputs/stdinInput.cpp:12-42`) reads candump
@@ -58,10 +64,19 @@ object CanPipeline {
   }
 
   /** frames(ts_ms, can_id, data) → bucketed wide table. */
-  def fromFrames(net: Network, frames: DataFrame, cfg: CanPipelineConfig): DataFrame = {
+  def fromFrames(net: Network, frames0: DataFrame, cfg: CanPipelineConfig): DataFrame = {
+    // Frame counter only on single-pass plans: the exact path range-
+    // partitions its input, and RangePartitioner's sampling pass evaluates
+    // the child a second time — a flow-through CollectMetrics there would
+    // double-count. Exact mode still reports the rows counter (its fold
+    // input is checkpoint-materialized, one pass).
+    val exactMode = cfg.exact && cfg.cacheMs > 0 && cfg.exactKeys.isEmpty
+    val frames =
+      if (exactMode) frames0
+      else withMetrics(frames0, cfg, PipelineMetrics.observeFrames)
     val wide = SignalDecoder.wideFrame(net, frames, cfg.typing,
       carryCols = cfg.exactKeys)
-    if (cfg.exact && cfg.cacheMs > 0) {
+    val result = if (cfg.exact && cfg.cacheMs > 0) {
       if (cfg.exactKeys.nonEmpty)
         // keyed: independent folds per key, forward-fill in-pass
         Bucketer.exactFold(wide, cfg.cacheMs, cfg.exactKeys, cfg.combine, cfg.forwardFill)
@@ -80,6 +95,7 @@ object CanPipeline {
         ForwardFill.distributed(bucketed, DbcColumns.TimeCol)
       else bucketed
     }
+    withMetrics(result, cfg, PipelineMetrics.observeRows)
   }
 }
 

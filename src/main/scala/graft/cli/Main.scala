@@ -73,14 +73,17 @@ object Main {
 
     mode match {
       case "file" =>
+        spark.listenerManager.register(new PipelineMetrics.Progress()) // T7
         val cfg = CanPipelineConfig(cacheMs = cacheMs, exact = exact,
-          forwardFill = ffill, adjustTimestamp = adjust)
+          forwardFill = ffill, adjustTimestamp = adjust, observeMetrics = true)
         writeBatch(CanPipeline.decodeLog(spark, dbc, in, cfg))
       case "stdin" => // S3: `cat log | graft.cli.Main <dbc> --stdin`
+        spark.listenerManager.register(new PipelineMetrics.Progress()) // T7
         val cfg = CanPipelineConfig(cacheMs = cacheMs, exact = exact,
-          forwardFill = ffill, adjustTimestamp = adjust)
+          forwardFill = ffill, adjustTimestamp = adjust, observeMetrics = true)
         writeBatch(CanPipeline.decodeStdin(spark, dbc, cfg))
       case "socket" | "process" =>
+        spark.streams.addListener(new PipelineMetrics.StreamingProgress()) // T7
         val net = DbcParser.parseFile(dbc)
         val frames =
           if (mode == "process") CanStream.framesFromProcess(spark, in)
@@ -88,7 +91,9 @@ object Main {
             val Array(host, port) = in.split(":")
             CanStream.framesFromSocket(spark, host, port.toInt)
           }
-        val wide = CanStream.decoded(net, frames)
+        // one wide row per decoded frame here, so the frame counter sits on
+        // the decode output (same number the reference's msg_count tracks)
+        val wide = PipelineMetrics.observeFrames(CanStream.decoded(net, frames))
         val bucketed =
           if (cacheMs <= 0) wide.drop("ts")
           else if (exact) CanStream.exactStream(wide.drop("ts"), cacheMs)

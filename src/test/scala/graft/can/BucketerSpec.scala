@@ -180,6 +180,30 @@ class BucketerSpec extends AnyFunSuite {
     assert(ff(2).getAs[Int]("Val_B") == 32767)
   }
 
+  test("observed pipeline metrics count frames and rows (T7)") {
+    val listener = new PipelineMetrics.Progress(quiet = true)
+    spark.listenerManager.register(listener)
+    try {
+      val out = CanPipeline.decodeLog(spark, "fixtures/mini.dbc", "fixtures/mini.log",
+        CanPipelineConfig(cacheMs = 10.0, observeMetrics = true))
+      val nRows = out.count()
+      // QueryExecutionListener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (listener.rows.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(listener.messages.get() == 7) // all parseable frames (pre-F1)
+      assert(listener.rows.get() == nRows)
+      // exact mode reports rows only (frame scan is sampled twice by the
+      // range partitioner — see fromFrames)
+      val exactOut = CanPipeline.decodeLog(spark, "fixtures/mini.dbc", "fixtures/mini.log",
+        CanPipelineConfig(cacheMs = 10.0, exact = true, observeMetrics = true))
+      val before = listener.rows.get()
+      val nExact = exactOut.count()
+      val deadline2 = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (listener.rows.get() == before && System.nanoTime() < deadline2) Thread.sleep(50)
+      assert(listener.rows.get() == before + nExact)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("stdin pipeline (S3) equals file pipeline on the same lines") {
     val cfg = CanPipelineConfig(cacheMs = 10.0, exact = true)
     val fromFile = CanPipeline.decodeLog(spark, "fixtures/mini.dbc", "fixtures/mini.log", cfg)
