@@ -667,14 +667,19 @@ object SparkEntry {
     "qd_ngram_jaccard" -> ((s, dir) => {
       // character-trigram Jaccard near-dups within (lang, source) blocks;
       // guard: sequence(1, len-2) runs backwards for texts under 3 chars
+      // round-robin BEFORE the explode so the (single-row-group) scan fans
+      // out across all cores; the df-cap window's (lang, source, gh)
+      // exchange is then the only gram-level shuffle, and the self-join
+      // reuses it (ReusedExchange) — a keyed repartition here would add a
+      // second full shuffle of the exploded grams for nothing
       val d = t(s, dir, "documents").filter(length(col("text")) >= 3)
+        .repartition(s.sparkContext.defaultParallelism)
       val allGrams = d.select(col("doc_id"), col("lang"), col("source"),
           explode(array_distinct(transform(
             sequence(lit(1), length(col("text")) - 2),
             i => col("text").substr(i, lit(3))))).as("gram"))
         .select(col("doc_id"), col("lang"), col("source"),
           graft.ops.TextAnalysis.md5Long(col("gram")).as("gh"))
-        .repartition(col("lang"), col("source"))
       // document-frequency cap (posting-list truncation): a gram shared by k
       // docs fans out k² join pairs, and stopword-ish grams ("the", "ing")
       // appear in nearly every doc — quadratic in block size at 100 TB.
