@@ -496,6 +496,33 @@ object SparkEntry {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", col("text")).orderBy("doc_id")
     }),
 
+    "qp_curation" -> ((s, dir) => {
+      // flagship composition — the end-to-end training-set curation pass a
+      // 100 TB pipeline runs: BOW-dedup keeper selection, language ID,
+      // quality scoring, token bounds, per-language corpus accounting. One
+      // plan: codegen'd per-doc features, ONE shuffle on the dedup
+      // signature (window keeper), then a hash aggregation. Quality sums go
+      // through exact integer micro-units so aggregation order can't move
+      // low bits.
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+      val featured = d.select(col("doc_id"), col("lang"),
+        Dedup.bowSignature(col("text")).as("sig"),
+        TextAnalysis.langId(col("text")).as("lang_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val keeper = featured
+        .withColumn("keep_id", min("doc_id").over(Window.partitionBy("sig")))
+        .filter(col("doc_id") === col("keep_id"))
+      keeper
+        .filter(col("n_tokens") >= 5 && col("quality") >= 0.45)
+        .groupBy("lang", "lang_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (sum(round(col("quality") * 1000000).cast("long")) / 1000000.0).as("quality_sum"))
+        .orderBy("lang", "lang_id")
+    }),
+
     "qd_simhash_pairs" -> ((s, dir) => {
       // hamming-banded near-dup pairing over the simhash signatures
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", col("text"))
@@ -1114,6 +1141,27 @@ object SparkEntry {
            |th AS (SELECT doc_id, ${h("w")} AS h FROM tok),
            |s AS (SELECT doc_id, $simSums FROM th GROUP BY 1)
            |SELECT doc_id, CAST($simAssemble AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin,
+
+      "qp_curation" ->
+        s"""WITH c AS (SELECT doc_id, lang,
+           |    md5(list_aggregate(list_sort(list_distinct($toks)),'string_agg','|')) AS sig,
+           |    length(text) AS len,
+           |    len(regexp_extract_all(text, '[一-鿿]')) AS cjk, $profCols,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens,
+           |    (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)) * 0.4
+           |     + least(CAST(${profCount(TextAnalysis.StopwordProfiles.head._2)} AS DOUBLE) / len($toks) * 4.0, 1.0) * 0.3
+           |     + least(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($toks) / 8.0, 1.0) * 0.3 AS quality
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |m AS (SELECT *, $mx AS mx FROM c),
+           |f AS (SELECT doc_id, lang, sig, $langPred AS lang_id, n_tokens, quality FROM m),
+           |k AS (SELECT * FROM (
+           |    SELECT *, min(doc_id) OVER (PARTITION BY sig) AS keep_id FROM f)
+           |  WHERE doc_id = keep_id)
+           |SELECT lang, lang_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |  sum(CAST(round(quality*1000000) AS BIGINT))/1000000.0 AS quality_sum
+           |FROM k WHERE n_tokens >= 5 AND quality >= 0.45
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "qd_simhash_pairs" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
