@@ -570,6 +570,12 @@ object SparkEntry {
     "qs_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5)),
 
+    "qs_kmeans_topk" -> ((s, dir) =>
+      // IVF over a REAL Lloyd-trained codebook (2 deterministic rounds:
+      // argmax-cosine assign → floor-mean update); the oracle replays the
+      // training unrolled in SQL
+      Similarity.ivfKmeansTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5)),
+
     "qm_media_decode" -> ((s, dir) => {
       // oracle computes byte math from characters, so restrict the gate to
       // ASCII docs (bytes == chars); the stub itself is byte-correct for
@@ -1047,6 +1053,28 @@ object SparkEntry {
       s"(CASE WHEN list_reduce(list_transform(list_zip(qe, ${planeLits(p)}), t -> t[1]*t[2]), (x,y) -> x+y) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
 
+    // k-means oracle plumbing: squared norm of a list column, one Lloyd
+    // round (assign → floor-mean update, empty clusters keep centroids),
+    // and an assignment-only CTE — generated so the SQL replays
+    // Similarity.kmeansCodebook bit-for-bit, unrolled per iteration
+    def listNorm(cv: String) = s"list_reduce(list_transform($cv, x -> x*x), (a,b) -> a+b)"
+    def kmAssign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, qe, cent_id FROM (
+         |  SELECT n.vec_id, n.qe, c.cent_id,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      (list_reduce(list_transform(list_zip(n.qe, c.cv), t -> t[1]*t[2]), (x,y) -> x+y)
+         |        / (sqrt(n.nrm) * sqrt(${listNorm("c.cv")}))) DESC, c.cent_id) AS rn
+         |  FROM n CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def kmRound(r: Int, prev: String) =
+      s"""${kmAssign(s"a$r", prev)},
+         |u$r AS (SELECT cent_id, generate_subscripts(qe, 1) AS dim, unnest(qe) AS v FROM a$r),
+         |m$r AS (SELECT cent_id, dim,
+         |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv_d
+         |  FROM u$r GROUP BY 1, 2),
+         |c$r AS (SELECT p.cent_id, coalesce(nc.cv, p.cv) AS cv FROM $prev p
+         |  LEFT JOIN (SELECT cent_id, list(cv_d ORDER BY dim) AS cv FROM m$r GROUP BY 1) nc
+         |    USING (cent_id))""".stripMargin
+
     Map(
       "qt_token_stats" ->
         s"""SELECT lang,
@@ -1229,6 +1257,19 @@ object SparkEntry {
            |  list_reduce(list_transform(list_zip(a.qe, qq.qe), t -> t[1]*t[2]), (x,y) -> x+y)
            |    / (sqrt(a.nrm)*sqrt(qq.nrm)) AS score
            |FROM assigned a, qq WHERE a.cent_id = qq.cent_id AND a.vec_id <> 0
+           |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin),
+
+      "qs_kmeans_topk" -> (quantCte +
+        s""",
+           |c0 AS (SELECT vec_id AS cent_id, qe AS cv FROM q WHERE vec_id < 8),
+           |${kmRound(1, "c0")},
+           |${kmRound(2, "c1")},
+           |${kmAssign("af", "c2")},
+           |qq AS (SELECT qe AS qqe, cent_id AS qcent FROM af WHERE vec_id = 0)
+           |SELECT a.vec_id,
+           |  list_reduce(list_transform(list_zip(a.qe, qq.qqe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |    / (sqrt(${listNorm("a.qe")}) * sqrt(${listNorm("qq.qqe")})) AS score
+           |FROM af a, qq WHERE a.cent_id = qq.qcent AND a.vec_id <> 0
            |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin),
 
       "qm_media_decode" ->

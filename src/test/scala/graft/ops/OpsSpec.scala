@@ -100,6 +100,32 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= bucketed.size / 2, s"recall too low: $hits/${bucketed.size}")
   }
 
+  test("kmeans codebook separates clusters; centroids are floor-means") {
+    // two tight clusters around (+1,0,...) and (0,+1,...); init centroids =
+    // vectors 0 and 1 (one from each cluster by construction)
+    val vecs = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      val jitter = (i / 2).toFloat / 100.0f
+      (i, Array(base(0) + (if (i % 2 == 0) jitter else 0f),
+        base(1) + (if (i % 2 == 1) jitter else 0f), 0.1f, 0.2f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.kmeansCodebook(vecs, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(cents.keySet == Set(0L, 1L))
+    // cluster 0 (even ids): dim0 values are quantize(1.00..1.09) = 1000..1090,
+    // floor-mean = floor(10450/10) = 1045; dim1 exactly 0
+    assert(cents(0L)(0) == 1045L && cents(0L)(1) == 0L)
+    assert(cents(1L)(0) == 0L && cents(1L)(1) == 1045L)
+    // shared dims quantize exactly
+    assert(cents(0L)(2) == 100L && cents(0L)(3) == 200L)
+    // assignment puts every even id in centroid 0's list, odd in 1's
+    val q = vecs.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val assigned = Similarity.assignToCentroids(q,
+        Similarity.kmeansCodebook(vecs, 2, 2).select(col("cent_id"), col("cv")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(assigned.forall { case (v, c) => c == v % 2 })
+  }
+
   test("multimodal: payload roundtrip, frames, thumbnail") {
     val p = Multimodal.fakePayload(docs, "doc_id", "text")
     val d = Multimodal.decodeStub(p).collect().map(r => r.getLong(0) -> r).toMap
