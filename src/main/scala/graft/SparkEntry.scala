@@ -342,6 +342,27 @@ object SparkEntry {
         .select("ts_us", "CNT8", "MUXSEL", "U31", "BIG48")
     }),
 
+    "qc_sql_extract" -> ((s, dir) => {
+      // §2.10 SQL surface: the registered codegen expressions
+      // (can_signal_extract, can_payload_u64) driven through spark.sql and
+      // held to the same byte-arithmetic oracle as the expression API.
+      // The u64 view is masked to 56 bits so the oracle's integer
+      // arithmetic stays inside signed BIGINT.
+      graft.plans.GraftExtensions.register(s)
+      CandumpParser.parseLines(canLines(events(s, dir)))
+        .createOrReplaceTempView("graft_frames")
+      s.sql(
+        """SELECT ts_us,
+          |  CASE WHEN can_id = 256 THEN
+          |    CAST(can_signal_extract(data, 0, 16, true, false) AS DOUBLE) * 0.25 - 10
+          |  END AS speed_phys,
+          |  CASE WHEN can_id = 256 THEN can_signal_extract(data, 16, 8, true, true) END AS cnt8_raw,
+          |  CASE WHEN can_id = 256 THEN can_signal_extract(data, 39, 12, false, true) END AS moto12_raw,
+          |  CASE WHEN can_id = 512 THEN can_signal_extract(data, 8, 48, true, false) END AS big48_raw,
+          |  can_payload_u64(data, true) & 72057594037927935 AS le56
+          |FROM graft_frames""".stripMargin)
+    }),
+
     "qc_flt32_decode" -> ((s, dir) => {
       // P6 `flt32_` IEEE reinterpret (graft.plans.IntBitsToFloat) end-to-end:
       // synth M3 frames whose payload bits are constructed floats, decode via
@@ -494,6 +515,23 @@ object SparkEntry {
 
     "qd_simhash" -> ((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", col("text")).orderBy("doc_id")
+    }),
+
+    "qp_decontaminate" -> ((s, dir) => {
+      // eval-set decontamination — the standard pre-training pass: find
+      // train docs sharing any word-trigram shingle with a held-out eval
+      // slice. Eval is selected by deterministic hash residue (≈5%) and its
+      // distinct shingle set is BROADCAST (the scale shape: eval sets are
+      // small by construction; the 100 TB train side streams past it with
+      // no shuffle).
+      val d = t(s, dir, "documents")
+      val isEval = TextAnalysis.md5Long(col("text")) % 20 === 1
+      val evalSh = Dedup.shingleHashes(d.filter(isEval), "doc_id", col("text"))
+        .select("sh").distinct()
+      val trainSh = Dedup.shingleHashes(d.filter(!isEval), "doc_id", col("text"))
+      trainSh.join(broadcast(evalSh), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
     }),
 
     "qp_curation" -> ((s, dir) => {
@@ -905,6 +943,22 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT) AS SEQ
         |FROM b""".stripMargin),
 
+    "qc_sql_extract" -> (canBytesCte +
+      """
+        |SELECT us AS ts_us,
+        |  CASE WHEN can_id = 256 THEN CAST(d0 + d1*256 AS DOUBLE) * 0.25 - 10 END AS speed_phys,
+        |  CASE WHEN can_id = 256 THEN
+        |    CAST(CASE WHEN d2 >= 128 THEN d2 - 256 ELSE d2 END AS BIGINT) END AS cnt8_raw,
+        |  CASE WHEN can_id = 256 THEN
+        |    CAST(CASE WHEN d4*16 + (d5 // 16) >= 2048
+        |      THEN d4*16 + (d5 // 16) - 4096 ELSE d4*16 + (d5 // 16) END AS BIGINT) END AS moto12_raw,
+        |  CASE WHEN can_id = 512 THEN
+        |    CAST(d1 + d2*256 + d3*65536 + d4*16777216 + d5*4294967296 + d6*1099511627776 AS BIGINT)
+        |  END AS big48_raw,
+        |  CAST(d0 + d1*256 + d2*65536 + d3*16777216 + d4*4294967296
+        |    + d5*1099511627776 + d6*281474976710656 AS BIGINT) AS le56
+        |FROM b""".stripMargin),
+
     "qc_flt32_decode" ->
       """SELECT CAST(event_id AS BIGINT) AS seq,
         |  CAST((CASE WHEN user_id % 2 = 1 THEN -1 ELSE 1 END)
@@ -1169,6 +1223,18 @@ object SparkEntry {
            |th AS (SELECT doc_id, ${h("w")} AS h FROM tok),
            |s AS (SELECT doc_id, $simSums FROM th GROUP BY 1)
            |SELECT doc_id, CAST($simAssemble AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin,
+
+      "qp_decontaminate" ->
+        s"""WITH tk AS (SELECT doc_id, ${h("text")} % 20 = 1 AS is_eval, $toks w FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, is_eval, ${h("s")} AS sh FROM (
+           |  SELECT doc_id, is_eval, unnest(list_transform(range(len(w)-2),
+           |    i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
+           |  FROM tk WHERE len(w) >= 3) x),
+           |ev AS (SELECT DISTINCT sh FROM sh WHERE is_eval),
+           |tr AS (SELECT doc_id, sh FROM sh WHERE NOT is_eval)
+           |SELECT doc_id, count(*) AS n_hits
+           |FROM tr JOIN ev USING (sh)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "qp_curation" ->
         s"""WITH c AS (SELECT doc_id, lang,
