@@ -517,6 +517,23 @@ object SparkEntry {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", col("text")).orderBy("doc_id")
     }),
 
+    "qt_length_buckets" -> ((s, dir) => {
+      // sequence-length bucketing for training-batch packing: docs
+      // histogrammed into power-of-2 token-count buckets per language.
+      // Bucket = 2^(bitlength(n)-1) via the binary string length — exact
+      // integer derivation in both engines (a float log2 could round
+      // differently at power-of-2 boundaries across libms).
+      val nTok = TextAnalysis.tokenCount(col("text")).cast("long")
+      t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("lang"), nTok.as("n"))
+        // shiftleft's shift amount must be a Column-typed expression → expr
+        .withColumn("bucket_floor", expr("shiftleft(CAST(1 AS BIGINT), length(bin(n)) - 1)"))
+        .groupBy("lang", "bucket_floor")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+        .orderBy("lang", "bucket_floor")
+    }),
+
     "qp_decontaminate" -> ((s, dir) => {
       // eval-set decontamination — the standard pre-training pass: find
       // train docs sharing any word-trigram shingle with a held-out eval
@@ -1223,6 +1240,15 @@ object SparkEntry {
            |th AS (SELECT doc_id, ${h("w")} AS h FROM tok),
            |s AS (SELECT doc_id, $simSums FROM th GROUP BY 1)
            |SELECT doc_id, CAST($simAssemble AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin,
+
+      "qt_length_buckets" ->
+        s"""WITH d AS (SELECT lang, CAST(len($toks) AS BIGINT) AS n
+           |  FROM documents WHERE length(trim(text)) > 0)
+           |SELECT lang,
+           |  CAST(1 << (length(bin(n)) - 1) AS BIGINT) AS bucket_floor,
+           |  count(*) AS n_docs,
+           |  CAST(sum(n) AS BIGINT) AS sum_tokens
+           |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "qp_decontaminate" ->
         s"""WITH tk AS (SELECT doc_id, ${h("text")} % 20 = 1 AS is_eval, $toks w FROM documents),

@@ -149,6 +149,24 @@ object Dedup {
       .select(col(idCol), assembled.as("simhash"))
   }
 
+  /** Streaming exact dedup: keep the first arrival per signature, with
+    * state bounded by the event-time watermark (a signature older than the
+    * delay is evicted — new duplicates of it pass through, the documented
+    * tradeoff of windowed streaming dedup at unbounded scale). Built on
+    * `dropDuplicates`, whose state store is per-key and partition-parallel.
+    */
+  def streamingExact(df: DataFrame, sigCols: Seq[String],
+      eventTimeCol: String, watermarkDelay: String): DataFrame =
+    df.withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicates(sigCols :+ eventTimeCol)
+
+  /** Streaming exact dedup with UNBOUNDED state (no watermark): exact
+    * first-wins semantics forever — correct for bounded replays, grows
+    * state linearly on endless streams.
+    */
+  def streamingExactUnbounded(df: DataFrame, sigCols: Seq[String]): DataFrame =
+    df.dropDuplicates(sigCols)
+
   /** SimHash near-duplicate pairs: band the signature into `bands`
     * contiguous bit slices; by pigeonhole, any pair within hamming distance
     * `maxHamming < bands` matches exactly on at least one band, so

@@ -136,6 +136,24 @@ class CanStreamSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("x", 0L, 3L), ("x", 3000L, 2L), ("y", 1500L, 1L)))
   }
 
+  test("streaming exact dedup drops cross-batch duplicates") {
+    import graft.ops.Dedup
+    val input = MemoryStream[(String, Long)](spark)
+    val df = input.toDF().toDF("sig", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val deduped = Dedup.streamingExactUnbounded(df, Seq("sig"))
+    val q = deduped.writeStream.format("memory").queryName("sdd")
+      .outputMode("append").start()
+    input.addData(("a", 0L), ("b", 10L), ("a", 20L))
+    q.processAllAvailable()
+    input.addData(("a", 30L), ("c", 40L), ("b", 50L))
+    q.processAllAvailable()
+    q.stop()
+    val sigs = spark.table("sdd").collect().map(r => (r.getString(0), r.getLong(1)))
+    // first arrival per signature survives, including across micro-batches
+    assert(sigs.sortBy(_._1).toSeq == Seq(("a", 0L), ("b", 10L), ("c", 40L)))
+  }
+
   test("process bridge source (S2) streams a command's stdout and decodes") {
     val frames = CanStream.framesFromProcess(spark, "cat fixtures/mini.log")
     val wide = CanStream.decoded(net, frames).drop("ts")
