@@ -122,22 +122,30 @@ object Similarity {
     * driver/broadcast-sized.
     */
   def kmeansCodebook(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    var cents = q.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
+    // The codebook is k × dims longs — driver-sized BY DEFINITION, so each
+    // round collects it and re-broadcasts a literal relation (the textbook
+    // distributed-k-means shape). Keeping the codebook as a lazy plan
+    // instead would nest every round's tree inside the next (repeated
+    // recomputation) and plan tiny-side joins as sort-merge.
+    var cents: Seq[(Long, Seq[Long])] = q.filter(col("vec_id") < k)
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
     for (_ <- 0 until iters) {
-      val assigned = assignToCentroids(q, cents)
-      val updated = assigned
+      val centsDf = cents.toDF("cent_id", "cv")
+      val updated = assignToCentroids(q, centsDf)
         .select(col("cent_id"), posexplode(col("qv")).as(Seq("dim", "v")))
         .groupBy("cent_id", "dim")
         .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv_d"))
         .groupBy("cent_id")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv_d")))),
           x => x.getField("cv_d")).as("cv_new"))
-      cents = cents.join(updated, Seq("cent_id"), "left")
-        .select(col("cent_id"), coalesce(col("cv_new"), col("cv")).as("cv"))
+        .as[(Long, Seq[Long])].collect().toMap
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (id, cv) => (id, updated.getOrElse(id, cv)) }
     }
-    cents
+    cents.toDF("cent_id", "cv")
   }
 
   /** IVF top-k over a k-means-trained codebook: train, assign, scan only
