@@ -69,11 +69,14 @@ object Dedup {
         explode(array_distinct(shinglesOfTokens(col("_toks"), n))).as("shingle"))
       .select(col(idCol), md5Long(col("shingle")).as("sh"))
 
-  /** MinHash signature aggregation: k columns m0..m{k-1}. */
+  /** MinHash signature aggregation: k columns m0..m{k-1}, plus the
+    * shingle-set size `nsh` — computed in the SAME aggregation so the
+    * Jaccard verify step doesn't need a second pass over the shingles.
+    */
   def minhashAgg(sh: DataFrame, idCol: String): DataFrame = {
     val aggs = (0 until NumHashes).map { i =>
       min((lit(hashA(i)) * (col("sh") % P) + hashB(i)) % P).as(s"m$i")
-    }
+    } :+ count(lit(1)).as("nsh")
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -104,14 +107,22 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, text: Column,
       threshold: Double = 0.4): DataFrame = {
-    // The shingle table feeds four consumers (sizes, candidate join ×2,
-    // verify join), so it is cached — and released deterministically: the
+    // The shingle table feeds three consumers (signature agg, verify
+    // join ×2), so it is cached — and released deterministically: the
     // (candidate-bounded, small) result is materialized eagerly via
     // localCheckpoint, after which the cache is dropped in `finally`.
+    // Shingle-set sizes ride along in the signature aggregation, so no
+    // separate sizes pass exists.
     val sh = shingleHashes(df, idCol, text).cache()
     try {
-      val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("nsh"))
-      val cands = candidatePairsFromShingles(sh, idCol)
+      val sig = minhashAgg(sh, idCol)
+      val sizes = sig.select(col(idCol), col("nsh"))
+      val bands = bandKeys(sig, idCol)
+      val a = bands.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
+      val b = bands.select(col(idCol).as("doc_b"), col("band"), col("bkey"))
+      val cands = a.join(b, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
       val common = cands
         .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
         .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sh", "shb"), "doc_b")

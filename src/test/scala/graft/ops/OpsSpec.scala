@@ -56,6 +56,25 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("simhash banded pairing is COMPLETE vs brute force (pigeonhole)") {
+    // a corpus with overlapping vocabulary produces a range of hamming
+    // distances; banding must find EVERY pair within the threshold
+    val corpus = (1L to 30L).map { i =>
+      val words = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 17}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.simhash(corpus, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val banded = Dedup.simhashNearDups(corpus, "doc_id", col("text"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(brute.nonEmpty) // the corpus actually exercises the threshold
+  }
+
   test("langId picks stopword-dense profile; zh via CJK") {
     val r = Seq(
       (1, "the cat and the dog of a house in the morning"),
