@@ -59,8 +59,10 @@ object Bench {
         } catch { case _: Throwable => () }
         val sec = (System.nanoTime() - t0) / 1e9
         // drop lingering per-query caches so later runs aren't charged
-        // earlier runs' memory pressure
+        // earlier runs' memory pressure; localCheckpoint blocks are
+        // RDD-level (not in the catalog cache manager), release them too
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         sec
       }
       name -> median(times)
