@@ -139,14 +139,18 @@ object Bucketer {
     val parts = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val tsIdx = wide.schema.fieldIndex("ts_ms")
-    // Eager localCheckpoint (not persist): materializes the sort once so
-    // both passes see identical partition boundaries, truncates lineage,
-    // and the blocks are auto-released by the ContextCleaner when the
-    // result frame is dropped — no leaked persistent RDD for the caller to
-    // remember to unpersist.
+    // persist (NOT localCheckpoint): both passes must see identical
+    // partition boundaries — guaranteed because the range partitioner
+    // samples once at RDD construction and lost blocks recompute through
+    // the SAME partitioner instance; localCheckpoint would truncate
+    // lineage and turn any executor loss into an unrecoverable job
+    // failure at the 1000-executor design point. Blocks are released by
+    // the ContextCleaner when the result frame is dropped, or explicitly
+    // by the caller via `sparkContext.getPersistentRDDs` (the verify/bench
+    // harnesses do this between queries).
     val sorted = wide.repartitionByRange(parts, col("ts_ms"))
       .sortWithinPartitions("ts_ms")
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Pass 1: per-partition (firstTs, lastTs, internalGapCount); empty → null.
     // The gap test MUST be the fold's own close test with the worst-case

@@ -60,14 +60,15 @@ object ForwardFill {
     val fillIdx = fillCols.map(schema.fieldIndex).toArray
     val n = fillIdx.length
 
-    // Range-partition + sort once, materialized via eager localCheckpoint:
-    // the summary pass and the fill pass see identical partition boundaries
-    // (range sampling would otherwise be free to re-draw them between
-    // jobs), lineage is truncated, and the ContextCleaner releases the
-    // blocks when the result frame is dropped — unlike a bare persist,
-    // nothing is left for the caller to unpersist.
+    // persist (NOT localCheckpoint): the summary pass and the fill pass see
+    // identical partition boundaries because the range partitioner samples
+    // once at RDD construction and recomputed blocks reuse the same
+    // partitioner instance; localCheckpoint would truncate lineage and make
+    // any executor loss an unrecoverable failure at cluster scale. Blocks
+    // are released by the ContextCleaner when the result frame is dropped,
+    // or explicitly by the caller (the harnesses unpersist between queries).
     val sorted = df.repartitionByRange(parts, col(orderCol)).sortWithinPartitions(orderCol)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Pass 1: per-partition last non-null per fill column.
     val summaries: Array[(Int, Array[Any])] = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>

@@ -67,8 +67,12 @@ object Main {
     def writeBatch(wide: org.apache.spark.sql.DataFrame): Unit = {
       wide.write.mode("append").parquet(out) // K1 batch
       if (live.nonEmpty)
-        wide.select((DbcColumns.TimeCol +: live.reverse).map(org.apache.spark.sql.functions.col): _*)
-          .show(50, truncate = false) // K3 batch
+        // K3 batch: read back the WRITTEN output rather than re-running the
+        // observed plan — a second execution would make the T7 progress
+        // listener double-count every frame/row
+        spark.read.parquet(out)
+          .select((DbcColumns.TimeCol +: live.reverse).map(org.apache.spark.sql.functions.col): _*)
+          .show(50, truncate = false)
     }
 
     mode match {

@@ -109,10 +109,11 @@ object Dedup {
       threshold: Double = 0.4): DataFrame = {
     // The shingle table feeds three consumers (signature agg, verify
     // join ×2), so it is cached — and released deterministically: the
-    // (candidate-bounded, small) result is materialized eagerly via
-    // localCheckpoint, after which the cache is dropped in `finally`.
-    // Shingle-set sizes ride along in the signature aggregation, so no
-    // separate sizes pass exists.
+    // (candidate-bounded, small) result is persisted and materialized
+    // eagerly, after which the big shingle cache is dropped in `finally`.
+    // Lineage stays intact (a lost result block recomputes through the
+    // now-uncached shingles — slower, never fatal). Shingle-set sizes ride
+    // along in the signature aggregation, so no separate sizes pass exists.
     val sh = shingleHashes(df, idCol, text).cache()
     try {
       val sig = minhashAgg(sh, idCol)
@@ -135,7 +136,11 @@ object Dedup {
           col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .localCheckpoint(true)
+      match { case result =>
+        result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        result.count() // materialize while sh is still cached
+        result
+      }
     } finally sh.unpersist()
   }
 
@@ -160,16 +165,21 @@ object Dedup {
       .select(col(idCol), assembled.as("simhash"))
   }
 
-  /** Streaming exact dedup: keep the first arrival per signature, with
+  /** Streaming exact dedup: emit ONE representative per signature, with
     * state bounded by the event-time watermark (a signature older than the
     * delay is evicted — new duplicates of it pass through, the documented
     * tradeoff of windowed streaming dedup at unbounded scale). Built on
-    * `dropDuplicates`, whose state store is per-key and partition-parallel.
+    * `dropDuplicatesWithinWatermark`, whose state is keyed by the
+    * signature columns ALONE (a plain `dropDuplicates(sig :+ ts)` would
+    * dedup per (signature, timestamp), passing same-signature rows with
+    * different event times). Which duplicate inside a single micro-batch
+    * survives is engine-chosen, not time-ordered — later batches always
+    * dedup against the stored key.
     */
   def streamingExact(df: DataFrame, sigCols: Seq[String],
       eventTimeCol: String, watermarkDelay: String): DataFrame =
     df.withWatermark(eventTimeCol, watermarkDelay)
-      .dropDuplicates(sigCols :+ eventTimeCol)
+      .dropDuplicatesWithinWatermark(sigCols)
 
   /** Streaming exact dedup with UNBOUNDED state (no watermark): exact
     * first-wins semantics forever — correct for bounded replays, grows

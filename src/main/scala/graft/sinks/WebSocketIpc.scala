@@ -37,9 +37,14 @@ object WebSocketIpc {
     * Blocks until written, like the reference sender.
     */
   def sendBuffer(host: String, port: Int, target: String,
-      payload: Array[Byte]): Unit = {
-    val socket = new Socket(host, port)
+      payload: Array[Byte],
+      connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000): Unit = {
+    // bounded connect + handshake-read timeouts: a half-open server must
+    // fail the micro-batch loudly, not wedge the streaming query forever
+    val socket = new Socket()
     try {
+      socket.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+      socket.setSoTimeout(readTimeoutMs)
       val out = new DataOutputStream(socket.getOutputStream)
       val in = new DataInputStream(socket.getInputStream)
 

@@ -91,7 +91,9 @@ private[sources] class ProcessMicroBatchStream(command: String)
   private def ensureStarted(): Unit = lock.synchronized {
     if (process == null) {
       val pb = new ProcessBuilder(command.split("\\s+"): _*)
-      pb.redirectErrorStream(false)
+      // stderr goes straight to the driver's stderr: diagnostics stay
+      // visible and the child can never block on a full stderr pipe
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       process = pb.start()
       readerThread = new Thread(() => {
         val r = new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -122,6 +124,14 @@ private[sources] class ProcessMicroBatchStream(command: String)
     val s = start.asInstanceOf[LineCountOffset].count
     val e = end.asInstanceOf[LineCountOffset].count
     val slice = lock.synchronized {
+      // offsets are line counts of THIS process's lifetime — a checkpoint
+      // from a previous run references lines this process never produced.
+      // Fail fast instead of silently committing empty batches over them.
+      if (s > base + buffer.size)
+        throw new IllegalStateException(
+          s"ProcessSource cannot replay offset $s from a previous run " +
+            s"(this process has produced ${base + buffer.size} lines) — " +
+            "delete the checkpoint or replay from files instead")
       buffer.slice((s - base).toInt.max(0), (e - base).toInt.max(0)).toArray
     }
     Array(LinesPartition(slice))

@@ -154,6 +154,29 @@ class CanStreamSpec extends AnyFunSuite {
     assert(sigs.sortBy(_._1).toSeq == Seq(("a", 0L), ("b", 10L), ("c", 40L)))
   }
 
+  test("watermarked streaming dedup keys state on signature alone") {
+    import graft.ops.Dedup
+    val input = MemoryStream[(String, Long)](spark)
+    val df = input.toDF().toDF("sig", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    // duplicates arrive at DIFFERENT event times — a (sig, ts) key would
+    // pass them all; signature-keyed state must drop them
+    val deduped = Dedup.streamingExact(df, Seq("sig"), "ts", "10 seconds")
+      .select("sig", "ms")
+    val q = deduped.writeStream.format("memory").queryName("sddw")
+      .outputMode("append").start()
+    input.addData(("a", 0L), ("a", 500L), ("b", 100L))
+    q.processAllAvailable()
+    input.addData(("a", 900L), ("b", 1500L), ("c", 2000L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sddw").collect().map(r => (r.getString(0), r.getLong(1)))
+    // exactly one representative per signature (which same-batch duplicate
+    // survives is engine-chosen); cross-batch duplicates always dropped
+    assert(rows.map(_._1).sorted.toSeq == Seq("a", "b", "c"))
+    assert(!rows.contains(("a", 900L)) && !rows.contains(("b", 1500L)))
+  }
+
   test("process bridge source (S2) streams a command's stdout and decodes") {
     val frames = CanStream.framesFromProcess(spark, "cat fixtures/mini.log")
     val wide = CanStream.decoded(net, frames).drop("ts")
