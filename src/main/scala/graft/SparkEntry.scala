@@ -669,6 +669,18 @@ object SparkEntry {
         .select("event_id", "user_id", "prev_purchase_id", "prev_purchase_value")
     }),
 
+    "qj_asof_forward" -> ((s, dir) => {
+      // forward as-of: each event's NEXT purchase by the same user
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      AsOfJoin.forward(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          key = "user_id", ts = "ts", payload = Seq("purchase_id", "purchase_value"))
+        .select("event_id", "user_id", "next_purchase_id", "next_purchase_value")
+    }),
+
     "qj_skew_salted" -> ((s, dir) => {
       // salted join result must equal the plain join (oracle is unsalted)
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
@@ -1388,6 +1400,13 @@ object SparkEntry {
           |FROM events e
           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           |  ON e.user_id = p.user_id AND e.ts > p.ts""".stripMargin,
+
+      "qj_asof_forward" ->
+        """SELECT e.event_id, e.user_id,
+          |  p.event_id AS next_purchase_id, p.value AS next_purchase_value
+          |FROM events e
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          |  ON e.user_id = p.user_id AND e.ts < p.ts""".stripMargin,
 
       "qj_skew_salted" ->
         """SELECT o_orderpriority,

@@ -49,6 +49,31 @@ object AsOfJoin {
       .select((leftCols.map(col) ++
         payload.map(c => col(s"_asof_p.$c").as(s"prev_$c"))): _*)
   }
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `right.ts > left.ts` (strict; `>=` when `strict=false`) and equal
+    * key — the backward join run down a descending time order. Same
+    * one-shuffle, no-explosion shape; output columns are `next_<payload>`.
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String], strict: Boolean = true): DataFrame = {
+    val (lSide, rSide) = if (strict) (0, 1) else (1, 0)
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("_side", lit(lSide))
+    val r = right.select(col(key), col(ts),
+        struct(payload.map(col): _*).as("_asof_p"))
+      .withColumn("_side", lit(rSide))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // descending time: "last preceding" becomes "first following"; at equal
+    // ts the side order again decides strictness
+    val w = Window.partitionBy(key).orderBy(col(ts).desc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn("_asof_p",
+      last(col("_asof_p"), ignoreNulls = true).over(w))
+    filled.filter(col("_side") === lSide)
+      .select((leftCols.map(col) ++
+        payload.map(c => col(s"_asof_p.$c").as(s"next_$c"))): _*)
+  }
 }
 
 /** Skew-mitigated equi-join: salt the (possibly skewed) left side into S

@@ -188,6 +188,18 @@ class JoinOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.isNullAt(out.fieldIndex("prev_v"))) // its null field stays null
   }
 
+  test("asof forward: strict vs non-strict at equal ts; no later match null") {
+    val l = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "v", 5L)).toDF("id", "k", "t")
+    val r = Seq(("u", 10L, 100L), ("u", 15L, 150L)).toDF("k", "t", "p")
+    val strict = AsOfJoin.forward(l, r, "k", "t", Seq("p")).orderBy("id")
+      .collect().map(x => x.getAs[Any]("next_p"))
+    // id1@10: next strictly-later is 15→150; id2@20: none; id3: other key
+    assert(strict.toSeq == Seq(150L, null, null))
+    val nonstrict = AsOfJoin.forward(l, r, "k", "t", Seq("p"), strict = false)
+      .orderBy("id").collect().map(x => x.getAs[Any]("next_p"))
+    assert(nonstrict.toSeq == Seq(100L, null, null))
+  }
+
   test("salted join equals plain join") {
     val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
     val r = Seq((1L, 10), (1L, 11), (2L, 20)).toDF("rk", "rv")
