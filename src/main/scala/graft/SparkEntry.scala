@@ -681,6 +681,25 @@ object SparkEntry {
         .select("event_id", "user_id", "next_purchase_id", "next_purchase_value")
     }),
 
+    "qj_range" -> ((s, dir) => {
+      // bucketized range join: events falling inside any 1-hour
+      // post-purchase window of the same user (bucket width = interval
+      // length → ≤2 replicas per interval, hash equi-join, no nested loop)
+      val hourUs = 3600000000L
+      val ev = events(s, dir)
+      val points = ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      val intervals = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + hourUs).as("end_us"),
+          col("event_id").as("purchase_id"))
+      graft.ops.RangeJoin.pointInInterval(points, intervals,
+          "us", "start_us", "end_us", Seq("user_id"), bucketWidth = hourUs)
+        .select("event_id", "purchase_id")
+        .orderBy("event_id", "purchase_id")
+    }),
+
     "qj_skew_salted" -> ((s, dir) => {
       // salted join result must equal the plain join (oracle is unsalted)
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
@@ -1407,6 +1426,16 @@ object SparkEntry {
           |FROM events e
           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           |  ON e.user_id = p.user_id AND e.ts < p.ts""".stripMargin,
+
+      "qj_range" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+          |iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 3600000000 AS e,
+          |    event_id AS purchase_id
+          |  FROM events WHERE event_type = 'purchase')
+          |SELECT ev.event_id, iv.purchase_id
+          |FROM ev JOIN iv ON ev.user_id = iv.user_id
+          |  AND ev.us >= iv.s AND ev.us <= iv.e
+          |ORDER BY 1, 2""".stripMargin,
 
       "qj_skew_salted" ->
         """SELECT o_orderpriority,

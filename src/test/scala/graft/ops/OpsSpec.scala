@@ -200,6 +200,21 @@ class JoinOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(nonstrict.toSeq == Seq(100L, null, null))
   }
 
+  test("bucketized range join equals naive inequality join, no dup pairs") {
+    val pts = (0L until 60L).map(i => (i, s"k${i % 3}", i * 7 % 100)).toDF("pid", "k", "t")
+    val ivs = (0L until 20L).map(i =>
+      (i, s"k${i % 3}", (i * 13) % 80, (i * 13) % 80 + (i % 4) * 10)).toDF("iid", "k", "s", "e")
+    val naive = pts.join(ivs, Seq("k")).filter($"t" >= $"s" && $"t" <= $"e")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(naive.length == naive.toSet.size && naive.nonEmpty)
+    for (width <- Seq(5L, 10L, 64L)) {
+      val bucketized = RangeJoin.pointInInterval(pts, ivs, "t", "s", "e", Seq("k"), width)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(bucketized.length == bucketized.toSet.size, s"dups at width $width")
+      assert(bucketized.toSet == naive.toSet, s"mismatch at width $width")
+    }
+  }
+
   test("salted join equals plain join") {
     val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
     val r = Seq((1L, 10), (1L, 11), (2L, 20)).toDF("rk", "rv")
