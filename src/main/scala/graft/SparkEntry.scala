@@ -587,6 +587,28 @@ object SparkEntry {
     "qd_cosine_nn" -> ((s, dir) =>
       Similarity.nearestNeighborPerVector(t(s, dir, "embeddings"))),
 
+    "qd_embed_dups" -> ((s, dir) =>
+      // embedding-cosine near-dup pairs over the bucketed candidate set
+      // (the synthetic embeddings are near-orthogonal — max NN cosine
+      // ≈0.41 — so the threshold sits where the gate exercises real rows)
+      Similarity.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.3)
+        .orderBy("va", "vb")),
+
+    "qt_stratified" -> ((s, dir) => {
+      // stratified reproducible sampling: per-language md5-residue rates
+      // (en 10%, de 20%, fr 50%, others 100%) — deterministic across
+      // engines and runs, unlike rand-based sampleBy
+      val residue = TextAnalysis.md5Long(col("text")) % 100
+      val rate = when(col("lang") === "en", 10)
+        .when(col("lang") === "de", 20)
+        .when(col("lang") === "fr", 50)
+        .otherwise(100)
+      t(s, dir, "documents")
+        .filter(residue < rate)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
     "qt_sample" -> ((s, dir) => {
       // reproducible systematic sampling: keep docs whose 60-bit md5 hash
       // lands in a 1/10 residue class — deterministic across engines and
@@ -1345,6 +1367,26 @@ object SparkEntry {
            |r AS (SELECT va, vb, cos,
            |    row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn FROM p)
            |SELECT va AS vec_id, vb AS nn_id, cos AS nn_cos FROM r WHERE rn = 1""".stripMargin),
+
+      "qd_embed_dups" -> (quantCte +
+        s""",
+           |bkt AS (SELECT vec_id, label, $nnBucketExpr AS bucket FROM n),
+           |bp AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM bkt a JOIN bkt b
+           |  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+           |rng AS (SELECT lag(vec_id) OVER (PARTITION BY label ORDER BY vec_id) AS va,
+           |    vec_id AS vb FROM n),
+           |cand AS (SELECT va, vb FROM bp
+           |  UNION SELECT va, vb FROM rng WHERE va IS NOT NULL),
+           |p AS (SELECT va, vb, $dotAB / (sqrt(a.nrm)*sqrt(b.nrm)) AS cos
+           |  FROM cand JOIN n a ON va = a.vec_id JOIN n b ON vb = b.vec_id)
+           |SELECT va, vb, cos FROM p WHERE cos >= 0.3 ORDER BY va, vb""".stripMargin),
+
+      "qt_stratified" ->
+        s"""SELECT lang, count(*) AS n_sampled FROM documents
+           |WHERE ${h("text")} % 100 <
+           |  CASE WHEN lang = 'en' THEN 10 WHEN lang = 'de' THEN 20
+           |       WHEN lang = 'fr' THEN 50 ELSE 100 END
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "qs_ann_topk" -> (quantCte +
         s""",

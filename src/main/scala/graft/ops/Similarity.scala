@@ -225,6 +225,33 @@ object Similarity {
       .select(col("va").as("vec_id"), col("vb").as("nn_id"), col("cos").as("nn_cos"))
   }
 
+  /** Embedding near-duplicate pairs: candidate pairs from the same
+    * (label, LSH-bucket) cells plus the id-adjacency ring (the
+    * [[nearestNeighborPerVector]] candidate generator), kept when exact
+    * cosine ≥ threshold. Approximate like any LSH dedup — a dup pair split
+    * across buckets and non-adjacent ids is missed — with the same bounded
+    * join fan-out.
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    val q = emb.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+    val withB = q.withColumn("bucket", lshBucket(col("qv"), numPlanes = NnPlanes))
+    val bkA = withB.select(col("vec_id").as("va"), col("label"), col("bucket"))
+    val bkB = withB.select(col("vec_id").as("vb"), col("label"), col("bucket"))
+    val bucketPairs = bkA.join(bkB, Seq("label", "bucket"))
+      .filter(col("va") < col("vb")).select("va", "vb")
+    val w = Window.partitionBy("label").orderBy("vec_id")
+    val ring = q.select(col("vec_id"), col("label"))
+      .withColumn("prev", lag(col("vec_id"), 1).over(w))
+    val ringPairs = ring.filter(col("prev").isNotNull)
+      .select(col("prev").as("va"), col("vec_id").as("vb"))
+    val cand = bucketPairs.union(ringPairs).distinct()
+    cand
+      .join(q.select(col("vec_id").as("va"), col("qv").as("qa")), "va")
+      .join(q.select(col("vec_id").as("vb"), col("qv").as("qb")), "vb")
+      .select(col("va"), col("vb"), cosine(col("qa"), col("qb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** All-pairs exact form of [[nearestNeighborPerVector]] — correctness
     * baseline for small blocks and the differential test; k² per label, so
     * not the scale path.
