@@ -422,6 +422,25 @@ object SparkEntry {
       Bucketer.bucket(ev, BucketMode.Exact(60000.0)).orderBy("Time_ms")
     }),
 
+    "qc_bucket_defacto" -> ((s, dir) => {
+      // T1b DeFacto close ordering under the oracle: the reference's
+      // decode-before-gap-check loop (closing frame's values land in the
+      // closed row, its ts opens the next bucket, subtract-form FP test),
+      // replayed by a recursive CTE that reassigns each bucket-opener's
+      // values to the previous bucket. Same bounded subset as
+      // qc_bucket_exact (every ts in it is unique, so "the opener" is
+      // well-defined on both sides).
+      val ev = events(s, dir).filter(col("event_id") < 2000)
+        .withColumn("ts_ms",
+          (unix_micros(col("ts")) - 1704067200000000L) / 1000.0)
+        .withColumn("a", when(col("event_type") === "click", col("value")))
+        .withColumn("c", when(col("event_type") === "error", col("user_id")))
+        .select("ts_ms", "a", "c")
+      Bucketer.bucket(ev,
+          BucketMode.Exact(60000.0, closeOrder = CloseOrder.DeFacto))
+        .orderBy("Time_ms")
+    }),
+
     "qc_ffill_distributed" -> ((s, dir) => {
       // T5 scalable two-pass fill, ordered by unique event_id
       val ev = events(s, dir)
@@ -1091,6 +1110,30 @@ object SparkEntry {
         |  max_by(a, CASE WHEN a IS NOT NULL THEN ts_ms END) AS a,
         |  max_by(c, CASE WHEN c IS NOT NULL THEN ts_ms END) AS c
         |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "qc_bucket_defacto" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT (epoch_us(ts) - 1704067200000000) / 1000.0 AS ts_ms,
+        |    CASE WHEN event_type = 'click' THEN value END AS a,
+        |    CASE WHEN event_type = 'error' THEN user_id END AS c
+        |  FROM events WHERE event_id < 2000),
+        |b(start) AS (
+        |  SELECT min(ts_ms) FROM w
+        |  UNION ALL
+        |  SELECT (SELECT min(ts_ms) FROM w WHERE ts_ms - b.start > 60000) FROM b
+        |  WHERE (SELECT min(ts_ms) FROM w WHERE ts_ms - b.start > 60000) IS NOT NULL),
+        |assigned AS (
+        |  SELECT w.*, (SELECT max(start) FROM b WHERE start <= w.ts_ms) AS bstart FROM w),
+        |valued AS (
+        |  SELECT ts_ms, a, c,
+        |    CASE WHEN ts_ms = bstart AND bstart > (SELECT min(start) FROM b)
+        |      THEN (SELECT max(start) FROM b WHERE start < a2.bstart)
+        |      ELSE bstart END AS vstart
+        |  FROM assigned a2)
+        |SELECT vstart AS Time_ms,
+        |  max_by(a, CASE WHEN a IS NOT NULL THEN ts_ms END) AS a,
+        |  max_by(c, CASE WHEN c IS NOT NULL THEN ts_ms END) AS c
+        |FROM valued GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "qc_ffill_distributed" ->
       """SELECT event_id, user_id,
