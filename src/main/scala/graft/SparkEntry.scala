@@ -33,6 +33,18 @@ object SparkEntry {
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** The bounded (event_id < 2000, all-unique-ts) sparse-signal subset
+    * shared by the two T1b exact-bucketing gates and their recursive-CTE
+    * oracles — ONE definition so the paired gates can't desynchronize.
+    */
+  private def exactBucketSubset(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(col("event_id") < 2000)
+      .withColumn("ts_ms",
+        (unix_micros(col("ts")) - 1704067200000000L) / 1000.0)
+      .withColumn("a", when(col("event_type") === "click", col("value")))
+      .withColumn("c", when(col("event_type") === "error", col("user_id")))
+      .select("ts_ms", "a", "c")
+
   /** Exact integer-cents sum, emitted as double (scale 10^d). */
   private def centSum(c: Column, digits: Int = 2): Column = {
     val scale = math.pow(10, digits)
@@ -413,13 +425,8 @@ object SparkEntry {
       // T1b: the reference's exact data-driven chained boundaries, checked
       // against a DuckDB recursive-CTE replay of the same fold. Bounded to
       // a deterministic 2000-row subset: the oracle recursion is O(n²).
-      val ev = events(s, dir).filter(col("event_id") < 2000)
-        .withColumn("ts_ms",
-          (unix_micros(col("ts")) - 1704067200000000L) / 1000.0)
-        .withColumn("a", when(col("event_type") === "click", col("value")))
-        .withColumn("c", when(col("event_type") === "error", col("user_id")))
-        .select("ts_ms", "a", "c")
-      Bucketer.bucket(ev, BucketMode.Exact(60000.0)).orderBy("Time_ms")
+      Bucketer.bucket(exactBucketSubset(s, dir), BucketMode.Exact(60000.0))
+        .orderBy("Time_ms")
     }),
 
     "qc_bucket_defacto" -> ((s, dir) => {
@@ -430,13 +437,7 @@ object SparkEntry {
       // values to the previous bucket. Same bounded subset as
       // qc_bucket_exact (every ts in it is unique, so "the opener" is
       // well-defined on both sides).
-      val ev = events(s, dir).filter(col("event_id") < 2000)
-        .withColumn("ts_ms",
-          (unix_micros(col("ts")) - 1704067200000000L) / 1000.0)
-        .withColumn("a", when(col("event_type") === "click", col("value")))
-        .withColumn("c", when(col("event_type") === "error", col("user_id")))
-        .select("ts_ms", "a", "c")
-      Bucketer.bucket(ev,
+      Bucketer.bucket(exactBucketSubset(s, dir),
           BucketMode.Exact(60000.0, closeOrder = CloseOrder.DeFacto))
         .orderBy("Time_ms")
     }),

@@ -29,7 +29,24 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
-      payload: Seq[String], strict: Boolean = true): DataFrame = {
+      payload: Seq[String], strict: Boolean = true): DataFrame =
+    asof(left, right, key, ts, payload, strict, descending = false, prefix = "prev_")
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `right.ts > left.ts` (strict; `>=` when `strict=false`) and equal
+    * key — the backward join run down a descending time order. Same
+    * one-shuffle, no-explosion shape; output columns are `next_<payload>`.
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String], strict: Boolean = true): DataFrame =
+    asof(left, right, key, ts, payload, strict, descending = true, prefix = "next_")
+
+  /** Shared union+window fold: descending time turns "last preceding" into
+    * "first following"; at equal ts the side order decides strictness.
+    */
+  private def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String], strict: Boolean, descending: Boolean,
+      prefix: String): DataFrame = {
     val (lSide, rSide) = if (strict) (0, 1) else (1, 0)
     val leftCols = left.columns.toSeq
     val l = left.withColumn("_side", lit(lSide))
@@ -41,38 +58,14 @@ object AsOfJoin {
         struct(payload.map(col): _*).as("_asof_p"))
       .withColumn("_side", lit(rSide))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("_side").asc)
+    val order = if (descending) col(ts).desc else col(ts).asc
+    val w = Window.partitionBy(key).orderBy(order, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("_asof_p",
       last(col("_asof_p"), ignoreNulls = true).over(w))
     filled.filter(col("_side") === lSide)
       .select((leftCols.map(col) ++
-        payload.map(c => col(s"_asof_p.$c").as(s"prev_$c"))): _*)
-  }
-
-  /** Forward as-of join: for each left row, the EARLIEST right row with
-    * `right.ts > left.ts` (strict; `>=` when `strict=false`) and equal
-    * key — the backward join run down a descending time order. Same
-    * one-shuffle, no-explosion shape; output columns are `next_<payload>`.
-    */
-  def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
-      payload: Seq[String], strict: Boolean = true): DataFrame = {
-    val (lSide, rSide) = if (strict) (0, 1) else (1, 0)
-    val leftCols = left.columns.toSeq
-    val l = left.withColumn("_side", lit(lSide))
-    val r = right.select(col(key), col(ts),
-        struct(payload.map(col): _*).as("_asof_p"))
-      .withColumn("_side", lit(rSide))
-    val unioned = l.unionByName(r, allowMissingColumns = true)
-    // descending time: "last preceding" becomes "first following"; at equal
-    // ts the side order again decides strictness
-    val w = Window.partitionBy(key).orderBy(col(ts).desc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = unioned.withColumn("_asof_p",
-      last(col("_asof_p"), ignoreNulls = true).over(w))
-    filled.filter(col("_side") === lSide)
-      .select((leftCols.map(col) ++
-        payload.map(c => col(s"_asof_p.$c").as(s"next_$c"))): _*)
+        payload.map(c => col(s"_asof_p.$c").as(s"$prefix$c"))): _*)
   }
 }
 

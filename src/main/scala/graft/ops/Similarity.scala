@@ -200,29 +200,48 @@ object Similarity {
     * baseline).
     */
   def nearestNeighborPerVector(emb: DataFrame): DataFrame = {
-    val q = emb.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
-    val withB = q.withColumn("bucket", lshBucket(col("qv"), numPlanes = NnPlanes))
-    val bkA = withB.select(col("vec_id").as("va"), col("label"), col("bucket"))
-    val bkB = withB.select(col("vec_id").as("vb"), col("label"), col("bucket"))
-    val bucketPairs = bkA.join(bkB, Seq("label", "bucket"))
-      .filter(col("va") =!= col("vb")).select("va", "vb")
-    val w = Window.partitionBy("label").orderBy("vec_id")
-    val ring = q.select(col("vec_id"), col("label"))
-      .withColumn("prev", lag(col("vec_id"), 1).over(w))
-      .withColumn("next", lead(col("vec_id"), 1).over(w))
-    val ringPairs = ring.filter(col("prev").isNotNull)
-      .select(col("vec_id").as("va"), col("prev").as("vb"))
-      .union(ring.filter(col("next").isNotNull)
-        .select(col("vec_id").as("va"), col("next").as("vb")))
-    val cand = bucketPairs.union(ringPairs).distinct()
-    val pairs = cand
-      .join(q.select(col("vec_id").as("va"), col("qv").as("qa")), "va")
-      .join(q.select(col("vec_id").as("vb"), col("qv").as("qb")), "vb")
-      .select(col("va"), col("vb"), cosine(col("qa"), col("qb")).as("cos"))
+    val q = quantized(emb)
+    val pairs = candidateCosines(q, ordered = false)
     val wr = Window.partitionBy("va").orderBy(col("cos").desc, col("vb"))
     pairs.withColumn("rn", row_number().over(wr))
       .filter(col("rn") === 1)
       .select(col("va").as("vec_id"), col("vb").as("nn_id"), col("cos").as("nn_cos"))
+  }
+
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+
+  /** Shared candidate generator for the bucketed NN/near-dup operators:
+    * same-(label, LSH-bucket) pairs plus the id-adjacency ring fallback,
+    * deduplicated, with the exact cosine computed per candidate.
+    * `ordered = true` emits each unordered pair once (va < vb, prev-only
+    * ring); `false` emits both directions (per-vector consumers).
+    */
+  private def candidateCosines(q: DataFrame, ordered: Boolean): DataFrame = {
+    val withB = q.withColumn("bucket", lshBucket(col("qv"), numPlanes = NnPlanes))
+    val bkA = withB.select(col("vec_id").as("va"), col("label"), col("bucket"))
+    val bkB = withB.select(col("vec_id").as("vb"), col("label"), col("bucket"))
+    val pairFilter = if (ordered) col("va") < col("vb") else col("va") =!= col("vb")
+    val bucketPairs = bkA.join(bkB, Seq("label", "bucket"))
+      .filter(pairFilter).select("va", "vb")
+    val w = Window.partitionBy("label").orderBy("vec_id")
+    val ring = q.select(col("vec_id"), col("label"))
+      .withColumn("prev", lag(col("vec_id"), 1).over(w))
+      .withColumn("next", lead(col("vec_id"), 1).over(w))
+    val prevPairs =
+      if (ordered) ring.filter(col("prev").isNotNull)
+        .select(col("prev").as("va"), col("vec_id").as("vb"))
+      else ring.filter(col("prev").isNotNull)
+        .select(col("vec_id").as("va"), col("prev").as("vb"))
+    val ringPairs =
+      if (ordered) prevPairs
+      else prevPairs.union(ring.filter(col("next").isNotNull)
+        .select(col("vec_id").as("va"), col("next").as("vb")))
+    val cand = bucketPairs.union(ringPairs).distinct()
+    cand
+      .join(q.select(col("vec_id").as("va"), col("qv").as("qa")), "va")
+      .join(q.select(col("vec_id").as("vb"), col("qv").as("qb")), "vb")
+      .select(col("va"), col("vb"), cosine(col("qa"), col("qb")).as("cos"))
   }
 
   /** Embedding near-duplicate pairs: candidate pairs from the same
@@ -232,25 +251,9 @@ object Similarity {
     * across buckets and non-adjacent ids is missed — with the same bounded
     * join fan-out.
     */
-  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
-    val q = emb.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
-    val withB = q.withColumn("bucket", lshBucket(col("qv"), numPlanes = NnPlanes))
-    val bkA = withB.select(col("vec_id").as("va"), col("label"), col("bucket"))
-    val bkB = withB.select(col("vec_id").as("vb"), col("label"), col("bucket"))
-    val bucketPairs = bkA.join(bkB, Seq("label", "bucket"))
-      .filter(col("va") < col("vb")).select("va", "vb")
-    val w = Window.partitionBy("label").orderBy("vec_id")
-    val ring = q.select(col("vec_id"), col("label"))
-      .withColumn("prev", lag(col("vec_id"), 1).over(w))
-    val ringPairs = ring.filter(col("prev").isNotNull)
-      .select(col("prev").as("va"), col("vec_id").as("vb"))
-    val cand = bucketPairs.union(ringPairs).distinct()
-    cand
-      .join(q.select(col("vec_id").as("va"), col("qv").as("qa")), "va")
-      .join(q.select(col("vec_id").as("vb"), col("qv").as("qb")), "vb")
-      .select(col("va"), col("vb"), cosine(col("qa"), col("qb")).as("cos"))
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame =
+    candidateCosines(quantized(emb), ordered = true)
       .filter(col("cos") >= threshold)
-  }
 
   /** All-pairs exact form of [[nearestNeighborPerVector]] — correctness
     * baseline for small blocks and the differential test; k² per label, so

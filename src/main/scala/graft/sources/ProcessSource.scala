@@ -126,11 +126,12 @@ private[sources] class ProcessMicroBatchStream(command: String)
     val slice = lock.synchronized {
       // offsets are line counts of THIS process's lifetime — a checkpoint
       // from a previous run references lines this process never produced.
-      // Fail fast instead of silently committing empty batches over them.
-      if (s > base + buffer.size)
+      // Fail fast (on either end of the range) instead of silently
+      // committing truncated or empty batches over them.
+      if (s > base + buffer.size || e > base + buffer.size)
         throw new IllegalStateException(
-          s"ProcessSource cannot replay offset $s from a previous run " +
-            s"(this process has produced ${base + buffer.size} lines) — " +
+          s"ProcessSource cannot replay offsets [$s, $e) from a previous " +
+            s"run (this process has produced ${base + buffer.size} lines) — " +
             "delete the checkpoint or replay from files instead")
       buffer.slice((s - base).toInt.max(0), (e - base).toInt.max(0)).toArray
     }
