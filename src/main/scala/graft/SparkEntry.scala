@@ -554,6 +554,31 @@ object SparkEntry {
         .orderBy("lang", "bucket_floor")
     }),
 
+    "qt_packing" -> ((s, dir) => {
+      // cumulative sequence packing for training batches: within each
+      // language, docs ordered by (tokens desc, doc_id) get running-sum
+      // pack ids — pack = floor(preceding-cumsum / budget). The window
+      // runs per language partition (parallel across langs); exact
+      // first-fit is inherently sequential, this is the standard
+      // distributed approximation. Summary: packs per lang + fill stats.
+      import org.apache.spark.sql.expressions.Window
+      val budget = 4096L
+      val nTok = TextAnalysis.tokenCount(col("text")).cast("long")
+      val d = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("lang"), nTok.as("n"))
+        .filter(col("n") <= budget)
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum", sum(col("n")).over(w))
+        .withColumn("pack_id", floor((col("cum") - col("n")) / budget).cast("long"))
+        .groupBy("lang")
+        .agg(countDistinct(col("pack_id")).as("n_packs"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"))
+        .orderBy("lang")
+    }),
+
     "qp_decontaminate" -> ((s, dir) => {
       // eval-set decontamination — the standard pre-training pass: find
       // train docs sharing any word-trigram shingle with a held-out eval
@@ -1346,6 +1371,18 @@ object SparkEntry {
            |  count(*) AS n_docs,
            |  CAST(sum(n) AS BIGINT) AS sum_tokens
            |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "qt_packing" ->
+        s"""WITH d AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n
+           |  FROM documents WHERE length(trim(text)) > 0
+           |    AND CAST(len($toks) AS BIGINT) <= 4096),
+           |p AS (SELECT lang, n,
+           |    (sum(n) OVER (PARTITION BY lang ORDER BY n DESC, doc_id
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n) // 4096 AS pack_id
+           |  FROM d)
+           |SELECT lang, CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "qp_decontaminate" ->
         s"""WITH tk AS (SELECT doc_id, ${h("text")} % 20 = 1 AS is_eval, $toks w FROM documents),
