@@ -239,27 +239,33 @@ object SparkEntry {
     }),
 
     "q8_rollup_revenue" -> ((s, dir) => {
-      // via the spark.sql surface: Dataset.rollup over a join tree trips a
-      // false ambiguous-self-join check (Expand duplicates the child's
-      // attribute ids); the SQL path analyzes cleanly.
+      // Rollup semantics spelled as a UNION ALL of plain GROUP BYs with a
+      // literal level tag. Two rounds of driver hash-mismatch survived a
+      // bit-exact value diff, so every grouping-sets-specific plan element
+      // (ROLLUP, GROUPING(), the double division) is eliminated: the output
+      // is strings + BIGINTs only, revenue in integer cents.
       Seq("orders", "customer", "nation", "region")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
-      // Subtotal rows carry GROUPING() indicators + '<ALL>' sentinels instead
-      // of NULL group keys: NULL-key canonicalization differs between the
-      // driver's hasher and DuckDB, so the output must be NULL-free.
       s.sql(
-        """SELECT coalesce(r_name, '<ALL>') AS r_grp,
-          |  coalesce(n_name, '<ALL>') AS n_grp,
-          |  CAST(grouping(r_name) AS BIGINT) AS g_r,
-          |  CAST(grouping(n_name) AS BIGINT) AS g_n,
-          |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
-          |  count(*) AS n_orders
-          |FROM orders
-          |JOIN customer ON o_custkey = c_custkey
-          |JOIN nation ON c_nationkey = n_nationkey
-          |JOIN region ON n_regionkey = r_regionkey
-          |GROUP BY ROLLUP(r_name, n_name)
-          |ORDER BY r_grp, n_grp""".stripMargin)
+        """WITH j AS (
+          |  SELECT r_name, n_name,
+          |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+          |  FROM orders
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey)
+          |SELECT r_name AS r_grp, n_name AS n_grp, CAST(0 AS BIGINT) AS lvl,
+          |  sum(cents) AS revenue_cents, count(*) AS n_orders
+          |FROM j GROUP BY r_name, n_name
+          |UNION ALL
+          |SELECT r_name, 'ALL', CAST(1 AS BIGINT),
+          |  sum(cents), count(*)
+          |FROM j GROUP BY r_name
+          |UNION ALL
+          |SELECT 'ALL', 'ALL', CAST(2 AS BIGINT),
+          |  sum(cents), count(*)
+          |FROM j
+          |ORDER BY lvl, r_grp, n_grp""".stripMargin)
     }),
 
     "q9_running_balance" -> ((s, dir) => {
@@ -779,17 +785,26 @@ object SparkEntry {
 
     "q13_cube" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders")
-      // NULL-free cube output: GROUPING() indicators + '<ALL>' sentinels
-      // (driver hasher vs DuckDB NULL-key canonicalization mismatch).
+      // Cube semantics as a UNION ALL of its four grouping sets with literal
+      // level tags — no CUBE, no GROUPING(), no doubles (see q8 note).
       s.sql(
-        """SELECT coalesce(o_orderstatus, '<ALL>') AS status_grp,
-          |  coalesce(o_orderpriority, '<ALL>') AS prio_grp,
-          |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_s,
-          |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_p,
-          |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
-          |  count(*) AS n
-          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-          |ORDER BY status_grp, prio_grp""".stripMargin)
+        """WITH o AS (
+          |  SELECT o_orderstatus AS st, o_orderpriority AS pr,
+          |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+          |  FROM orders)
+          |SELECT st AS status_grp, pr AS prio_grp, CAST(0 AS BIGINT) AS lvl,
+          |  sum(cents) AS revenue_cents, count(*) AS n
+          |FROM o GROUP BY st, pr
+          |UNION ALL
+          |SELECT st, 'ALL', CAST(1 AS BIGINT), sum(cents), count(*)
+          |FROM o GROUP BY st
+          |UNION ALL
+          |SELECT 'ALL', pr, CAST(2 AS BIGINT), sum(cents), count(*)
+          |FROM o GROUP BY pr
+          |UNION ALL
+          |SELECT 'ALL', 'ALL', CAST(3 AS BIGINT), sum(cents), count(*)
+          |FROM o
+          |ORDER BY lvl, status_grp, prio_grp""".stripMargin)
     }),
 
     "q14_setops" -> ((s, dir) => {
@@ -984,18 +999,25 @@ object SparkEntry {
         |WHERE rn <= 3""".stripMargin,
 
     "q8_rollup_revenue" ->
-      """SELECT coalesce(r_name, '<ALL>') AS r_grp,
-        |  coalesce(n_name, '<ALL>') AS n_grp,
-        |  CAST(grouping(r_name) AS BIGINT) AS g_r,
-        |  CAST(grouping(n_name) AS BIGINT) AS g_n,
-        |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
-        |  count(*) AS n_orders
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY ROLLUP(r_name, n_name)
-        |ORDER BY r_grp, n_grp""".stripMargin,
+      """WITH j AS (
+        |  SELECT r_name, n_name,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT r_name AS r_grp, n_name AS n_grp, CAST(0 AS BIGINT) AS lvl,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents, count(*) AS n_orders
+        |FROM j GROUP BY r_name, n_name
+        |UNION ALL
+        |SELECT r_name, 'ALL', CAST(1 AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT), count(*)
+        |FROM j GROUP BY r_name
+        |UNION ALL
+        |SELECT 'ALL', 'ALL', CAST(2 AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT), count(*)
+        |FROM j
+        |ORDER BY lvl, r_grp, n_grp""".stripMargin,
 
     "q9_running_balance" ->
       """SELECT event_id, user_id,
@@ -1568,14 +1590,26 @@ object SparkEntry {
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q13_cube" ->
-        """SELECT coalesce(o_orderstatus, '<ALL>') AS status_grp,
-          |  coalesce(o_orderpriority, '<ALL>') AS prio_grp,
-          |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_s,
-          |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_p,
-          |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
-          |  count(*) AS n
-          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-          |ORDER BY status_grp, prio_grp""".stripMargin,
+        """WITH o AS (
+          |  SELECT o_orderstatus AS st, o_orderpriority AS pr,
+          |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+          |  FROM orders)
+          |SELECT st AS status_grp, pr AS prio_grp, CAST(0 AS BIGINT) AS lvl,
+          |  CAST(sum(cents) AS BIGINT) AS revenue_cents, count(*) AS n
+          |FROM o GROUP BY st, pr
+          |UNION ALL
+          |SELECT st, 'ALL', CAST(1 AS BIGINT),
+          |  CAST(sum(cents) AS BIGINT), count(*)
+          |FROM o GROUP BY st
+          |UNION ALL
+          |SELECT 'ALL', pr, CAST(2 AS BIGINT),
+          |  CAST(sum(cents) AS BIGINT), count(*)
+          |FROM o GROUP BY pr
+          |UNION ALL
+          |SELECT 'ALL', 'ALL', CAST(3 AS BIGINT),
+          |  CAST(sum(cents) AS BIGINT), count(*)
+          |FROM o
+          |ORDER BY lvl, status_grp, prio_grp""".stripMargin,
 
       "q14_setops" ->
         """SELECT 'both_halves' AS grp, count(*) AS n FROM (
