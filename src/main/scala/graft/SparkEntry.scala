@@ -244,6 +244,11 @@ object SparkEntry {
       // bit-exact value diff, so every grouping-sets-specific plan element
       // (ROLLUP, GROUPING(), the double division) is eliminated: the output
       // is strings + BIGINTs only, revenue in integer cents.
+      // ASSUMES non-null grouping keys (r_name/n_name here, the status/
+      // priority pair in q13) — TPC-H-shaped dims guarantee it. With NULL
+      // keys, the 'ALL' sentinel would collide only across lvl values
+      // (disambiguated by the tag), but Spark's default ASC NULLS FIRST
+      // vs DuckDB's NULLS LAST would still diverge the ORDER BY.
       Seq("orders", "customer", "nation", "region")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(
@@ -911,13 +916,25 @@ object SparkEntry {
     }),
 
     "q18_sketches" -> ((s, dir) => {
-      // approximate sketch surface (HLL distinct, quantile sketch) — no
-      // SQL-exact oracle possible, so the driver records a rows-only check;
-      // exactness of the exact counterparts is covered by q4/q16
+      // approximate sketch surface (HLL distinct, quantile sketch). Sketch
+      // VALUES can't be SQL-exact across engines, so the gated output is
+      // exact columns + error-bound booleans: the HLL estimate must land
+      // within 3·rsd of the exact distinct count, and the approx median
+      // (accuracy 1000 ⇒ rank error ≤ 0.1%·n) inside the exact
+      // [p45, p55] value band. The oracle recomputes the exact columns
+      // and expects literal TRUE for the bounds — a real gate on sketch
+      // quality, hash-stable because booleans carry no float noise.
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(
-          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("_ap"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("_am"),
+          expr("percentile(l_extendedprice, 0.45)").as("_p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("_p55"))
+        .select(col("l_returnflag"), col("n"), col("exact_parts"),
+          (abs(col("_ap") - col("exact_parts"))
+            <= col("exact_parts").cast("double") * (3 * 0.02)).as("parts_ok"),
+          (col("_am") >= col("_p45") && col("_am") <= col("_p55")).as("median_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -1365,8 +1382,12 @@ object SparkEntry {
         s""",
            |sig AS (SELECT doc_id, $minhashSig FROM sh GROUP BY 1),
            |bands AS ($bandRows),
+           |cb AS (SELECT doc_id, band, bkey FROM (
+           |  SELECT doc_id, band, bkey,
+           |    row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+           |  FROM bands) z WHERE rn <= ${Dedup.BandBucketCap}),
            |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id<b.doc_id),
+           |  FROM cb a JOIN cb b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id<b.doc_id),
            |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
            |common AS (SELECT doc_a, doc_b, count(*) AS n_common
            |  FROM cand JOIN sh sa ON sa.doc_id=doc_a JOIN sh sb ON sb.doc_id=doc_b AND sa.sh=sb.sh
@@ -1446,9 +1467,13 @@ object SparkEntry {
            |sig AS (SELECT doc_id, CAST($simAssemble AS BIGINT) AS simhash FROM s),
            |bnd AS (SELECT doc_id, simhash, unnest(range(4)) AS band FROM sig),
            |k AS (SELECT doc_id, simhash, band, (simhash >> (band*12)) & 4095 AS bkey FROM bnd),
+           |kc AS (SELECT doc_id, simhash, band, bkey FROM (
+           |  SELECT doc_id, simhash, band, bkey,
+           |    row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+           |  FROM k) z WHERE rn <= ${Dedup.BandBucketCap}),
            |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |    a.simhash AS ha, b.simhash AS hb
-           |  FROM k a JOIN k b ON a.band = b.band AND a.bkey = b.bkey
+           |  FROM kc a JOIN kc b ON a.band = b.band AND a.bkey = b.bkey
            |    AND a.doc_id < b.doc_id)
            |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
            |FROM p WHERE bit_count(xor(ha, hb)) <= 3
@@ -1673,7 +1698,17 @@ object SparkEntry {
           |SELECT o_orderstatus,
           |  CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS median_price
           |FROM x WHERE rn = (n+1)//2 OR rn = (n+2)//2
-          |GROUP BY 1 ORDER BY 1""".stripMargin
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // partial oracle for the sketch surface: exact columns recomputed,
+      // error-bound booleans expected TRUE (the Spark side computes the
+      // sketches and checks them against its own exact values — see the
+      // q18 query comment). Upgrades q18 from rows-only to a full gate.
+      "q18_sketches" ->
+        """SELECT l_returnflag, count(*) AS n,
+          |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+          |  TRUE AS parts_ok, TRUE AS median_ok
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

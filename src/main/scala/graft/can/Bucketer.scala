@@ -59,10 +59,11 @@ object CombinePolicy {
   * FP gap expression verbatim (`ts - start > cache` vs `ts > start +
   * cache`), which round differently at exact boundaries.
   *
-  * Not reproduced in either mode: the reference's init quirk that discards
-  * the first parseable frame (`/root/reference/src/inputs/fileInput.h:26`)
-  * and the legacy driver stamping a closed row with the NEXT bucket's start
-  * (`/root/reference/src/main.cpp.bak:346-349`).
+  * Not reproduced here: the reference's input-side quirks (first-frame
+  * discard, 5-bad-line EOF) live in the source layer — opt into them with
+  * `CandumpParser.readLogFidelity`. Still not reproduced anywhere: the
+  * legacy driver stamping a closed row with the NEXT bucket's start
+  * (`/root/reference/src/main.cpp.bak:346-349`) — over-fidelity to a bug.
   */
 sealed trait CloseOrder
 object CloseOrder {

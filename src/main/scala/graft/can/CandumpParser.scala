@@ -112,4 +112,70 @@ object CandumpParser {
   def readLog(spark: org.apache.spark.sql.SparkSession, path: String,
       adjustTimestamp: Boolean = true): DataFrame =
     withTsMs(parseLines(spark.read.text(path)), adjustTimestamp)
+
+  /** Reference-fidelity replay (opt-in): reproduces two initialization
+    * quirks of the reference's sequential file reader that the default
+    * distributed path deliberately diverges from —
+    *
+    *  1. FIRST-FRAME DISCARD: `initialize()` consumes the first parseable
+    *     frame to set `start_time_ms` and never emits it
+    *     (`/root/reference/src/inputs/fileInput.h:26`, `fileInput.cpp:16-31`).
+    *     Here: t0 = the first good frame's timestamp (file order, not min)
+    *     and that frame is dropped when `discardFirstFrame`.
+    *  2. 5-BAD-LINE EOF: `getPacket` tries at most 5 lines per call; a run
+    *     of `eofBadRun` consecutive unparseable lines after a good frame
+    *     ends the stream — everything after is silently dropped
+    *     (`fileInput.cpp:36-43`). Leading bad lines never trigger it
+    *     (`initialize()` skips them unboundedly, `fileInput.cpp:20-24`).
+    *
+    * Both quirks are SEQUENTIAL by nature (they depend on absolute line
+    * order), so this mode pays for order: `sc.textFile` + `zipWithIndex`
+    * assigns file-order indices (Hadoop line splits are offset-ordered and
+    * zipWithIndex is partition-prefix based), the bad-run scan is a global
+    * window over the GOOD line indices only, and t0 resolves eagerly. Use
+    * it for byte-parity replay of reference outputs at reference (single
+    * node) scale; the default [[readLog]] path stays fully distributed and
+    * emits every parseable frame.
+    */
+  def readLogFidelity(spark: org.apache.spark.sql.SparkSession, path: String,
+      adjustTimestamp: Boolean = true, discardFirstFrame: Boolean = true,
+      eofBadRun: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val indexed = {
+      val rdd = spark.sparkContext.textFile(path).zipWithIndex()
+        .map { case (v, i) => org.apache.spark.sql.Row(v, i) }
+      spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_line_idx",
+          org.apache.spark.sql.types.LongType))))
+    }
+    val good = indexed.filter(col("value").rlike(LineRe))
+    // EOF cutoff from gaps between consecutive good lines: a gap of
+    // >= eofBadRun bad lines after good line g stops the reader at
+    // g + eofBadRun; frames at idx < cutoff survive (g itself was already
+    // emitted by the call before the failing one)
+    val wg = Window.orderBy("_line_idx")
+    val cutRow = good
+      .withColumn("_nxt", lead(col("_line_idx"), 1).over(wg))
+      .filter(col("_nxt") - col("_line_idx") - 1 >= eofBadRun)
+      .agg(min(col("_line_idx") + eofBadRun)).head()
+    val truncated =
+      if (cutRow.isNullAt(0)) good
+      else good.filter(col("_line_idx") < cutRow.getLong(0))
+    val firstRow = truncated.agg(min("_line_idx")).head()
+    if (firstRow.isNullAt(0)) // no parseable frame at all
+      return parseLines(truncated.select("value"))
+        .withColumn("ts_ms", col("ts_us") / 1000.0).drop("ts_us")
+    val firstIdx = firstRow.getLong(0)
+    val t0us = parseLines(truncated.filter(col("_line_idx") === firstIdx)
+      .select("value")).select("ts_us").head().getLong(0)
+    val body =
+      if (discardFirstFrame) truncated.filter(col("_line_idx") > firstIdx)
+      else truncated
+    val frames = parseLines(body.select("value"))
+    if (adjustTimestamp)
+      frames.withColumn("ts_ms", (col("ts_us") - lit(t0us)) / 1000.0).drop("ts_us")
+    else frames.withColumn("ts_ms", col("ts_us") / 1000.0).drop("ts_us")
+  }
 }

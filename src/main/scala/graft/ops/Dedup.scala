@@ -23,6 +23,32 @@ object Dedup {
   val BandSize = 4
   def numBands: Int = NumHashes / BandSize
 
+  /** Max docs retained per (band, bkey) bucket before the candidate
+    * self-join. Without a cap, a cluster of k identical documents (a
+    * million-doc boilerplate page at 100 TB) lands in ONE bucket and the
+    * band join emits k²/2 candidate pairs from that key alone — the single
+    * genuine scale-killer of naive LSH. Truncating each bucket to its
+    * `cap` lowest doc_ids bounds the join output at cap²/2 pairs per
+    * bucket while keeping recall for real near-dup clusters: every
+    * surviving member still pairs with the cluster's lowest ids, so
+    * connected-component keeper selection (keep min id) is unaffected;
+    * and a doc cut from one band's bucket can still pair through its
+    * other `numBands - 1` bands. Deterministic (ordered by doc_id), so
+    * the DuckDB oracle reproduces it exactly.
+    */
+  val BandBucketCap = 32
+
+  /** Keep the `cap` lowest-`idCol` rows of each (band, bkey) bucket.
+    * One row_number window — the sort is O(k log k) per bucket and the
+    * window's hash partitioning on (band, bkey) is the same partitioning
+    * the following candidate equi-join needs, so the exchange is reused.
+    */
+  def capBandBuckets(bands: DataFrame, idCol: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy("band", "bkey").orderBy(col(idCol))
+    bands.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap).drop("_rn")
+  }
+
   /** Per-hash linear-permutation constants (fixed, shared with oracle). */
   val hashA: Seq[Long] = (0 until NumHashes).map(i => ((i + 1) * 2654435761L) % P)
   val hashB: Seq[Long] = (0 until NumHashes).map(i => (i * 40503L + 7919L) % P)
@@ -93,8 +119,9 @@ object Dedup {
   /** Candidate pairs from LSH banding (distinct, a < b) over a
     * (possibly cached) shingle-hash relation.
     */
-  def candidatePairsFromShingles(sh: DataFrame, idCol: String): DataFrame = {
-    val bands = bandKeys(minhashAgg(sh, idCol), idCol)
+  def candidatePairsFromShingles(sh: DataFrame, idCol: String,
+      bandCap: Int = BandBucketCap): DataFrame = {
+    val bands = capBandBuckets(bandKeys(minhashAgg(sh, idCol), idCol), idCol, bandCap)
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
     val b = bands.select(col(idCol).as("doc_b"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
@@ -104,9 +131,17 @@ object Dedup {
 
   /** Verified near-duplicate pairs: candidates with true shingle-set
     * Jaccard >= threshold. Jaccard is an exact ratio of integer counts.
+    * Band buckets are truncated to `bandCap` lowest doc_ids (see
+    * [[BandBucketCap]]) so candidate fan-out is bounded per bucket.
+    *
+    * CONTRACT: the returned DataFrame is persisted (MEMORY_AND_DISK) and
+    * already materialized — the caller owns the blocks and must call
+    * `result.unpersist()` when done (or `spark.catalog.clearCache()` in a
+    * harness). The intermediate shingle cache is released internally
+    * before returning; only the (small, candidate-bounded) result stays.
     */
   def minhashNearDups(df: DataFrame, idCol: String, text: Column,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, bandCap: Int = BandBucketCap): DataFrame = {
     // The shingle table feeds three consumers (signature agg, verify
     // join ×2), so it is cached — and released deterministically: the
     // (candidate-bounded, small) result is persisted and materialized
@@ -118,7 +153,7 @@ object Dedup {
     try {
       val sig = minhashAgg(sh, idCol)
       val sizes = sig.select(col(idCol), col("nsh"))
-      val bands = bandKeys(sig, idCol)
+      val bands = capBandBuckets(bandKeys(sig, idCol), idCol, bandCap)
       val a = bands.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
       val b = bands.select(col(idCol).as("doc_b"), col("band"), col("bkey"))
       val cands = a.join(b, Seq("band", "bkey"))
@@ -193,20 +228,26 @@ object Dedup {
     * `maxHamming < bands` matches exactly on at least one band, so
     * candidates come from a band-key equi-join (bucketed, not all-pairs —
     * same scale shape as MinHash LSH), then exact hamming verifies.
+    * Band buckets are truncated to `bandCap` lowest doc_ids (see
+    * [[BandBucketCap]]) so candidate fan-out stays bounded when many
+    * documents share a band slice (e.g. boilerplate clusters).
     */
   def simhashNearDups(df: DataFrame, idCol: String, text: Column,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4,
+      bandCap: Int = BandBucketCap): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming ($maxHamming) < bands ($bands)")
     require(SimHashBits % bands == 0, s"bands ($bands) must divide $SimHashBits")
     val bitsPerBand = SimHashBits / bands
     val sims = simhash(df, idCol, text)
-    val banded = sims.select(col(idCol), col("simhash"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("simhash"), b * bitsPerBand)
-              .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bkey"))): _*)).as("bk"))
-      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.bkey"))
+    val banded = capBandBuckets(
+      sims.select(col(idCol), col("simhash"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("simhash"), b * bitsPerBand)
+                .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bkey"))): _*)).as("bk"))
+        .select(col(idCol), col("simhash"), col("bk.band"), col("bk.bkey")),
+      idCol, bandCap)
     val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("ha"),
       col("band"), col("bkey"))
     val b = banded.select(col(idCol).as("doc_b"), col("simhash").as("hb"),

@@ -90,6 +90,18 @@ object CanStream {
     * ts within each micro-batch (the reference assumes monotonic input;
     * out-of-order *across* micro-batches lands in the open bucket, matching
     * its current-bucket behavior at `src/main.cpp:127`).
+    *
+    * MEMORY BOUND: each group invocation buffers and sorts its micro-batch
+    * slice in one task's heap (`rows.toSeq.sortBy`). Keyed streams split
+    * that across keys and executors; the KEYLESS form funnels the ENTIRE
+    * micro-batch through one group on one task — fine at telemetry rates
+    * (a 1 kHz bus is ~60k rows/min of trigger interval), an OOM risk if a
+    * backlogged source replays hours into a single micro-batch. For
+    * keyless catch-up reads, bound the batch with source rate options
+    * (`maxFilesPerTrigger` / `maxOffsetsPerTrigger`) or use the batch
+    * exact bucketer, which is gap-segmented and fully distributed. Prefer
+    * the keyed form whenever a partition key (bus/channel/device) exists:
+    * it is the same semantics per key and scales with the cluster.
     */
   def exactStream(wide: DataFrame, cacheMs: Double, keyCol: Option[String] = None,
       policy: CombinePolicy = CombinePolicy.LastWins,

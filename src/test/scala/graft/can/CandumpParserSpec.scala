@@ -62,4 +62,40 @@ class CandumpParserSpec extends AnyFunSuite {
     assert(df.count() == 7)
     assert(df.agg(min("ts_ms")).as[Double].head() == 0.0)
   }
+
+  test("fidelity replay: first-frame discard, single bad line survives, 5-run EOF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fid")
+    val log = dir.resolve("f.log")
+    java.nio.file.Files.write(log, java.util.Arrays.asList(
+      "leading garbage", "more leading garbage", // skipped unboundedly (initialize)
+      "(100.000000) can0 100#01", // first good: sets t0, discarded
+      "(100.010000) can0 100#02",
+      "one bad line",             // < 5-run: reader steps over it
+      "(100.020000) can0 100#03",
+      "bad1", "bad2", "bad3", "bad4", "bad5", // 5-run: EOF
+      "(100.030000) can0 100#04")) // after EOF: dropped
+    val ts = CandumpParser.readLogFidelity(spark, log.toString)
+      .select("ts_ms").as[Double].collect().sorted.toSeq
+    assert(ts == Seq(10.0, 20.0))
+    // keep-first variant: frame 1 emitted at t0 → 0.0
+    val keep = CandumpParser.readLogFidelity(spark, log.toString,
+      discardFirstFrame = false).select("ts_ms").as[Double].collect().sorted.toSeq
+    assert(keep == Seq(0.0, 10.0, 20.0))
+    // no-adjust keeps raw epoch ms but still truncates + discards
+    val raw = CandumpParser.readLogFidelity(spark, log.toString,
+      adjustTimestamp = false).select("ts_ms").as[Double].collect().sorted.toSeq
+    assert(raw == Seq(100010.0, 100020.0))
+    // default distributed path is NOT truncated: all 4 good lines parse
+    assert(CandumpParser.readLog(spark, log.toString).count() == 4)
+  }
+
+  test("fidelity replay: no bad run → only the first frame differs from readLog") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fid2")
+    val log = dir.resolve("g.log")
+    java.nio.file.Files.write(log, java.util.Arrays.asList(
+      "(5.000000) can0 100#01", "(5.001000) can0 100#02", "(5.002500) can0 100#03"))
+    val ts = CandumpParser.readLogFidelity(spark, log.toString)
+      .select("ts_ms").as[Double].collect().sorted.toSeq
+    assert(ts == Seq(1.0, 2.5))
+  }
 }

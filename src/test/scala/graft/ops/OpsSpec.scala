@@ -39,6 +39,35 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("band-bucket cap bounds candidate fan-out, keeps lowest ids") {
+    // 60 identical docs: every band funnels all 60 into ONE bucket — the
+    // uncapped join would emit 60·59/2 pairs per band. With cap 8 the
+    // bucket keeps ids 1..8 in every band (identical signature ⇒ identical
+    // ordering), so fan-out is C(8,2) and the min-id keeper is retained.
+    val many = (1L to 60L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.bandKeys(
+      Dedup.minhashAgg(Dedup.shingleHashes(many, "doc_id", col("text")), "doc_id"),
+      "doc_id")
+    val capped = Dedup.capBandBuckets(bands, "doc_id", 8)
+    assert(capped.groupBy("band", "bkey").count()
+      .collect().forall(_.getAs[Long]("count") <= 8))
+    assert(capped.select("doc_id").distinct().as[Long].collect().sorted.toSeq
+      == (1L to 8L))
+    val pairs = Dedup.minhashNearDups(many, "doc_id", col("text"), bandCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (for { a <- 1L to 8L; b <- (a + 1) to 8L } yield (a, b)).toSet)
+  }
+
+  test("simhash band-bucket cap bounds pairing fan-out the same way") {
+    val many = (1L to 40L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(many, "doc_id", col("text"), bandCap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)).toSet)
+  }
+
   test("simhash: identical texts equal, near texts close in hamming") {
     val sims = Dedup.simhash(docs, "doc_id", col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
