@@ -325,6 +325,29 @@ object SparkEntry {
         .select(col("ts_us"), col("iface"), col("can_id"), hex(col("data")).as("payload_hex"))
     }),
 
+    "qc_fidelity_replay" -> ((s, dir) => {
+      // reference-fidelity replay quirks (S1) under the oracle gate:
+      // synthesized candump lines with bad lines at deterministic
+      // positions — every 7th (scattered singles the reader steps over)
+      // and a 5-line run starting at rn=977·k (which ends the stream) —
+      // written to ONE text file in event order, then read back through
+      // readLogFidelity: the first good frame sets t0 and is discarded,
+      // and the first 5-bad run truncates everything after. The oracle
+      // replays the identical line order and quirk arithmetic in SQL.
+      // Sequential by design (absolute line order is the semantics);
+      // the distributed path is qc_candump_parse.
+      import org.apache.spark.sql.expressions.Window
+      val tmp = java.nio.file.Files.createTempDirectory("graft_qfid").toString
+      canLines(events(s, dir))
+        .withColumn("rn", row_number().over(Window.orderBy("event_id")) - 1)
+        .select(when(col("rn") % 7 === 0 || col("rn") % 977 < 5,
+          lit("not a can line")).otherwise(col("value")).as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").text(s"$tmp/lines")
+      CandumpParser.readLogFidelity(s, s"$tmp/lines")
+        .select(col("ts_ms"), col("can_id"), hex(col("data")).as("payload_hex"))
+    }),
+
     "qc_pipeline_decode" -> ((s, dir) => {
       // full spine: synth lines → parse (P1) → dispatch (P2) → bit extract
       // (P3) → scale (P4) → mux (P5) → cast (P7); wide per-frame output
@@ -924,17 +947,30 @@ object SparkEntry {
       // [p45, p55] value band. The oracle recomputes the exact columns
       // and expects literal TRUE for the bounds — a real gate on sketch
       // quality, hash-stable because booleans carry no float noise.
-      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
-          count(lit(1)).as("n"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("_ap"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("_am"),
-          expr("percentile(l_extendedprice, 0.45)").as("_p45"),
-          expr("percentile(l_extendedprice, 0.55)").as("_p55"))
+      // the median bound is checked by RANK, not by value: count how many
+      // rows fall at-or-below the sketch's answer and require that
+      // fraction inside [0.45, 0.55] — the direct statement of the
+      // sketch's rank-error guarantee, and far cheaper than an exact
+      // percentile aggregate (a broadcast of the 3-row sketch result +
+      // one codegen'd conditional count vs an object-hash buffer of
+      // every value per group)
+      val l = t(s, dir, "lineitem")
+      val sk = l.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("_ap"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("_am"))
+      val rank = l.select("l_returnflag", "l_extendedprice")
+        .join(broadcast(sk.select("l_returnflag", "_am")), "l_returnflag")
+        .groupBy("l_returnflag").agg(
+          sum(when(col("l_extendedprice") <= col("_am"), 1L).otherwise(0L)).as("_le"),
+          sum(when(col("l_extendedprice") < col("_am"), 1L).otherwise(0L)).as("_lt"))
+      sk.join(rank, "l_returnflag")
         .select(col("l_returnflag"), col("n"), col("exact_parts"),
           (abs(col("_ap") - col("exact_parts"))
             <= col("exact_parts").cast("double") * (3 * 0.02)).as("parts_ok"),
-          (col("_am") >= col("_p45") && col("_am") <= col("_p55")).as("median_ok"))
+          (col("_le").cast("double") >= col("n") * 0.45 &&
+            col("_lt").cast("double") <= col("n") * 0.55).as("median_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -1075,6 +1111,28 @@ object SparkEntry {
         |        lpad(to_hex(d4),2,'0') || lpad(to_hex(d5),2,'0') ||
         |        lpad(to_hex(d6),2,'0') || lpad(to_hex(d7),2,'0')) AS payload_hex
         |FROM b WHERE event_id % 7 <> 0""".stripMargin),
+
+    // same quirk arithmetic as the Spark side: 0-based line number rn in
+    // event order; bad lines at rn%7=0 and rn%977<5; leading bads are
+    // skipped unboundedly, the first good frame sets t0 and is dropped,
+    // and the stream ends at the first gap of >=5 consecutive bad lines
+    // after a good one (keep good rows up to the gap's preceding good rn)
+    "qc_fidelity_replay" -> (canBytesCte +
+      """,
+        |lines AS (SELECT *, row_number() OVER (ORDER BY event_id) - 1 AS rn FROM b),
+        |flag AS (SELECT *, (rn % 7 = 0 OR rn % 977 < 5) AS bad FROM lines),
+        |g AS (SELECT *, lead(rn) OVER (ORDER BY rn) AS nxt FROM flag WHERE NOT bad),
+        |fg AS (SELECT min(rn) AS first_rn FROM g),
+        |cut AS (SELECT coalesce(min(rn), 9223372036854775807) AS g_rn
+        |  FROM g WHERE nxt - rn - 1 >= 5),
+        |t0 AS (SELECT us AS t0us FROM g, fg WHERE rn = first_rn)
+        |SELECT CAST(us - t0us AS DOUBLE)/1000.0 AS ts_ms,
+        |  CAST(can_id AS BIGINT) AS can_id,
+        |  upper(lpad(to_hex(d0),2,'0') || lpad(to_hex(d1),2,'0') ||
+        |        lpad(to_hex(d2),2,'0') || lpad(to_hex(d3),2,'0') ||
+        |        lpad(to_hex(d4),2,'0') || lpad(to_hex(d5),2,'0') ||
+        |        lpad(to_hex(d6),2,'0') || lpad(to_hex(d7),2,'0')) AS payload_hex
+        |FROM g, fg, cut, t0 WHERE rn > first_rn AND rn <= g_rn""".stripMargin),
 
     "qc_pipeline_decode" -> (canBytesCte +
       """
