@@ -717,6 +717,13 @@ object SparkEntry {
         .limit(50)
     }),
 
+    "qt_repetition" -> ((s, dir) =>
+      // Gopher-style repetition signals per doc: top-unigram share and
+      // duplicate-bigram fraction (machine-generated boilerplate scores
+      // high on both); two map-side-combinable hash aggregations
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy("doc_id")),
+
     "qs_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
 
@@ -1430,6 +1437,25 @@ object SparkEntry {
         """SELECT tok, count(*) AS freq FROM (
           |  SELECT unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents) t
           |GROUP BY 1 ORDER BY freq DESC, tok LIMIT 50""".stripMargin,
+
+      "qt_repetition" ->
+        s"""WITH base AS (SELECT doc_id, $toks AS w FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |u1 AS (SELECT doc_id, t, count(*) AS c FROM (
+           |    SELECT doc_id, unnest(w) AS t FROM base) x GROUP BY 1, 2),
+           |uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |    CAST(max(c) AS BIGINT) AS top_c FROM u1 GROUP BY 1),
+           |bgs AS (SELECT doc_id,
+           |    unnest(list_transform(range(len(w)-1), i -> w[i+1]||' '||w[i+2])) AS b
+           |  FROM base WHERE len(w) >= 2),
+           |bg AS (SELECT doc_id, count(*) AS n_bg, count(DISTINCT b) AS n_bg_d
+           |  FROM bgs GROUP BY 1)
+           |SELECT u.doc_id, n_tokens,
+           |  CAST(top_c AS DOUBLE)/n_tokens AS top_unigram_frac,
+           |  coalesce(CAST(1 AS DOUBLE) - CAST(n_bg_d AS DOUBLE)/n_bg, 0.0)
+           |    AS dup_bigram_frac
+           |FROM uni u LEFT JOIN bg USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
 
       "qd_dedup_keep" ->
         """SELECT min(doc_id) AS doc_id FROM documents

@@ -112,4 +112,33 @@ object TextAnalysis {
       least(comp("stop_ratio") * 4.0, lit(1.0)) * 0.3 +
       least(comp("mean_tok_len") / 8.0, lit(1.0)) * 0.3
   }
+
+  /** Repetition statistics per document — the Gopher/MassiveText-style
+    * repetition filter signals: `top_unigram_frac` (share of the most
+    * frequent token) and `dup_bigram_frac` (1 − distinct/total bigrams);
+    * heavily repetitive machine-generated text scores high on both.
+    *
+    * Scale shape: explode → two hash aggregations keyed by (doc, gram)
+    * then doc — map-side combinable, no windows, no driver state; the
+    * per-doc outputs join on the doc id. Ratios are IEEE divisions of
+    * exactly-counted integers (oracle-identical). Blank docs are dropped;
+    * single-token docs have no bigrams → `dup_bigram_frac` 0.0.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val base = df.filter(length(trim(text)) > 0)
+      .select(col(idCol), tokens(text).as("_toks"))
+    val uni = base.select(col(idCol), explode(col("_toks")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(sum("c").as("n_tokens"), max("c").as("top_c"))
+    val bg = base.filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(Dedup.shinglesOfTokens(col("_toks"), 2)).as("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bg"), countDistinct(col("b")).as("n_bg_d"))
+    uni.join(bg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("top_c").cast("double") / col("n_tokens")).as("top_unigram_frac"),
+        coalesce(lit(1.0) - col("n_bg_d").cast("double") / col("n_bg"), lit(0.0))
+          .as("dup_bigram_frac"))
+  }
 }

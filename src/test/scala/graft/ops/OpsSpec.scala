@@ -104,6 +104,19 @@ class OpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty) // the corpus actually exercises the threshold
   }
 
+  test("repetition stats: top-unigram share and duplicate-bigram fraction") {
+    val d = Seq((1L, "a a a b"), (2L, "x"), (3L, "p q r s")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(d, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+    // doc 1: 4 tokens, "a"×3 → 0.75; bigrams (a a, a a, a b) → 1 - 2/3
+    assert(r(0).getLong(1) == 4 && r(0).getDouble(2) == 0.75)
+    assert(math.abs(r(0).getDouble(3) - (1.0 - 2.0 / 3.0)) < 1e-12)
+    // doc 2: single token → top share 1.0, no bigrams → 0.0
+    assert(r(1).getLong(1) == 1 && r(1).getDouble(2) == 1.0 && r(1).getDouble(3) == 0.0)
+    // doc 3: all distinct → 0.25 top share, 0.0 duplicate bigrams
+    assert(r(2).getDouble(2) == 0.25 && r(2).getDouble(3) == 0.0)
+  }
+
   test("langId picks stopword-dense profile; zh via CJK") {
     val r = Seq(
       (1, "the cat and the dog of a house in the morning"),
