@@ -52,18 +52,28 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
-        try {
-          // noop sink: consumes every row and column without writing bytes,
-          // so projection work is charged but disk I/O is not
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => () }
+        // a failed rep must NOT win the min (an exception returns in
+        // milliseconds and would report a near-zero "fastest" time for a
+        // query that never ran) — score it unrunnably slow instead, so a
+        // query only reports a real time if at least one rep succeeded,
+        // and an always-failing query is loud in the output
+        val ok =
+          try {
+            // noop sink: consumes every row and column without writing
+            // bytes, so projection work is charged but disk I/O is not
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name rep failed: ${e.getMessage}")
+            false
+          }
         val sec = (System.nanoTime() - t0) / 1e9
         // drop lingering per-query caches so later runs aren't charged
         // earlier runs' memory pressure; localCheckpoint blocks are
         // RDD-level (not in the catalog cache manager), release them too
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        sec
+        if (ok) sec else Double.MaxValue
       }
       name -> times.min
     }

@@ -131,11 +131,13 @@ object CandumpParser {
     * Both quirks are SEQUENTIAL by nature (they depend on absolute line
     * order), so this mode pays for order: `sc.textFile` + `zipWithIndex`
     * assigns file-order indices (Hadoop line splits are offset-ordered and
-    * zipWithIndex is partition-prefix based), the bad-run scan is a global
-    * window over the GOOD line indices only, and t0 resolves eagerly. Use
-    * it for byte-parity replay of reference outputs at reference (single
-    * node) scale; the default [[readLog]] path stays fully distributed and
-    * emits every parseable frame.
+    * zipWithIndex is partition-prefix based), and the bad-run scan is a
+    * global window over the GOOD line indices only. Cost: exactly TWO
+    * passes over the file — one bounds aggregate that collects the first
+    * good line's (index, timestamp) and the EOF cutoff together, and the
+    * final filtered parse. Use it for byte-parity replay of reference
+    * outputs at reference (single node) scale; the default [[readLog]]
+    * path stays fully distributed and emits every parseable frame.
     */
   def readLogFidelity(spark: org.apache.spark.sql.SparkSession, path: String,
       adjustTimestamp: Boolean = true, discardFirstFrame: Boolean = true,
@@ -150,32 +152,35 @@ object CandumpParser {
         org.apache.spark.sql.types.StructField("_line_idx",
           org.apache.spark.sql.types.LongType))))
     }
-    val good = indexed.filter(col("value").rlike(LineRe))
-    // EOF cutoff from gaps between consecutive good lines: a gap of
-    // >= eofBadRun bad lines after good line g stops the reader at
-    // g + eofBadRun; frames at idx < cutoff survive (g itself was already
-    // emitted by the call before the failing one)
-    val wg = Window.orderBy("_line_idx")
-    val cutRow = good
-      .withColumn("_nxt", lead(col("_line_idx"), 1).over(wg))
-      .filter(col("_nxt") - col("_line_idx") - 1 >= eofBadRun)
-      .agg(min(col("_line_idx") + eofBadRun)).head()
-    val truncated =
-      if (cutRow.isNullAt(0)) good
-      else good.filter(col("_line_idx") < cutRow.getLong(0))
-    val firstRow = truncated.agg(min("_line_idx")).head()
-    if (firstRow.isNullAt(0)) // no parseable frame at all
-      return parseLines(truncated.select("value"))
-        .withColumn("ts_ms", col("ts_us") / 1000.0).drop("ts_us")
-    val firstIdx = firstRow.getLong(0)
-    val t0us = parseLines(truncated.filter(col("_line_idx") === firstIdx)
-      .select("value")).select("ts_us").head().getLong(0)
-    val body =
-      if (discardFirstFrame) truncated.filter(col("_line_idx") > firstIdx)
-      else truncated
-    val frames = parseLines(body.select("value"))
-    if (adjustTimestamp)
-      frames.withColumn("ts_ms", (col("ts_us") - lit(t0us)) / 1000.0).drop("ts_us")
+    // one pass, one action: argmin struct → first good line's (idx, ts);
+    // the EOF cutoff comes from gaps between consecutive good lines — a
+    // gap of >= eofBadRun bad lines after good line g stops the reader at
+    // g + eofBadRun (g itself was already emitted by the call before the
+    // failing one); leading bad lines precede every good line and so
+    // never form a (good, next_good) gap
+    val tsUs = regexp_extract(col("value"), LineRe, 1).cast("long") * 1000000L +
+      rpad(substring(regexp_extract(col("value"), LineRe, 2), 1, 6), 6, "0")
+        .cast("long")
+    val b = indexed.filter(col("value").rlike(LineRe))
+      .withColumn("_nxt",
+        lead(col("_line_idx"), 1).over(Window.orderBy("_line_idx")))
+      .agg(
+        min(struct(col("_line_idx").as("_i"), tsUs.as("_ts"))).as("_first"),
+        min(when(col("_nxt") - col("_line_idx") - 1 >= eofBadRun,
+          col("_line_idx") + eofBadRun)).as("_cut"))
+      .head()
+    val first = b.getAs[org.apache.spark.sql.Row]("_first")
+    val lo =
+      if (first == null) Long.MaxValue // no parseable frame: empty result
+      else if (discardFirstFrame) first.getLong(0) + 1
+      else first.getLong(0)
+    val cutoff = if (b.isNullAt(1)) Long.MaxValue else b.getLong(1)
+    val frames = parseLines(indexed
+      .filter(col("_line_idx") >= lo && col("_line_idx") < cutoff)
+      .select("value"))
+    if (adjustTimestamp && first != null)
+      frames.withColumn("ts_ms", (col("ts_us") - lit(first.getLong(1))) / 1000.0)
+        .drop("ts_us")
     else frames.withColumn("ts_ms", col("ts_us") / 1000.0).drop("ts_us")
   }
 }

@@ -23,30 +23,51 @@ object Dedup {
   val BandSize = 4
   def numBands: Int = NumHashes / BandSize
 
-  /** Max docs retained per (band, bkey) bucket before the candidate
-    * self-join. Without a cap, a cluster of k identical documents (a
-    * million-doc boilerplate page at 100 TB) lands in ONE bucket and the
-    * band join emits k²/2 candidate pairs from that key alone — the single
-    * genuine scale-killer of naive LSH. Truncating each bucket to its
-    * `cap` lowest doc_ids bounds the join output at cap²/2 pairs per
-    * bucket while keeping recall for real near-dup clusters: every
-    * surviving member still pairs with the cluster's lowest ids, so
-    * connected-component keeper selection (keep min id) is unaffected;
-    * and a doc cut from one band's bucket can still pair through its
-    * other `numBands - 1` bands. Deterministic (ordered by doc_id), so
-    * the DuckDB oracle reproduces it exactly.
+  /** Per-(band, bkey) bucket size above which the candidate join switches
+    * from all-pairs to star edges. Without a bound, a cluster of k
+    * identical documents (a million-doc boilerplate page at 100 TB) lands
+    * in ONE bucket and the band join emits k²/2 candidate pairs from that
+    * key alone — the single genuine scale-killer of naive LSH. Bounded
+    * shape: the `cap` lowest doc_ids pair all-to-all (≤ cap²/2 pairs) and
+    * EVERY over-cap member pairs with the bucket's minimum id (star edge),
+    * so fan-out is O(cap² + k) while the cluster stays one connected
+    * component — keep-min-id dedup still collapses all k members; what's
+    * given up is only the redundant pairwise edges AMONG over-cap members.
+    * Deterministic (ordered by doc_id), so the DuckDB oracle reproduces
+    * it exactly.
     */
   val BandBucketCap = 32
 
-  /** Keep the `cap` lowest-`idCol` rows of each (band, bkey) bucket.
-    * One row_number window — the sort is O(k log k) per bucket and the
-    * window's hash partitioning on (band, bkey) is the same partitioning
-    * the following candidate equi-join needs, so the exchange is reused.
+  /** Bounded candidate pairs (doc_a < doc_b) from a (band, bkey, id)
+    * relation: all-pairs within the `cap` lowest ids per bucket, plus a
+    * star edge (bucket_min, id) for each over-cap member — see
+    * [[BandBucketCap]]. `carry` columns (e.g. the simhash signature) ride
+    * along as `<name>_a` / `<name>_b` for downstream verification.
+    * One row_number/first_value window — O(k log k) per bucket, and its
+    * (band, bkey) hash partitioning is exactly what the following
+    * equi-join needs, so the exchange is reused.
     */
-  def capBandBuckets(bands: DataFrame, idCol: String, cap: Int): DataFrame = {
+  def bandedCandidates(bands: DataFrame, idCol: String, cap: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("band", "bkey").orderBy(col(idCol))
-    bands.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= cap).drop("_rn")
+    val ranked = bands
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_mn", first(col(idCol)).over(w))
+    val rankedC = carry.foldLeft(ranked)((d, c) =>
+      d.withColumn(s"_mn_$c", first(col(c)).over(w)))
+    val capped = rankedC.filter(col("_rn") <= cap)
+    def side(suffix: String) = capped.select(
+      (col(idCol).as(s"doc_$suffix") +: col("band") +: col("bkey") +:
+        carry.map(c => col(c).as(s"${c}_$suffix"))): _*)
+    val allPairs = side("a").join(side("b"), Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select((Seq("doc_a", "doc_b") ++
+        carry.flatMap(c => Seq(s"${c}_a", s"${c}_b"))).map(col): _*)
+    val star = rankedC.filter(col("_rn") > cap)
+      .select((col("_mn").as("doc_a") +: col(idCol).as("doc_b") +:
+        carry.flatMap(c =>
+          Seq(col(s"_mn_$c").as(s"${c}_a"), col(c).as(s"${c}_b")))): _*)
+    allPairs.union(star).distinct()
   }
 
   /** Per-hash linear-permutation constants (fixed, shared with oracle). */
@@ -120,19 +141,14 @@ object Dedup {
     * (possibly cached) shingle-hash relation.
     */
   def candidatePairsFromShingles(sh: DataFrame, idCol: String,
-      bandCap: Int = BandBucketCap): DataFrame = {
-    val bands = capBandBuckets(bandKeys(minhashAgg(sh, idCol), idCol), idCol, bandCap)
-    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
-    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
+      bandCap: Int = BandBucketCap): DataFrame =
+    bandedCandidates(bandKeys(minhashAgg(sh, idCol), idCol), idCol, bandCap)
 
   /** Verified near-duplicate pairs: candidates with true shingle-set
     * Jaccard >= threshold. Jaccard is an exact ratio of integer counts.
-    * Band buckets are truncated to `bandCap` lowest doc_ids (see
-    * [[BandBucketCap]]) so candidate fan-out is bounded per bucket.
+    * Candidate fan-out per band bucket is bounded by `bandCap` (all-pairs
+    * among the lowest ids + star edges to the bucket min — see
+    * [[BandBucketCap]]).
     *
     * CONTRACT: the returned DataFrame is persisted (MEMORY_AND_DISK) and
     * already materialized — the caller owns the blocks and must call
@@ -153,12 +169,7 @@ object Dedup {
     try {
       val sig = minhashAgg(sh, idCol)
       val sizes = sig.select(col(idCol), col("nsh"))
-      val bands = capBandBuckets(bandKeys(sig, idCol), idCol, bandCap)
-      val a = bands.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
-      val b = bands.select(col(idCol).as("doc_b"), col("band"), col("bkey"))
-      val cands = a.join(b, Seq("band", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+      val cands = bandedCandidates(bandKeys(sig, idCol), idCol, bandCap)
       val common = cands
         .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
         .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
@@ -228,9 +239,9 @@ object Dedup {
     * `maxHamming < bands` matches exactly on at least one band, so
     * candidates come from a band-key equi-join (bucketed, not all-pairs —
     * same scale shape as MinHash LSH), then exact hamming verifies.
-    * Band buckets are truncated to `bandCap` lowest doc_ids (see
-    * [[BandBucketCap]]) so candidate fan-out stays bounded when many
-    * documents share a band slice (e.g. boilerplate clusters).
+    * Candidate fan-out per band bucket is bounded by `bandCap` (all-pairs
+    * among the lowest ids + star edges to the bucket min, signatures
+    * carried through for the hamming verify — see [[BandBucketCap]]).
     */
   def simhashNearDups(df: DataFrame, idCol: String, text: Column,
       maxHamming: Int = 3, bands: Int = 4,
@@ -240,22 +251,16 @@ object Dedup {
     require(SimHashBits % bands == 0, s"bands ($bands) must divide $SimHashBits")
     val bitsPerBand = SimHashBits / bands
     val sims = simhash(df, idCol, text)
-    val banded = capBandBuckets(
-      sims.select(col(idCol), col("simhash"),
-          explode(array((0 until bands).map(b =>
-            struct(lit(b).as("band"),
-              shiftrightunsigned(col("simhash"), b * bitsPerBand)
-                .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bkey"))): _*)).as("bk"))
-        .select(col(idCol), col("simhash"), col("bk.band"), col("bk.bkey")),
-      idCol, bandCap)
-    val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("ha"),
-      col("band"), col("bkey"))
-    val b = banded.select(col(idCol).as("doc_b"), col("simhash").as("hb"),
-      col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb").distinct()
+    val banded = sims.select(col(idCol), col("simhash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("simhash"), b * bitsPerBand)
+              .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bkey"))): _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.bkey"))
+    bandedCandidates(banded, idCol, bandCap, carry = Seq("simhash"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

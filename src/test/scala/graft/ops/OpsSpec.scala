@@ -39,33 +39,39 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
-  test("band-bucket cap bounds candidate fan-out, keeps lowest ids") {
+  test("band-bucket cap bounds fan-out; star edges keep clusters connected") {
     // 60 identical docs: every band funnels all 60 into ONE bucket — the
-    // uncapped join would emit 60·59/2 pairs per band. With cap 8 the
-    // bucket keeps ids 1..8 in every band (identical signature ⇒ identical
-    // ordering), so fan-out is C(8,2) and the min-id keeper is retained.
+    // unbounded join would emit 60·59/2 pairs per band. With cap 8 the
+    // candidates are all-pairs among ids 1..8 PLUS a star edge (1, d) for
+    // every over-cap member d — O(cap² + k), and crucially every cluster
+    // member keeps an edge to the min id, so keep-min dedup still
+    // collapses the whole cluster.
     val many = (1L to 60L)
       .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta iota"))
       .toDF("doc_id", "text")
     val bands = Dedup.bandKeys(
       Dedup.minhashAgg(Dedup.shingleHashes(many, "doc_id", col("text")), "doc_id"),
       "doc_id")
-    val capped = Dedup.capBandBuckets(bands, "doc_id", 8)
-    assert(capped.groupBy("band", "bkey").count()
-      .collect().forall(_.getAs[Long]("count") <= 8))
-    assert(capped.select("doc_id").distinct().as[Long].collect().sorted.toSeq
-      == (1L to 8L))
+    val expected = (for { a <- 1L to 8L; b <- (a + 1) to 8L } yield (a, b)).toSet ++
+      (9L to 60L).map(d => (1L, d))
+    val cands = Dedup.bandedCandidates(bands, "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == expected) // C(8,2)=28 + 52 star edges, NOT 1770
+    // identical docs all verify at jaccard 1.0 → near-dup set = candidates
     val pairs = Dedup.minhashNearDups(many, "doc_id", col("text"), bandCap = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == (for { a <- 1L to 8L; b <- (a + 1) to 8L } yield (a, b)).toSet)
+    assert(pairs == expected)
+    // every doc is reachable from the keeper (no silently-escaping dups)
+    assert(pairs.flatMap(p => Seq(p._1, p._2)) == (1L to 60L).toSet)
   }
 
-  test("simhash band-bucket cap bounds pairing fan-out the same way") {
+  test("simhash band-bucket cap bounds pairing the same way (with star edges)") {
     val many = (1L to 40L).map(i => (i, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
     val pairs = Dedup.simhashNearDups(many, "doc_id", col("text"), bandCap = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)).toSet)
+    assert(pairs == (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)).toSet ++
+      (6L to 40L).map(d => (1L, d)))
   }
 
   test("simhash: identical texts equal, near texts close in hamming") {
