@@ -978,17 +978,18 @@ object SparkEntry {
       // one codegen'd conditional count vs an object-hash buffer of
       // every value per group)
       val l = t(s, dir, "lineitem")
-      // persisted: the (3-row) sketch aggregate feeds both the broadcast
-      // rank pass and the final join, and their differing projections
-      // defeat exchange reuse — without the persist the heavyweight
-      // aggregation over lineitem would run twice (harness clearCache
-      // releases the blocks after each query)
+      // NOT persisted: the sketch aggregate feeds both the broadcast rank
+      // pass and the final join, but its shuffle exchange sits below the
+      // differing parent projections and is shared via ReuseExchange, so
+      // the lineitem scan+partial-agg runs once either way — and an A/B
+      // measurement showed a persist here is 2.3x SLOWER (5.2s vs 2.2s at
+      // sf0.1): the cache boundary blocks the broadcast on full
+      // materialization and cuts whole-stage pipelining
       val sk = l.groupBy("l_returnflag").agg(
         count(lit(1)).as("n"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), rsd = 0.02).as("_ap"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("_am"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rank = l.select("l_returnflag", "l_extendedprice")
         .join(broadcast(sk.select("l_returnflag", "_am")), "l_returnflag")
         .groupBy("l_returnflag").agg(
