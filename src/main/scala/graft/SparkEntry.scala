@@ -583,6 +583,18 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "qd_components" -> ((s, dir) => {
+      // transitive closure of the verified near-dup pairs: min-label
+      // propagation collapses chains (A~B, B~C ⇒ one group) the pairwise
+      // output alone can't express — the real keeper-selection input
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", col("text"))
+      try {
+        Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("comp"))
+          .orderBy("doc_id")
+      } finally pairs.unpersist() // components are checkpointed — safe now
+    }),
+
     "qd_simhash" -> ((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", col("text")).orderBy("doc_id")
     }),
@@ -1334,6 +1346,34 @@ object SparkEntry {
       s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bkey FROM sig"
     }.mkString(" UNION ALL ")
 
+    // the full minhash near-dup pair derivation, ending in CTE `mp`
+    // (doc_a, doc_b, jaccard) — shared by the pairs query and the
+    // connected-components query so the two gates can never drift
+    val minhashPairsCtes = shinglesCte +
+      s""",
+         |sig AS (SELECT doc_id, $minhashSig FROM sh GROUP BY 1),
+         |bands AS ($bandRows),
+         |r AS (SELECT doc_id, band, bkey,
+         |    row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn,
+         |    first_value(doc_id) OVER (PARTITION BY band, bkey ORDER BY doc_id) AS mn
+         |  FROM bands),
+         |cb AS (SELECT doc_id, band, bkey FROM r WHERE rn <= ${Dedup.BandBucketCap}),
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM cb a JOIN cb b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id<b.doc_id
+         |  UNION ALL
+         |  SELECT mn, doc_id FROM r WHERE rn > ${Dedup.BandBucketCap}) u),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         |common AS (SELECT doc_a, doc_b, count(*) AS n_common
+         |  FROM cand JOIN sh sa ON sa.doc_id=doc_a JOIN sh sb ON sb.doc_id=doc_b AND sa.sh=sb.sh
+         |  GROUP BY 1,2),
+         |mp AS (SELECT doc_a, doc_b,
+         |  CAST(n_common AS DOUBLE)/(na+nb-n_common) AS jaccard
+         |FROM common
+         |JOIN (SELECT doc_id, nsh AS na FROM sizes) x ON doc_a = x.doc_id
+         |JOIN (SELECT doc_id, nsh AS nb FROM sizes) y ON doc_b = y.doc_id
+         |WHERE CAST(n_common AS DOUBLE)/(na+nb-n_common) >= 0.4)""".stripMargin
+
     val simSums = (0 until Dedup.SimHashBits).map { b =>
       s"sum(CASE WHEN (h>>$b)&1=1 THEN 1 ELSE -1 END) AS s$b"
     }.mkString(", ")
@@ -1485,31 +1525,22 @@ object SparkEntry {
           |GROUP BY md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text),'\s+'))),'string_agg','|'))
           |ORDER BY doc_id""".stripMargin,
 
-      "qd_minhash_pairs" -> (shinglesCte +
+      "qd_minhash_pairs" -> (minhashPairsCtes +
+        "\nSELECT doc_a, doc_b, jaccard FROM mp ORDER BY doc_a, doc_b"),
+
+      // transitive closure over the SAME verified pair set: every vertex
+      // gathers all labels reachable through the (undirected) edges via
+      // the recursive CTE, min per vertex = component label
+      "qd_components" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
         s""",
-           |sig AS (SELECT doc_id, $minhashSig FROM sh GROUP BY 1),
-           |bands AS ($bandRows),
-           |r AS (SELECT doc_id, band, bkey,
-           |    row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn,
-           |    first_value(doc_id) OVER (PARTITION BY band, bkey ORDER BY doc_id) AS mn
-           |  FROM bands),
-           |cb AS (SELECT doc_id, band, bkey FROM r WHERE rn <= ${Dedup.BandBucketCap}),
-           |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM cb a JOIN cb b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id<b.doc_id
-           |  UNION ALL
-           |  SELECT mn, doc_id FROM r WHERE rn > ${Dedup.BandBucketCap}) u),
-           |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
-           |common AS (SELECT doc_a, doc_b, count(*) AS n_common
-           |  FROM cand JOIN sh sa ON sa.doc_id=doc_a JOIN sh sb ON sb.doc_id=doc_b AND sa.sh=sb.sh
-           |  GROUP BY 1,2)
-           |SELECT doc_a, doc_b,
-           |  CAST(n_common AS DOUBLE)/(na+nb-n_common) AS jaccard
-           |FROM common
-           |JOIN (SELECT doc_id, nsh AS na FROM sizes) x ON doc_a = x.doc_id
-           |JOIN (SELECT doc_id, nsh AS nb FROM sizes) y ON doc_b = y.doc_id
-           |WHERE CAST(n_common AS DOUBLE)/(na+nb-n_common) >= 0.4
-           |ORDER BY doc_a, doc_b""".stripMargin),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mp
+           |  UNION SELECT doc_b, doc_a FROM mp),
+           |reach(id, comp) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, r2.comp FROM edges e JOIN reach r2 ON e.dst = r2.id)
+           |SELECT id AS doc_id, min(comp) AS comp FROM reach
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
 
       "qd_simhash" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),

@@ -193,6 +193,52 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** Connected components over an undirected near-dup pair graph
+    * (doc_a, doc_b): labels every vertex with the MINIMUM doc id of its
+    * component — the transitive-closure step that turns pairwise
+    * near-dup hits into dedup groups (keeper = the vertex whose label
+    * equals its id; A~B, B~C must collapse to one keeper even when A~C
+    * was never emitted as a pair).
+    *
+    * Algorithm: iterative min-label propagation — each round every vertex
+    * takes the min of its own label and its neighbors' labels, until a
+    * fixpoint. Rounds needed ≈ graph diameter, and near-dup components
+    * are dense (LSH cliques + star edges ⇒ diameter ≤ ~4), so a handful
+    * of rounds suffices; `maxIter` hard-bounds adversarial chains.
+    * Scale shape: each round is one equi-join + hash aggregation on the
+    * PAIR graph (far smaller than the corpus); `localCheckpoint`
+    * truncates the growing lineage each round so plans stay flat — the
+    * standard Spark iterative-graph pattern. The driver holds only the
+    * per-round convergence count.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
+        .groupBy(col("src").as("id")).agg(min("dcomp").as("ncomp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("comp").as("_old")), "id")
+        .filter(col("comp") =!= col("_old")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash bits (default 48 to stay in positive long territory). */
   val SimHashBits = 48
 

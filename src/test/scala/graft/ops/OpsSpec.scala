@@ -74,6 +74,18 @@ class OpsSpec extends AnyFunSuite {
       (6L to 40L).map(d => (1L, d)))
   }
 
+  test("connected components: chains collapse to min label across iterations") {
+    // 1-2-3-4-5 is a diameter-4 chain — label 1 must propagate hop by hop
+    // (exercises the iteration loop, not just one join round)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (12L, 11L))
+      .toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L))
+    assert(comps.size == 8)
+  }
+
   test("simhash: identical texts equal, near texts close in hamming") {
     val sims = Dedup.simhash(docs, "doc_id", col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
