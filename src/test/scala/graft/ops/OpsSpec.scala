@@ -74,6 +74,29 @@ class OpsSpec extends AnyFunSuite {
       (6L to 40L).map(d => (1L, d)))
   }
 
+  test("capped candidate graph preserves connected components exactly") {
+    // star edges make this a theorem, not a heuristic: any unbounded
+    // edge (x, y) means x and y share a bucket; in the capped graph both
+    // endpoints still reach that bucket's min (in-cap pair or star
+    // edge), so component membership is identical — only redundant
+    // intra-component edges are dropped. Check on a random corpus whose
+    // small vocabulary forces large, overlapping buckets.
+    val rnd = new scala.util.Random(42)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (1L to 120L)
+      .map(i => (i, Seq.fill(8)(words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val bands = Dedup.bandKeys(
+      Dedup.minhashAgg(Dedup.shingleHashes(docs, "doc_id", col("text")), "doc_id"),
+      "doc_id")
+    def comps(cap: Int) = Dedup.connectedComponents(
+        Dedup.bandedCandidates(bands, "doc_id", cap))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unbounded = comps(Int.MaxValue)
+    val capped = comps(4)
+    assert(unbounded.nonEmpty && unbounded == capped)
+  }
+
   test("connected components: chains collapse to min label across iterations") {
     // 1-2-3-4-5 is a diameter-4 chain — label 1 must propagate hop by hop
     // (exercises the iteration loop, not just one join round)
