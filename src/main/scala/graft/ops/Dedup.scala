@@ -236,6 +236,13 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (changed > 0)
+      // an under-merged result is silently wrong for dedup — make the
+      // bound being hit loud (pair graphs from LSH are low-diameter, so
+      // this fires only on adversarial chain-shaped inputs)
+      System.err.println(
+        s"[graft] connectedComponents stopped at maxIter=$maxIter with " +
+          s"$changed labels still changing — components may be under-merged")
     labels
   }
 
