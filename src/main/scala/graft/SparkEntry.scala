@@ -791,6 +791,23 @@ object SparkEntry {
           length(element_at(col("frames"), -1)).as("last_len"))
     }),
 
+    "qm_image_decode" -> ((s, dir) => {
+      // REAL codec round trip: deterministic gradient PNGs synthesized from
+      // doc_id arithmetic, encoded AND decoded through the JDK's ImageIO;
+      // the oracle recomputes the luma stats closed-form (h<256 ⇒ the
+      // row-gray sequence (id+y)%256 wraps at most once)
+      Multimodal.decodeImages(
+        Multimodal.imagePayload(t(s, dir, "documents").select("doc_id")))
+    }),
+
+    "qm_audio_decode" -> ((s, dir) => {
+      // REAL WAV round trip: deterministic 16-bit PCM synthesized from
+      // doc_id arithmetic, written and parsed via javax.sound.sampled; the
+      // oracle replays the sample formula with list arithmetic
+      Multimodal.decodeAudio(
+        Multimodal.audioPayload(t(s, dir, "documents").select("doc_id")))
+    }),
+
     // --- joins/analytics beyond the reference surface ---
 
     "qj_asof" -> ((s, dir) => {
@@ -1728,6 +1745,30 @@ object SparkEntry {
           |  CAST(least(32, n_chars + 2 -
           |    ((((n_chars + 2 + 31)//32) - 1)//3)*3*32) AS INTEGER) AS last_len
           |FROM documents WHERE octet_length(encode(text)) = length(text)""".stripMargin,
+
+      "qm_image_decode" ->
+        """WITH dims AS (
+          |  SELECT doc_id, doc_id % 95 + 32 AS w, (doc_id*7) % 95 + 32 AS h,
+          |         doc_id % 256 AS a
+          |  FROM documents),
+          |luma AS (
+          |  SELECT doc_id, w, h,
+          |    w*(h*a + h*(h-1)//2 - 256*greatest(0, a + h - 256)) AS s
+          |  FROM dims)
+          |SELECT doc_id, w AS img_w, h AS img_h, w*h AS n_pixels,
+          |  s AS sum_luma, s*1000 // (w*h) AS mean_mluma
+          |FROM luma""".stripMargin,
+
+      "qm_audio_decode" ->
+        """WITH sq AS (
+          |  SELECT doc_id, doc_id % 800 + 100 AS n,
+          |    CAST(list_sum(list_transform(range(0, doc_id % 800 + 100),
+          |      i -> ((doc_id*31 + i*7) % 65536 - 32768)
+          |         * ((doc_id*31 + i*7) % 65536 - 32768))) AS BIGINT) AS ss
+          |  FROM documents)
+          |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, n AS n_samples,
+          |  n*1000 // 8000 AS duration_ms, ss AS sum_sq, ss // n AS mean_sq
+          |FROM sq""".stripMargin,
 
       "qj_asof" ->
         """SELECT e.event_id, e.user_id,
