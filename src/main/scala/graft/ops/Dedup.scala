@@ -200,18 +200,44 @@ object Dedup {
     * equals its id; A~B, B~C must collapse to one keeper even when A~C
     * was never emitted as a pair).
     *
-    * Algorithm: iterative min-label propagation — each round every vertex
-    * takes the min of its own label and its neighbors' labels, until a
-    * fixpoint. Rounds needed ≈ graph diameter, and near-dup components
-    * are dense (LSH cliques + star edges ⇒ diameter ≤ ~4), so a handful
-    * of rounds suffices; `maxIter` hard-bounds adversarial chains.
-    * Scale shape: each round is one equi-join + hash aggregation on the
-    * PAIR graph (far smaller than the corpus); `localCheckpoint`
+    * Algorithm: per round, (1) min-label HOP — every vertex takes the min
+    * of its own label and its neighbors' labels — then (2) POINTER JUMP —
+    * `comp := comp-of-comp` (labels are always vertex ids of the same
+    * component, so the jump stays inside the component). The hop alone
+    * needs ≈ diameter rounds; the jump doubles the propagation distance
+    * each round, so a diameter-d chain converges in O(log d) rounds — a
+    * 1000-vertex chain in ~11 rounds instead of 1000. LSH pair graphs are
+    * dense (cliques + star edges ⇒ diameter ≤ ~4) and finish in 2-3.
+    * Scale shape: each round is two equi-joins + one hash aggregation on
+    * the PAIR graph (far smaller than the corpus); `localCheckpoint`
     * truncates the growing lineage each round so plans stay flat — the
     * standard Spark iterative-graph pattern. The driver holds only the
     * per-round convergence count.
+    *
+    * If the bound is hit with labels still changing the result is
+    * under-merged — silently wrong for dedup — so by default this THROWS
+    * `IllegalStateException`; pass `failOnUnconverged = false` to accept
+    * a partial merge (logged loudly) instead.
+    *
+    * Composing "pairs, then components"? Use [[nearDupGroups]] — it feeds
+    * both outputs from ONE persisted pair computation instead of
+    * rebuilding the minhash pipeline twice.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      failOnUnconverged: Boolean = true): DataFrame =
+    connectedComponentsWithStats(pairs, maxIter, failOnUnconverged).labels
+
+  /** Convergence metadata of a [[connectedComponents]] run: the label
+    * relation (id, comp), rounds executed, and whether a fixpoint was
+    * reached within the bound.
+    */
+  final case class CcResult(labels: DataFrame, rounds: Int, converged: Boolean)
+
+  /** [[connectedComponents]] plus round/convergence stats (for specs and
+    * callers that want to inspect the iteration behavior).
+    */
+  def connectedComponentsWithStats(pairs: DataFrame, maxIter: Int = 20,
+      failOnUnconverged: Boolean = true): CcResult = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -226,9 +252,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
         .groupBy(col("src").as("id")).agg(min("dcomp").as("ncomp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      // checkpointed so the pointer jump's self-join reads one computed
+      // relation instead of evaluating the hop subtree twice
+      val hop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val next = hop
+        .join(hop.select(col("id").as("comp"), col("comp").as("ccomp")),
+          Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
         .localCheckpoint()
       changed = next
         .join(labels.select(col("id"), col("comp").as("_old")), "id")
@@ -236,14 +270,33 @@ object Dedup {
       labels = next
       i += 1
     }
-    if (changed > 0)
-      // an under-merged result is silently wrong for dedup — make the
-      // bound being hit loud (pair graphs from LSH are low-diameter, so
-      // this fires only on adversarial chain-shaped inputs)
-      System.err.println(
-        s"[graft] connectedComponents stopped at maxIter=$maxIter with " +
-          s"$changed labels still changing — components may be under-merged")
-    labels
+    if (changed > 0) {
+      val msg = s"connectedComponents stopped at maxIter=$maxIter with " +
+        s"$changed labels still changing — components are under-merged"
+      if (failOnUnconverged) throw new IllegalStateException(
+        s"$msg (pass failOnUnconverged = false to accept a partial merge)")
+      System.err.println(s"[graft] $msg")
+    }
+    CcResult(labels, i, changed == 0)
+  }
+
+  /** Verified pairs AND their transitive dedup groups from ONE pair
+    * computation. [[minhashNearDups]] persists + materializes its
+    * (candidate-bounded, small) result per its contract, so feeding BOTH
+    * the pair output and [[connectedComponents]] from that same
+    * DataFrame costs one shingle pass and one LSH join total — running
+    * the two entry points separately rebuilds the whole minhash pipeline
+    * twice. The caller owns the persisted `pairs` (unpersist when done);
+    * `groups` is fully materialized (localCheckpoint) before return.
+    */
+  final case class NearDupResult(pairs: DataFrame, groups: DataFrame)
+
+  /** See [[NearDupResult]]. */
+  def nearDupGroups(df: DataFrame, idCol: String, text: Column,
+      threshold: Double = 0.4, bandCap: Int = BandBucketCap,
+      maxIter: Int = 20): NearDupResult = {
+    val pairs = minhashNearDups(df, idCol, text, threshold, bandCap)
+    NearDupResult(pairs, connectedComponents(pairs, maxIter))
   }
 
   /** SimHash bits (default 48 to stay in positive long territory). */

@@ -102,11 +102,56 @@ class OpsSpec extends AnyFunSuite {
     // (exercises the iteration loop, not just one join round)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (12L, 11L))
       .toDF("doc_a", "doc_b")
-    val comps = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val res = Dedup.connectedComponentsWithStats(pairs)
+    val comps = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 5L).forall(comps(_) == 1L))
     assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L))
     assert(comps.size == 8)
+    // pointer jumping: diameter-4 needs ≤3 rounds (incl. the no-change
+    // detection round), not diameter+1
+    assert(res.converged && res.rounds <= 3, s"rounds=${res.rounds}")
+  }
+
+  test("connected components: 1000-chain converges in O(log n) rounds") {
+    // worst case for plain min-label propagation (needs ~1000 rounds);
+    // the hop+jump rounds double the reach, so log2(1000)+slack suffices
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val res = Dedup.connectedComponentsWithStats(chain, maxIter = 20)
+    assert(res.converged, s"did not converge in 20 rounds (ran ${res.rounds})")
+    assert(res.rounds <= 15, s"rounds=${res.rounds}")
+    val comps = res.labels.collect().map(r => r.getLong(1)).distinct
+    assert(comps.sameElements(Array(0L)))
+  }
+
+  test("connected components: throws on unconverged by default, opt-out warns") {
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // maxIter=1: one hop+jump round cannot collapse a 40-chain
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1)
+    }
+    val partial = Dedup.connectedComponentsWithStats(chain, maxIter = 1,
+      failOnUnconverged = false)
+    assert(!partial.converged && partial.labels.count() == 41L)
+  }
+
+  test("nearDupGroups: pairs and groups share one persisted pair computation") {
+    val boiler = "the same boilerplate text repeated across mirrors again and again"
+    val corpus = ((1L to 6L).map(i => (i, boiler)) ++
+      Seq((7L, "an entirely different document about gardens and rivers flowing"),
+          (8L, "quantum chemistry lecture notes with equations and derivations")))
+      .toDF("doc_id", "text")
+    val res = Dedup.nearDupGroups(corpus, "doc_id", col("text"))
+    try {
+      // the pair relation is persisted (the contract that makes the
+      // composition single-pass) and any downstream consumer reads the
+      // cache, not the shingle pipeline
+      assert(res.pairs.storageLevel.useMemory)
+      val replan = res.pairs.filter(col("doc_a") >= 0)
+      assert(replan.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+      val groups = res.groups.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 6L).forall(groups(_) == 1L))
+      assert(!groups.contains(7L) && !groups.contains(8L))
+    } finally res.pairs.unpersist()
   }
 
   test("simhash: identical texts equal, near texts close in hamming") {
