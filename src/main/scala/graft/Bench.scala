@@ -54,9 +54,7 @@ object Bench {
         val t0 = System.nanoTime()
         // a failed rep must NOT win the min (an exception returns in
         // milliseconds and would report a near-zero "fastest" time for a
-        // query that never ran) — score it unrunnably slow instead, so a
-        // query only reports a real time if at least one rep succeeded,
-        // and an always-failing query is loud in the output
+        // query that never ran) — exclude it from the min entirely
         val ok =
           try {
             // noop sink: consumes every row and column without writing
@@ -73,15 +71,22 @@ object Bench {
         // RDD-level (not in the catalog cache manager), release them too
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        if (ok) sec else Double.MaxValue
+        if (ok) Some(sec) else None
       }
-      name -> times.min
+      // min over successful reps only; a query whose reps ALL failed
+      // reports null (not a sentinel number a downstream sum would
+      // swallow) and is listed under "failed"
+      name -> times.flatten.minOption
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+      }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()

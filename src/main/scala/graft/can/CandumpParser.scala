@@ -32,7 +32,7 @@ object CandumpParser {
     * null filter would re-evaluate its (possibly expensive) input once per
     * field on the pre-shuffle side.
     */
-  private val LineRe = """^\s*\((\d{1,13})\.?(\d{0,9})\)\s+(\S+)\s+([0-9A-Fa-f]{1,8})#R?([0-9A-Fa-f]*)\s*$"""
+  private[can] val LineRe = """^\s*\((\d{1,13})\.?(\d{0,9})\)\s+(\S+)\s+([0-9A-Fa-f]{1,8})#R?([0-9A-Fa-f]*)\s*$"""
 
   /** Parse a DataFrame of raw lines (column `value`) into frames.
     * Output: `ts_us: long, iface: string, can_id: long, data: binary`.

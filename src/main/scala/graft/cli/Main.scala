@@ -40,6 +40,11 @@ object Main {
     var in = ""; var out = "out.parquet"; var mode = "file"
     var cacheMs = 0.0; var exact = false; var ffill = false; var adjust = true
     var live: List[String] = Nil
+    // bounded by default: a backlogged bridge (candump replay of hours)
+    // must not land in a single micro-batch — especially under --exact,
+    // whose keyless state funnels each batch through one task. 60k lines
+    // ≈ one minute of a 1 kHz bus per trigger. 0 = unbounded.
+    var maxLinesPerTrigger = 60000L
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -54,6 +59,7 @@ object Main {
         case "--forward-fill" => ffill = true; i += 1
         case "--live-decode" => live ::= args(i + 1); i += 2
         case "--no-adjust-timestamp" => adjust = false; i += 1
+        case "--max-lines-per-trigger" => maxLinesPerTrigger = args(i + 1).toLong; i += 2
         case other => System.err.println(s"unknown flag $other\n$usage"); sys.exit(2)
       }
     }
@@ -90,7 +96,8 @@ object Main {
         spark.streams.addListener(new PipelineMetrics.StreamingProgress()) // T7
         val net = DbcParser.parseFile(dbc)
         val frames =
-          if (mode == "process") CanStream.framesFromProcess(spark, in)
+          if (mode == "process") CanStream.framesFromProcess(spark, in,
+            if (maxLinesPerTrigger > 0) Some(maxLinesPerTrigger) else None)
           else {
             val Array(host, port) = in.split(":")
             CanStream.framesFromSocket(spark, host, port.toInt)
@@ -119,6 +126,9 @@ object Main {
     """usage: graft.cli.Main <dbc> --if <input> --of <out.parquet>
       |  [--file | --socket | --stdin | --process] [--cache <ms>] [--exact]
       |  [--forward-fill] [--live-decode SIG]... [--no-adjust-timestamp]
+      |  [--max-lines-per-trigger <n>]
       |  --socket: --if is host:port of a candump text stream
-      |  --process: --if is a bridge command (e.g. "candump -L can0")""".stripMargin
+      |  --process: --if is a bridge command (e.g. "candump -L can0")
+      |  --max-lines-per-trigger: micro-batch admission bound for --process
+      |    replays (default 60000; 0 = unbounded)""".stripMargin
 }

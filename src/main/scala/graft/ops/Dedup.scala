@@ -31,10 +31,19 @@ object Dedup {
     * shape: the `cap` lowest doc_ids pair all-to-all (≤ cap²/2 pairs) and
     * EVERY over-cap member pairs with the bucket's minimum id (star edge),
     * so fan-out is O(cap² + k) while the cluster stays one connected
-    * component — keep-min-id dedup still collapses all k members; what's
-    * given up is only the redundant pairwise edges AMONG over-cap members.
+    * component — keep-min-id dedup still collapses all k members.
     * Deterministic (ordered by doc_id), so the DuckDB oracle reproduces
     * it exactly.
+    *
+    * Preservation caveat: connectivity is exact for the CANDIDATE graph
+    * (and therefore for identical-doc clusters, whose every edge passes
+    * verification). For merely-similar clusters the downstream
+    * jaccard/hamming verify filters edges individually, and a surviving
+    * star edge (bucket_min, d) can fail verification where a dropped
+    * in-cap edge (x, d) would have passed — so capping can still lose
+    * recall on borderline-threshold components. The OpsSpec preservation
+    * test proves the pre-verification property; the cap trades that
+    * sliver of recall for the O(k²) → O(cap²+k) fan-out bound.
     */
   val BandBucketCap = 32
 

@@ -49,16 +49,21 @@ class ProcessSource extends TableProvider with DataSourceRegister {
     ProcessSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new ProcessTable(properties.get("command"))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ProcessTable(opts.get("command"),
+      opts.getLong("maxLinesPerTrigger", Long.MaxValue))
+  }
 }
 
 object ProcessSource {
   val Schema: StructType = StructType(Seq(StructField("value", StringType)))
 }
 
-private[sources] class ProcessTable(command: String) extends Table with SupportsRead {
+private[sources] class ProcessTable(command: String, maxLinesPerTrigger: Long)
+    extends Table with SupportsRead {
   require(command != null && command.nonEmpty, "option 'command' is required")
+  require(maxLinesPerTrigger > 0, "maxLinesPerTrigger must be positive")
   override def name(): String = s"process($command)"
   override def schema(): StructType = ProcessSource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -69,7 +74,7 @@ private[sources] class ProcessTable(command: String) extends Table with Supports
       override def build(): Scan = this
       override def readSchema(): StructType = ProcessSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new ProcessMicroBatchStream(command)
+        new ProcessMicroBatchStream(command, maxLinesPerTrigger)
     }
 }
 
@@ -78,8 +83,8 @@ private[sources] case class LineCountOffset(count: Long) extends Offset {
   override def json(): String = count.toString
 }
 
-private[sources] class ProcessMicroBatchStream(command: String)
-    extends MicroBatchStream {
+private[sources] class ProcessMicroBatchStream(command: String,
+    maxLinesPerTrigger: Long = Long.MaxValue) extends MicroBatchStream {
 
   // buffered lines for offsets [base, base + buffer.size)
   private val buffer = new ArrayBuffer[String]
@@ -115,7 +120,13 @@ private[sources] class ProcessMicroBatchStream(command: String)
 
   override def latestOffset(): Offset = {
     ensureStarted()
-    lock.synchronized(LineCountOffset(base + buffer.size))
+    // admission control: cap each micro-batch at maxLinesPerTrigger NEW
+    // lines beyond the committed base (commit advances base per batch), so
+    // a backlogged bridge replaying hours of lines cannot funnel them all
+    // into one batch — the documented mitigation for the keyless
+    // exactStream memory bound (CanStream.exactStream)
+    lock.synchronized(
+      LineCountOffset(base + math.min(buffer.size.toLong, maxLinesPerTrigger)))
   }
 
   override def deserializeOffset(json: String): Offset = LineCountOffset(json.toLong)

@@ -29,18 +29,31 @@ object CanStream {
       spark.readStream.format("socket")
         .option("host", host).option("port", port).load())
 
-  /** S1 streaming replay: candump log files appearing under a directory. */
-  def framesFromTextFiles(spark: SparkSession, path: String): DataFrame =
-    CandumpParser.parseLines(spark.readStream.text(path))
+  /** S1 streaming replay: candump log files appearing under a directory.
+    * `maxFilesPerTrigger` bounds how many backlog files enter one
+    * micro-batch — set it when replaying a large directory into stateful
+    * sinks (see [[exactStream]]'s memory bound).
+    */
+  def framesFromTextFiles(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    CandumpParser.parseLines(reader.text(path))
+  }
 
   /** S2 bridge form: spawn a capture process (`candump -L can0`, or any
     * command emitting candump lines) via [[graft.sources.ProcessSource]]
-    * and stream its stdout.
+    * and stream its stdout. `maxLinesPerTrigger` bounds how many buffered
+    * lines enter one micro-batch (admission control for backlogged
+    * replays — see [[exactStream]]'s memory bound).
     */
-  def framesFromProcess(spark: SparkSession, command: String): DataFrame =
-    CandumpParser.parseLines(
-      spark.readStream.format("graft.sources.ProcessSource")
-        .option("command", command).load())
+  def framesFromProcess(spark: SparkSession, command: String,
+      maxLinesPerTrigger: Option[Long] = None): DataFrame = {
+    val reader = spark.readStream.format("graft.sources.ProcessSource")
+      .option("command", command)
+    maxLinesPerTrigger.foreach(n => reader.option("maxLinesPerTrigger", n))
+    CandumpParser.parseLines(reader.load())
+  }
 
   /** Decode frames to the wide per-frame table. Streaming keeps absolute
     * time: `ts_ms = ts_us / 1000` (epoch ms; the reference's socket mode
@@ -97,9 +110,10 @@ object CanStream {
     * micro-batch through one group on one task — fine at telemetry rates
     * (a 1 kHz bus is ~60k rows/min of trigger interval), an OOM risk if a
     * backlogged source replays hours into a single micro-batch. For
-    * keyless catch-up reads, bound the batch with source rate options
-    * (`maxFilesPerTrigger` / `maxOffsetsPerTrigger`) or use the batch
-    * exact bucketer, which is gap-segmented and fully distributed. Prefer
+    * keyless catch-up reads, bound the batch with source rate options —
+    * [[framesFromTextFiles]]' `maxFilesPerTrigger`, [[framesFromProcess]]'
+    * `maxLinesPerTrigger` (CLI: `--max-lines-per-trigger`) — or use the
+    * batch exact bucketer, which is gap-segmented and fully distributed. Prefer
     * the keyed form whenever a partition key (bus/channel/device) exists:
     * it is the same semantics per key and scales with the cluster.
     */
