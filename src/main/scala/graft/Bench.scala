@@ -78,13 +78,21 @@ object Bench {
       // swallow) and is listed under "failed"
       name -> times.flatten.minOption
     }
+    // millisecond precision: sub-ms digits are pure noise at these run
+    // times, and the shorter line survives tail-window log captures that
+    // truncated a full-precision round-5 line mid-JSON
+    def fmt(d: Double): String = f"$d%.3f"
     val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+        "\"" + k + "\":" + v.map(fmt).getOrElse("null")
       }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
+    val failedNames = results.collect { case (k, None) => "\"" + k + "\"" }
+    val failed = failedNames.mkString("[", ",", "]")
+    // any hard failure means the total covers a smaller query set than
+    // other rounds' — emit null so cross-round total comparisons can never
+    // silently read a failure as a speedup
+    val total =
+      if (failedNames.nonEmpty) "null" else fmt(results.flatMap(_._2).sum)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)

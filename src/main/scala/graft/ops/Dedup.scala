@@ -305,7 +305,13 @@ object Dedup {
       threshold: Double = 0.4, bandCap: Int = BandBucketCap,
       maxIter: Int = 20): NearDupResult = {
     val pairs = minhashNearDups(df, idCol, text, threshold, bandCap)
-    NearDupResult(pairs, connectedComponents(pairs, maxIter))
+    // if component propagation throws (non-convergence under default
+    // failOnUnconverged), the caller never receives the handle it is
+    // contractually required to unpersist — release it here
+    val groups =
+      try connectedComponents(pairs, maxIter)
+      catch { case t: Throwable => pairs.unpersist(); throw t }
+    NearDupResult(pairs, groups)
   }
 
   /** SimHash bits (default 48 to stay in positive long territory). */

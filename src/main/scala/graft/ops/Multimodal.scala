@@ -100,7 +100,11 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        // write returns false (with an EMPTY output) when no writer is
+        // registered for the format — fail here with the doc id, not
+        // later in the decoder with a generic bad-payload message
+        require(javax.imageio.ImageIO.write(img, "png", bos),
+          s"no PNG ImageIO writer available (doc_id=$id)")
         Row(id, bos.toByteArray)
       }
     }(Encoders.row(schema))
