@@ -80,8 +80,11 @@ object Bench {
     }
     // millisecond precision: sub-ms digits are pure noise at these run
     // times, and the shorter line survives tail-window log captures that
-    // truncated a full-precision round-5 line mid-JSON
-    def fmt(d: Double): String = f"$d%.3f"
+    // truncated a full-precision round-5 line mid-JSON. Locale.ROOT keeps
+    // the decimal separator a '.' on comma-decimal JVM locales — a
+    // locale-formatted "53,700" is invalid JSON
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (k, v) =>
         "\"" + k + "\":" + v.map(fmt).getOrElse("null")
       }

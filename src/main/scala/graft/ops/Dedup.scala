@@ -262,21 +262,22 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
         .groupBy(col("src").as("id")).agg(min("dcomp").as("ncomp"))
       // checkpointed so the pointer jump's self-join reads one computed
-      // relation instead of evaluating the hop subtree twice
+      // relation instead of evaluating the hop subtree twice; the round's
+      // starting label rides along as _old so convergence detection is a
+      // filter+count on the checkpointed round output itself — no extra
+      // per-round join against the previous labels
       val hop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("_old"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint()
       val next = hop
         .join(hop.select(col("id").as("comp"), col("comp").as("ccomp")),
           Seq("comp"), "left")
-        .select(col("id"),
+        .select(col("id"), col("_old"),
           least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("comp").as("_old")), "id")
-        .filter(col("comp") =!= col("_old")).count()
-      labels = next
+      changed = next.filter(col("comp") =!= col("_old")).count()
+      labels = next.select(col("id"), col("comp"))
       i += 1
     }
     if (changed > 0) {
@@ -307,11 +308,15 @@ object Dedup {
     val pairs = minhashNearDups(df, idCol, text, threshold, bandCap)
     // if component propagation throws (non-convergence under default
     // failOnUnconverged), the caller never receives the handle it is
-    // contractually required to unpersist — release it here
-    val groups =
-      try connectedComponents(pairs, maxIter)
-      catch { case t: Throwable => pairs.unpersist(); throw t }
-    NearDupResult(pairs, groups)
+    // contractually required to unpersist — release it here; a finally
+    // guarded by a success flag (rather than catch Throwable) so fatal
+    // JVM errors aren't intercepted mid-flight
+    var ok = false
+    try {
+      val groups = connectedComponents(pairs, maxIter)
+      ok = true
+      NearDupResult(pairs, groups)
+    } finally if (!ok) pairs.unpersist()
   }
 
   /** SimHash bits (default 48 to stay in positive long territory). */
