@@ -595,6 +595,21 @@ object SparkEntry {
       } finally pairs.unpersist() // components are checkpointed — safe now
     }),
 
+    "qd_groups_composed" -> ((s, dir) => {
+      // the composed pairs+groups API end-to-end: ONE Dedup.nearDupGroups
+      // call feeds both outputs from a single persisted pair computation
+      // (qd_minhash_pairs and qd_components each rebuild the minhash
+      // pipeline; this gates the composition itself). n_pairs rides on
+      // every group row so one result checks both halves.
+      val r = Dedup.nearDupGroups(t(s, dir, "documents"), "doc_id", col("text"))
+      try {
+        val nPairs = r.pairs.count() // cached count on the persisted pairs
+        r.groups.select(col("id").as("doc_id"), col("comp"))
+          .withColumn("n_pairs", lit(nPairs))
+          .orderBy("doc_id")
+      } finally r.pairs.unpersist() // groups are checkpointed — safe now
+    }),
+
     "qd_simhash" -> ((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", col("text")).orderBy("doc_id")
     }),
@@ -798,6 +813,17 @@ object SparkEntry {
       // row-gray sequence (id+y)%256 wraps at most once)
       Multimodal.decodeImages(
         Multimodal.imagePayload(t(s, dir, "documents").select("doc_id")))
+    }),
+
+    "qm_video_frames" -> ((s, dir) => {
+      // REAL video-frame path: "video" = a length-prefixed chunk container
+      // of deterministic gradient PNGs (the JDK ships no video codec, so
+      // the container is minimal — but the sampler walks real chunk
+      // lengths and every KEPT frame goes through a genuine ImageIO
+      // decode; skipped frames are never decoded). Keep every 3rd frame;
+      // the oracle recomputes the per-frame luma closed-form.
+      Multimodal.decodeVideoFrames(
+        Multimodal.videoPayload(t(s, dir, "documents").select("doc_id")), every = 3)
     }),
 
     "qm_audio_decode" -> ((s, dir) => {
@@ -1559,6 +1585,20 @@ object SparkEntry {
            |SELECT id AS doc_id, min(comp) AS comp FROM reach
            |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+      // same reachability closure as qd_components plus the verified pair
+      // count — one oracle result gating both halves of the composed API
+      "qd_groups_composed" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mp
+           |  UNION SELECT doc_b, doc_a FROM mp),
+           |reach(id, comp) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, r2.comp FROM edges e JOIN reach r2 ON e.dst = r2.id)
+           |SELECT id AS doc_id, min(comp) AS comp,
+           |  (SELECT count(*) FROM mp) AS n_pairs
+           |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin),
+
       "qd_simhash" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
            |th AS (SELECT doc_id, ${h("w")} AS h FROM tok),
@@ -1757,6 +1797,24 @@ object SparkEntry {
           |  FROM dims)
           |SELECT doc_id, w AS img_w, h AS img_h, w*h AS n_pixels,
           |  s AS sum_luma, s*1000 // (w*h) AS mean_mluma
+          |FROM luma""".stripMargin,
+
+      "qm_video_frames" ->
+        """WITH dims AS (
+          |  SELECT doc_id, doc_id % 8 + 2 AS nf,
+          |         doc_id % 31 + 16 AS w, (doc_id*3) % 31 + 16 AS h
+          |  FROM documents),
+          |fr AS (
+          |  SELECT doc_id, w, h,
+          |         unnest(list_filter(range(0, nf), f -> f % 3 = 0)) AS f
+          |  FROM dims),
+          |luma AS (
+          |  SELECT doc_id, f, w, h, (doc_id + f*17) % 256 AS a FROM fr)
+          |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+          |  w AS img_w, h AS img_h, w*h AS n_pixels,
+          |  w*(h*a + h*(h-1)//2 - 256*greatest(0, a + h - 256)) AS sum_luma,
+          |  (w*(h*a + h*(h-1)//2 - 256*greatest(0, a + h - 256)))*1000 // (w*h)
+          |    AS mean_mluma
           |FROM luma""".stripMargin,
 
       "qm_audio_decode" ->

@@ -327,6 +327,33 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getLong(5) == sum / n)
     }
   }
+
+  test("multimodal: video container decodes sampled frames, skips the rest") {
+    val ids = spark.range(0, 60, 1, 4).select($"id".as("doc_id"))
+    val p = Multimodal.videoPayload(ids)
+    // container structure: 4-byte BE length prefix, then a genuine PNG
+    val head = p.filter($"doc_id" === 5).select("payload").as[Array[Byte]].head()
+    val len0 = java.nio.ByteBuffer.wrap(head).getInt
+    assert(len0 > 0 && len0 < head.length)
+    assert(head.slice(4, 8).map(_ & 0xFF).sameElements(Array(0x89, 0x50, 0x4E, 0x47)))
+    val d = Multimodal.decodeVideoFrames(p, every = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    (0L until 60L).foreach { id =>
+      val nf = id % 8 + 2
+      val w = id % 31 + 16; val h = (id * 3) % 31 + 16
+      (0L until nf).filter(_ % 3 == 0).foreach { f =>
+        val a = (id + f * 17) % 256
+        val sum = w * (h * a + h * (h - 1) / 2 - 256L * math.max(0L, a + h - 256))
+        val r = d((id, f))
+        assert(r.getLong(2) == w && r.getLong(3) == h && r.getLong(4) == w * h)
+        assert(r.getLong(5) == sum, s"sum_luma mismatch for id=$id f=$f")
+        assert(r.getLong(6) == sum * 1000 / (w * h))
+      }
+      // non-sampled frames emit nothing (and were never decoded)
+      assert((0L until nf).filterNot(_ % 3 == 0).forall(f => !d.contains((id, f))))
+    }
+    assert(d.size == (0L until 60L).map(id => (id % 8 + 2 + 2) / 3).sum)
+  }
 }
 
 class JoinOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
