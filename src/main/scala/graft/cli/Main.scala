@@ -45,6 +45,10 @@ object Main {
     // whose keyless state funnels each batch through one task. 60k lines
     // ≈ one minute of a 1 kHz bus per trigger. 0 = unbounded.
     var maxLinesPerTrigger = 60000L
+    // same admission philosophy for directory replays: a backlog of log
+    // files must not enter one micro-batch. 0 = unbounded.
+    var maxFilesPerTrigger = 16
+    var stateBackend: CanStream.StateBackend = CanStream.StateBackend.InHeap
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -54,12 +58,22 @@ object Main {
         case "--socket" => mode = "socket"; i += 1
         case "--process" => mode = "process"; i += 1 // S2 bridge: --if is the command
         case "--stdin" => mode = "stdin"; i += 1
+        case "--stream-file" => mode = "stream-file"; i += 1 // S1 as a live directory watch
         case "--cache" => cacheMs = args(i + 1).toDouble; i += 2
         case "--exact" => exact = true; i += 1
         case "--forward-fill" => ffill = true; i += 1
         case "--live-decode" => live ::= args(i + 1); i += 2
         case "--no-adjust-timestamp" => adjust = false; i += 1
         case "--max-lines-per-trigger" => maxLinesPerTrigger = args(i + 1).toLong; i += 2
+        case "--max-files-per-trigger" => maxFilesPerTrigger = args(i + 1).toInt; i += 2
+        case "--state-backend" =>
+          stateBackend = args(i + 1).toLowerCase match {
+            case "rocksdb" => CanStream.StateBackend.RocksDB
+            case "inheap" | "hdfs" => CanStream.StateBackend.InHeap
+            case other =>
+              System.err.println(s"unknown state backend $other\n$usage"); sys.exit(2)
+          }
+          i += 2
         case other => System.err.println(s"unknown flag $other\n$usage"); sys.exit(2)
       }
     }
@@ -92,16 +106,19 @@ object Main {
         val cfg = CanPipelineConfig(cacheMs = cacheMs, exact = exact,
           forwardFill = ffill, adjustTimestamp = adjust, observeMetrics = true)
         writeBatch(CanPipeline.decodeStdin(spark, dbc, cfg))
-      case "socket" | "process" =>
+      case "socket" | "process" | "stream-file" =>
         spark.streams.addListener(new PipelineMetrics.StreamingProgress()) // T7
+        CanStream.StateBackend.configure(spark, stateBackend)
         val net = DbcParser.parseFile(dbc)
-        val frames =
-          if (mode == "process") CanStream.framesFromProcess(spark, in,
+        val frames = mode match {
+          case "process" => CanStream.framesFromProcess(spark, in,
             if (maxLinesPerTrigger > 0) Some(maxLinesPerTrigger) else None)
-          else {
+          case "stream-file" => CanStream.framesFromTextFiles(spark, in,
+            if (maxFilesPerTrigger > 0) Some(maxFilesPerTrigger) else None)
+          case _ =>
             val Array(host, port) = in.split(":")
             CanStream.framesFromSocket(spark, host, port.toInt)
-          }
+        }
         // one wide row per decoded frame here, so the frame counter sits on
         // the decode output (same number the reference's msg_count tracks)
         val wide = PipelineMetrics.observeFrames(CanStream.decoded(net, frames))
@@ -124,11 +141,19 @@ object Main {
 
   private val usage =
     """usage: graft.cli.Main <dbc> --if <input> --of <out.parquet>
-      |  [--file | --socket | --stdin | --process] [--cache <ms>] [--exact]
+      |  [--file | --socket | --stdin | --process | --stream-file]
+      |  [--cache <ms>] [--exact]
       |  [--forward-fill] [--live-decode SIG]... [--no-adjust-timestamp]
-      |  [--max-lines-per-trigger <n>]
+      |  [--max-lines-per-trigger <n>] [--max-files-per-trigger <n>]
+      |  [--state-backend inheap|rocksdb]
       |  --socket: --if is host:port of a candump text stream
       |  --process: --if is a bridge command (e.g. "candump -L can0")
+      |  --stream-file: --if is a directory watched for candump log files
       |  --max-lines-per-trigger: micro-batch admission bound for --process
-      |    replays (default 60000; 0 = unbounded)""".stripMargin
+      |    replays (default 60000; 0 = unbounded)
+      |  --max-files-per-trigger: micro-batch admission bound for
+      |    --stream-file backlogs (default 16; 0 = unbounded)
+      |  --state-backend: streaming state store — inheap (default, fastest,
+      |    memory grows with keys) or rocksdb (on-disk state, bounded
+      |    executor memory at high key cardinality)""".stripMargin
 }

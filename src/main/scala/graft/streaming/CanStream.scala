@@ -23,6 +23,41 @@ import graft.dbc.{Network, TypingMode}
   */
 object CanStream {
 
+  /** Streaming state-store backend (the §2.9 scale seam): every stateful
+    * operator here — [[exactStream]]'s open buckets, [[sessionStream]]'s
+    * session state, [[graft.ops.Dedup.streamingExact]]'s signature keys —
+    * stores its state through this provider.
+    *
+    *   - [[StateBackend.InHeap]] (Spark's default): all keys live in
+    *     executor heap. Fastest per key; memory grows with TOTAL key
+    *     cardinality — the first thing to OOM when a 100 TB corpus streams
+    *     through a signature-keyed dedup.
+    *   - [[StateBackend.RocksDB]]: state lives in a local RocksDB instance
+    *     per partition (on-disk SST files + a bounded block cache), so
+    *     executor memory stays flat at unbounded key cardinality, at a
+    *     per-access latency cost. The right default for production dedup /
+    *     high-cardinality keyed state.
+    *
+    * The provider is a session-level config captured when a query STARTS:
+    * call [[StateBackend.configure]] before `writeStream.start()`. Queries
+    * already running (and restarts from an existing checkpoint, which pin
+    * their provider) are unaffected.
+    */
+  sealed abstract class StateBackend(val providerClass: String)
+  object StateBackend {
+    case object InHeap extends StateBackend(
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    case object RocksDB extends StateBackend(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    /** Set the session's state-store provider for subsequently started
+      * streaming queries.
+      */
+    def configure(spark: SparkSession, backend: StateBackend): Unit =
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        backend.providerClass)
+  }
+
   /** S3/S2 portable form: candump-format lines over a TCP socket. */
   def framesFromSocket(spark: SparkSession, host: String, port: Int): DataFrame =
     CandumpParser.parseLines(

@@ -193,6 +193,58 @@ class CanStreamSpec extends AnyFunSuite {
     assert(got.head.getAs[Float]("Engine_Speed") == 2000.0f)
   }
 
+  test("exactStream state works under the RocksDB state-store provider") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    CanStream.StateBackend.configure(spark, CanStream.StateBackend.RocksDB)
+    try {
+      val input = MemoryStream[String](spark)
+      val lines = scala.io.Source.fromFile("fixtures/mini.log").getLines().toSeq
+      val wide = CanStream.decoded(net, CandumpParser.parseLines(input.toDF())).drop("ts")
+      val exact = CanStream.exactStream(wide, cacheMs = 10.0)
+      val q = exact.writeStream.format("memory").queryName("srocks")
+        .outputMode("append").start()
+      input.addData(lines.take(5)); q.processAllAvailable()
+      input.addData(lines.drop(5)); q.processAllAvailable()
+      // the running query's state operator must actually be RocksDB-backed
+      // (custom metrics are provider-specific), not silently the default
+      val stateMetrics = q.recentProgress.flatMap(_.stateOperators)
+        .flatMap(_.customMetrics.keySet.toArray.map(String.valueOf))
+      assert(stateMetrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb state metrics in ${stateMetrics.distinct.mkString(",")}")
+      q.stop()
+      // identical results to the in-heap run in the spec above
+      val rows = spark.table("srocks").orderBy("Time_ms").collect()
+      val t0 = 1700000000000.0
+      assert(rows.map(_.getDouble(0)).toSeq == Seq(t0, t0 + 12))
+      assert(rows(1).getAs[Int]("Val_B") == 32767)
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("framesFromTextFiles maxFilesPerTrigger bounds each micro-batch") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft_mfpt").toString
+    val lines = scala.io.Source.fromFile("fixtures/mini.log").getLines().toSeq
+    // 3 backlog files; bound = 1 file per trigger ⇒ 3 data micro-batches
+    (0 until 3).foreach { k =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$logDir/part$k.log"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val frames = CanStream.framesFromTextFiles(spark, logDir, maxFilesPerTrigger = Some(1))
+    val wide = CanStream.decoded(net, frames).drop("ts")
+    val q = wide.writeStream.format("memory").queryName("smfpt")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+    q.stop()
+    assert(spark.table("smfpt").count() == 18) // 6 decodable frames × 3 files
+    assert(dataBatches.length == 3,
+      s"expected 3 bounded micro-batches, got ${dataBatches.length}")
+    assert(dataBatches.forall(_.numInputRows == lines.length))
+  }
+
   test("file-stream replay to parquet sink (K1) with AvailableNow") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
     val logDir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
