@@ -1,0 +1,109 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Plan-shape regression suite: the physical-plan properties the 100 TB
+  * design depends on, which otherwise live only in operator scaladocs — a
+  * Spark upgrade, AQE change, or refactor could silently regress them
+  * while every VALUE-level test stays green. Plans are asserted with AQE
+  * off (deterministic canonical shapes; AQE only re-plans exchanges that
+  * are already there, so the properties checked here — exchange count,
+  * join strategy, pushdown — are the same ones AQE starts from).
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Physical plan string with AQE disabled for a canonical shape. */
+  private def plan(mk: => DataFrame): String = {
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try mk.queryExecution.executedPlan.toString
+    finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private lazy val docs = (0L until 40L)
+    .map(i => (i, s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 5} common body tokens here"))
+    .toDF("doc_id", "text")
+
+  test("decode path: dispatch compiles to expressions — no join, no shuffle, " +
+      "known-id filter pushed to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_frames").toString
+    Seq((0.0, 256L, "0102030405060708"), (1.0, 512L, "00000000000000F0"),
+        (2.0, 999L, "0000000000000000"))
+      .toDF("ts_ms", "can_id", "data")
+      .withColumn("data", unhex($"data"))
+      .write.mode("overwrite").parquet(dir)
+    val net = graft.dbc.DbcParser.parseFile("fixtures/mini.dbc")
+    val p = plan(graft.can.SignalDecoder.wideFrame(net, spark.read.parquet(dir)))
+    // P2 dispatch is when(can_id === id) per signal, not a dimension join:
+    // the whole decode is one narrow map stage at any scale
+    assert(!p.contains("Exchange"), s"decode plan must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"decode plan must not join:\n$p")
+    // F1 unknown-id filter reaches the scan (partition/row-group pruning)
+    assert(p.contains("PushedFilters: [In(can_id"), s"missing pushdown:\n$p")
+  }
+
+  test("scan pruning: a 2-column projection reads a 2-column schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_prune").toString
+    docs.withColumn("extra1", lit("x")).withColumn("extra2", lit(7L))
+      .write.mode("overwrite").parquet(dir)
+    val p = plan(spark.read.parquet(dir)
+      .filter($"doc_id" > 5).select($"doc_id", length($"text").as("len")))
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,5)"),
+      s"missing filter pushdown:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("extra1") && !readSchema.contains("extra2"),
+      s"scan must prune unused columns:\n$readSchema")
+  }
+
+  test("bandedCandidates: the (band,bkey) exchange is computed once and " +
+      "reused between the rank window and the self-join") {
+    val sh = Dedup.shingleHashes(docs, "doc_id", col("text"))
+    val p = plan(Dedup.candidatePairsFromShingles(sh, "doc_id"))
+    assert(p.contains("ReusedExchange"),
+      s"band window and candidate self-join must share one shuffle:\n$p")
+  }
+
+  test("minhash signature aggregation combines map-side (partial_min before " +
+      "the exchange)") {
+    val sh = Dedup.shingleHashes(docs, "doc_id", col("text"))
+    val p = plan(Dedup.minhashAgg(sh, "doc_id"))
+    val partialLine = p.linesIterator.find(_.contains("partial_min")).getOrElse("")
+    assert(partialLine.nonEmpty,
+      s"signature agg must have a partial (map-side) phase:\n$p")
+  }
+
+  test("per-document text analysis is a pure projection — zero exchanges") {
+    val p = plan(docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.fingerprint(col("text")).as("fp")))
+    assert(!p.contains("Exchange"), s"per-doc analysis must not shuffle:\n$p")
+  }
+
+  test("ANN scans broadcast the query side — never a cartesian product") {
+    val emb = (0L until 50L)
+      .map(i => (i, Array.tabulate(8)(d => ((i + d) % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val brute = plan(Similarity.bruteForceTopK(emb, 0L, 5))
+    assert(brute.contains("BroadcastNestedLoopJoin"),
+      s"brute-force top-k must broadcast the 1-row query:\n$brute")
+    assert(!brute.contains("CartesianProduct"), s"no cartesian:\n$brute")
+    // the bucket filter is an equi-condition, so Catalyst plans the
+    // broadcast as a HASH join here — still broadcast, never cartesian
+    val lsh = plan(Similarity.lshTopK(emb, 0L, 5))
+    assert(lsh.contains("BroadcastHashJoin") || lsh.contains("BroadcastNestedLoopJoin"),
+      s"LSH top-k must broadcast the 1-row query:\n$lsh")
+    assert(!lsh.contains("CartesianProduct"), s"no cartesian:\n$lsh")
+  }
+}
