@@ -44,6 +44,14 @@ object Dedup {
     * recall on borderline-threshold components. The OpsSpec preservation
     * test proves the pre-verification property; the cap trades that
     * sliver of recall for the O(k²) → O(cap²+k) fan-out bound.
+    *
+    * Measured (BandCapRecallSpec): on randomized 10-member clusters whose
+    * pairwise jaccard straddles the 0.4 threshold, with the cap squeezed
+    * to 4 (2.5× below cluster size, so most members survive only through
+    * star edges), verified-component recall vs uncapped is 0.92 — and
+    * capped reachability is always a subset of uncapped. At this default
+    * cap of 32 the regime is rarer still: buckets only exceed the cap on
+    * very large near-identical clusters, whose star edges verify.
     */
   val BandBucketCap = 32
 
