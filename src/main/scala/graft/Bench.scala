@@ -43,6 +43,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: initialize parquet reader, shuffle machinery, and JIT
     // the common execution paths so the first timed query isn't charged

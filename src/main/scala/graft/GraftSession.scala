@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-level tuning every graft entry point applies. */
+object GraftSession {
+
+  /** Spark fuses a stage into whole-stage codegen only while the widest
+    * schema in the stage stays at or under `spark.sql.codegen.maxFields`
+    * (default 100). Fleet DBC networks routinely carry hundreds of signals
+    * (SURVEY §1.1 — the reference's own `fs.dbc` workflow), so at the
+    * default the flagship wide decode silently runs interpreted exactly at
+    * production width. With per-signal [[graft.plans.Outline]] methods the
+    * generated class stays JIT-friendly at these widths (each signal is its
+    * own small method; `doConsume` is one call site per signal), so raising
+    * the ceiling is safe. 1024 covers any realistic network; beyond it
+    * Spark falls back to interpreted execution, which stays correct.
+    */
+  val CodegenMaxFields = 1024
+
+  /** Applies graft runtime tuning to an existing session (all keys are
+    * runtime-settable SQL confs).
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.codegen.maxFields", CodegenMaxFields.toString)
+    spark
+  }
+}

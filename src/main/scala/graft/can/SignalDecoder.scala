@@ -89,6 +89,13 @@ object SignalDecoder {
     * upstream) and, for multiplexed signals, the mux switch matches.
     */
   def signalColumnFrom(msg: Message, sig: Signal, canId: Column,
+      rawOf: Signal => Column, mode: TypingMode): Column =
+    signalExprFrom(msg, sig, canId, rawOf, mode).as(sig.name)
+
+  /** [[signalColumnFrom]] without the output alias — the tree handed to
+    * [[graft.plans.Outline]] so the alias stays at the projection level.
+    */
+  private[can] def signalExprFrom(msg: Message, sig: Signal, canId: Column,
       rawOf: Signal => Column, mode: TypingMode): Column = {
     val base = physExprFrom(rawOf(sig), sig, mode)
     val gated = sig.mux match {
@@ -99,7 +106,7 @@ object SignalDecoder {
         when(rawOf(muxSig) === lit(sw), base)
       case _ => base
     }
-    when(canId === lit(msg.id), gated).as(sig.name)
+    when(canId === lit(msg.id), gated)
   }
 
   def signalColumn(msg: Message, sig: Signal, canId: Column, le: Column, be: Column,
@@ -132,12 +139,23 @@ object SignalDecoder {
     val known = frames.filter(col("can_id").isin(ids: _*)) // F1: unknown ids dropped
     if (nativeExtract) {
       // shared native u64 assembly (one byte loop per endianness per frame),
-      // constant shift/mask per signal
+      // constant shift/mask per signal. Each signal's decode tree is
+      // OUTLINED into its own generated method: whole-stage codegen inlines
+      // every projected tree into one doConsume, which blows the JIT's
+      // 8000-bytecode ceiling around ~40 signals and Janino's 64 KB method
+      // limit around ~500 — fleet DBCs carry hundreds (SURVEY §1.1), so
+      // without outlining the flagship decode runs interpreted exactly at
+      // production width.
+      val canIdType = frames.schema("can_id").dataType
       val withU64 = known
         .withColumn("_be", graft.plans.PayloadU64(col("data"), littleEndian = false))
         .withColumn("_le", graft.plans.PayloadU64(col("data"), littleEndian = true))
       val sigCols = net.signalsInOrder.map { case (m, s) =>
-        signalColumn(m, s, col("can_id"), col("_le"), col("_be"), mode)
+        graft.plans.Outline(Seq(col("can_id") -> canIdType,
+            col("_le") -> LongType, col("_be") -> LongType)) {
+          case Seq(canId, le, be) =>
+            signalExprFrom(m, s, canId, x => rawExpr(x, le, be), mode)
+        }.as(s.name)
       }
       withU64.select(col("ts_ms") +: carryCols.map(col) ++: sigCols: _*)
     } else {

@@ -82,6 +82,7 @@ object Main {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
+    graft.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     def writeBatch(wide: org.apache.spark.sql.DataFrame): Unit = {

@@ -1,22 +1,33 @@
 package graft.can
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.{ProjectExec, WholeStageCodegenExec}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
 import graft.SparkTestSession
 import graft.dbc._
 
 /** Fleet-scale DBC shape: real networks carry hundreds of signals across
-  * dozens of messages (the reference's wide sparse table, SURVEY §1.1).
-  * Generates a 32-message × 4-signal network (128 columns) and checks the
-  * compiled decode both for correctness (sampled goldens vs the independent
-  * bit reference) and for plan health at that width.
+  * dozens of messages (the reference's wide sparse table, SURVEY §1.1; its
+  * own `fs.dbc` workflow). Generates N-message × 4-signal networks and
+  * checks the compiled decode for correctness (sampled goldens vs the
+  * independent bit reference) AND for the execution-mode guarantees the
+  * width depends on: the wide projection must stay inside whole-stage
+  * codegen (`GraftSession.CodegenMaxFields` > width), and — because Spark
+  * cannot split a projection's `doConsume` — every generated method must
+  * stay under HotSpot's 8000-bytecode JIT ceiling, which only holds because
+  * each signal's tree is outlined into its own method
+  * ([[graft.plans.Outline]]). Without outlining, 129 columns generate one
+  * 25 KB interpreted-only method and 513 columns fail Janino's 64 KB hard
+  * limit outright (measured round 9).
   */
 class WideDbcSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  // 32 messages, each: u16 scaled, s8, bool, motorola u12
-  val dbcText: String = (0 until 32).map { m =>
+  // N messages, each: u16 scaled, s8, bool, motorola u12
+  private def dbcText(msgs: Int): String = (0 until msgs).map { m =>
     s"""BO_ ${512 + m} MSG$m: 8 E
        | SG_ M${m}_A : 0|16@1+ (0.5,-100) [0|0] "" X
        | SG_ M${m}_B : 16|8@1- (1,0) [0|0] "" X
@@ -25,15 +36,48 @@ class WideDbcSpec extends AnyFunSuite {
        |""".stripMargin
   }.mkString("\n")
 
-  test("128-signal network decodes correctly and stays one codegen span") {
-    val net = DbcParser.parseString(dbcText)
-    assert(net.signalsInOrder.size == 128)
-    // 10k frames round-robin over all messages, payload derived from index
-    val frames = spark.range(10000).select(
+  private def frames(msgs: Int, n: Long): DataFrame =
+    spark.range(n).select(
       (col("id") * 1.0).as("ts_ms"),
-      (lit(512) + col("id") % 32).as("can_id"),
+      (lit(512) + col("id") % msgs).as("can_id"),
       unhex(lpad(hex(col("id") * 2654435761L), 16, "0")).as("data"))
-    val wide = SignalDecoder.wideFrame(net, frames)
+
+  /** The executed plan with AQE off (canonical shape, same convention as
+    * PlanSpec — AQE wraps the plan in an opaque adaptive root).
+    */
+  private def executedPlan(mk: => DataFrame) = {
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try mk.queryExecution.executedPlan
+    finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Asserts the wide projection sits in a whole-stage-codegen span whose
+    * generated class compiles with every method under the JIT ceiling.
+    */
+  private def assertCodegenHealthy(wide: DataFrame, cols: Int): Unit = {
+    val plan = executedPlan(wide)
+    val spans = plan.collect { case w: WholeStageCodegenExec => w }
+    val decodeSpan = spans.find(_.collect {
+      case p: ProjectExec if p.output.length >= cols => p
+    }.nonEmpty)
+    assert(decodeSpan.nonEmpty,
+      s"$cols-col decode projection must be inside a WholeStageCodegen span:\n$plan")
+    val (_, code) = decodeSpan.get.doCodeGen()
+    val (_, stats) = CodeGenerator.compile(code) // throws if Janino rejects
+    assert(stats.maxMethodCodeSize < 8000,
+      s"largest generated method is ${stats.maxMethodCodeSize} bytecodes — " +
+        "above HotSpot's 8000-byte JIT ceiling, decode would run interpreted")
+  }
+
+  test("128-signal network decodes correctly and stays one JIT-able codegen span") {
+    val net = DbcParser.parseString(dbcText(32))
+    assert(net.signalsInOrder.size == 128)
+    val wide = SignalDecoder.wideFrame(net, frames(32, 10000))
     assert(wide.columns.length == 129)
 
     val sample = wide.filter(col("ts_ms") === 35.0).collect().head // id=35 → msg 3
@@ -48,11 +92,27 @@ class WideDbcSpec extends AnyFunSuite {
     val expD = (d(4) << 4) | (d(5) >> 4) // motorola start 39 len 12
     assert(sample.getAs[Int]("M3_D") == expD)
 
-    // plan health: decode fused into whole-stage codegen (single span over
-    // the project), and the per-frame cost stays sane at 128 columns
+    assertCodegenHealthy(wide, 129)
+
     val t0 = System.nanoTime()
     wide.write.mode("overwrite").format("noop").save()
     val sec = (System.nanoTime() - t0) / 1e9
     assert(sec < 60.0, s"128-col decode of 10k frames took ${sec}s")
+  }
+
+  test("512-signal network (past Janino's 64 KB un-outlined cliff) still " +
+      "codegens, JITs, and decodes correctly") {
+    val net = DbcParser.parseString(dbcText(128))
+    assert(net.signalsInOrder.size == 512)
+    val wide = SignalDecoder.wideFrame(net, frames(128, 2000))
+    assert(wide.columns.length == 513)
+
+    val sample = wide.filter(col("ts_ms") === 131.0).collect().head // id=131 → msg 3
+    val d = (0 until 8).map(i => (BigInt(131L * 2654435761L) >> (8 * (7 - i))).toInt & 0xFF)
+    val exp_a = ((d(1) << 8 | d(0)) * 0.5 - 100).toFloat
+    assert(sample.getAs[Float]("M3_A") == exp_a)
+    assert(sample.isNullAt(sample.fieldIndex("M4_A")))
+
+    assertCodegenHealthy(wide, 513)
   }
 }
