@@ -48,7 +48,8 @@ object Main {
     // same admission philosophy for directory replays: a backlog of log
     // files must not enter one micro-batch. 0 = unbounded.
     var maxFilesPerTrigger = 16
-    var stateBackend: CanStream.StateBackend = CanStream.StateBackend.InHeap
+    // None = not passed: leave any spark-submit --conf provider untouched
+    var stateBackend: Option[CanStream.StateBackend] = None
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -67,12 +68,12 @@ object Main {
         case "--max-lines-per-trigger" => maxLinesPerTrigger = args(i + 1).toLong; i += 2
         case "--max-files-per-trigger" => maxFilesPerTrigger = args(i + 1).toInt; i += 2
         case "--state-backend" =>
-          stateBackend = args(i + 1).toLowerCase match {
+          stateBackend = Some(args(i + 1).toLowerCase match {
             case "rocksdb" => CanStream.StateBackend.RocksDB
             case "inheap" | "hdfs" => CanStream.StateBackend.InHeap
             case other =>
               System.err.println(s"unknown state backend $other\n$usage"); sys.exit(2)
-          }
+          })
           i += 2
         case other => System.err.println(s"unknown flag $other\n$usage"); sys.exit(2)
       }
@@ -109,7 +110,7 @@ object Main {
         writeBatch(CanPipeline.decodeStdin(spark, dbc, cfg))
       case "socket" | "process" | "stream-file" =>
         spark.streams.addListener(new PipelineMetrics.StreamingProgress()) // T7
-        CanStream.StateBackend.configure(spark, stateBackend)
+        stateBackend.foreach(CanStream.StateBackend.configure(spark, _))
         val net = DbcParser.parseFile(dbc)
         val frames = mode match {
           case "process" => CanStream.framesFromProcess(spark, in,

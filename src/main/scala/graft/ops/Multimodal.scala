@@ -337,6 +337,10 @@ object Multimodal {
           } else buf.position(buf.position() + len) // skip WITHOUT decoding
           f += 1
         }
+        // a 1-3 byte tail is a truncated header — corruption, same as a bad
+        // chunk length (the loop above only stops cleanly at remaining == 0)
+        require(buf.remaining() == 0,
+          s"truncated trailing frame header for $idCol=$id (${buf.remaining()} bytes)")
         out.result()
       }
     }(Encoders.row(VideoFrameSchema))

@@ -15,12 +15,23 @@ import graft.dbc._
   * independent bit reference) AND for the execution-mode guarantees the
   * width depends on: the wide projection must stay inside whole-stage
   * codegen (`GraftSession.CodegenMaxFields` > width), and — because Spark
-  * cannot split a projection's `doConsume` — every generated method must
-  * stay under HotSpot's 8000-bytecode JIT ceiling, which only holds because
-  * each signal's tree is outlined into its own method
-  * ([[graft.plans.Outline]]). Without outlining, 129 columns generate one
-  * 25 KB interpreted-only method and 513 columns fail Janino's 64 KB hard
-  * limit outright (measured round 9).
+  * cannot split a projection's `doConsume` — the generated methods must
+  * stay JIT-friendly, which only holds because each signal's tree is
+  * outlined into its own method ([[graft.plans.Outline]]). Without
+  * outlining, 129 columns generate one 25 KB interpreted-only method and
+  * 513 columns fail Janino's 64 KB hard limit outright (measured round 9).
+  *
+  * Width regimes (measured round 9): at 129 columns EVERY generated method
+  * is under HotSpot's 8000-bytecode JIT ceiling — fully compiled decode. At
+  * 513 columns the per-field dispatcher (`doConsume` + UnsafeRow writes)
+  * alone exceeds 8000 bytecodes, but that is inherent to ANY Spark
+  * projection at that width — a trivial 513-col `select(id*k...)` already
+  * generates a 22 045-byte method — so the test asserts the invariants that
+  * ARE ours to keep: the stage compiles (Janino), stays under Spark's own
+  * `spark.sql.codegen.hugeMethodLimit` whole-stage fallback, every decode
+  * tree lives in its own sub-8000 outlined method, and the dispatcher is
+  * within 2× of the trivial-projection floor (i.e. the signal trees did
+  * not leak back inline).
   */
 class WideDbcSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -56,10 +67,11 @@ class WideDbcSpec extends AnyFunSuite {
     }
   }
 
-  /** Asserts the wide projection sits in a whole-stage-codegen span whose
-    * generated class compiles with every method under the JIT ceiling.
+  /** Compiles the whole-stage span containing the `cols`-wide projection
+    * and returns its max generated-method bytecode size (throws if the
+    * projection is not in a span or Janino rejects the class).
     */
-  private def assertCodegenHealthy(wide: DataFrame, cols: Int): Unit = {
+  private def compiledMaxMethodSize(wide: DataFrame, cols: Int): Int = {
     val plan = executedPlan(wide)
     val spans = plan.collect { case w: WholeStageCodegenExec => w }
     val decodeSpan = spans.find(_.collect {
@@ -69,9 +81,7 @@ class WideDbcSpec extends AnyFunSuite {
       s"$cols-col decode projection must be inside a WholeStageCodegen span:\n$plan")
     val (_, code) = decodeSpan.get.doCodeGen()
     val (_, stats) = CodeGenerator.compile(code) // throws if Janino rejects
-    assert(stats.maxMethodCodeSize < 8000,
-      s"largest generated method is ${stats.maxMethodCodeSize} bytecodes — " +
-        "above HotSpot's 8000-byte JIT ceiling, decode would run interpreted")
+    stats.maxMethodCodeSize
   }
 
   test("128-signal network decodes correctly and stays one JIT-able codegen span") {
@@ -92,7 +102,11 @@ class WideDbcSpec extends AnyFunSuite {
     val expD = (d(4) << 4) | (d(5) >> 4) // motorola start 39 len 12
     assert(sample.getAs[Int]("M3_D") == expD)
 
-    assertCodegenHealthy(wide, 129)
+    // fleet width: the WHOLE stage — signal trees and dispatcher — JITs
+    val maxSize = compiledMaxMethodSize(wide, 129)
+    assert(maxSize < 8000,
+      s"largest generated method is $maxSize bytecodes — above HotSpot's " +
+        "8000-byte JIT ceiling, decode would run interpreted")
 
     val t0 = System.nanoTime()
     wide.write.mode("overwrite").format("noop").save()
@@ -113,6 +127,29 @@ class WideDbcSpec extends AnyFunSuite {
     assert(sample.getAs[Float]("M3_A") == exp_a)
     assert(sample.isNullAt(sample.fieldIndex("M4_A")))
 
-    assertCodegenHealthy(wide, 513)
+    // At 513 output columns the per-field dispatcher alone is past the
+    // 8000-byte JIT ceiling for ANY Spark projection — establish that floor
+    // with a trivial projection of the same width, then hold the decode to
+    // it: compiles, stays under Spark's whole-stage fallback limit (the
+    // stage remains codegen'd — Spark reverts to fully-interpreted above
+    // hugeMethodLimit), and the dispatcher stays within 2× of the trivial
+    // floor, which it only does while every signal tree is outlined (inline
+    // trees fail Janino's 64 KB method cap outright at this width).
+    val trivial = spark.range(2000).select(
+      (0 until 513).map(i => (col("id") * (i + 1)).as(s"c$i")): _*)
+    val trivialMax = compiledMaxMethodSize(trivial, 513)
+    assert(trivialMax >= 8000,
+      s"width floor assumption broken: trivial 513-col projection now " +
+        s"generates $trivialMax-byte methods — tighten the decode assertion")
+    val decodeMax = compiledMaxMethodSize(wide, 513)
+    val hugeLimit = spark.conf.get("spark.sql.codegen.hugeMethodLimit").toInt
+    assert(decodeMax < hugeLimit,
+      s"decode dispatcher is $decodeMax bytecodes, at/above Spark's " +
+        s"hugeMethodLimit $hugeLimit — the whole stage would fall back to " +
+        "interpreted execution")
+    assert(decodeMax <= 2 * trivialMax,
+      s"decode dispatcher is $decodeMax bytecodes vs trivial-projection " +
+        s"floor $trivialMax — signal trees are leaking inline instead of " +
+        "being outlined")
   }
 }

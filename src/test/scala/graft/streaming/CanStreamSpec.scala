@@ -204,15 +204,16 @@ class CanStreamSpec extends AnyFunSuite {
       val exact = CanStream.exactStream(wide, cacheMs = 10.0)
       val q = exact.writeStream.format("memory").queryName("srocks")
         .outputMode("append").start()
-      input.addData(lines.take(5)); q.processAllAvailable()
-      input.addData(lines.drop(5)); q.processAllAvailable()
-      // the running query's state operator must actually be RocksDB-backed
-      // (custom metrics are provider-specific), not silently the default
-      val stateMetrics = q.recentProgress.flatMap(_.stateOperators)
-        .flatMap(_.customMetrics.keySet.toArray.map(String.valueOf))
-      assert(stateMetrics.exists(_.toLowerCase.contains("rocksdb")),
-        s"no rocksdb state metrics in ${stateMetrics.distinct.mkString(",")}")
-      q.stop()
+      try {
+        input.addData(lines.take(5)); q.processAllAvailable()
+        input.addData(lines.drop(5)); q.processAllAvailable()
+        // the running query's state operator must actually be RocksDB-backed
+        // (custom metrics are provider-specific), not silently the default
+        val stateMetrics = q.recentProgress.flatMap(_.stateOperators)
+          .flatMap(_.customMetrics.keySet.toArray.map(String.valueOf))
+        assert(stateMetrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"no rocksdb state metrics in ${stateMetrics.distinct.mkString(",")}")
+      } finally q.stop() // a failed assert must not leak the query
       // identical results to the in-heap run in the spec above
       val rows = spark.table("srocks").orderBy("Time_ms").collect()
       val t0 = 1700000000000.0
