@@ -155,6 +155,48 @@ object SparkEntry {
       .repartition(ev.sparkSession.sparkContext.defaultParallelism)
   }
 
+  /** Standalone network for qc_sig_valtype: standard-DBC `SIG_VALTYPE_`
+    * IEEE declarations (float32 with scaling + a full-payload float64),
+    * the dbcppp decode behavior the reference gets implicitly
+    * (`/root/reference/src/decoder.cpp:87`) and graft decodes natively
+    * ([[graft.plans.LongBitsToDouble]]).
+    */
+  private val valTypeDbc =
+    """BO_ 1040 MF: 8 E
+      | SG_ FV : 0|32@1+ (0.5,3) [0|0] "" X
+      | SG_ SEQ2 : 32|32@1+ (1,0) [0|0] "" X
+      |BO_ 1296 MD: 8 E
+      | SG_ DV : 0|64@1+ (1,0) [0|0] "" X
+      |
+      |SIG_VALTYPE_ 1040 FV : 1;
+      |SIG_VALTYPE_ 1296 DV : 2;
+      |""".stripMargin
+
+  /** events → candump lines for qc_sig_valtype: per event one MF frame
+    * (float32 bits `0x3F800000 | m`, m = event_id % 2^23 ⇒ value 1 + m/2^23,
+    * exact in float AND double so DuckDB can restate it arithmetically) at
+    * us = event_id*2, and one MD frame (double bits `0x3FF... | m` with
+    * sign from user_id parity ⇒ ±(1 + m/2^52), exact) at us = event_id*2+1
+    * — unique timestamps are the row key.
+    */
+  private def valTypeLines(ev: DataFrame): DataFrame = {
+    val e = col("event_id"); val u = col("user_id")
+    def leHex(bits: Column): Column =
+      concat((0 until 8).map(b =>
+        hex2(shiftrightunsigned(bits, 8 * b).bitwiseAND(255))): _*)
+    val fbits = lit(0x3F800000L).bitwiseOR(e % 8388608L).bitwiseOR(
+      shiftleft(e.cast("long"), 32)) // bytes 4-7: SEQ2 = event_id
+    val dbits = lit(0x3FF0000000000000L).bitwiseOR(e % 8388608L)
+      .bitwiseOR(when(u % 2 === 1, Long.MinValue).otherwise(0L))
+    val fLine = ev.select(format_string("(%d.%06d) vcan0 410#%s",
+      expr("(event_id*2) div 1000000"), expr("(event_id*2) % 1000000"),
+      leHex(fbits)).as("value"))
+    val dLine = ev.select(format_string("(%d.%06d) vcan0 510#%s",
+      expr("(event_id*2+1) div 1000000"), expr("(event_id*2+1) % 1000000"),
+      leHex(dbits)).as("value"))
+    fLine.union(dLine).repartition(ev.sparkSession.sparkContext.defaultParallelism)
+  }
+
   /** The oracle-side byte CTE (kept in one place; spliced into qc_* SQL). */
   private val canBytesCte =
     """WITH b AS (
@@ -436,6 +478,21 @@ object SparkEntry {
       SignalDecoder.wideFrame(net, frames)
         .select(col("SEQ").as("seq"), col("FVAL").as("fval"))
         .orderBy("seq")
+    }),
+
+    "qc_sig_valtype" -> ((s, dir) => {
+      // Standard-DBC SIG_VALTYPE_ IEEE signals end-to-end: scaled float32
+      // (reinterpret + raw→phys in double, cast back) and full-payload
+      // float64 (graft.plans.LongBitsToDouble), through the same wideFrame
+      // spine. Values are exactly-representable constructions so the
+      // oracle restates them arithmetically; line timestamps are the key.
+      val net = DbcParser.parseString(valTypeDbc)
+      val frames = CandumpParser.parseLines(valTypeLines(events(s, dir)))
+        .withColumnRenamed("ts_us", "ts_ms")
+      SignalDecoder.wideFrame(net, frames)
+        .select(col("ts_ms").cast("long").as("us_key"),
+          col("FV").as("fv"), col("DV").as("dv"))
+        .orderBy("us_key")
     }),
 
     "qc_ts_normalize" -> ((s, dir) => {
@@ -1261,6 +1318,19 @@ object SparkEntry {
         |  CAST((CASE WHEN user_id % 2 = 1 THEN -1 ELSE 1 END)
         |    * (1 + (event_id % 8388608) / 8388608.0) AS FLOAT4) AS fval
         |FROM events ORDER BY seq""".stripMargin,
+
+    "qc_sig_valtype" ->
+      """SELECT CAST(event_id*2 AS BIGINT) AS us_key,
+        |  CAST((1 + (event_id % 8388608) / 8388608.0) * 0.5 + 3 AS FLOAT4) AS fv,
+        |  CAST(NULL AS DOUBLE) AS dv
+        |FROM events
+        |UNION ALL
+        |SELECT CAST(event_id*2+1 AS BIGINT),
+        |  CAST(NULL AS FLOAT4),
+        |  (CASE WHEN user_id % 2 = 1 THEN -1 ELSE 1 END)
+        |    * (1 + (event_id % 8388608) / 4503599627370496.0)
+        |FROM events
+        |ORDER BY us_key""".stripMargin,
 
     "qc_decode_defacto" -> (canBytesCte +
       """

@@ -71,10 +71,27 @@ object SignalDecoder {
     */
   def intBitsToFloat(raw: Column): Column = graft.plans.FloatReinterpret.intBitsToFloat(raw)
 
-  /** Physical (scaled, typed) value of one signal (P4/P6/P7) from its raw. */
+  /** IEEE-754 reinterpret for `SIG_VALTYPE_ : 2` (float64) signals: native
+    * codegen Expression over the full 64-bit raw field.
+    */
+  def longBitsToDouble(raw: Column): Column = graft.plans.FloatReinterpret.longBitsToDouble(raw)
+
+  /** Physical (scaled, typed) value of one signal (P4/P6/P7) from its raw.
+    *
+    * `SIG_VALTYPE_` IEEE signals reinterpret the raw bits first (the
+    * low-32 cast inside [[intBitsToFloat]] makes any sign extension of the
+    * extract irrelevant), then apply factor/offset in double precision —
+    * standard DBC raw→phys semantics, unlike the reference's `flt32_` name
+    * hack which is scale-less by its own documented convention.
+    */
   def physExprFrom(raw: Column, sig: Signal, mode: TypingMode): Column = {
     val target = DbcSchema.sparkType(sig, mode)
+    def scaled(v: Column): Column =
+      if (sig.isIdentityScale) v
+      else (v.cast(DoubleType) * lit(sig.factor) + lit(sig.offset)).cast(target)
     if (sig.isFlt32) intBitsToFloat(raw)
+    else if (sig.valType == ValType.Float32) scaled(intBitsToFloat(raw))
+    else if (sig.valType == ValType.Float64) scaled(longBitsToDouble(raw))
     else if (target == BooleanType) raw =!= 0L
     else if (sig.isIdentityScale) raw.cast(target)
     else (raw.cast(DoubleType) * lit(sig.factor) + lit(sig.offset)).cast(target)

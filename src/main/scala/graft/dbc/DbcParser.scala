@@ -15,6 +15,22 @@ object Mux {
   final case class Value(switchValue: Long) extends Mux // "mN"
 }
 
+/** Native value type of a signal, declared by a `SIG_VALTYPE_` line
+  * (`SIG_VALTYPE_ <msgId> <sigName> : <type>;` — 0 integer, 1 IEEE 754
+  * float32, 2 IEEE 754 float64). This is the standard-DBC way to mark a
+  * raw field as a float — the construct the reference consumes implicitly
+  * through dbcppp's typed `Decode` (`/root/reference/src/decoder.cpp:87`;
+  * its own schema builder would mistype such signals,
+  * `/root/reference/src/decoder.cpp:45-63`) and distinct from the
+  * reference's `flt32_`-name convention, which graft also supports.
+  */
+sealed trait ValType
+object ValType {
+  case object Integer extends ValType
+  case object Float32 extends ValType
+  case object Float64 extends ValType
+}
+
 /** One DBC signal definition.
   *
   * Field semantics follow the Vector DBC `SG_` line as consumed by the
@@ -46,7 +62,8 @@ final case class Signal(
     max: Double,
     unit: String,
     mux: Mux,
-    isFlt32: Boolean
+    isFlt32: Boolean,
+    valType: ValType = ValType.Integer
 ) {
   require(bitLen >= 1 && bitLen <= 64, s"signal $name: bitLen $bitLen out of [1,64]")
   require(startBit >= 0 && startBit < 64, s"signal $name: startBit $startBit out of [0,64)")
@@ -107,6 +124,9 @@ object DbcParser {
       """\(\s*([^,()]+)\s*,\s*([^,()]+)\s*\)\s*""" +
       """\[\s*([^|\]]+)\s*\|\s*([^|\]]+)\s*\]\s*""" +
       """"([^"]*)"\s*(.*)$""").r
+  // SIG_VALTYPE_ msgId SigName : type;   (0 int, 1 float32, 2 float64)
+  private val ValTypeRe =
+    """^\s*SIG_VALTYPE_\s+(\d+)\s+([A-Za-z0-9_]+)\s*:\s*([012])\s*;?\s*$""".r
 
   def parseFile(path: String): Network = {
     val src = Source.fromFile(path)
@@ -119,6 +139,9 @@ object DbcParser {
     val messages = Seq.newBuilder[Message]
     var current: Option[(Long, String, Int)] = None
     var sigs = Seq.newBuilder[Signal]
+    // SIG_VALTYPE_ lines appear after all message blocks; collected here
+    // and applied once every message is flushed
+    val valTypes = Map.newBuilder[(Long, String), ValType]
 
     def flush(): Unit = {
       current.foreach { case (id, name, dlc) =>
@@ -157,10 +180,45 @@ object DbcParser {
             mux = mux,
             isFlt32 = isFlt
           )
+        case ValTypeRe(id, name, t) =>
+          val vt = t match {
+            case "1" => ValType.Float32
+            case "2" => ValType.Float64
+            case _   => ValType.Integer // "0": explicit default
+          }
+          valTypes += ((id.toLong & 0x1FFFFFFFL, name) -> vt)
         case _ => // skip: VERSION, NS_, BS_, BU_, CM_, BA_, VAL_, blank, ...
       }
     }
     flush()
-    Network(messages.result())
+    applyValTypes(Network(messages.result()), valTypes.result())
+  }
+
+  /** Attaches collected `SIG_VALTYPE_` declarations to their signals.
+    * The declaration carries the DBC-file signal name, so a `flt32_`-
+    * prefixed signal (whose parsed name is stripped) matches under either
+    * spelling. IEEE widths are validated here: a float32 declaration on a
+    * non-32-bit field (or float64 on non-64-bit) is a malformed DBC.
+    */
+  private def applyValTypes(net: Network,
+      vt: Map[(Long, String), ValType]): Network = {
+    if (vt.isEmpty) net
+    else Network(net.messages.map { m =>
+      m.copy(signals = m.signals.map { s =>
+        val declared = vt.get((m.id, s.name))
+          .orElse(if (s.isFlt32) vt.get((m.id, "flt32_" + s.name)) else None)
+        declared match {
+          case None | Some(ValType.Integer) => s
+          case Some(t @ ValType.Float32) =>
+            require(s.bitLen == 32,
+              s"SIG_VALTYPE_ float32 on ${m.name}.${s.name}: bitLen ${s.bitLen} != 32")
+            s.copy(valType = t)
+          case Some(t @ ValType.Float64) =>
+            require(s.bitLen == 64,
+              s"SIG_VALTYPE_ float64 on ${m.name}.${s.name}: bitLen ${s.bitLen} != 64")
+            s.copy(valType = t)
+        }
+      })
+    })
   }
 }

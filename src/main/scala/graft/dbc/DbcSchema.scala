@@ -38,6 +38,10 @@ object DbcSchema {
     */
   def sparkType(sig: Signal, mode: TypingMode): DataType =
     if (sig.isFlt32) FloatType // `flt32_` reinterpret → float32 (decoder.cpp:28-37)
+    // SIG_VALTYPE_-declared IEEE fields: the native width, under either
+    // typing mode (the declaration IS the type; factor/offset scale within)
+    else if (sig.valType == ValType.Float32) FloatType
+    else if (sig.valType == ValType.Float64) DoubleType
     else if (sig.bitLen == 1) BooleanType // 1-bit → boolean (decoder.cpp:41-44)
     else mode match {
       case TypingMode.Intended if sig.factor == 1.0 && sig.offset.isWhole =>

@@ -157,6 +157,63 @@ class SignalDecoderSpec extends AnyFunSuite {
     assert(got.toSeq == floats)
   }
 
+  test("SIG_VALTYPE_ round-trip property vs Float/Double bit casts") {
+    // both endians for float32, both endians for float64, plus a scaled
+    // float32 — the full SIG_VALTYPE_ decode matrix over random bits
+    val net = DbcParser.parseString(
+      """BO_ 100 F: 8 E
+        | SG_ FV : 0|32@1+ (1,0) [0|0] "" T
+        | SG_ FB : 39|32@0+ (1,0) [0|0] "" T
+        |BO_ 101 D: 8 E
+        | SG_ DV : 0|64@1+ (1,0) [0|0] "" T
+        |BO_ 102 DM: 8 E
+        | SG_ DB : 7|64@0- (1,0) [0|0] "" T
+        |BO_ 103 FS: 8 E
+        | SG_ FX : 0|32@1- (0.5,3) [0|0] "" T
+        |
+        |SIG_VALTYPE_ 100 FV : 1;
+        |SIG_VALTYPE_ 100 FB : 1;
+        |SIG_VALTYPE_ 101 DV : 2;
+        |SIG_VALTYPE_ 102 DB : 2;
+        |SIG_VALTYPE_ 103 FX : 1;
+        |""".stripMargin)
+    val rnd = new scala.util.Random(0xC0FFEE)
+    // random payloads + IEEE edge patterns in the low word / full word
+    val edges = Seq(0L, 0x7F800000L, 0xFF800000L, 0x7FC00000L, 0x80000000L,
+      0x7FF0000000000000L, 0xFFF0000000000000L, 0x7FF8000000000000L, Long.MinValue, -1L)
+    val payloads = (edges ++ Seq.fill(200)(rnd.nextLong())).zipWithIndex
+    val frames = payloads.flatMap { case (bits, i) =>
+      val le = (0 until 8).map(b => ((bits >>> (8 * b)) & 0xFF).toByte).toArray
+      Seq(100L, 101L, 102L, 103L).zipWithIndex.map { case (id, k) =>
+        ((i * 4 + k).toDouble, id, le)
+      }
+    }.toDF("ts_ms", "can_id", "data")
+    val rows = SignalDecoder.wideFrame(net, frames).orderBy("ts_ms").collect()
+    def checkF(got: Float, bits: Int): Unit =
+      if (java.lang.Float.intBitsToFloat(bits).isNaN) assert(got.isNaN)
+      else assert(got == java.lang.Float.intBitsToFloat(bits))
+    def checkD(got: Double, bits: Long): Unit =
+      if (java.lang.Double.longBitsToDouble(bits).isNaN) assert(got.isNaN)
+      else assert(got == java.lang.Double.longBitsToDouble(bits))
+    payloads.foreach { case (bits, i) =>
+      val fRow = rows(i * 4) // id 100
+      checkF(fRow.getAs[Float]("FV"), bits.toInt) // LE u32 = low word
+      // Motorola start 39 len 32 → wire bytes 4..7 big-endian; LE payload
+      // byte b holds bits >>> 8b, so the BE read reassembles:
+      val beBits = ((bits >>> 32) & 0xFFL) << 24 | ((bits >>> 40) & 0xFFL) << 16 |
+        ((bits >>> 48) & 0xFFL) << 8 | (bits >>> 56) & 0xFFL
+      checkF(fRow.getAs[Float]("FB"), beBits.toInt)
+      checkD(rows(i * 4 + 1).getAs[Double]("DV"), bits) // LE u64 = the word
+      val beD = java.lang.Long.reverseBytes(bits) // moto 7|64 = BE byte string
+      checkD(rows(i * 4 + 2).getAs[Double]("DB"), beD)
+      // scaled float32 (signed extract — sign extension must not matter):
+      val f = java.lang.Float.intBitsToFloat(bits.toInt)
+      val expected = (f.toDouble * 0.5 + 3).toFloat
+      val got = rows(i * 4 + 3).getAs[Float]("FX")
+      if (expected.isNaN) assert(got.isNaN) else assert(got == expected)
+    }
+  }
+
   test("mux gating (P5): value signals only when switch matches") {
     val net = DbcParser.parseFile("fixtures/mini.dbc")
     val frames = Seq(

@@ -109,4 +109,54 @@ class DbcParserSpec extends AnyFunSuite {
     assert(sch("Big_Int").dataType == LongType)
     assert(sch("Big_Scaled").dataType == DoubleType)
   }
+
+  test("SIG_VALTYPE_ attaches IEEE types, masks extended ids, types the schema") {
+    val n = DbcParser.parseString(
+      """BO_ 2147484672 V: 8 ECU
+        | SG_ F : 0|32@1+ (0.5,3) [0|0] "" T
+        | SG_ K : 32|32@1+ (1,0) [0|0] "" T
+        |BO_ 2 W: 8 ECU
+        | SG_ D : 0|64@1+ (1,0) [0|0] "" T
+        |
+        |SIG_VALTYPE_ 2147484672 F : 1;
+        |SIG_VALTYPE_ 2 D : 2;
+        |""".stripMargin) // 2147484672 = 0x80000400 → masked id 1024
+    val v = n.messageById(1024L)
+    assert(v.signals.find(_.name == "F").get.valType == ValType.Float32)
+    assert(v.signals.find(_.name == "K").get.valType == ValType.Integer)
+    assert(n.messageById(2L).signals.head.valType == ValType.Float64)
+    val sch = DbcSchema.wideSchema(n, TypingMode.Intended)
+    assert(sch("F").dataType == FloatType) // declared type wins over scaled table
+    assert(sch("K").dataType == LongType)
+    assert(sch("D").dataType == DoubleType)
+    // DeFacto mode: declaration still wins (it IS the wire format)
+    assert(DbcSchema.wideSchema(n, TypingMode.DeFacto)("D").dataType == DoubleType)
+  }
+
+  test("SIG_VALTYPE_ matches flt32_-stripped names; explicit 0 is a no-op") {
+    val n = DbcParser.parseString(
+      """BO_ 3 X: 8 ECU
+        | SG_ flt32_G : 0|32@1+ (1,0) [0|0] "" T
+        | SG_ H : 32|16@1+ (1,0) [0|0] "" T
+        |
+        |SIG_VALTYPE_ 3 flt32_G : 1;
+        |SIG_VALTYPE_ 3 H : 0;
+        |""".stripMargin)
+    val g = n.messageById(3L).signals.head
+    assert(g.name == "G" && g.isFlt32 && g.valType == ValType.Float32)
+    assert(n.messageById(3L).signals(1).valType == ValType.Integer)
+  }
+
+  test("SIG_VALTYPE_ width validation: float32 needs 32 bits, float64 needs 64") {
+    def dbc(len: Int, t: Int) =
+      s"""BO_ 4 Y: 8 ECU
+         | SG_ Z : 0|$len@1+ (1,0) [0|0] "" T
+         |
+         |SIG_VALTYPE_ 4 Z : $t;
+         |""".stripMargin
+    assertThrows[IllegalArgumentException](DbcParser.parseString(dbc(16, 1)))
+    assertThrows[IllegalArgumentException](DbcParser.parseString(dbc(32, 2)))
+    DbcParser.parseString(dbc(32, 1)) // sane declarations parse
+    DbcParser.parseString(dbc(64, 2)): Unit
+  }
 }
