@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Quantifies the ANN recall trade-offs the [[Similarity]] scaladoc names:
+  * [[Similarity.lshTopK]] scans only the query's hyperplane-sign bucket
+  * and [[Similarity.ivfTopK]]/[[Similarity.ivfKmeansTopK]] only the
+  * query's inverted list, so a true neighbor hashed/assigned elsewhere is
+  * unreachable. Same pattern as [[BandCapRecallSpec]]: randomized
+  * clustered corpora, recall measured against [[Similarity.bruteForceTopK]]
+  * ground truth, a floor asserted, the measured numbers recorded in the
+  * operator scaladoc.
+  *
+  * The corpus plants clusters (shared center + per-member noise) so top-k
+  * has real structure to find — the regime ANN is built for. Uniform
+  * noise would score every method near zero and measure nothing.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private val Dims = 64
+  private val K = 10
+
+  /** 20 clusters × 25 members: center ±0.5/dim, member = center + noise. */
+  private lazy val emb = {
+    val rnd = new scala.util.Random(20260812)
+    val rows = (0 until 20).flatMap { c =>
+      val center = Array.fill(Dims)(rnd.nextFloat() - 0.5f)
+      (0 until 25).map { m =>
+        val v = center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f)
+        ((c * 25 + m).toLong, v.toSeq)
+      }
+    }
+    rows.toDF("vec_id", "embedding").cache()
+  }
+
+  private def topkIds(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("vec_id").as[Long].collect().toSeq
+
+  private def recallOf(approx: Long => Seq[Long], queries: Seq[Long]): Double = {
+    val truth = queries.map(q => q -> topkIds(Similarity.bruteForceTopK(emb, q, K))).toMap
+    val hits = queries.map(q => approx(q).toSet.intersect(truth(q).toSet).size).sum
+    hits.toDouble / (queries.size * K)
+  }
+
+  // every 25th id = one query per cluster, diverse centers
+  private val queries = (0 until 20).map(_ * 25L + 7)
+
+  test("LSH bucket top-k recall vs brute force: floor + measured") {
+    val r = recallOf(q => topkIds(Similarity.lshTopK(emb, q, K)), queries)
+    info(f"lshTopK recall@$K at NumPlanes=${Similarity.NumPlanes}: $r%.4f")
+    assert(r >= 0.45, f"LSH recall $r%.3f fell below the documented floor of 0.45")
+  }
+
+  test("IVF first-k-codebook top-k recall vs brute force: floor + measured") {
+    val r = recallOf(q => topkIds(Similarity.ivfTopK(emb, q, K)), queries)
+    info(f"ivfTopK recall@$K at centroids=16: $r%.4f")
+    assert(r >= 0.60, f"IVF recall $r%.3f fell below the documented floor of 0.60")
+  }
+
+  test("IVF k-means-codebook top-k recall vs brute force: floor + measured") {
+    val r = recallOf(q => topkIds(Similarity.ivfKmeansTopK(emb, q, K)), queries)
+    info(f"ivfKmeansTopK recall@$K at centroids=8, iters=2: $r%.4f")
+    assert(r >= 0.90, f"IVF-kmeans recall $r%.3f fell below the documented floor of 0.90")
+  }
+}
