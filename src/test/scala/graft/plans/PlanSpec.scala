@@ -9,10 +9,15 @@ import graft.ops.{Dedup, Similarity, TextAnalysis}
 /** Plan-shape regression suite: the physical-plan properties the 100 TB
   * design depends on, which otherwise live only in operator scaladocs — a
   * Spark upgrade, AQE change, or refactor could silently regress them
-  * while every VALUE-level test stays green. Plans are asserted with AQE
-  * off (deterministic canonical shapes; AQE only re-plans exchanges that
-  * are already there, so the properties checked here — exchange count,
-  * join strategy, pushdown — are the same ones AQE starts from).
+  * while every VALUE-level test stays green.
+  *
+  * Every property is asserted in BOTH execution modes: AQE off (the
+  * deterministic canonical shape Catalyst emits) and AQE on — the mode
+  * bench and production actually run, where runtime re-planning could in
+  * principle rewrite exactly the invariants guarded here (exchange count,
+  * join strategy, reuse). The AQE variant executes the query and asserts
+  * on the FINAL adaptive plan (`isFinalPlan=true`), not the speculative
+  * initial one.
   */
 class PlanSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -25,6 +30,28 @@ class PlanSpec extends AnyFunSuite {
     spark.conf.set(key, "false")
     try mk.queryExecution.executedPlan.toString
     finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** FINAL adaptive plan string: AQE forced on, query executed so every
+    * query stage has materialized and re-planning has run its course.
+    */
+  private def aqeFinalPlan(mk: => DataFrame): String = {
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = mk
+      df.collect() // materialize: finalizes AdaptiveSparkPlanExec
+      val p = df.queryExecution.executedPlan.toString
+      // plans with no exchange/subquery are not wrapped by AQE at all —
+      // itself a statement that there is nothing adaptive to re-plan
+      assert(!p.contains("AdaptiveSparkPlan") || p.contains("isFinalPlan=true"),
+        s"expected a finalized adaptive plan:\n$p")
+      p
+    } finally before match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
@@ -102,6 +129,75 @@ class PlanSpec extends AnyFunSuite {
     // the bucket filter is an equi-condition, so Catalyst plans the
     // broadcast as a HASH join here — still broadcast, never cartesian
     val lsh = plan(Similarity.lshTopK(emb, 0L, 5))
+    assert(lsh.contains("BroadcastHashJoin") || lsh.contains("BroadcastNestedLoopJoin"),
+      s"LSH top-k must broadcast the 1-row query:\n$lsh")
+    assert(!lsh.contains("CartesianProduct"), s"no cartesian:\n$lsh")
+  }
+
+  // ------------------------------------------------------------------
+  // The same six invariants under AQE — the mode bench and production
+  // run. Assertions run against the finalized adaptive plan.
+  // ------------------------------------------------------------------
+
+  test("AQE-on: decode stays join-free/shuffle-free with pushdown intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqe_frames").toString
+    Seq((0.0, 256L, "0102030405060708"), (1.0, 512L, "00000000000000F0"),
+        (2.0, 999L, "0000000000000000"))
+      .toDF("ts_ms", "can_id", "data")
+      .withColumn("data", unhex($"data"))
+      .write.mode("overwrite").parquet(dir)
+    val net = graft.dbc.DbcParser.parseFile("fixtures/mini.dbc")
+    val p = aqeFinalPlan(graft.can.SignalDecoder.wideFrame(net, spark.read.parquet(dir)))
+    assert(!p.contains("Exchange"), s"decode plan must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"decode plan must not join:\n$p")
+    assert(p.contains("PushedFilters: [In(can_id"), s"missing pushdown:\n$p")
+  }
+
+  test("AQE-on: scan pruning holds in the final adaptive plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqe_prune").toString
+    docs.withColumn("extra1", lit("x")).withColumn("extra2", lit(7L))
+      .write.mode("overwrite").parquet(dir)
+    val p = aqeFinalPlan(spark.read.parquet(dir)
+      .filter($"doc_id" > 5).select($"doc_id", length($"text").as("len")))
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,5)"),
+      s"missing filter pushdown:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("extra1") && !readSchema.contains("extra2"),
+      s"scan must prune unused columns:\n$readSchema")
+  }
+
+  test("AQE-on: bandedCandidates still reuses the (band,bkey) exchange") {
+    val sh = Dedup.shingleHashes(docs, "doc_id", col("text"))
+    val p = aqeFinalPlan(Dedup.candidatePairsFromShingles(sh, "doc_id"))
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"band window and candidate self-join must share one shuffle:\n$p")
+  }
+
+  test("AQE-on: minhash aggregation keeps its map-side partial phase") {
+    val sh = Dedup.shingleHashes(docs, "doc_id", col("text"))
+    val p = aqeFinalPlan(Dedup.minhashAgg(sh, "doc_id"))
+    assert(p.linesIterator.exists(_.contains("partial_min")),
+      s"signature agg must have a partial (map-side) phase:\n$p")
+  }
+
+  test("AQE-on: per-document text analysis stays exchange-free") {
+    val p = aqeFinalPlan(docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.fingerprint(col("text")).as("fp")))
+    assert(!p.contains("Exchange"), s"per-doc analysis must not shuffle:\n$p")
+  }
+
+  test("AQE-on: ANN scans still broadcast, never cartesian") {
+    val emb = (0L until 50L)
+      .map(i => (i, Array.tabulate(8)(d => ((i + d) % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val brute = aqeFinalPlan(Similarity.bruteForceTopK(emb, 0L, 5))
+    assert(brute.contains("BroadcastNestedLoopJoin"),
+      s"brute-force top-k must broadcast the 1-row query:\n$brute")
+    assert(!brute.contains("CartesianProduct"), s"no cartesian:\n$brute")
+    val lsh = aqeFinalPlan(Similarity.lshTopK(emb, 0L, 5))
     assert(lsh.contains("BroadcastHashJoin") || lsh.contains("BroadcastNestedLoopJoin"),
       s"LSH top-k must broadcast the 1-row query:\n$lsh")
     assert(!lsh.contains("CartesianProduct"), s"no cartesian:\n$lsh")
