@@ -1,0 +1,92 @@
+package graft.cli
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** End-to-end smoke of the CLI streaming path with the round-8 flags:
+  * `--stream-file --state-backend rocksdb --max-files-per-trigger 1
+  * --exact --cache`. The CLI owns its SparkSession and never returns from
+  * `awaitTermination`, so it runs in its OWN JVM (same classes, same
+  * add-opens as build.sbt) against a temp directory; the test polls the
+  * parquet sink for the expected closed buckets, asserts the decode, and
+  * verifies the checkpoint's state store is RocksDB-format (zip
+  * snapshots — the HDFS-backed provider writes .delta files), then kills
+  * the child.
+  */
+class CliStreamSmokeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  test("CLI --stream-file with rocksdb state backend and admission bound " +
+      "decodes to parquet end-to-end") {
+    val inDir = java.nio.file.Files.createTempDirectory("cli_smoke_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cli_smoke").toString + "/out"
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp = "target/scala-2.13/classes" + java.io.File.pathSeparator + "/opt/spark/jars/*"
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.master=local[4]",
+      "-Dspark.sql.shuffle.partitions=4",
+      "-cp", cp, "graft.cli.Main", "fixtures/mini.dbc",
+      "--if", inDir, "--of", outDir, "--stream-file",
+      "--state-backend", "rocksdb", "--max-files-per-trigger", "1",
+      "--exact", "--cache", "10")
+    val logFile = java.nio.file.Files.createTempFile("cli_smoke", ".log").toFile
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(new java.io.File(sys.props("user.dir")))
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(logFile)
+    val proc = pb.start()
+    try {
+      val deadline = System.nanoTime() + 150L * 1000 * 1000 * 1000
+      def sinkRows(): Array[org.apache.spark.sql.Row] =
+        try spark.read.parquet(outDir).collect()
+        catch { case _: Exception => Array.empty }
+      def awaitRows(n: Int): Array[org.apache.spark.sql.Row] = {
+        var rows = sinkRows()
+        while (rows.length < n && System.nanoTime() < deadline && proc.isAlive) {
+          Thread.sleep(1000); rows = sinkRows()
+        }
+        assert(proc.isAlive, "CLI exited prematurely; log:\n" +
+          scala.io.Source.fromFile(logFile).mkString.takeRight(4000))
+        assert(rows.length == n, s"expected $n closed buckets, got ${rows.length}")
+        rows
+      }
+      // two files arriving in sequence (the second only after the first
+      // has closed its bucket, so cross-batch order is deterministic);
+      // --max-files-per-trigger 1 bounds each micro-batch's admission.
+      // mini.log under --exact --cache 10: ts 0,4,8 → bucket t0; ts 12
+      // closes it; ts 16 joins bucket t12; ts 50 closes it and stays open.
+      val lines = scala.io.Source.fromFile("fixtures/mini.log").getLines().toSeq
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/a.log"),
+        lines.take(4).mkString("\n").getBytes("UTF-8"))
+      awaitRows(1)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/b.log"),
+        lines.drop(4).mkString("\n").getBytes("UTF-8"))
+      val rows = awaitRows(2)
+      val byTs = rows.sortBy(_.getDouble(rows.head.fieldIndex("Time_ms")))
+      assert(byTs(0).getAs[Float]("Engine_Speed") == 2000.0f) // 0x1F40*0.25
+      assert(byTs(1).getAs[Int]("Val_B") == 32767)
+
+      // rocksdb actually engaged: zip snapshots in the state checkpoint
+      val stateDir = java.nio.file.Paths.get(s"$outDir.checkpoint/state")
+      val sawZip = java.nio.file.Files.walk(stateDir).anyMatch(p =>
+        p.toString.endsWith(".zip"))
+      val sawDelta = java.nio.file.Files.walk(stateDir).anyMatch(p =>
+        p.toString.endsWith(".delta"))
+      assert(sawZip && !sawDelta,
+        "state checkpoint is not RocksDB-format (--state-backend ignored?)")
+    } finally {
+      proc.destroyForcibly()
+      proc.waitFor()
+    }
+  }
+}
