@@ -50,7 +50,16 @@ object Bench {
     // session bring-up
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter (diagnostics: isolating a
+    // drifted query from the rest of the board, e.g. to bisect shared-JVM
+    // GC/codec pressure). The driver contract always runs unfiltered.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
         // a failed rep must NOT win the min (an exception returns in
