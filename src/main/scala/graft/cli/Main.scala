@@ -50,6 +50,10 @@ object Main {
     var maxFilesPerTrigger = 16
     // None = not passed: leave any spark-submit --conf provider untouched
     var stateBackend: Option[CanStream.StateBackend] = None
+    // exact bucketing partition key (e.g. iface): keyed state folds run
+    // independently per key and scale with the cluster, vs the keyless
+    // form's single sequential fold (the reference's global semantics)
+    var bucketKey: Option[String] = None
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -65,6 +69,7 @@ object Main {
         case "--forward-fill" => ffill = true; i += 1
         case "--live-decode" => live ::= args(i + 1); i += 2
         case "--no-adjust-timestamp" => adjust = false; i += 1
+        case "--bucket-key" => bucketKey = Some(args(i + 1)); i += 2
         case "--max-lines-per-trigger" => maxLinesPerTrigger = args(i + 1).toLong; i += 2
         case "--max-files-per-trigger" => maxFilesPerTrigger = args(i + 1).toInt; i += 2
         case "--state-backend" =>
@@ -77,6 +82,10 @@ object Main {
           i += 2
         case other => System.err.println(s"unknown flag $other\n$usage"); sys.exit(2)
       }
+    }
+    if (bucketKey.isDefined && (!exact || cacheMs <= 0)) {
+      System.err.println(s"--bucket-key requires --exact and --cache > 0\n$usage")
+      sys.exit(2)
     }
     val spark = SparkSession.builder()
       .appName("graft-can")
@@ -101,11 +110,13 @@ object Main {
       case "file" =>
         spark.listenerManager.register(new PipelineMetrics.Progress()) // T7
         val cfg = CanPipelineConfig(cacheMs = cacheMs, exact = exact,
+          exactKeys = bucketKey.toSeq,
           forwardFill = ffill, adjustTimestamp = adjust, observeMetrics = true)
         writeBatch(CanPipeline.decodeLog(spark, dbc, in, cfg))
       case "stdin" => // S3: `cat log | graft.cli.Main <dbc> --stdin`
         spark.listenerManager.register(new PipelineMetrics.Progress()) // T7
         val cfg = CanPipelineConfig(cacheMs = cacheMs, exact = exact,
+          exactKeys = bucketKey.toSeq,
           forwardFill = ffill, adjustTimestamp = adjust, observeMetrics = true)
         writeBatch(CanPipeline.decodeStdin(spark, dbc, cfg))
       case "socket" | "process" | "stream-file" =>
@@ -123,10 +134,11 @@ object Main {
         }
         // one wide row per decoded frame here, so the frame counter sits on
         // the decode output (same number the reference's msg_count tracks)
-        val wide = PipelineMetrics.observeFrames(CanStream.decoded(net, frames))
+        val wide = PipelineMetrics.observeFrames(
+          CanStream.decoded(net, frames, carryCols = bucketKey.toSeq))
         val bucketed =
           if (cacheMs <= 0) wide.drop("ts")
-          else if (exact) CanStream.exactStream(wide.drop("ts"), cacheMs)
+          else if (exact) CanStream.exactStream(wide.drop("ts"), cacheMs, bucketKey)
           else CanStream.bucketedStream(wide, cacheMs.toLong)
         val q = CanStream.parquetSink(bucketed, out, s"$out.checkpoint",
           Trigger.ProcessingTime("1 second"))
@@ -144,7 +156,7 @@ object Main {
   private val usage =
     """usage: graft.cli.Main <dbc> --if <input> --of <out.parquet>
       |  [--file | --socket | --stdin | --process | --stream-file]
-      |  [--cache <ms>] [--exact]
+      |  [--cache <ms>] [--exact] [--bucket-key <col>]
       |  [--forward-fill] [--live-decode SIG]... [--no-adjust-timestamp]
       |  [--max-lines-per-trigger <n>] [--max-files-per-trigger <n>]
       |  [--state-backend inheap|rocksdb]
@@ -157,5 +169,8 @@ object Main {
       |    --stream-file backlogs (default 16; 0 = unbounded)
       |  --state-backend: streaming state store — inheap (default, fastest,
       |    memory grows with keys) or rocksdb (on-disk state, bounded
-      |    executor memory at high key cardinality)""".stripMargin
+      |    executor memory at high key cardinality)
+      |  --bucket-key: partition column for --exact bucketing (e.g. iface);
+      |    keyed folds/state run independently per key and scale with the
+      |    cluster — default is the reference's global sequential semantics""".stripMargin
 }

@@ -97,9 +97,10 @@ object CanStream {
     * event-time `ts` column for watermarks/windows.
     */
   def decoded(net: Network, frames: DataFrame,
-      typing: TypingMode = TypingMode.Intended): DataFrame = {
+      typing: TypingMode = TypingMode.Intended,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val withTs = frames.withColumn("ts_ms", col("ts_us") / 1000.0)
-    SignalDecoder.wideFrame(net, withTs, typing)
+    SignalDecoder.wideFrame(net, withTs, typing, carryCols = carryCols)
       .withColumn("ts", timestamp_millis(col("ts_ms").cast("long")))
   }
 

@@ -38,7 +38,7 @@ class CliStreamSmokeSpec extends AnyFunSuite {
       "-cp", cp, "graft.cli.Main", "fixtures/mini.dbc",
       "--if", inDir, "--of", outDir, "--stream-file",
       "--state-backend", "rocksdb", "--max-files-per-trigger", "1",
-      "--exact", "--cache", "10")
+      "--exact", "--cache", "10", "--bucket-key", "iface")
     val logFile = java.nio.file.Files.createTempFile("cli_smoke", ".log").toFile
     val pb = new ProcessBuilder(cmd: _*)
     pb.directory(new java.io.File(sys.props("user.dir")))

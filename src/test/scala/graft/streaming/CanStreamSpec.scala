@@ -117,6 +117,29 @@ class CanStreamSpec extends AnyFunSuite {
       == rows.toSeq)
   }
 
+  test("decoded carries iface through the wide decode for keyed bucketing " +
+      "(the CLI --bucket-key path)") {
+    val input = MemoryStream[String](spark)
+    val wide = CanStream.decoded(net, CandumpParser.parseLines(input.toDF()),
+      carryCols = Seq("iface")).drop("ts")
+    assert(wide.columns.take(2).toSeq == Seq("ts_ms", "iface"))
+    val exact = CanStream.exactStream(wide, cacheMs = 10.0, keyCol = Some("iface"))
+    val q = exact.writeStream.format("memory").queryName("siface")
+      .outputMode("append").start()
+    // two buses interleaved; each closes its own first bucket independently
+    input.addData(Seq(
+      "(100.000000) can0 100#401F4B01",
+      "(100.000000) can1 100#00000000",
+      "(100.020000) can0 100#00000000", // closes can0's t=100000 bucket
+      "(100.030000) can1 100#401F4B01")) // closes can1's t=100000 bucket
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("siface").orderBy("iface").collect()
+    assert(rows.map(_.getString(rows.head.fieldIndex("iface"))).toSeq == Seq("can0", "can1"))
+    assert(rows(0).getAs[Float]("Engine_Speed") == 2000.0f) // can0's bucket
+    assert(rows(1).getAs[Float]("Engine_Speed") == 0.0f)    // can1's own state
+  }
+
   test("streaming session windows group bursts per key across micro-batches") {
     val input = MemoryStream[(Long, String)](spark)
     val wide = input.toDF().toDF("ms", "k")
