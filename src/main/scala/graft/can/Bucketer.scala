@@ -27,9 +27,13 @@ import org.apache.spark.sql.types._
   *
   * Within-bucket combine (T4): `LastWins` (legacy main, the default — most
   * recent sample in bucket) or `FirstWins` (current main's append-only
-  * builder). Implemented as an order-insensitive argmin/argmax over
-  * `struct(ts, value)` so the parallel aggregation is deterministic
-  * regardless of row order — no `first()`/`last()` nondeterminism.
+  * builder). Implemented as an order-insensitive argmin/argmax —
+  * lexicographic (ts, value) with value tie-break — so the parallel
+  * aggregation is deterministic regardless of row order: no
+  * `first()`/`last()` nondeterminism. Up to [[Bucketer.CodegenArgWidthLimit]]
+  * signals this runs as [[graft.plans.ArgExtremum]] (primitive buffers,
+  * whole-stage codegen); wider frames fall back to the equivalent
+  * `min/max(struct(ts, value))` ObjectHashAggregate form.
   */
 sealed trait BucketMode
 object BucketMode {
@@ -84,21 +88,9 @@ object Bucketer {
       bucket(wide, BucketMode.PerFrame, policy)
     case BucketMode.Tumbling(cacheMs) =>
       val sigCols = wide.columns.filter(_ != "ts_ms")
-      val pick: Column => Column = policy match {
-        case CombinePolicy.LastWins  => max
-        case CombinePolicy.FirstWins => min
-      }
-      // T2: row timestamp = ts of the first frame in the bucket; T3/T4: the
-      // argmin/argmax struct trick gives first/last non-null deterministically.
-      wide
-        .groupBy(floor(col("ts_ms") / lit(cacheMs)).as("_bucket"))
-        .agg(
-          min(col("ts_ms")).as(TimeCol),
-          sigCols.map { s =>
-            pick(when(col(s).isNotNull, struct(col("ts_ms").as("t"), col(s).as("v"))))
-              .getField("v").as(s)
-          }: _*)
-        .drop("_bucket")
+      if (sigCols.length <= CodegenArgWidthLimit)
+        tumblingArgExtremum(wide, cacheMs, policy)
+      else tumblingStruct(wide, cacheMs, policy)
     case BucketMode.Exact(cacheMs, _, _) if cacheMs <= 0 =>
       bucket(wide, BucketMode.PerFrame, policy)
     case BucketMode.Exact(cacheMs, keyCols, closeOrder) =>
@@ -107,6 +99,73 @@ object Bucketer {
       if (keyCols.isEmpty && closeOrder == CloseOrder.Clean)
         exactDistributed(wide, cacheMs, policy)
       else exactFold(wide, cacheMs, keyCols, policy, forwardFill = false, closeOrder)
+  }
+
+  /** Width ceiling for the codegen (arg-extremum) tumbling aggregate.
+    *
+    * The declarative two-slot-per-signal aggregate emits ~5.4 KB of
+    * generated code per signal into the decode+partial-agg codegen class
+    * (measured: 129 signals → 720 KB). Past Spark's 1 MB
+    * `GENERATED_CLASS_SIZE_THRESHOLD` (~180 signals) later-added generated
+    * functions spill into a Janino nested class, and if
+    * `doAggregateWithKeys` is among them the stage throws
+    * `IllegalAccessError` on `BufferedRowIterator.partitionIndex` at
+    * runtime (protected-field access across Janino's nested-class +
+    * classloader boundary — observed, not theoretical). Which function
+    * spills is an implementation detail of codegen ordering, so the
+    * declarative path is gated at a conservative 150 signals and wider
+    * frames use [[tumblingStruct]] — same semantics, ObjectHashAggregate
+    * execution (interpreted update, still map-side partial + one shuffle).
+    */
+  val CodegenArgWidthLimit = 150
+
+  /** Tumbling-bucket aggregation via [[graft.plans.ArgExtremum]]: primitive
+    * two-slot buffers keep the whole `HashAggregateExec` inside whole-stage
+    * codegen at fleet width (measured round 10: 129-signal decode+bucket of
+    * 100k frames 5.43 s interpreted-struct → 0.88 s codegen).
+    *
+    * T2: row timestamp = ts of the first frame in the bucket; T3/T4: the
+    * deterministic arg-extremum gives first/last non-null regardless of row
+    * order — lexicographic (ts, value) with value tie-break, identical to
+    * [[tumblingStruct]].
+    */
+  private[can] def tumblingArgExtremum(wide: DataFrame, cacheMs: Double,
+      policy: CombinePolicy): DataFrame = {
+    val sigCols = wide.columns.filter(_ != "ts_ms")
+    val pick: (Column, Column) => Column = policy match {
+      case CombinePolicy.LastWins  => graft.plans.ArgExtremum.argLast
+      case CombinePolicy.FirstWins => graft.plans.ArgExtremum.argFirst
+    }
+    wide
+      .groupBy(floor(col("ts_ms") / lit(cacheMs)).as("_bucket"))
+      .agg(
+        min(col("ts_ms")).as(TimeCol),
+        sigCols.map(s => pick(col(s), col("ts_ms")).as(s)): _*)
+      .drop("_bucket")
+  }
+
+  /** Tumbling-bucket aggregation via `min/max(struct(ts, v))` — the
+    * arbitrary-width fallback (struct-typed buffers are not UnsafeRow-
+    * mutable, so this plans as ObjectHashAggregate outside whole-stage
+    * codegen; see [[CodegenArgWidthLimit]]). Same deterministic
+    * lexicographic-(ts, value) semantics as [[tumblingArgExtremum]].
+    */
+  private[can] def tumblingStruct(wide: DataFrame, cacheMs: Double,
+      policy: CombinePolicy): DataFrame = {
+    val sigCols = wide.columns.filter(_ != "ts_ms")
+    val pick: Column => Column = policy match {
+      case CombinePolicy.LastWins  => max
+      case CombinePolicy.FirstWins => min
+    }
+    wide
+      .groupBy(floor(col("ts_ms") / lit(cacheMs)).as("_bucket"))
+      .agg(
+        min(col("ts_ms")).as(TimeCol),
+        sigCols.map { s =>
+          pick(when(col(s).isNotNull, struct(col("ts_ms").as("t"), col(s).as("v"))))
+            .getField("v").as(s)
+        }: _*)
+      .drop("_bucket")
   }
 
   /** Distributed EXACT data-driven bucketing — the scalable form of the

@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   - `can_signal_extract(data, start, len, le, signed)` → [[CanSignalExtract]]
   *   - `int_bits_to_float(bits)`                  → [[IntBitsToFloat]]
   *   - `array_dot(a, b)`                          → [[ArrayDotProduct]]
+  *   - `arg_last(v, ord)` / `arg_first(v, ord)`   → [[ArgExtremum]]
   *
   * Activate with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -55,6 +56,14 @@ object GraftExtensions {
     "array_dot" -> { exprs: Seq[Expression] =>
       require(exprs.length == 2, "array_dot(a, b)")
       ArrayDotProduct(exprs.head, exprs(1))
+    },
+    "arg_last" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "arg_last(value, ord)")
+      ArgExtremum(exprs.head, exprs(1), isMax = true).toAggregateExpression()
+    },
+    "arg_first" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "arg_first(value, ord)")
+      ArgExtremum(exprs.head, exprs(1), isMax = false).toAggregateExpression()
     })
 
   /** Register on an already-built session (tests, REPL). */

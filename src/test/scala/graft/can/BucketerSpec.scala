@@ -256,6 +256,50 @@ class BucketerSpec extends AnyFunSuite {
     assert(seqr.length == 1 && dist.length == 1)
   }
 
+  test("Tumbling tie-break: equal ts in bucket resolves by value, both paths") {
+    // two frames at the SAME ts with different values: the lexicographic
+    // (ts, value) order must resolve the winner deterministically — larger
+    // value for LastWins(max), smaller for FirstWins(min) — identically in
+    // the codegen arg-extremum path and the struct fallback
+    val w = wide((1.0, 7, null), (1.0, 3, 2.0), (5.0, null, 9.0), (5.0, null, 4.0))
+    for ((policy, expA, expB) <- Seq(
+        (CombinePolicy.LastWins, 7, 9.0), (CombinePolicy.FirstWins, 3, 2.0))) {
+      val arg = Bucketer.tumblingArgExtremum(w, 10.0, policy).collect().head
+      val st = Bucketer.tumblingStruct(w, 10.0, policy).collect().head
+      assert(arg.getInt(1) == expA && arg.getDouble(2) == expB, s"argExt $policy")
+      assert(st.getInt(1) == expA && st.getDouble(2) == expB, s"struct $policy")
+    }
+  }
+
+  test("Tumbling: arg-extremum and struct paths agree on mixed data (differential)") {
+    // pseudo-random mixed null/value pattern incl. duplicate ts, several buckets
+    val rows = (0 until 500).map { i =>
+      val ts = (i % 167) * 3.0 // duplicate ts across the range
+      val a: java.lang.Integer = if (i % 3 == 0) null else Int.box((i * 2654435761L % 1000).toInt)
+      val b: java.lang.Double = if (i % 5 == 4) null else Double.box((i * 97 % 713) / 7.0)
+      (ts, a, b)
+    }
+    val w = wide(rows: _*)
+    for (policy <- Seq(CombinePolicy.LastWins, CombinePolicy.FirstWins)) {
+      val arg = Bucketer.tumblingArgExtremum(w, 50.0, policy)
+      val st = Bucketer.tumblingStruct(w, 50.0, policy)
+      assert(arg.exceptAll(st).count() == 0 && st.exceptAll(arg).count() == 0,
+        s"paths diverge under $policy")
+    }
+  }
+
+  test("Tumbling above CodegenArgWidthLimit falls back to struct path, still correct") {
+    // 160 signal columns (> limit 150): bucket() must take the struct route
+    // and produce the same rows the declarative path would
+    val n = Bucketer.CodegenArgWidthLimit + 10
+    val base = spark.range(100).select(
+      (col("id") * 1.0).as("ts_ms") +:
+        (0 until n).map(j => when(col("id") % 7 =!= j % 7, col("id") * (j + 1)).as(s"s$j")): _*)
+    val out = Bucketer.bucket(base, BucketMode.Tumbling(25.0))
+    val viaArg = Bucketer.tumblingArgExtremum(base, 25.0, CombinePolicy.LastWins)
+    assert(out.exceptAll(viaArg).count() == 0 && viaArg.exceptAll(out).count() == 0)
+  }
+
   test("time migration (T6): legacy seconds columns and passthrough") {
     val legacy = Seq((1.5, 10), (2.5, 20)).toDF("Time", "v")
     val m = TimeMigration.migrate(legacy).orderBy("Time_ms").collect()

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.{ProjectExec, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
 import graft.SparkTestSession
 import graft.dbc._
@@ -112,6 +113,53 @@ class WideDbcSpec extends AnyFunSuite {
     wide.write.mode("overwrite").format("noop").save()
     val sec = (System.nanoTime() - t0) / 1e9
     assert(sec < 60.0, s"128-col decode of 10k frames took ${sec}s")
+  }
+
+  test("129-col tumbling bucket aggregate runs inside whole-stage codegen " +
+      "(T1a at fleet width)") {
+    val net = DbcParser.parseString(dbcText(32))
+    val wide = SignalDecoder.wideFrame(net, frames(32, 10000))
+    val bucketed = Bucketer.bucket(wide, BucketMode.Tumbling(100.0))
+    val plan = executedPlan(bucketed)
+
+    // execution mode: BOTH aggregate phases (partial and final) must plan
+    // as HashAggregateExec — struct-typed buffers would force
+    // ObjectHashAggregate, which never enters a codegen span (the round-9
+    // finding this test pins)
+    assert(plan.collect { case o: ObjectHashAggregateExec => o }.isEmpty &&
+      plan.collect { case s: SortAggregateExec => s }.isEmpty,
+      s"bucket aggregate fell out of hash aggregation:\n$plan")
+    val hashAggs = plan.collect { case h: HashAggregateExec => h }
+    assert(hashAggs.length == 2, s"expected partial+final HashAggregateExec:\n$plan")
+
+    val spans = plan.collect { case w: WholeStageCodegenExec => w }
+    val aggSpans = spans.map(_.doCodeGen()._2)
+      .filter(_.body.contains("doAggregateWithKeys"))
+    assert(aggSpans.length == 2,
+      s"both aggregate phases must be inside WholeStageCodegen spans:\n$plan")
+
+    // each span must compile (Janino) and stay clear of the 1 MB
+    // generated-class spill threshold: a function spilled into a nested
+    // class that touches BufferedRowIterator.partitionIndex throws
+    // IllegalAccessError at RUNTIME (observed during round 10 with the
+    // generic And/Or predicate tree) — an executed plan is not proof until
+    // the class layout is single-class
+    spans.foreach { s =>
+      val (_, code) = s.doCodeGen()
+      CodeGenerator.compile(code)
+      assert(code.body.length < 1000000,
+        s"span generated ${code.body.length} chars — past Spark's 1 MB " +
+          "class-spill threshold, doAggregateWithKeys may land in a nested class")
+      assert(!code.body.contains("private class "),
+        "generated functions spilled into a nested class — " +
+          "IllegalAccessError risk on partitionIndex")
+    }
+
+    // and it must EXECUTE with results identical to the struct fallback
+    val viaStruct = Bucketer.tumblingStruct(wide, 100.0, CombinePolicy.LastWins)
+    assert(bucketed.exceptAll(viaStruct).count() == 0 &&
+      viaStruct.exceptAll(bucketed).count() == 0,
+      "arg-extremum and struct tumbling paths diverge at 129 columns")
   }
 
   test("512-signal network (past Janino's 64 KB un-outlined cliff) still " +
