@@ -130,6 +130,42 @@ object SignalDecoder {
       mode: TypingMode): Column =
     signalColumnFrom(msg, sig, canId, s => rawExpr(s, le, be), mode)
 
+  /** Signal count at or above which [[wideFrame]] outlines each signal's
+    * decode tree into its own generated method ([[graft.plans.Outline]]);
+    * below it the trees inline into the projection's `doConsume`.
+    *
+    * Measured round 10 (local[32], min-of-5 noop writes, mixed-type
+    * 4-signal messages — the WideDbcSpec fleet shape):
+    *
+    *   - narrow (5–32 signals): inlining wins 1.14–1.25×. The outlined
+    *     call + mutable-state write per signal per row is pure overhead
+    *     once the whole `doConsume` fits HotSpot's 8000-bytecode JIT
+    *     ceiling. This is the board's regime (mini-DBC decode queries).
+    *   - 128 signals, decode-only: inline ~1.0 s / 500k frames (stable).
+    *     The ~25 KB inline method exceeds the JIT ceiling and runs in the
+    *     interpreter, but per row only one message's trees execute (the
+    *     `can_id` guards short-circuit the other 124 signals), so
+    *     interpretation is cheap. Outlined: 1.0 s on good runs but up to
+    *     5.2 s when C2 attempts the 7.6 KB dispatcher and bails ("out of
+    *     nodes during split", observed via -XX:+PrintCompilation), leaving
+    *     the hot loop cycling at C1.
+    *   - 128 signals, decode→tumbling-bucket (the production spine):
+    *     OUTLINED wins 0.96 vs 1.40 s — the fused partial-aggregate
+    *     consume executes for every column on every row (no dispatch
+    *     sparsity to exploit), so keeping the signal trees in small
+    *     JIT-able methods pays.
+    *   - 512 signals: inline fails Janino's 64 KB method cap and Spark
+    *     falls back to the interpreted projection (1.20 s — graceful);
+    *     outlined compiles (2.15 s decode-only). Outlining is the only
+    *     form with a compile GUARANTEE at this width.
+    *
+    * 64 splits the regimes: every narrow query inlines (no call tax), and
+    * fleet-width networks keep the compile guarantee and the fused-spine
+    * win. Callers with an unusual consumer shape can pass their own
+    * threshold (0 forces outlining, Int.MaxValue forces inline).
+    */
+  val OutlineSignalThreshold = 64
+
   /** frames(ts_ms, can_id, data) → wide per-frame table:
     * `(ts_ms, sig1, sig2, ...)` — one row per frame, nulls for signals not
     * carried by that frame's message. The known-id filter (F1) is applied
@@ -145,34 +181,38 @@ object SignalDecoder {
     * assembly per signal — shared views win once messages carry several
     * signals.
     *
+    * At and above `outlineThreshold` signals ([[OutlineSignalThreshold]])
+    * each signal's decode tree is outlined into its own generated method —
+    * see the threshold's scaladoc for the measured regimes on both sides.
+    *
     * `carryCols` are passed through unchanged (e.g. `iface` as an exact-
     * bucketing key).
     */
   def wideFrame(net: Network, frames: DataFrame,
       mode: TypingMode = TypingMode.Intended,
       nativeExtract: Boolean = true,
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil,
+      outlineThreshold: Int = OutlineSignalThreshold): DataFrame = {
     val ids = net.messages.map(_.id)
     val known = frames.filter(col("can_id").isin(ids: _*)) // F1: unknown ids dropped
     if (nativeExtract) {
       // shared native u64 assembly (one byte loop per endianness per frame),
-      // constant shift/mask per signal. Each signal's decode tree is
-      // OUTLINED into its own generated method: whole-stage codegen inlines
-      // every projected tree into one doConsume, which blows the JIT's
-      // 8000-bytecode ceiling around ~40 signals and Janino's 64 KB method
-      // limit around ~500 — fleet DBCs carry hundreds (SURVEY §1.1), so
-      // without outlining the flagship decode runs interpreted exactly at
-      // production width.
+      // constant shift/mask per signal
       val canIdType = frames.schema("can_id").dataType
+      val outline = net.signalsInOrder.size >= outlineThreshold
       val withU64 = known
         .withColumn("_be", graft.plans.PayloadU64(col("data"), littleEndian = false))
         .withColumn("_le", graft.plans.PayloadU64(col("data"), littleEndian = true))
       val sigCols = net.signalsInOrder.map { case (m, s) =>
-        graft.plans.Outline(Seq(col("can_id") -> canIdType,
-            col("_le") -> LongType, col("_be") -> LongType)) {
-          case Seq(canId, le, be) =>
-            signalExprFrom(m, s, canId, x => rawExpr(x, le, be), mode)
-        }.as(s.name)
+        if (outline)
+          graft.plans.Outline(Seq(col("can_id") -> canIdType,
+              col("_le") -> LongType, col("_be") -> LongType)) {
+            case Seq(canId, le, be) =>
+              signalExprFrom(m, s, canId, x => rawExpr(x, le, be), mode)
+          }.as(s.name)
+        else
+          signalColumnFrom(m, s, col("can_id"),
+            x => rawExpr(x, col("_le"), col("_be")), mode)
       }
       withU64.select(col("ts_ms") +: carryCols.map(col) ++: sigCols: _*)
     } else {

@@ -240,4 +240,28 @@ class SignalDecoderSpec extends AnyFunSuite {
     assert(rows(0).getAs[Float]("Engine_Speed") == 0.0f)
     assert(rows(0).getAs[Int]("Engine_Temp") == -40)
   }
+
+  test("outline threshold: inline (narrow default) and outlined decode agree") {
+    // mini.dbc is far below OutlineSignalThreshold, so the default path
+    // inlines; forcing outlineThreshold=0 outlines every tree. Both must
+    // produce identical rows — the threshold is a pure execution-mode knob.
+    val net = DbcParser.parseFile("fixtures/mini.dbc")
+    // spark.range (not a local Seq): ConvertToLocalRelation would evaluate
+    // a LocalRelation projection at optimization time and erase the plan
+    // shape this test asserts
+    val frames = spark.range(200).select(
+      col("id").cast("double").as("ts_ms"),
+      when(col("id") % 2 === 0, 0x100L).otherwise(0x200L).as("can_id"),
+      unhex(lpad(hex(col("id") * 2654435761L), 16, "0")).as("data"))
+    val inline = SignalDecoder.wideFrame(net, frames)
+    val outlined = SignalDecoder.wideFrame(net, frames, outlineThreshold = 0)
+    // default narrow plan carries no Outline expression
+    def hasOutline(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case p => p.expressions }
+        .flatten.exists(_.exists(_.isInstanceOf[graft.plans.Outline]))
+    assert(!hasOutline(inline), "narrow decode must inline its signal trees")
+    assert(hasOutline(outlined), "outlineThreshold=0 must outline")
+    assert(inline.exceptAll(outlined).count() == 0 &&
+      outlined.exceptAll(inline).count() == 0)
+  }
 }
