@@ -830,6 +830,11 @@ object SparkEntry {
     "qs_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5)),
 
+    "qs_lsh_multiprobe" -> ((s, dir) =>
+      // hamming-distance-1 probe set: 7 of 64 sign-buckets scanned, the
+      // standard recall lift over qs_lsh_topk's single probe
+      Similarity.lshMultiProbeTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5)),
+
     "qs_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5)),
 
@@ -1806,6 +1811,17 @@ object SparkEntry {
            |  list_reduce(list_transform(list_zip(a.qe, qq.qe), t -> t[1]*t[2]), (x,y) -> x+y)
            |    / (sqrt(a.nrm)*sqrt(qq.nrm)) AS score
            |FROM bkt a, qq WHERE a.bucket = qq.bucket AND a.vec_id <> 0
+           |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin),
+
+      "qs_lsh_multiprobe" -> (quantCte +
+        s""",
+           |bkt AS (SELECT vec_id, qe, nrm, $bucketExpr AS bucket FROM n),
+           |qq AS (SELECT qe, nrm, bucket FROM bkt WHERE vec_id = 0)
+           |SELECT a.vec_id,
+           |  list_reduce(list_transform(list_zip(a.qe, qq.qe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |    / (sqrt(a.nrm)*sqrt(qq.nrm)) AS score
+           |FROM bkt a, qq
+           |WHERE bit_count(xor(a.bucket, qq.bucket)) <= 1 AND a.vec_id <> 0
            |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin),
 
       "qs_ivf_topk" -> (quantCte +

@@ -54,6 +54,15 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.45, f"LSH recall $r%.3f fell below the documented floor of 0.45")
   }
 
+  test("multi-probe LSH (hamming<=1) top-k recall vs brute force: floor + measured") {
+    val r = recallOf(q => topkIds(Similarity.lshMultiProbeTopK(emb, q, K)), queries)
+    info(f"lshMultiProbeTopK recall@$K at NumPlanes=${Similarity.NumPlanes}, maxHamming=1: $r%.4f")
+    assert(r >= 0.8, f"multi-probe LSH recall $r%.3f fell below the documented floor of 0.8")
+    // and it strictly dominates the single probe on the same corpus
+    val single = recallOf(q => topkIds(Similarity.lshTopK(emb, q, K)), queries)
+    assert(r > single, f"multi-probe recall $r%.3f not above single-probe $single%.3f")
+  }
+
   test("IVF first-k-codebook top-k recall vs brute force: floor + measured") {
     val r = recallOf(q => topkIds(Similarity.ivfTopK(emb, q, K)), queries)
     info(f"ivfTopK recall@$K at centroids=16: $r%.4f")

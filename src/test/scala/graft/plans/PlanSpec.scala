@@ -132,6 +132,12 @@ class PlanSpec extends AnyFunSuite {
     assert(lsh.contains("BroadcastHashJoin") || lsh.contains("BroadcastNestedLoopJoin"),
       s"LSH top-k must broadcast the 1-row query:\n$lsh")
     assert(!lsh.contains("CartesianProduct"), s"no cartesian:\n$lsh")
+    // multi-probe: hamming filter is NOT an equi-condition, so this one is
+    // the nested-loop broadcast — still broadcast, never cartesian
+    val mp = plan(Similarity.lshMultiProbeTopK(emb, 0L, 5))
+    assert(mp.contains("BroadcastHashJoin") || mp.contains("BroadcastNestedLoopJoin"),
+      s"multi-probe LSH must broadcast the 1-row query:\n$mp")
+    assert(!mp.contains("CartesianProduct"), s"no cartesian:\n$mp")
   }
 
   // ------------------------------------------------------------------
@@ -201,5 +207,9 @@ class PlanSpec extends AnyFunSuite {
     assert(lsh.contains("BroadcastHashJoin") || lsh.contains("BroadcastNestedLoopJoin"),
       s"LSH top-k must broadcast the 1-row query:\n$lsh")
     assert(!lsh.contains("CartesianProduct"), s"no cartesian:\n$lsh")
+    val mp = aqeFinalPlan(Similarity.lshMultiProbeTopK(emb, 0L, 5))
+    assert(mp.contains("BroadcastHashJoin") || mp.contains("BroadcastNestedLoopJoin"),
+      s"multi-probe LSH must broadcast the 1-row query:\n$mp")
+    assert(!mp.contains("CartesianProduct"), s"no cartesian:\n$mp")
   }
 }
