@@ -55,6 +55,15 @@ object Bench {
     // GC/codec pressure). The driver contract always runs unfiltered.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a mistyped filter name must fail loudly, not write an empty (or
+    // silently smaller) results board
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names match no registered query: " +
+          s"${unknown.toSeq.sorted.mkString(", ")} (known: " +
+          s"${SparkEntry.queries.keySet.toSeq.sorted.take(5).mkString(", ")}, ...)")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries

@@ -127,6 +127,11 @@ object DbcParser {
   // SIG_VALTYPE_ msgId SigName : type;   (0 int, 1 float32, 2 float64)
   private val ValTypeRe =
     """^\s*SIG_VALTYPE_\s+(\d+)\s+([A-Za-z0-9_]+)\s*:\s*([012])\s*;?\s*$""".r
+  // any other SIG_VALTYPE_ shape: the type code is not 0/1/2 → malformed,
+  // rejected explicitly rather than silently skipped (a type-3 extended
+  // declaration decoded as integer would be a silent wrong answer)
+  private val ValTypeMalformedRe =
+    """^\s*SIG_VALTYPE_\s+.*$""".r
 
   def parseFile(path: String): Network = {
     val src = Source.fromFile(path)
@@ -187,6 +192,9 @@ object DbcParser {
             case _   => ValType.Integer // "0": explicit default
           }
           valTypes += ((id.toLong & 0x1FFFFFFFL, name) -> vt)
+        case ValTypeMalformedRe() =>
+          throw new IllegalArgumentException(
+            s"malformed SIG_VALTYPE_ declaration (type code must be 0, 1 or 2): $line")
         case _ => // skip: VERSION, NS_, BS_, BU_, CM_, BA_, VAL_, blank, ...
       }
     }
@@ -198,27 +206,40 @@ object DbcParser {
     * The declaration carries the DBC-file signal name, so a `flt32_`-
     * prefixed signal (whose parsed name is stripped) matches under either
     * spelling. IEEE widths are validated here: a float32 declaration on a
-    * non-32-bit field (or float64 on non-64-bit) is a malformed DBC.
+    * non-32-bit field (or float64 on non-64-bit) is a malformed DBC —
+    * and so is a declaration whose message id / signal name matches no
+    * parsed signal (a typo'd declaration would otherwise silently decode
+    * the intended signal as integer).
     */
   private def applyValTypes(net: Network,
       vt: Map[(Long, String), ValType]): Network = {
     if (vt.isEmpty) net
-    else Network(net.messages.map { m =>
-      m.copy(signals = m.signals.map { s =>
-        val declared = vt.get((m.id, s.name))
-          .orElse(if (s.isFlt32) vt.get((m.id, "flt32_" + s.name)) else None)
-        declared match {
-          case None | Some(ValType.Integer) => s
-          case Some(t @ ValType.Float32) =>
-            require(s.bitLen == 32,
-              s"SIG_VALTYPE_ float32 on ${m.name}.${s.name}: bitLen ${s.bitLen} != 32")
-            s.copy(valType = t)
-          case Some(t @ ValType.Float64) =>
-            require(s.bitLen == 64,
-              s"SIG_VALTYPE_ float64 on ${m.name}.${s.name}: bitLen ${s.bitLen} != 64")
-            s.copy(valType = t)
-        }
+    else {
+      val matched = Set.newBuilder[(Long, String)]
+      val out = Network(net.messages.map { m =>
+        m.copy(signals = m.signals.map { s =>
+          val key = ((m.id, s.name): (Long, String))
+          val altKey = if (s.isFlt32) Some((m.id, "flt32_" + s.name)) else None
+          val declared = vt.get(key).map { t => matched += key; t }
+            .orElse(altKey.flatMap(k => vt.get(k).map { t => matched += k; t }))
+          declared match {
+            case None | Some(ValType.Integer) => s
+            case Some(t @ ValType.Float32) =>
+              require(s.bitLen == 32,
+                s"SIG_VALTYPE_ float32 on ${m.name}.${s.name}: bitLen ${s.bitLen} != 32")
+              s.copy(valType = t)
+            case Some(t @ ValType.Float64) =>
+              require(s.bitLen == 64,
+                s"SIG_VALTYPE_ float64 on ${m.name}.${s.name}: bitLen ${s.bitLen} != 64")
+              s.copy(valType = t)
+          }
+        })
       })
-    })
+      val unmatched = vt.keySet -- matched.result()
+      require(unmatched.isEmpty,
+        "SIG_VALTYPE_ declarations match no signal (typo or wrong message id): " +
+          unmatched.toSeq.sorted.map { case (id, n) => s"$id $n" }.mkString("; "))
+      out
+    }
   }
 }

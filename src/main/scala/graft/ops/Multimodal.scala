@@ -300,6 +300,14 @@ object Multimodal {
     * point of frame sampling at 100 TB (decode cost scales with kept
     * frames, not stored frames). Emits per-kept-frame dimension and luma
     * stats; integer arithmetic throughout so the oracle matches exactly.
+    *
+    * STRICT CONTAINER VALIDATION (behavior change in round 9): a payload
+    * with a 1–3 byte trailing fragment — a truncated frame header — now
+    * throws instead of silently ignoring the tail, as does a frame length
+    * running past the buffer. Externally produced containers with benign
+    * trailing padding must be trimmed by the caller; silent acceptance
+    * would also mask real truncation (a cut-short upload decoding to
+    * "success" with fewer frames).
     */
   def decodeVideoFrames(payloads: DataFrame, idCol: String = "doc_id",
       every: Int = 3): DataFrame = {

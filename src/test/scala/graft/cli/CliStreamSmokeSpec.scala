@@ -31,7 +31,10 @@ class CliStreamSmokeSpec extends AnyFunSuite {
     val inDir = java.nio.file.Files.createTempDirectory("cli_smoke_in").toString
     val outDir = java.nio.file.Files.createTempDirectory("cli_smoke").toString + "/out"
     val javaBin = sys.props("java.home") + "/bin/java"
-    val cp = "target/scala-2.13/classes" + java.io.File.pathSeparator + "/opt/spark/jars/*"
+    // the parent test JVM already runs with compiled classes + Spark jars
+    // on its classpath — reuse it verbatim so the smoke test survives any
+    // Spark install location, Scala version bump, or build-layout change
+    val cp = sys.props("java.class.path")
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.master=local[4]",
       "-Dspark.sql.shuffle.partitions=4",

@@ -159,4 +159,23 @@ class DbcParserSpec extends AnyFunSuite {
     DbcParser.parseString(dbc(32, 1)) // sane declarations parse
     DbcParser.parseString(dbc(64, 2)): Unit
   }
+
+  test("SIG_VALTYPE_ rejects unmatched declarations and non-[012] type codes") {
+    val base =
+      """BO_ 5 W: 8 ECU
+        | SG_ V : 0|32@1+ (1,0) [0|0] "" T
+        |
+        |""".stripMargin
+    // typo'd signal name: would silently decode V as integer if dropped
+    val badName = intercept[IllegalArgumentException](
+      DbcParser.parseString(base + "SIG_VALTYPE_ 5 Vv : 1;\n"))
+    assert(badName.getMessage.contains("Vv"))
+    // wrong message id
+    assertThrows[IllegalArgumentException](
+      DbcParser.parseString(base + "SIG_VALTYPE_ 99 V : 1;\n"))
+    // type code outside 0/1/2 fails the strict regex — must throw, not skip
+    val badType = intercept[IllegalArgumentException](
+      DbcParser.parseString(base + "SIG_VALTYPE_ 5 V : 3;\n"))
+    assert(badType.getMessage.contains("SIG_VALTYPE_"))
+  }
 }
