@@ -41,13 +41,25 @@ object PipelineMetrics {
     val messages = new AtomicLong(0)
     val rows = new AtomicLong(0)
 
+    /** True once a frames counter has been observed. The exact-keyless
+      * pipeline deliberately omits it (its range-partitioning sampling
+      * pass would double-count a flow-through CollectMetrics —
+      * `CanPipeline.fromFrames`), so the progress line only claims a
+      * packet count when one was actually measured.
+      */
+    private var sawFrames = false
+
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-      qe.observedMetrics.get(FramesMetric)
-        .foreach(r => messages.addAndGet(r.getAs[Long]("messages")))
+      qe.observedMetrics.get(FramesMetric).foreach { r =>
+        sawFrames = true
+        messages.addAndGet(r.getAs[Long]("messages"))
+      }
       qe.observedMetrics.get(RowsMetric)
         .foreach(r => rows.addAndGet(r.getAs[Long]("rows")))
-      if (!quiet && qe.observedMetrics.nonEmpty)
-        println(s"Received ${messages.get()} packets, wrote ${rows.get()} rows")
+      if (!quiet && qe.observedMetrics.nonEmpty) {
+        val recv = if (sawFrames) s"Received ${messages.get()} packets, " else ""
+        println(s"${recv}wrote ${rows.get()} rows")
+      }
     }
 
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()

@@ -105,25 +105,40 @@ object CanStream {
   }
 
   /** T1a streaming: tumbling event-time windows with watermark; same
-    * argmin/argmax combine as the batch [[Bucketer]].
+    * deterministic argmin/argmax combine as the batch [[Bucketer]].
+    *
+    * Uses the batch path's [[graft.plans.ArgExtremum]] below
+    * [[Bucketer.CodegenArgWidthLimit]] signals (flat primitive aggregation
+    * buffers — the state-store rows stay two primitive slots per signal
+    * instead of a struct, and the partial aggregate codegens exactly as in
+    * batch) and the equivalent `min/max(struct(ts, v))` form above it,
+    * mirroring the batch width gate for the same generated-class-size
+    * reason.
     */
   def bucketedStream(wide: DataFrame, cacheMs: Long,
       watermark: String = "0 seconds",
       policy: CombinePolicy = CombinePolicy.LastWins): DataFrame = {
     val sigCols = wide.columns.filterNot(Set("ts_ms", "ts"))
-    val pick: org.apache.spark.sql.Column => org.apache.spark.sql.Column = policy match {
-      case CombinePolicy.LastWins  => max
-      case CombinePolicy.FirstWins => min
-    }
+    val narrow = sigCols.length <= Bucketer.CodegenArgWidthLimit
+    val pick: String => org.apache.spark.sql.Column =
+      (policy, narrow) match {
+        case (CombinePolicy.LastWins, true) =>
+          s => graft.plans.ArgExtremum.argLast(col(s), col("ts_ms"))
+        case (CombinePolicy.FirstWins, true) =>
+          s => graft.plans.ArgExtremum.argFirst(col(s), col("ts_ms"))
+        case (CombinePolicy.LastWins, false) =>
+          s => max(when(col(s).isNotNull, struct(col("ts_ms").as("t"), col(s).as("v"))))
+            .getField("v")
+        case (CombinePolicy.FirstWins, false) =>
+          s => min(when(col(s).isNotNull, struct(col("ts_ms").as("t"), col(s).as("v"))))
+            .getField("v")
+      }
     wide
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), s"$cacheMs milliseconds"))
       .agg(
         min(col("ts_ms")).as(graft.can.DbcColumns.TimeCol),
-        sigCols.map { s =>
-          pick(when(col(s).isNotNull, struct(col("ts_ms").as("t"), col(s).as("v"))))
-            .getField("v").as(s)
-        }.toSeq: _*)
+        sigCols.map(s => pick(s).as(s)).toSeq: _*)
       .drop("window")
   }
 
