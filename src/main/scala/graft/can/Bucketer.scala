@@ -144,6 +144,129 @@ object Bucketer {
       .drop("_bucket")
   }
 
+  /** Tumbling bucketing computed FROM RAW FRAMES — the arbitrary-width
+    * codegen path for fleet DBCs past [[CodegenArgWidthLimit]], where any
+    * per-signal declarative aggregate would cross Spark's 1 MB
+    * generated-class spill threshold.
+    *
+    * Key idea: within one bucket, the last-wins value of EVERY signal of a
+    * message is decoded from that message's latest frame (per mux value
+    * for multiplexed messages), so the big-data aggregation only needs the
+    * frame payload, not the N decoded columns:
+    *
+    *   1. one scan: `(ts, can_id, payload-u64, mux-raw)` — 4 columns at
+    *      ANY network width;
+    *   2. `groupBy(bucket, can_id, mux)` with the codegen
+    *      [[graft.plans.ArgExtremum]] over `(payload, ts)` — the ONLY
+    *      aggregation that touches full data volume. Two primitive buffer
+    *      slots total (width-independent), and the grouping key is finer
+    *      than `bucket` alone, so hot buckets spread across reducers
+    *      instead of skewing one;
+    *   3. decode the winning frames — `buckets × messages × mux-values`
+    *      rows, data-independent-of-N-frames tiny — with the standard
+    *      signal trees over the reconstructed u64 views;
+    *   4. per-bucket combine of the per-(message, mux) rows: each signal
+    *      is non-null only in its own message's rows, ordered by the
+    *      group's extreme frame ts, so an arg-extremum (or the struct
+    *      form above the width gate — this aggregate sees only the tiny
+    *      winner set, where interpreted execution is free) reassembles
+    *      the wide row exactly.
+    *
+    * Tie semantics: equal-ts frames within one (message, mux) group break
+    * by payload-u64 (deterministic), where the wide-table paths break per
+    * signal by decoded value. The two agree on any stream without
+    * duplicate timestamps inside a (message, mux) group; with duplicates
+    * both are deterministic but may pick different frames. Differential
+    * spec covers mux, short-dlc padding, and 129/513-signal widths on
+    * tie-free data.
+    */
+  def tumblingFromFrames(net: graft.dbc.Network, frames: DataFrame,
+      cacheMs: Double, policy: CombinePolicy = CombinePolicy.LastWins,
+      mode: graft.dbc.TypingMode = graft.dbc.TypingMode.Intended): DataFrame = {
+    require(cacheMs > 0, "tumblingFromFrames requires cacheMs > 0")
+    import graft.plans.ArgExtremum.{argFirst, argLast}
+    val pick: (Column, Column) => Column = policy match {
+      case CombinePolicy.LastWins  => argLast
+      case CombinePolicy.FirstWins => argFirst
+    }
+    val ids = net.messages.map(_.id)
+    val known = frames.filter(col("can_id").isin(ids: _*))
+
+    // stage 1: 4-column projection + the one full-volume aggregation
+    val withViews = known
+      .withColumn("_be", graft.plans.PayloadU64(col("data"), littleEndian = false))
+      .withColumn("_le", SignalDecoder.leU64(col("_be")))
+    val muxed = net.messages.filter(_.muxSwitch.isDefined)
+    val muxExpr = muxed.foldLeft(lit(0L)) { (acc, m) =>
+      when(col("can_id") === lit(m.id),
+        SignalDecoder.rawExpr(m.muxSwitch.get, col("_le"), col("_be"))).otherwise(acc)
+    }
+    // per-group extreme ts drives the final per-signal combine: max ts for
+    // LastWins, min for FirstWins
+    val tq = policy match {
+      case CombinePolicy.LastWins  => max(col("ts_ms"))
+      case CombinePolicy.FirstWins => min(col("ts_ms"))
+    }
+    val winners = withViews
+      .withColumn("_mux", muxExpr)
+      .groupBy(floor(col("ts_ms") / lit(cacheMs)).as("_bucket"),
+        col("can_id"), col("_mux"))
+      .agg(pick(col("_be"), col("ts_ms")).as("_be"),
+        min(col("ts_ms")).as("_t0"), tq.as("_tq"))
+
+    // stage 2 (tiny): decode each winning frame with the standard trees.
+    // Above the aggregate width gate the neighboring stage-3 aggregate is
+    // a SortAggregate whose map-side sort would fuse with this projection
+    // into one overgrown generated class (see [[graft.plans.NoCodegen]]),
+    // so the projection carries a fusion barrier and runs interpreted —
+    // it only ever sees the winner set. Between the outline threshold and
+    // the gate, outlined trees keep the shared span compilable; below,
+    // plain inline codegen.
+    val withLe = winners.withColumn("_le", SignalDecoder.leU64(col("_be")))
+    val wide = net.signalsInOrder.size > CodegenArgWidthLimit
+    val outline = !wide &&
+      net.signalsInOrder.size >= SignalDecoder.OutlineSignalThreshold
+    val canIdType = withLe.schema("can_id").dataType
+    val sigCols = net.signalsInOrder.map { case (m, s) =>
+      if (outline)
+        graft.plans.Outline(Seq(col("can_id") -> canIdType,
+            col("_le") -> LongType, col("_be") -> LongType)) {
+          case Seq(canId, le, be) =>
+            SignalDecoder.signalExprFrom(m, s, canId,
+              x => SignalDecoder.rawExpr(x, le, be), mode)
+        }.as(s.name)
+      else
+        SignalDecoder.signalColumnFrom(m, s, col("can_id"),
+          x => SignalDecoder.rawExpr(x, col("_le"), col("_be")), mode)
+    }
+    val bucketCol =
+      if (wide) graft.plans.NoCodegen(col("_bucket")).as("_bucket")
+      else col("_bucket")
+    val decoded = withLe.select(
+      bucketCol +: col("_t0") +: col("_tq") +: sigCols: _*)
+
+    // stage 3 (tiny): reassemble the wide row per bucket. Past the width
+    // gate the struct combine keeps this aggregate out of the generated-
+    // class-size danger zone — it only ever sees the winner set
+    val names = net.signalsInOrder.map(_._2.name)
+    val finalPick: String => Column =
+      if (names.length <= CodegenArgWidthLimit)
+        s => pick(col(s), col("_tq"))
+      else {
+        val structPick: Column => Column = policy match {
+          case CombinePolicy.LastWins  => max
+          case CombinePolicy.FirstWins => min
+        }
+        s => structPick(when(col(s).isNotNull,
+          struct(col("_tq").as("t"), col(s).as("v")))).getField("v")
+      }
+    decoded
+      .groupBy(col("_bucket"))
+      .agg(min(col("_t0")).as(TimeCol),
+        names.map(s => finalPick(s).as(s)): _*)
+      .drop("_bucket")
+  }
+
   /** Tumbling-bucket aggregation via `min/max(struct(ts, v))` — the
     * arbitrary-width fallback (struct-typed buffers are not UnsafeRow-
     * mutable, so this plans as ObjectHashAggregate outside whole-stage
@@ -157,7 +280,17 @@ object Bucketer {
       case CombinePolicy.LastWins  => max
       case CombinePolicy.FirstWins => min
     }
-    wide
+    // struct min/max plans as SortAggregate; past the width gate its
+    // map-side SortExec must not fuse with a fleet-width upstream
+    // projection (generated-class spill → runtime IllegalAccessError on
+    // partitionIndex — see [[graft.plans.NoCodegen]]). The barrier costs
+    // one interpreted identity projection on a path whose aggregate is
+    // interpreted anyway.
+    val in =
+      if (sigCols.length > CodegenArgWidthLimit)
+        wide.withColumn("ts_ms", graft.plans.NoCodegen(col("ts_ms")))
+      else wide
+    in
       .groupBy(floor(col("ts_ms") / lit(cacheMs)).as("_bucket"))
       .agg(
         min(col("ts_ms")).as(TimeCol),

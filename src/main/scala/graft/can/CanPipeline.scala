@@ -88,9 +88,18 @@ object CanPipeline {
         if (cfg.forwardFill) ForwardFill.distributed(b, DbcColumns.TimeCol) else b
       }
     } else {
-      val bucketed = Bucketer.bucket(wide,
-        if (cfg.cacheMs > 0) BucketMode.Tumbling(cfg.cacheMs) else BucketMode.PerFrame,
-        cfg.combine)
+      val bucketed =
+        if (cfg.cacheMs > 0 &&
+            net.signalsInOrder.size > Bucketer.CodegenArgWidthLimit)
+          // fleet-width tumbling: aggregate the raw frame payload (4
+          // columns at any network width, fully codegen, finer shuffle
+          // key) and decode only the winning frames — see
+          // Bucketer.tumblingFromFrames
+          Bucketer.tumblingFromFrames(net, frames, cfg.cacheMs, cfg.combine,
+            cfg.typing)
+        else Bucketer.bucket(wide,
+          if (cfg.cacheMs > 0) BucketMode.Tumbling(cfg.cacheMs) else BucketMode.PerFrame,
+          cfg.combine)
       if (cfg.forwardFill)
         ForwardFill.distributed(bucketed, DbcColumns.TimeCol)
       else bucketed

@@ -300,6 +300,41 @@ class BucketerSpec extends AnyFunSuite {
     assert(out.exceptAll(viaArg).count() == 0 && viaArg.exceptAll(out).count() == 0)
   }
 
+  test("tumblingFromFrames equals wide-table tumbling (mux + short dlc, both policies)") {
+    // a mux message (shared signal + two mux-gated), a plain message, and
+    // short-dlc frames (zero-padded): the frame-level aggregate must
+    // reproduce the wide-table path exactly on tie-free timestamps
+    val net = DbcParser.parseString(
+      """BO_ 256 PLAIN: 8 E
+        | SG_ P_A : 0|16@1+ (0.5,-10) [0|0] "" X
+        | SG_ P_B : 16|8@1- (1,0) [0|0] "" X
+        |
+        |BO_ 512 MUXED: 8 E
+        | SG_ Sel M : 0|8@1+ (1,0) [0|0] "" X
+        | SG_ Shared : 8|8@1+ (1,0) [0|0] "" X
+        | SG_ V0 m0 : 16|16@1+ (0.25,0) [0|0] "" X
+        | SG_ V1 m1 : 16|16@1- (1,0) [0|0] "" X
+        |""".stripMargin)
+    val frames = spark.range(2000).select(
+      (col("id") * 7.0).as("ts_ms"), // tie-free
+      when(col("id") % 3 === 0, 256L).otherwise(512L).as("can_id"),
+      // mux selector alternates 0/1 via the low byte; short dlc every 5th
+      when(col("id") % 5 === 0,
+        unhex(lpad(hex(col("id") % 2), 6, "0"))) // 3-byte payload
+        .otherwise(unhex(concat(lpad(hex(col("id") % 2), 2, "0"),
+          lpad(hex(col("id") * 2654435761L).substr(lit(1), lit(14)), 14, "0"))))
+        .as("data"))
+    for (policy <- Seq(CombinePolicy.LastWins, CombinePolicy.FirstWins)) {
+      val viaWide = Bucketer.bucket(
+        SignalDecoder.wideFrame(net, frames), BucketMode.Tumbling(50.0), policy)
+      val viaFrames = Bucketer.tumblingFromFrames(net, frames, 50.0, policy)
+      assert(viaFrames.columns.toSeq == viaWide.columns.toSeq)
+      assert(viaFrames.exceptAll(viaWide).count() == 0 &&
+        viaWide.exceptAll(viaFrames).count() == 0,
+        s"frame-level and wide-table tumbling diverge under $policy")
+    }
+  }
+
   test("time migration (T6): legacy seconds columns and passthrough") {
     val legacy = Seq((1.5, 10), (2.5, 20)).toDF("Time", "v")
     val m = TimeMigration.migrate(legacy).orderBy("Time_ms").collect()

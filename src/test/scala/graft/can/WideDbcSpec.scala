@@ -162,6 +162,63 @@ class WideDbcSpec extends AnyFunSuite {
       "arg-extremum and struct tumbling paths diverge at 129 columns")
   }
 
+  test("tumblingFromFrames at 513 signals: full-volume aggregation codegens, " +
+      "matches the wide-table struct path") {
+    // past CodegenArgWidthLimit the wide-table tumbling falls back to the
+    // interpreted struct aggregate; the frame-level path must (a) keep its
+    // ONE full-data aggregation — over (bucket, can_id, mux) with a
+    // payload/ts arg-extremum — inside whole-stage codegen at ANY network
+    // width, and (b) produce identical rows
+    val net = DbcParser.parseString(dbcText(128))
+    val fr = frames(128, 20000)
+    val viaFrames = Bucketer.tumblingFromFrames(net, fr, 100.0)
+    val plan = executedPlan(viaFrames)
+    val spans = plan.collect { case w: WholeStageCodegenExec => w }
+    val aggSpans = spans.map(_.doCodeGen()._2)
+      .filter(_.body.contains("doAggregateWithKeys"))
+    assert(aggSpans.length >= 2,
+      s"stage-1 partial+final aggregation must be whole-stage codegen:\n$plan")
+    aggSpans.foreach { code =>
+      CodeGenerator.compile(code)
+      // nested-class spill of outlined PROJECT methods is benign (they
+      // touch only parameters and outer-class fields Janino can reach via
+      // accessors); what must never spill is a function reaching the
+      // protected BufferedRowIterator.partitionIndex across the nested
+      // boundary — that is a runtime IllegalAccessError. Scope the check
+      // to the nested class BODY (brace-matched), not everything after it
+      var idx = code.body.indexOf("private class ")
+      while (idx >= 0) {
+        val open = code.body.indexOf('{', idx)
+        var depth = 1; var i = open + 1
+        while (depth > 0 && i < code.body.length) {
+          code.body.charAt(i) match {
+            case '{' => depth += 1
+            case '}' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        val body = code.body.substring(open, i)
+        assert(!body.contains("partitionIndex"),
+          "partitionIndex-touching function spilled into a nested class")
+        idx = code.body.indexOf("private class ", i)
+      }
+    }
+    // compare via sorted collect, NOT exceptAll: ExceptAll at this width
+    // plans a hash aggregate grouping by all 514 columns, whose own
+    // generated class crosses the nested-class spill threshold and throws
+    // the very IllegalAccessError this operator is designed to avoid —
+    // the comparison harness must not out-width the operator under test
+    val viaWide = Bucketer.bucket(
+      SignalDecoder.wideFrame(net, fr), BucketMode.Tumbling(100.0))
+    val a = viaFrames.orderBy(DbcColumns.TimeCol).collect()
+    val b = viaWide.orderBy(DbcColumns.TimeCol).collect()
+    assert(a.length == b.length, s"row counts differ: ${a.length} vs ${b.length}")
+    a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
+      assert(ra == rb, s"row $i diverges:\n $ra\n $rb")
+    }
+  }
+
   test("512-signal network (past Janino's 64 KB un-outlined cliff) still " +
       "codegens, JITs, and decodes correctly") {
     val net = DbcParser.parseString(dbcText(128))
