@@ -416,6 +416,20 @@ object SparkEntry {
         .withColumnRenamed("ts_ms", "ts_us")
     }),
 
+    "qc_bucket_frames" -> ((s, dir) => {
+      // the fleet-width frame-level tumbling path (one full-volume
+      // aggregation over (bucket, can_id, mux) of the raw payload u64,
+      // winners decoded after — Bucketer.tumblingFromFrames), exercised
+      // on the narrow oracle DBC. events' (us, can_id) pairs are unique
+      // at every SF, so the frame-level payload tie-break and the
+      // oracle's per-signal max_by coincide exactly. Buckets = 1 h of µs.
+      val net = DbcParser.parseString(canTestDbc)
+      val frames = CandumpParser.parseLines(canLines(events(s, dir)))
+        .withColumnRenamed("ts_us", "ts_ms")
+      Bucketer.tumblingFromFrames(net, frames, 3600e6)
+        .orderBy("Time_ms")
+    }),
+
     "qc_stream_decode" -> ((s, dir) => {
       // the SAME decode spine as qc_pipeline_decode, but executed through
       // Structured Streaming (file source → decode → checkpointed parquet
@@ -1301,6 +1315,41 @@ object SparkEntry {
         |  CAST(NULL AS FLOAT4) AS FVAL,
         |  CAST(NULL AS BIGINT) AS SEQ
         |FROM b""".stripMargin),
+
+    "qc_bucket_frames" -> (canBytesCte +
+      """, w AS (
+        |SELECT us,
+        |  CASE WHEN can_id = 256 THEN CAST((d0 + d1*256)*0.25 - 10 AS FLOAT4) END AS SPEED,
+        |  CASE WHEN can_id = 256 THEN CAST(CASE WHEN d2 >= 128 THEN d2 - 256 ELSE d2 END AS INTEGER) END AS CNT8,
+        |  CASE WHEN can_id = 256 THEN d3 % 2 = 1 END AS FLAG,
+        |  CASE WHEN can_id = 256 THEN CAST((CASE WHEN d4*16 + (d5 // 16) >= 2048
+        |    THEN d4*16 + (d5 // 16) - 4096 ELSE d4*16 + (d5 // 16) END) * 0.5 AS FLOAT4) END AS MOTO12,
+        |  CASE WHEN can_id = 256 THEN CAST(d6 & 3 AS INTEGER) END AS MUXSEL,
+        |  CASE WHEN can_id = 256 AND d6 & 3 = 0 THEN CAST(d7 AS INTEGER) END AS VA,
+        |  CASE WHEN can_id = 256 AND d6 & 3 = 1 THEN
+        |    CAST(CASE WHEN d7 >= 128 THEN d7 - 256 ELSE d7 END AS INTEGER) END AS VB,
+        |  CASE WHEN can_id = 512 THEN
+        |    CAST(d0 + d1*256 + d2*65536 + (d3 & 127)*16777216 AS INTEGER) END AS U31,
+        |  CASE WHEN can_id = 512 THEN
+        |    d1 + d2*256 + d3*65536 + d4*16777216 + d5*4294967296 + d6*1099511627776 END AS BIG48,
+        |  CASE WHEN can_id = 512 THEN CAST((d0*256 + d1)*0.01 + 5 AS FLOAT4) END AS MOTO16,
+        |  CAST(NULL AS FLOAT4) AS FVAL,
+        |  CAST(NULL AS BIGINT) AS SEQ
+        |FROM b)
+        |SELECT min(us) AS Time_ms,
+        |  max_by(SPEED, CASE WHEN SPEED IS NOT NULL THEN us END) AS SPEED,
+        |  max_by(CNT8, CASE WHEN CNT8 IS NOT NULL THEN us END) AS CNT8,
+        |  max_by(FLAG, CASE WHEN FLAG IS NOT NULL THEN us END) AS FLAG,
+        |  max_by(MOTO12, CASE WHEN MOTO12 IS NOT NULL THEN us END) AS MOTO12,
+        |  max_by(MUXSEL, CASE WHEN MUXSEL IS NOT NULL THEN us END) AS MUXSEL,
+        |  max_by(VA, CASE WHEN VA IS NOT NULL THEN us END) AS VA,
+        |  max_by(VB, CASE WHEN VB IS NOT NULL THEN us END) AS VB,
+        |  max_by(U31, CASE WHEN U31 IS NOT NULL THEN us END) AS U31,
+        |  max_by(BIG48, CASE WHEN BIG48 IS NOT NULL THEN us END) AS BIG48,
+        |  max_by(MOTO16, CASE WHEN MOTO16 IS NOT NULL THEN us END) AS MOTO16,
+        |  CAST(NULL AS FLOAT4) AS FVAL,
+        |  CAST(NULL AS BIGINT) AS SEQ
+        |FROM w GROUP BY floor(us / 3600000000) ORDER BY Time_ms""".stripMargin),
 
     "qc_sql_extract" -> (canBytesCte +
       """
