@@ -335,6 +335,32 @@ class BucketerSpec extends AnyFunSuite {
     }
   }
 
+  test("CanPipeline routes fleet-width tumbling through the frame-level path") {
+    // a 168-signal net (> CodegenArgWidthLimit): fromFrames must produce
+    // the frame-level plan's results (and columns in wide order)
+    val dbcTxt = (0 until 42).map { m =>
+      s"""BO_ ${512 + m} MSG$m: 8 E
+         | SG_ W${m}_A : 0|16@1+ (0.5,-100) [0|0] "" X
+         | SG_ W${m}_B : 16|8@1- (1,0) [0|0] "" X
+         | SG_ W${m}_C : 24|1@1+ (1,0) [0|0] "" X
+         | SG_ W${m}_D : 39|12@0+ (1,0) [0|0] "" X
+         |""".stripMargin
+    }.mkString("\n")
+    val net = DbcParser.parseString(dbcTxt)
+    assert(net.signalsInOrder.size > Bucketer.CodegenArgWidthLimit)
+    val frames = spark.range(2000).select(
+      (col("id") * 1.0).as("ts_ms"),
+      (lit(512) + col("id") % 42).as("can_id"),
+      unhex(lpad(hex(col("id") * 2654435761L), 16, "0")).as("data"))
+    val viaPipeline = CanPipeline.fromFrames(net, frames,
+      CanPipelineConfig(cacheMs = 100.0))
+    val direct = Bucketer.tumblingFromFrames(net, frames, 100.0)
+    assert(viaPipeline.columns.toSeq == direct.columns.toSeq)
+    val a = viaPipeline.orderBy(DbcColumns.TimeCol).collect()
+    val b = direct.orderBy(DbcColumns.TimeCol).collect()
+    assert(a.length == b.length && a.sameElements(b))
+  }
+
   test("time migration (T6): legacy seconds columns and passthrough") {
     val legacy = Seq((1.5, 10), (2.5, 20)).toDF("Time", "v")
     val m = TimeMigration.migrate(legacy).orderBy("Time_ms").collect()

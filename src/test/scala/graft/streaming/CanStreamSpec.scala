@@ -356,4 +356,30 @@ class CanStreamSpec extends AnyFunSuite {
     reader.close(); in.close(); alloc.close()
     assert(rows == 6)
   }
+
+  test("console sink (K3) renders selected signal values per micro-batch (P9)") {
+    // the live-decode surface: selected signals printed driver-side per
+    // batch. Assert the actual rendered text — column headers and a known
+    // decoded value from the fixture (Engine_Speed of mini.log line 1 =
+    // le u16 0x1F40 * 0.25 = 2000.0)
+    val input = MemoryStream[String](spark)
+    input.addData(scala.io.Source.fromFile("fixtures/mini.log").getLines().toSeq)
+    val wide = CanStream.decoded(net, CandumpParser.parseLines(input.toDF()))
+      .drop("ts").withColumnRenamed("ts_ms", graft.can.DbcColumns.TimeCol)
+    // scala Console.println resolves Console.out (not System.out at call
+    // time); the query thread is spawned inside withOut's dynamic scope,
+    // so it inherits the capture
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      val q = CanStream.consoleSink(wide, Seq("Engine_Speed", "Engine_Temp"))
+      q.processAllAvailable()
+      q.stop()
+    }
+    val rendered = buf.toString("UTF-8")
+    assert(rendered.contains("Engine_Speed") && rendered.contains("Engine_Temp")
+      && rendered.contains(graft.can.DbcColumns.TimeCol),
+      s"console render missing expected columns:\n$rendered")
+    assert(rendered.contains("2000.0"),
+      s"console render missing decoded Engine_Speed value:\n$rendered")
+  }
 }
