@@ -10,10 +10,13 @@ object GraftSession {
     * (default 100). Fleet DBC networks routinely carry hundreds of signals
     * (SURVEY §1.1 — the reference's own `fs.dbc` workflow), so at the
     * default the flagship wide decode silently runs interpreted exactly at
-    * production width. With per-signal [[graft.plans.Outline]] methods the
-    * generated class stays JIT-friendly at these widths (each signal is its
-    * own small method; `doConsume` is one call site per signal), so raising
-    * the ceiling is safe. 1024 covers any realistic network; beyond it
+    * production width. Above [[graft.can.SignalDecoder.OutlineSignalThreshold]]
+    * signals the decode trees are outlined into per-signal generated
+    * methods, which keeps the class compilable at these widths (each
+    * signal is its own small method; `doConsume` is one call site per
+    * signal), so raising the ceiling is safe — below the threshold the
+    * inline trees fit comfortably anyway (measured matrix in the
+    * threshold's scaladoc). 1024 covers any realistic network; beyond it
     * Spark falls back to interpreted execution, which stays correct.
     */
   val CodegenMaxFields = 1024

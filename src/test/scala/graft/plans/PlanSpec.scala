@@ -195,6 +195,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"per-doc analysis must not shuffle:\n$p")
   }
 
+  test("AQE-on: frame-level tumbling keeps hash aggregation end-to-end") {
+    // Bucketer.tumblingFromFrames' plan shape is width-independent: the
+    // full-volume (bucket, can_id, mux) aggregate and the winner
+    // reassembly must BOTH stay HashAggregateExec (the arg-extremum's
+    // primitive buffers) in the finalized adaptive plan — no
+    // SortAggregate (struct fallback) and no ObjectHashAggregate
+    val net = graft.dbc.DbcParser.parseString(
+      """BO_ 256 A: 8 E
+        | SG_ X : 0|16@1+ (0.5,0) [0|0] "" T
+        | SG_ Y : 16|8@1- (1,0) [0|0] "" T
+        |BO_ 512 B: 8 E
+        | SG_ Z : 0|32@1+ (1,0) [0|0] "" T
+        |""".stripMargin)
+    val frames = spark.range(500).select(
+      (col("id") * 3.0).as("ts_ms"),
+      when(col("id") % 2 === 0, 256L).otherwise(512L).as("can_id"),
+      unhex(lpad(hex(col("id") * 99991L), 16, "0")).as("data"))
+    val p = aqeFinalPlan(graft.can.Bucketer.tumblingFromFrames(net, frames, 30.0))
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+    assert(!p.contains("SortAggregate") && !p.contains("ObjectHashAggregate"),
+      s"frame-level tumbling fell out of hash aggregation:\n$p")
+  }
+
   test("AQE-on: ANN scans still broadcast, never cartesian") {
     val emb = (0L until 50L)
       .map(i => (i, Array.tabulate(8)(d => ((i + d) % 7).toFloat)))
