@@ -852,6 +852,11 @@ object SparkEntry {
     "qs_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5)),
 
+    "qs_ivf_multiprobe" -> ((s, dir) =>
+      // nprobe=2: scan the query's two highest-cosine inverted lists —
+      // the IVF analogue of qs_lsh_multiprobe's recall lift
+      Similarity.ivfMultiProbeTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5)),
+
     "qs_kmeans_topk" -> ((s, dir) =>
       // IVF over a REAL Lloyd-trained codebook (2 deterministic rounds:
       // argmax-cosine assign → floor-mean update); the oracle replays the
@@ -1888,6 +1893,26 @@ object SparkEntry {
            |  list_reduce(list_transform(list_zip(a.qe, qq.qe), t -> t[1]*t[2]), (x,y) -> x+y)
            |    / (sqrt(a.nrm)*sqrt(qq.nrm)) AS score
            |FROM assigned a, qq WHERE a.cent_id = qq.cent_id AND a.vec_id <> 0
+           |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin),
+
+      "qs_ivf_multiprobe" -> (quantCte +
+        s""",
+           |cents AS (SELECT vec_id AS cent_id, qe AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+           |scored AS (SELECT n.vec_id, n.qe, n.nrm, cents.cent_id,
+           |    list_reduce(list_transform(list_zip(n.qe, cents.cv), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(n.nrm)*sqrt(cents.cnrm)) AS cc
+           |  FROM n CROSS JOIN cents),
+           |assigned AS (SELECT vec_id, qe, nrm, cent_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id) AS rn
+           |  FROM scored) WHERE rn = 1),
+           |qq AS (SELECT qe, nrm FROM n WHERE vec_id = 0),
+           |probes AS (SELECT cent_id FROM scored WHERE vec_id = 0
+           |  ORDER BY cc DESC, cent_id LIMIT 2)
+           |SELECT a.vec_id,
+           |  list_reduce(list_transform(list_zip(a.qe, qq.qe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |    / (sqrt(a.nrm)*sqrt(qq.nrm)) AS score
+           |FROM assigned a, qq
+           |WHERE a.cent_id IN (SELECT cent_id FROM probes) AND a.vec_id <> 0
            |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin),
 
       "qs_kmeans_topk" -> (quantCte +

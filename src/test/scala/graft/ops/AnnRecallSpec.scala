@@ -69,6 +69,14 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.60, f"IVF recall $r%.3f fell below the documented floor of 0.60")
   }
 
+  test("multi-probe IVF (nprobe=2) top-k recall vs brute force: floor + measured") {
+    val r = recallOf(q => topkIds(Similarity.ivfMultiProbeTopK(emb, q, K)), queries)
+    info(f"ivfMultiProbeTopK recall@$K at centroids=16, nprobe=2: $r%.4f")
+    assert(r >= 0.8, f"multi-probe IVF recall $r%.3f fell below the documented floor of 0.8")
+    val single = recallOf(q => topkIds(Similarity.ivfTopK(emb, q, K)), queries)
+    assert(r > single, f"multi-probe recall $r%.3f not above single-probe $single%.3f")
+  }
+
   test("IVF k-means-codebook top-k recall vs brute force: floor + measured") {
     val r = recallOf(q => topkIds(Similarity.ivfKmeansTopK(emb, q, K)), queries)
     info(f"ivfKmeansTopK recall@$K at centroids=8, iters=2: $r%.4f")
