@@ -271,6 +271,20 @@ class BucketerSpec extends AnyFunSuite {
     }
   }
 
+  test("Tumbling tie-break with NaN values: argext matches struct (NaN sorts greatest)") {
+    // flt32 decode can produce NaN signal values; Spark's SQL ordering
+    // (and genComp's compareDoubles) treats NaN as greater than any value
+    // and equal to itself — both paths must agree on a (ts-tie, NaN) cell
+    val w = wide((1.0, null, Double.NaN), (1.0, null, 5.0), (3.0, 1, null))
+    for (policy <- Seq(CombinePolicy.LastWins, CombinePolicy.FirstWins)) {
+      val arg = Bucketer.tumblingArgExtremum(w, 10.0, policy).collect().head
+      val st = Bucketer.tumblingStruct(w, 10.0, policy).collect().head
+      val expB = if (policy == CombinePolicy.LastWins) Double.NaN else 5.0
+      assert(arg.getDouble(2).equals(expB) && st.getDouble(2).equals(expB),
+        s"$policy: argext=${arg.getDouble(2)} struct=${st.getDouble(2)} expected $expB")
+    }
+  }
+
   test("Tumbling: arg-extremum and struct paths agree on mixed data (differential)") {
     // pseudo-random mixed null/value pattern incl. duplicate ts, several buckets
     val rows = (0 until 500).map { i =>
