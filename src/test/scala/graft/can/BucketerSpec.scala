@@ -338,14 +338,15 @@ class BucketerSpec extends AnyFunSuite {
         .otherwise(unhex(concat(lpad(hex(col("id") % 2), 2, "0"),
           lpad(hex(col("id") * 2654435761L).substr(lit(1), lit(14)), 14, "0"))))
         .as("data"))
-    for (policy <- Seq(CombinePolicy.LastWins, CombinePolicy.FirstWins)) {
+    for (policy <- Seq(CombinePolicy.LastWins, CombinePolicy.FirstWins);
+         mode <- Seq(graft.dbc.TypingMode.Intended, graft.dbc.TypingMode.DeFacto)) {
       val viaWide = Bucketer.bucket(
-        SignalDecoder.wideFrame(net, frames), BucketMode.Tumbling(50.0), policy)
-      val viaFrames = Bucketer.tumblingFromFrames(net, frames, 50.0, policy)
+        SignalDecoder.wideFrame(net, frames, mode), BucketMode.Tumbling(50.0), policy)
+      val viaFrames = Bucketer.tumblingFromFrames(net, frames, 50.0, policy, mode)
       assert(viaFrames.columns.toSeq == viaWide.columns.toSeq)
       assert(viaFrames.exceptAll(viaWide).count() == 0 &&
         viaWide.exceptAll(viaFrames).count() == 0,
-        s"frame-level and wide-table tumbling diverge under $policy")
+        s"frame-level and wide-table tumbling diverge under $policy/$mode")
     }
   }
 
