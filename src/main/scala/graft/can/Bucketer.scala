@@ -184,15 +184,22 @@ object Bucketer {
       cacheMs: Double, policy: CombinePolicy = CombinePolicy.LastWins,
       mode: graft.dbc.TypingMode = graft.dbc.TypingMode.Intended): DataFrame = {
     require(cacheMs > 0, "tumblingFromFrames requires cacheMs > 0")
-    import graft.plans.ArgExtremum.{argFirst, argLast}
-    val pick: (Column, Column) => Column = policy match {
-      case CombinePolicy.LastWins  => argLast
-      case CombinePolicy.FirstWins => argFirst
-    }
+    val winners = winnerFrames(frameViews(net, frames),
+      floor(col("ts_ms") / lit(cacheMs)).as("_bucket"), policy)
+    decodeAndReassemble(net, winners, "_bucket", col("_bucket"), "_bucket",
+      policy, mode)
+  }
+
+  /** Stage-1 input for the frame-level tumbling paths (batch
+    * [[tumblingFromFrames]] and streaming
+    * [[graft.streaming.CanStream.bucketedStreamFromFrames]]): known-id
+    * frames (F1) with the shared big-endian u64 payload view and the
+    * message's mux-switch raw value (`_mux`, 0 for unmultiplexed messages).
+    */
+  private[graft] def frameViews(net: graft.dbc.Network,
+      frames: DataFrame): DataFrame = {
     val ids = net.messages.map(_.id)
     val known = frames.filter(col("can_id").isin(ids: _*))
-
-    // stage 1: 4-column projection + the one full-volume aggregation
     val withViews = known
       .withColumn("_be", graft.plans.PayloadU64(col("data"), littleEndian = false))
       .withColumn("_le", SignalDecoder.leU64(col("_be")))
@@ -201,27 +208,65 @@ object Bucketer {
       when(col("can_id") === lit(m.id),
         SignalDecoder.rawExpr(m.muxSwitch.get, col("_le"), col("_be"))).otherwise(acc)
     }
+    withViews.withColumn("_mux", muxExpr)
+  }
+
+  /** Stage 1: the ONE full-volume aggregation — the winning payload per
+    * (bucket, message, mux). Two primitive buffer slots at any network
+    * width; the grouping key is finer than the bucket alone, so hot buckets
+    * spread across reducers. `bucketCol` is the bucket grouping expression
+    * (batch: `floor(ts_ms/cacheMs) AS _bucket`; streaming: an event-time
+    * `window(ts, ...)`).
+    */
+  private[graft] def winnerFrames(views: DataFrame, bucketCol: Column,
+      policy: CombinePolicy): DataFrame = {
+    import graft.plans.ArgExtremum.{argFirst, argLast}
+    val pick: (Column, Column) => Column = policy match {
+      case CombinePolicy.LastWins  => argLast
+      case CombinePolicy.FirstWins => argFirst
+    }
     // per-group extreme ts drives the final per-signal combine: max ts for
     // LastWins, min for FirstWins
     val tq = policy match {
       case CombinePolicy.LastWins  => max(col("ts_ms"))
       case CombinePolicy.FirstWins => min(col("ts_ms"))
     }
-    val winners = withViews
-      .withColumn("_mux", muxExpr)
-      .groupBy(floor(col("ts_ms") / lit(cacheMs)).as("_bucket"),
-        col("can_id"), col("_mux"))
+    views.groupBy(bucketCol, col("can_id"), col("_mux"))
       .agg(pick(col("_be"), col("ts_ms")).as("_be"),
         min(col("ts_ms")).as("_t0"), tq.as("_tq"))
+  }
 
-    // stage 2 (tiny): decode each winning frame with the standard trees.
-    // Above the aggregate width gate the neighboring stage-3 aggregate is
-    // a SortAggregate whose map-side sort would fuse with this projection
-    // into one overgrown generated class (see [[graft.plans.NoCodegen]]),
-    // so the projection carries a fusion barrier and runs interpreted —
-    // it only ever sees the winner set. Between the outline threshold and
-    // the gate, outlined trees keep the shared span compilable; below,
-    // plain inline codegen.
+  /** Stages 2+3 of the frame-level tumbling paths.
+    *
+    * Stage 2 (tiny): decode each winning frame with the standard signal
+    * trees. Above the aggregate width gate the neighboring stage-3
+    * aggregate is a SortAggregate whose map-side sort would fuse with this
+    * projection into one overgrown generated class (see
+    * [[graft.plans.NoCodegen]]), so the projection carries a fusion
+    * barrier (on `_t0` — the bucket key may be a metadata-bearing window
+    * struct that must not be wrapped) and runs interpreted — it only ever
+    * sees the winner set. Between the outline threshold and the gate,
+    * outlined trees keep the shared span compilable; below, plain inline
+    * codegen.
+    *
+    * Stage 3 (tiny): reassemble the wide row per bucket. Past the width
+    * gate the struct combine keeps this aggregate out of the generated-
+    * class-size danger zone — it only ever sees the winner set.
+    *
+    * `keyCol` names the bucket column in `winners`; `regroup` is the
+    * stage-3 grouping expression over it (batch: `col("_bucket")`;
+    * streaming: `window(window_time(col("window")), ...)` — the chained
+    * streaming-aggregation re-window); `dropCol` is the grouped output
+    * column dropped from the result.
+    */
+  private[graft] def decodeAndReassemble(net: graft.dbc.Network,
+      winners: DataFrame, keyCol: String, regroup: Column, dropCol: String,
+      policy: CombinePolicy, mode: graft.dbc.TypingMode): DataFrame = {
+    import graft.plans.ArgExtremum.{argFirst, argLast}
+    val pick: (Column, Column) => Column = policy match {
+      case CombinePolicy.LastWins  => argLast
+      case CombinePolicy.FirstWins => argFirst
+    }
     val withLe = winners.withColumn("_le", SignalDecoder.leU64(col("_be")))
     val wide = net.signalsInOrder.size > CodegenArgWidthLimit
     val outline = !wide &&
@@ -239,15 +284,12 @@ object Bucketer {
         SignalDecoder.signalColumnFrom(m, s, col("can_id"),
           x => SignalDecoder.rawExpr(x, col("_le"), col("_be")), mode)
     }
-    val bucketCol =
-      if (wide) graft.plans.NoCodegen(col("_bucket")).as("_bucket")
-      else col("_bucket")
+    val t0Col =
+      if (wide) graft.plans.NoCodegen(col("_t0")).as("_t0")
+      else col("_t0")
     val decoded = withLe.select(
-      bucketCol +: col("_t0") +: col("_tq") +: sigCols: _*)
+      col(keyCol) +: t0Col +: col("_tq") +: sigCols: _*)
 
-    // stage 3 (tiny): reassemble the wide row per bucket. Past the width
-    // gate the struct combine keeps this aggregate out of the generated-
-    // class-size danger zone — it only ever sees the winner set
     val names = net.signalsInOrder.map(_._2.name)
     val finalPick: String => Column =
       if (names.length <= CodegenArgWidthLimit)
@@ -261,10 +303,10 @@ object Bucketer {
           struct(col("_tq").as("t"), col(s).as("v")))).getField("v")
       }
     decoded
-      .groupBy(col("_bucket"))
+      .groupBy(regroup)
       .agg(min(col("_t0")).as(TimeCol),
         names.map(s => finalPick(s).as(s)): _*)
-      .drop("_bucket")
+      .drop(dropCol)
   }
 
   /** Tumbling-bucket aggregation via `min/max(struct(ts, v))` — the

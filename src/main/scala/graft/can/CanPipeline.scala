@@ -15,6 +15,15 @@ import graft.dbc._
   * last-wins combine and real forward-fill (legacy-main semantics), intended
   * typing, working flt32 decode.
   */
+/** `frameLevelTumbling`: `None` (default) auto-selects the frame-level
+  * tumbling path ([[Bucketer.tumblingFromFrames]]) when the network is
+  * wider than [[Bucketer.CodegenArgWidthLimit]] signals — logged, because
+  * the paths differ in duplicate-timestamp tie-breaking (frame-level
+  * breaks equal-ts ties by raw payload u64, the wide paths per signal by
+  * decoded value; identical on tie-free streams). `Some(true|false)`
+  * forces the choice so width alone never silently changes tie semantics
+  * for callers who care.
+  */
 final case class CanPipelineConfig(
     cacheMs: Double = 0.0,
     exact: Boolean = false,
@@ -23,9 +32,12 @@ final case class CanPipelineConfig(
     adjustTimestamp: Boolean = true,
     typing: TypingMode = TypingMode.Intended,
     combine: CombinePolicy = CombinePolicy.LastWins,
-    observeMetrics: Boolean = false)
+    observeMetrics: Boolean = false,
+    frameLevelTumbling: Option[Boolean] = None)
 
 object CanPipeline {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   def decodeLog(spark: SparkSession, dbcPath: String, logPath: String,
       cfg: CanPipelineConfig = CanPipelineConfig()): DataFrame = {
@@ -88,9 +100,18 @@ object CanPipeline {
         if (cfg.forwardFill) ForwardFill.distributed(b, DbcColumns.TimeCol) else b
       }
     } else {
+      val frameLevel = cfg.cacheMs > 0 && cfg.frameLevelTumbling.getOrElse(
+        net.signalsInOrder.size > Bucketer.CodegenArgWidthLimit)
+      if (frameLevel && cfg.frameLevelTumbling.isEmpty)
+        // the auto-switch is visible, not silent: the frame-level path has
+        // different (still deterministic) duplicate-ts tie semantics — see
+        // CanPipelineConfig.frameLevelTumbling
+        log.info(s"network has ${net.signalsInOrder.size} signals " +
+          s"(> ${Bucketer.CodegenArgWidthLimit}): selecting frame-level " +
+          "tumbling (payload-u64 tie-break on duplicate timestamps; " +
+          "force with frameLevelTumbling=Some(false))")
       val bucketed =
-        if (cfg.cacheMs > 0 &&
-            net.signalsInOrder.size > Bucketer.CodegenArgWidthLimit)
+        if (frameLevel)
           // fleet-width tumbling: aggregate the raw frame payload (4
           // columns at any network width, fully codegen, finer shuffle
           // key) and decode only the winning frames — see

@@ -139,6 +139,12 @@ object Main {
         val bucketed =
           if (cacheMs <= 0) wide.drop("ts")
           else if (exact) CanStream.exactStream(wide.drop("ts"), cacheMs, bucketKey)
+          else if (net.signalsInOrder.size > Bucketer.CodegenArgWidthLimit)
+            // fleet-width streaming tumbling: aggregate the raw frame
+            // payload (codegen at any width), decode only the winners —
+            // the streaming mirror of CanPipeline's batch routing
+            CanStream.bucketedStreamFromFrames(net, frames, cacheMs.toLong,
+              observe = PipelineMetrics.observeFrames)
           else CanStream.bucketedStream(wide, cacheMs.toLong)
         val q = CanStream.parquetSink(bucketed, out, s"$out.checkpoint",
           Trigger.ProcessingTime("1 second"))

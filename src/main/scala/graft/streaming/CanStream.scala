@@ -113,7 +113,17 @@ object CanStream {
     * instead of a struct, and the partial aggregate codegens exactly as in
     * batch) and the equivalent `min/max(struct(ts, v))` form above it,
     * mirroring the batch width gate for the same generated-class-size
-    * reason.
+    * reason. Above the gate prefer [[bucketedStreamFromFrames]], which
+    * keeps the full-volume aggregation codegen'd at any width.
+    *
+    * CHECKPOINT COMPATIBILITY: switching a query between the arg-extremum
+    * and struct combines changes the streaming-aggregation state schema
+    * (two flat primitive slots per signal vs one struct slot), so a query
+    * restarted from a checkpoint written under the other form fails
+    * Spark's state-store schema check. This happened once by upgrade
+    * (round 10 moved ≤150-signal frames from struct to arg-extremum);
+    * drain existing checkpoints with the old build, or start a fresh
+    * checkpoint, when crossing that boundary.
     */
   def bucketedStream(wide: DataFrame, cacheMs: Long,
       watermark: String = "0 seconds",
@@ -140,6 +150,54 @@ object CanStream {
         min(col("ts_ms")).as(graft.can.DbcColumns.TimeCol),
         sigCols.map(s => pick(s).as(s)).toSeq: _*)
       .drop("window")
+  }
+
+  /** T1a streaming at FLEET WIDTH: the frame-level tumbling path
+    * ([[Bucketer.tumblingFromFrames]]) as a chained streaming aggregation —
+    * the streaming counterpart of the batch fix that keeps the bucket
+    * aggregate codegen'd past [[Bucketer.CodegenArgWidthLimit]] signals.
+    *
+    * Shape (same stages as batch, Spark's documented chained
+    * time-window-aggregation pattern):
+    *
+    *   1. watermarked `groupBy(window(ts), can_id, _mux)` arg-extremum over
+    *      `(payload_u64, ts_ms)` — the ONLY full-volume stateful operator.
+    *      Four grouping/aggregation columns at ANY network width, flat
+    *      primitive state rows, `HashAggregateExec` inside whole-stage
+    *      codegen — where [[bucketedStream]] above the gate degrades to the
+    *      interpreted `min/max(struct(ts, v))` combine per signal;
+    *   2. decode only the winning frames (append-mode output of stage 1 —
+    *      finalized windows) through the standard signal trees;
+    *   3. re-window via `window_time` and reassemble the wide row — a
+    *      second stateful aggregation that only ever sees the winner set
+    *      (≈ buckets × messages × mux values rows).
+    *
+    * Requires append output mode (Spark's multiple-stateful-operator
+    * rule); rows emit once the watermark passes their window, one
+    * watermark delay later than [[bucketedStream]] would emit them.
+    * Tie semantics match batch `tumblingFromFrames` (equal-ts frames break
+    * by payload u64, not per signal by value — identical on tie-free
+    * streams; see its scaladoc).
+    *
+    * `frames` is the parsed candump stream (`ts_us, can_id, data`);
+    * `observe` is applied to the known-id frame scan (the CLI threads the
+    * T7 frame counter through it).
+    */
+  def bucketedStreamFromFrames(net: Network, frames: DataFrame, cacheMs: Long,
+      watermark: String = "0 seconds",
+      policy: CombinePolicy = CombinePolicy.LastWins,
+      typing: TypingMode = TypingMode.Intended,
+      observe: DataFrame => DataFrame = identity): DataFrame = {
+    require(cacheMs > 0, "bucketedStreamFromFrames requires cacheMs > 0")
+    val withTs = frames.withColumn("ts_ms", col("ts_us") / 1000.0)
+      .withColumn("ts", timestamp_millis(col("ts_ms").cast("long")))
+    val views = observe(Bucketer.frameViews(net, withTs))
+      .withWatermark("ts", watermark)
+    val winners = Bucketer.winnerFrames(views,
+      window(col("ts"), s"$cacheMs milliseconds"), policy)
+    Bucketer.decodeAndReassemble(net, winners, "window",
+      window(window_time(col("window")), s"$cacheMs milliseconds"), "window",
+      policy, typing)
   }
 
   /** Mutable open-bucket state for [[exactStream]] (kryo-serialized). */
