@@ -369,7 +369,9 @@ object Bucketer {
     */
   def exactDistributed(wide: org.apache.spark.sql.DataFrame, cacheMs: Double,
       policy: CombinePolicy = CombinePolicy.LastWins,
-      numPartitions: Int = 0): org.apache.spark.sql.DataFrame = {
+      numPartitions: Int = 0,
+      frameCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : org.apache.spark.sql.DataFrame = {
     val spark = wide.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -393,13 +395,18 @@ object Bucketer {
     // the identical floating-point expression — `ts - last > cacheMs`
     // rounds differently and could split a bucket the fold keeps open.
     val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var first = Double.NaN; var last = Double.NaN; var gaps = 0L
+      var first = Double.NaN; var last = Double.NaN; var gaps = 0L; var n = 0L
       it.foreach { r =>
         val ts = r.getDouble(tsIdx)
         if (first.isNaN) first = ts
         else if (ts > last + cacheMs) gaps += 1
         last = ts
+        n += 1
       }
+      // T7 on the exact path: this collect is the one exactly-once pass
+      // over the pipeline input (RDD actions bypass Dataset.observe —
+      // see PipelineMetrics.newExactFramesCounter)
+      frameCounter.foreach(_.add(n))
       Iterator.single((pid, first, last, gaps))
     }.collect().sortBy(_._1)
 

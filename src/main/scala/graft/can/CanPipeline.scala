@@ -95,8 +95,16 @@ object CanPipeline {
       else {
         // keyless: gap-segmented distributed exact fold; post-hoc
         // distributed fill is equivalent to in-pass carry (observed values
-        // always win over carried ones under either combine policy)
-        val b = Bucketer.exactDistributed(wide, cfg.cacheMs, cfg.combine)
+        // always win over carried ones under either combine policy).
+        // T7: frames counted in its pass 1 via accumulator — the observe
+        // node was skipped above (sampling-pass double count), and RDD
+        // actions would never deliver it anyway
+        val counter =
+          if (cfg.observeMetrics)
+            Some(PipelineMetrics.newExactFramesCounter(frames0.sparkSession))
+          else None
+        val b = Bucketer.exactDistributed(wide, cfg.cacheMs, cfg.combine,
+          frameCounter = counter)
         if (cfg.forwardFill) ForwardFill.distributed(b, DbcColumns.TimeCol) else b
       }
     } else {

@@ -26,6 +26,38 @@ object PipelineMetrics {
   val FramesMetric = "graft_frames"
   val RowsMetric = "graft_rows"
 
+  /** Frame counter for the exact keyless path: `exactDistributed`'s
+    * segment passes are RDD actions, which carry no `QueryExecution` — a
+    * `Dataset.observe` node upstream would (a) never deliver to the
+    * listener and (b) be double-counted by the range partitioner's
+    * sampling pass. Instead its pass 1 (a single `collect` action over the
+    * persisted sorted input — accumulator updates inside actions are
+    * exactly-once per partition) counts rows into this accumulator, and
+    * [[Progress]] folds it into the printed line.
+    *
+    * Semantics note: this counts DECODED (known-id) frames — the
+    * decoder's `msg_count` (`/root/reference/src/decoder.cpp:125`) —
+    * where the observed-metric path counts parsed packets (main's
+    * `messages`); the pre-filter stream is not observable exactly-once on
+    * this path. One registered counter per session; a new exact run
+    * replaces it (the progress line reflects the most recent exact
+    * pipeline plus any observed totals).
+    */
+  @volatile private var exactFramesAcc: Option[org.apache.spark.util.LongAccumulator] = None
+
+  /** Fresh accumulator for an exact-pipeline run, registered for
+    * [[Progress]] to read.
+    */
+  def newExactFramesCounter(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.util.LongAccumulator = {
+    val acc = spark.sparkContext.longAccumulator(FramesMetric + "_exact")
+    exactFramesAcc = Some(acc)
+    acc
+  }
+
+  private[graft] def exactFramesValue: Long =
+    exactFramesAcc.map(_.value.longValue).getOrElse(0L)
+
   /** Count parsed frames (the reference's `messages`) as they flow by. */
   def observeFrames(frames: DataFrame): DataFrame =
     frames.observe(FramesMetric, count(lit(1)).as("messages"))
@@ -42,12 +74,20 @@ object PipelineMetrics {
     val rows = new AtomicLong(0)
 
     /** True once a frames counter has been observed. The exact-keyless
-      * pipeline deliberately omits it (its range-partitioning sampling
-      * pass would double-count a flow-through CollectMetrics —
-      * `CanPipeline.fromFrames`), so the progress line only claims a
-      * packet count when one was actually measured.
+      * pipeline deliberately omits the observe node (its range-partitioning
+      * sampling pass would double-count a flow-through CollectMetrics —
+      * `CanPipeline.fromFrames`) and counts through
+      * [[PipelineMetrics.newExactFramesCounter]] instead, so the progress
+      * line only claims a packet count when one was actually measured.
+      * Volatile: listener callbacks may arrive on a different listener-bus
+      * thread than the reader.
       */
-    private var sawFrames = false
+    @volatile private var sawFrames = false
+
+    /** Total packet count: observed-metric totals plus the exact path's
+      * accumulator (see [[PipelineMetrics.newExactFramesCounter]]).
+      */
+    def packets: Long = messages.get() + PipelineMetrics.exactFramesValue
 
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
       qe.observedMetrics.get(FramesMetric).foreach { r =>
@@ -57,7 +97,8 @@ object PipelineMetrics {
       qe.observedMetrics.get(RowsMetric)
         .foreach(r => rows.addAndGet(r.getAs[Long]("rows")))
       if (!quiet && qe.observedMetrics.nonEmpty) {
-        val recv = if (sawFrames) s"Received ${messages.get()} packets, " else ""
+        val pk = packets
+        val recv = if (sawFrames || pk > 0) s"Received $pk packets, " else ""
         println(s"${recv}wrote ${rows.get()} rows")
       }
     }

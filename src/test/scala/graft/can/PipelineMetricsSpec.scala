@@ -43,6 +43,24 @@ class PipelineMetricsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(progress)
   }
 
+  test("T7 exact keyless: frames counted via accumulator (RDD passes bypass " +
+      "observe) — the 'Received 0 packets' wart") {
+    val progress = new PipelineMetrics.Progress(quiet = true)
+    spark.listenerManager.register(progress)
+    try {
+      val cfg = CanPipelineConfig(cacheMs = 10.0, exact = true, observeMetrics = true)
+      // exactDistributed runs its segment passes eagerly at construction;
+      // the accumulator holds the 6 decoded (known-id) frames already here
+      val wide = CanPipeline.decodeLog(spark, "fixtures/mini.dbc", "fixtures/mini.log", cfg)
+      assert(progress.packets == 6,
+        s"exact-path frame counter: got ${progress.packets}, want 6")
+      assert(wide.count() == 3) // exact buckets open at +0, +12, +50
+      eventually() { progress.rows.get() == 3 }
+      // the progress line now claims a packet count on the exact path too
+      assert(progress.packets == 6)
+    } finally spark.listenerManager.unregister(progress)
+  }
+
   test("T7 streaming: StreamingProgress accumulates per-micro-batch counts") {
     val net = DbcParser.parseFile("fixtures/mini.dbc")
     val progress = new PipelineMetrics.StreamingProgress(quiet = true)

@@ -26,6 +26,39 @@ class CliStreamSmokeSpec extends AnyFunSuite {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
+  test("CLI batch --exact prints the real packet count (T7 exact metric)") {
+    val outDir = java.nio.file.Files.createTempDirectory("cli_exact").toString + "/out"
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.master=local[4]",
+      "-Dspark.sql.shuffle.partitions=4",
+      "-cp", cp, "graft.cli.Main", "fixtures/mini.dbc",
+      "--if", "fixtures/mini.log", "--of", outDir,
+      "--file", "--cache", "10", "--exact")
+    val logFile = java.nio.file.Files.createTempFile("cli_exact", ".log").toFile
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(new java.io.File(sys.props("user.dir")))
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(logFile)
+    val proc = pb.start()
+    try {
+      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "batch CLI did not exit")
+      val log = scala.io.Source.fromFile(logFile).mkString
+      assert(proc.exitValue() == 0, s"CLI failed; log:\n${log.takeRight(4000)}")
+      // 6 known-id frames in mini.log; before the accumulator fix the
+      // exact path printed no packet count at all (and once printed
+      // 'Received 0 packets')
+      assert(log.contains("Received 6 packets"),
+        s"exact-mode progress line wrong; log:\n${log.takeRight(4000)}")
+      assert(spark.read.parquet(outDir).count() == 3)
+    } finally {
+      proc.destroyForcibly()
+      proc.waitFor()
+    }
+  }
+
   test("CLI --stream-file with rocksdb state backend and admission bound " +
       "decodes to parquet end-to-end") {
     val inDir = java.nio.file.Files.createTempDirectory("cli_smoke_in").toString
