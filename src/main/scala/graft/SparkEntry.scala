@@ -197,6 +197,36 @@ object SparkEntry {
     fLine.union(dLine).repartition(ev.sparkSession.sparkContext.defaultParallelism)
   }
 
+  /** Standalone network for qc_mux_extended: standard-DBC extended
+    * multiplexing (`SG_MUL_VAL_` — [[graft.dbc.Mux.ExtRanges]]): EA gates
+    * on SEL ∈ [1,3] ∪ {7} instead of its simple `m1` value; EB keeps plain
+    * `m2` semantics. Beyond-reference: the reference's decode loop is
+    * simple-mux only (`/root/reference/src/decoder.cpp:85-88`).
+    */
+  private val extMuxDbc =
+    """BO_ 1632 MX: 8 E
+      | SG_ SEL M : 0|8@1+ (1,0) [0|0] "" X
+      | SG_ EA m1 : 8|8@1+ (1,0) [0|0] "" X
+      | SG_ EB m2 : 16|8@1+ (1,0) [0|0] "" X
+      |
+      |SG_MUL_VAL_ 1632 EA SEL 1-3, 7-7;
+      |""".stripMargin
+
+  /** events → candump lines for qc_mux_extended: one frame per event at
+    * us = event_id (unique key); byte 0 = SEL (event_id % 9, covering
+    * values inside and outside EA's ranges), byte 1 = EA (user_id & 255),
+    * byte 2 = EB ((event_id*13+5) & 255).
+    */
+  private def extMuxLines(ev: DataFrame): DataFrame = {
+    val e = col("event_id"); val u = col("user_id")
+    val payloadHex = concat(Seq(
+      e % 9, u.bitwiseAND(255), (e * 13 + 5).bitwiseAND(255)).map(hex2): _*)
+    ev.select(format_string("(%d.%06d) vcan0 660#%s",
+      expr("event_id div 1000000"), expr("event_id % 1000000"),
+      payloadHex).as("value"))
+      .repartition(ev.sparkSession.sparkContext.defaultParallelism)
+  }
+
   /** The oracle-side byte CTE (kept in one place; spliced into qc_* SQL). */
   private val canBytesCte =
     """WITH b AS (
@@ -506,6 +536,19 @@ object SparkEntry {
       SignalDecoder.wideFrame(net, frames)
         .select(col("ts_ms").cast("long").as("us_key"),
           col("FV").as("fv"), col("DV").as("dv"))
+        .orderBy("us_key")
+    }),
+
+    "qc_mux_extended" -> ((s, dir) => {
+      // P5 extended: SG_MUL_VAL_ range gating (Mux.ExtRanges) through the
+      // same wideFrame spine — EA decodes for SEL ∈ [1,3] ∪ {7}, EB keeps
+      // simple m2 semantics. Line timestamps (= event_id µs) are the key.
+      val net = DbcParser.parseString(extMuxDbc)
+      val frames = CandumpParser.parseLines(extMuxLines(events(s, dir)))
+        .withColumnRenamed("ts_us", "ts_ms")
+      SignalDecoder.wideFrame(net, frames)
+        .select(col("ts_ms").cast("long").as("us_key"),
+          col("SEL").as("sel"), col("EA").as("ea"), col("EB").as("eb"))
         .orderBy("us_key")
     }),
 
@@ -1390,6 +1433,15 @@ object SparkEntry {
         |    * (1 + (event_id % 8388608) / 4503599627370496.0)
         |FROM events
         |ORDER BY us_key""".stripMargin,
+
+    "qc_mux_extended" ->
+      """SELECT CAST(event_id AS BIGINT) AS us_key,
+        |  CAST(event_id % 9 AS INTEGER) AS sel,
+        |  CASE WHEN event_id % 9 IN (1,2,3,7)
+        |    THEN CAST(user_id & 255 AS INTEGER) END AS ea,
+        |  CASE WHEN event_id % 9 = 2
+        |    THEN CAST((event_id*13+5) & 255 AS INTEGER) END AS eb
+        |FROM events ORDER BY us_key""".stripMargin,
 
     "qc_decode_defacto" -> (canBytesCte +
       """

@@ -115,12 +115,20 @@ object SignalDecoder {
   private[can] def signalExprFrom(msg: Message, sig: Signal, canId: Column,
       rawOf: Signal => Column, mode: TypingMode): Column = {
     val base = physExprFrom(rawOf(sig), sig, mode)
+    def muxSig = msg.muxSwitch.getOrElse(
+      throw new IllegalArgumentException(
+        s"signal ${sig.name} is multiplexed but message ${msg.name} has no mux switch"))
     val gated = sig.mux match {
       case Mux.Value(sw) =>
-        val muxSig = msg.muxSwitch.getOrElse(
-          throw new IllegalArgumentException(
-            s"signal ${sig.name} is multiplexed but message ${msg.name} has no mux switch"))
         when(rawOf(muxSig) === lit(sw), base)
+      case Mux.ExtRanges(ranges) =>
+        // extended mux (SG_MUL_VAL_): decode when the switch raw value is
+        // inside any declared inclusive range — still a pure function of
+        // the switch raw, so the frame-level tumbling paths' (bucket,
+        // can_id, mux) grouping remains correct
+        val sw = rawOf(muxSig)
+        when(ranges.map { case (lo, hi) => sw >= lit(lo) && sw <= lit(hi) }
+          .reduce(_ || _), base)
       case _ => base
     }
     when(canId === lit(msg.id), gated)

@@ -13,6 +13,15 @@ object Mux {
   case object None extends Mux
   case object Switch extends Mux // "M" — the selector signal
   final case class Value(switchValue: Long) extends Mux // "mN"
+  /** Extended multiplexing (`SG_MUL_VAL_`): the signal is decoded when the
+    * message's mux switch is within ANY of the inclusive ranges — the
+    * standard-DBC generalization of the single `mN` value. (The reference's
+    * own decode loop is simple-mux only, `/root/reference/src/decoder.cpp:85-88`;
+    * this is a beyond-reference capability, previously a silent wrong
+    * answer: the declaration was skipped and the signal gated on its `mN`
+    * value alone.)
+    */
+  final case class ExtRanges(ranges: Seq[(Long, Long)]) extends Mux
 }
 
 /** Native value type of a signal, declared by a `SIG_VALTYPE_` line
@@ -132,21 +141,36 @@ object DbcParser {
   // declaration decoded as integer would be a silent wrong answer)
   private val ValTypeMalformedRe =
     """^\s*SIG_VALTYPE_\s+.*$""".r
+  // SG_MUL_VAL_ msgId SigName SwitchName lo1-hi1[, lo2-hi2...];
+  private val MulValRe =
+    """^\s*SG_MUL_VAL_\s+(\d+)\s+([A-Za-z0-9_]+)\s+([A-Za-z0-9_]+)\s+(.+?)\s*;?\s*$""".r
+  private val MulValMalformedRe =
+    """^\s*SG_MUL_VAL_\s+.*$""".r
+  private val RangeRe = """^(\d+)\s*-\s*(\d+)$""".r
 
-  def parseFile(path: String): Network = {
+  def parseFile(path: String, lenient: Boolean = false): Network = {
     val src = Source.fromFile(path)
-    try parse(src.getLines()) finally src.close()
+    try parse(src.getLines(), lenient) finally src.close()
   }
 
-  def parseString(content: String): Network = parse(content.linesIterator)
+  def parseString(content: String, lenient: Boolean = false): Network =
+    parse(content.linesIterator, lenient)
 
-  def parse(lines: Iterator[String]): Network = {
+  /** `lenient = true` downgrades UNMATCHED `SIG_VALTYPE_`/`SG_MUL_VAL_`
+    * declarations (message id / signal name matching nothing parsed — e.g.
+    * a vendor DBC referencing messages outside the parsed subset) from an
+    * error to a warning. Mistyped declarations (bad type code, bad range
+    * syntax, width mismatch, unknown/nested mux switch) always throw: they
+    * would change the decode of a signal that IS present.
+    */
+  def parse(lines: Iterator[String], lenient: Boolean = false): Network = {
     val messages = Seq.newBuilder[Message]
     var current: Option[(Long, String, Int)] = None
     var sigs = Seq.newBuilder[Signal]
     // SIG_VALTYPE_ lines appear after all message blocks; collected here
     // and applied once every message is flushed
     val valTypes = Map.newBuilder[(Long, String), ValType]
+    val mulVals = Map.newBuilder[(Long, String), (String, Seq[(Long, Long)])]
 
     def flush(): Unit = {
       current.foreach { case (id, name, dlc) =>
@@ -195,11 +219,26 @@ object DbcParser {
         case ValTypeMalformedRe() =>
           throw new IllegalArgumentException(
             s"malformed SIG_VALTYPE_ declaration (type code must be 0, 1 or 2): $line")
+        case MulValRe(id, sig, sw, rangeStr) =>
+          val ranges = rangeStr.split(",").toSeq.map(_.trim).map {
+            case RangeRe(lo, hi) =>
+              val (l, h) = (lo.toLong, hi.toLong)
+              require(l <= h, s"SG_MUL_VAL_ range $l-$h is inverted: $line")
+              (l, h)
+            case bad => throw new IllegalArgumentException(
+              s"malformed SG_MUL_VAL_ range '$bad' (want lo-hi): $line")
+          }
+          mulVals += ((id.toLong & 0x1FFFFFFFL, sig) -> (sw, ranges))
+        case MulValMalformedRe() =>
+          throw new IllegalArgumentException(
+            s"malformed SG_MUL_VAL_ declaration: $line")
         case _ => // skip: VERSION, NS_, BS_, BU_, CM_, BA_, VAL_, blank, ...
       }
     }
     flush()
-    applyValTypes(Network(messages.result()), valTypes.result())
+    applyMulVals(
+      applyValTypes(Network(messages.result()), valTypes.result(), lenient),
+      mulVals.result(), lenient)
   }
 
   /** Attaches collected `SIG_VALTYPE_` declarations to their signals.
@@ -211,8 +250,21 @@ object DbcParser {
     * parsed signal (a typo'd declaration would otherwise silently decode
     * the intended signal as integer).
     */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def unmatchedDecl(what: String, keys: Iterable[(Long, String)],
+      lenient: Boolean): Unit = {
+    if (keys.nonEmpty) {
+      val msg = s"$what declarations match no signal (typo or wrong " +
+        "message id): " +
+        keys.toSeq.sorted.map { case (id, n) => s"$id $n" }.mkString("; ")
+      if (lenient) log.warn(msg + " — skipped (lenient parse)")
+      else throw new IllegalArgumentException(msg)
+    }
+  }
+
   private def applyValTypes(net: Network,
-      vt: Map[(Long, String), ValType]): Network = {
+      vt: Map[(Long, String), ValType], lenient: Boolean): Network = {
     if (vt.isEmpty) net
     else {
       val matched = Set.newBuilder[(Long, String)]
@@ -235,10 +287,45 @@ object DbcParser {
           }
         })
       })
-      val unmatched = vt.keySet -- matched.result()
-      require(unmatched.isEmpty,
-        "SIG_VALTYPE_ declarations match no signal (typo or wrong message id): " +
-          unmatched.toSeq.sorted.map { case (id, n) => s"$id $n" }.mkString("; "))
+      unmatchedDecl("SIG_VALTYPE_", vt.keySet -- matched.result(), lenient)
+      out
+    }
+  }
+
+  /** Attaches collected `SG_MUL_VAL_` declarations: the named signal's mux
+    * gate becomes the declared range set ([[Mux.ExtRanges]]), replacing its
+    * simple `m<N>` value. Always rejected (even lenient): a declaration
+    * whose switch is not the message's `M` signal — nested (multiplexed-
+    * multiplexor) extended muxing is unsupported and decoding it with
+    * simple semantics would be silently wrong — or one naming a signal
+    * that is not multiplexed at all. Unmatched (message/signal absent)
+    * follows the [[applyValTypes]] lenient rule.
+    */
+  private def applyMulVals(net: Network,
+      mv: Map[(Long, String), (String, Seq[(Long, Long)])],
+      lenient: Boolean): Network = {
+    if (mv.isEmpty) net
+    else {
+      val matched = Set.newBuilder[(Long, String)]
+      val out = Network(net.messages.map { m =>
+        m.copy(signals = m.signals.map { s =>
+          mv.get((m.id, s.name)) match {
+            case None => s
+            case Some((sw, ranges)) =>
+              matched += ((m.id, s.name))
+              val topSwitch = m.muxSwitch.getOrElse(throw new IllegalArgumentException(
+                s"SG_MUL_VAL_ on ${m.name}.${s.name}: message has no mux switch"))
+              require(topSwitch.name == sw,
+                s"SG_MUL_VAL_ on ${m.name}.${s.name}: switch '$sw' is not the " +
+                  s"message's mux switch '${topSwitch.name}' — nested extended " +
+                  "multiplexing is unsupported")
+              require(s.mux.isInstanceOf[Mux.Value],
+                s"SG_MUL_VAL_ on ${m.name}.${s.name}: signal is not multiplexed (no m<N>)")
+              s.copy(mux = Mux.ExtRanges(ranges))
+          }
+        })
+      })
+      unmatchedDecl("SG_MUL_VAL_", mv.keySet -- matched.result(), lenient)
       out
     }
   }

@@ -229,6 +229,40 @@ class SignalDecoderSpec extends AnyFunSuite {
     assert(rows(1).getAs[Int]("Val_B") == 0x7FFF)
   }
 
+  test("extended mux gating (SG_MUL_VAL_): signal decodes across its ranges") {
+    val net = DbcParser.parseString(
+      """BO_ 6 M: 8 ECU
+        | SG_ Sel M : 0|8@1+ (1,0) [0|0] "" T
+        | SG_ A m1 : 8|8@1+ (1,0) [0|0] "" T
+        | SG_ B m2 : 16|8@1+ (1,0) [0|0] "" T
+        |
+        |SG_MUL_VAL_ 6 A Sel 1-3, 7-7;
+        |""".stripMargin)
+    // payload bytes: [Sel, A-field, B-field]
+    def f(ts: Double, sel: Int) =
+      (ts, 6L, Array[Byte](sel.toByte, 0x2A, 0x55))
+    val frames = Seq(f(0.0, 0), f(1.0, 1), f(2.0, 2), f(3.0, 3), f(4.0, 4),
+      f(7.0, 7)).toDF("ts_ms", "can_id", "data")
+    val rows = SignalDecoder.wideFrame(net, frames).orderBy("ts_ms").collect()
+    val aIdx = rows.head.fieldIndex("A")
+    val bIdx = rows.head.fieldIndex("B")
+    // A decodes for Sel ∈ {1,2,3} ∪ {7} — not just its m1 value
+    assert(rows.map(r => !r.isNullAt(aIdx)).toSeq ==
+      Seq(false, true, true, true, false, true))
+    rows.filter(!_.isNullAt(aIdx)).foreach(r => assert(r.getAs[Int](aIdx) == 0x2A))
+    // B keeps plain m2 semantics
+    assert(rows.map(r => !r.isNullAt(bIdx)).toSeq ==
+      Seq(false, false, true, false, false, false))
+
+    // frame-level tumbling groups by switch raw — must agree with the wide
+    // path under extended mux too
+    val viaFrames = Bucketer.tumblingFromFrames(net, frames, 2.0)
+      .orderBy(DbcColumns.TimeCol).collect()
+    val viaWide = Bucketer.bucket(SignalDecoder.wideFrame(net, frames),
+      BucketMode.Tumbling(2.0)).orderBy(DbcColumns.TimeCol).collect()
+    assert(viaFrames.toSeq == viaWide.toSeq)
+  }
+
   test("unknown ids dropped (F1) and short payloads zero-padded") {
     val net = DbcParser.parseFile("fixtures/mini.dbc")
     val frames = Seq(

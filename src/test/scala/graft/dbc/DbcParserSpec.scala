@@ -178,4 +178,61 @@ class DbcParserSpec extends AnyFunSuite {
       DbcParser.parseString(base + "SIG_VALTYPE_ 5 V : 3;\n"))
     assert(badType.getMessage.contains("SIG_VALTYPE_"))
   }
+
+  test("lenient parse downgrades unmatched declarations, still rejects mistyped") {
+    val base =
+      """BO_ 5 W: 8 ECU
+        | SG_ V : 0|32@1+ (1,0) [0|0] "" T
+        |
+        |""".stripMargin
+    // orphaned declarations (vendor DBC referencing an unparsed subset):
+    // lenient loads, strict throws
+    val n = DbcParser.parseString(base + "SIG_VALTYPE_ 99 X : 1;\n", lenient = true)
+    assert(n.messageById(5L).signals.head.valType == ValType.Integer)
+    val n2 = DbcParser.parseString(base + "SG_MUL_VAL_ 99 X Sel 1-3;\n", lenient = true)
+    assert(n2.messageById(5L).signals.head.mux == Mux.None)
+    // mistyped declarations change the decode of a PRESENT signal — always fatal
+    assertThrows[IllegalArgumentException](
+      DbcParser.parseString(base + "SIG_VALTYPE_ 5 V : 3;\n", lenient = true))
+    assertThrows[IllegalArgumentException](
+      DbcParser.parseString(base + "SIG_VALTYPE_ 5 V : 1;\nSIG_VALTYPE_ 5 V : 2;\n",
+        lenient = true).messageById(5L).signals: Unit) // width mismatch still throws
+  }
+
+  private val extMuxDbc =
+    """BO_ 6 M: 8 ECU
+      | SG_ Sel M : 0|8@1+ (1,0) [0|0] "" T
+      | SG_ A m1 : 8|8@1+ (1,0) [0|0] "" T
+      | SG_ B m2 : 16|8@1+ (1,0) [0|0] "" T
+      |
+      |SG_MUL_VAL_ 6 A Sel 1-3, 7-7;
+      |""".stripMargin
+
+  test("SG_MUL_VAL_ parses into ExtRanges replacing the simple m<N> gate") {
+    val n = DbcParser.parseString(extMuxDbc)
+    val m = n.messageById(6L)
+    assert(m.signals.find(_.name == "A").get.mux ==
+      Mux.ExtRanges(Seq((1L, 3L), (7L, 7L))))
+    assert(m.signals.find(_.name == "B").get.mux == Mux.Value(2L)) // untouched
+  }
+
+  test("SG_MUL_VAL_ rejects nested/unknown switch, non-muxed targets, bad ranges") {
+    // switch that is not the message's M signal → nested extended mux,
+    // unsupported — must throw even lenient (silently simple-gating a
+    // range-gated signal is the wrong answer the round-10 precedent bans)
+    val nested = extMuxDbc.replace("SG_MUL_VAL_ 6 A Sel", "SG_MUL_VAL_ 6 A B")
+    assertThrows[IllegalArgumentException](DbcParser.parseString(nested))
+    assertThrows[IllegalArgumentException](DbcParser.parseString(nested, lenient = true))
+    // target signal carries no m<N>
+    assertThrows[IllegalArgumentException](DbcParser.parseString(
+      extMuxDbc.replace("SG_MUL_VAL_ 6 A Sel", "SG_MUL_VAL_ 6 Sel Sel")))
+    // malformed range syntax / inverted range
+    assertThrows[IllegalArgumentException](DbcParser.parseString(
+      extMuxDbc.replace("1-3, 7-7", "1..3")))
+    assertThrows[IllegalArgumentException](DbcParser.parseString(
+      extMuxDbc.replace("1-3, 7-7", "3-1")))
+    // unmatched declaration: strict throws, covered in the lenient test
+    assertThrows[IllegalArgumentException](DbcParser.parseString(
+      extMuxDbc.replace("SG_MUL_VAL_ 6 A", "SG_MUL_VAL_ 6 Z")))
+  }
 }
