@@ -57,13 +57,18 @@ object GraftExtensions {
       require(exprs.length == 2, "array_dot(a, b)")
       ArrayDotProduct(exprs.head, exprs(1))
     },
+    // return the bare AggregateFunction (NOT pre-wrapped in an
+    // AggregateExpression): the analyzer's function resolution does the
+    // wrapping and with it gets DISTINCT / FILTER (WHERE ...) handling —
+    // a pre-wrapped expression made `arg_last(v, t) FILTER (...)` fail as
+    // a 'non-aggregate function'
     "arg_last" -> { exprs: Seq[Expression] =>
       require(exprs.length == 2, "arg_last(value, ord)")
-      ArgExtremum(exprs.head, exprs(1), isMax = true).toAggregateExpression()
+      ArgExtremum(exprs.head, exprs(1), isMax = true)
     },
     "arg_first" -> { exprs: Seq[Expression] =>
       require(exprs.length == 2, "arg_first(value, ord)")
-      ArgExtremum(exprs.head, exprs(1), isMax = false).toAggregateExpression()
+      ArgExtremum(exprs.head, exprs(1), isMax = false)
     })
 
   /** Register on an already-built session (tests, REPL). */

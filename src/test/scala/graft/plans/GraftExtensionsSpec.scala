@@ -31,6 +31,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("dot") == 32L)
   }
 
+  test("arg_last/arg_first aggregate from SQL, incl. FILTER and DISTINCT " +
+      "(builders return the bare AggregateFunction)") {
+    import spark.implicits._
+    Seq((1.0, 10L), (2.0, 20L), (3.0, 15L), (4.0, 20L))
+      .toDF("t", "v").createOrReplaceTempView("ae")
+    val r = spark.sql(
+      """SELECT
+        |  arg_last(v, t) AS last_v,
+        |  arg_first(v, t) AS first_v,
+        |  arg_last(v, t) FILTER (WHERE v < 20) AS last_small,
+        |  arg_last(DISTINCT v, t) AS last_distinct
+        |FROM ae""".stripMargin).collect().head
+    assert(r.getAs[Long]("last_v") == 20L)    // t=4
+    assert(r.getAs[Long]("first_v") == 10L)   // t=1
+    assert(r.getAs[Long]("last_small") == 15L) // t=3 among v<20
+    assert(r.getAs[Long]("last_distinct") == 20L)
+  }
+
   test("non-literal config args are rejected with a named error") {
     val e = intercept[Exception] {
       spark.sql("SELECT can_signal_extract(unhex('00'), cast(rand()*8 as int), 8, true, false)").collect()
