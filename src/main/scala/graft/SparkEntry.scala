@@ -906,6 +906,27 @@ object SparkEntry {
       // training unrolled in SQL
       Similarity.ivfKmeansTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5)),
 
+    "qs_lsh_pruned" -> ((s, dir) => {
+      // the at-scale ANN scan shape: embeddings partitioned on disk by LSH
+      // sign-bucket, probe set pushed as an explicit partition list so the
+      // scan reads ONLY the probed directories (PartitionFilters) — vs
+      // qs_lsh_multiprobe's full-scan bit_count filter. Same candidates
+      // and scores (shares its oracle); the layout write is part of the
+      // query, as a 100 TB ingest would amortize it
+      val tmp = scratchDir("graft_qlp")
+      Similarity.writeLshPartitioned(t(s, dir, "embeddings"), s"$tmp/lsh")
+      Similarity.lshTopKPartitioned(s, s"$tmp/lsh", queryId = 0L, k = 5)
+    }),
+
+    "qs_ivf_pruned" -> ((s, dir) => {
+      // IVF analogue: inverted lists as cent_id partitions + stored
+      // codebook; driver-side probe pick (bit-identical cosine), pruned
+      // scan of the two probed lists. Shares qs_ivf_multiprobe's oracle
+      val tmp = scratchDir("graft_qip")
+      Similarity.writeIvfPartitioned(t(s, dir, "embeddings"), s"$tmp/ivf")
+      Similarity.ivfTopKPartitioned(s, s"$tmp/ivf", queryId = 0L, k = 5)
+    }),
+
     "qm_media_decode" -> ((s, dir) => {
       // oracle computes byte math from characters, so restrict the gate to
       // ASCII docs (bytes == chars); the stub itself is byte-correct for
@@ -1541,7 +1562,11 @@ object SparkEntry {
       // batch spine, so it shares the same oracle
       val all = base + ("qc_stream_decode" -> base("qc_pipeline_decode")) ++ opsOracles
       // the streaming session run shares the batch session oracle the same way
-      all + ("qc_stream_sessions" -> all("q17_session_window"))
+      val all2 = all + ("qc_stream_sessions" -> all("q17_session_window"))
+      // the partition-pruned ANN layouts must return the exact candidates
+      // and scores of the full-scan multi-probe paths — shared oracles
+      all2 + ("qs_lsh_pruned" -> all2("qs_lsh_multiprobe")) +
+        ("qs_ivf_pruned" -> all2("qs_ivf_multiprobe"))
   }
 
   /** DuckDB equivalents of the ops queries. Repetitive hash SQL is

@@ -106,9 +106,11 @@ object Similarity {
     * 0.84 (vs 0.50 single-probe; floor asserted ≥ 0.8).
     *
     * The probe set is expressed as `bit_count(bucket XOR qbucket) <=
-    * maxHamming` — on a bucketed/partitioned layout the same set is the
-    * explicit list of C(p, ≤h) bucket ids, so the plan shape survives
-    * partition pruning at scale.
+    * maxHamming` — a cheap one-pass filter that still SCANS the full
+    * corpus. The at-scale form is [[lshTopKPartitioned]] over a
+    * [[writeLshPartitioned]] layout, where the same probe set is an
+    * explicit partition-id list and the scan reads only the probed
+    * directories (plan-asserted in AnnRecallSpec).
     */
   def lshMultiProbeTopK(emb: DataFrame, queryId: Long, k: Int,
       maxHamming: Int = 1): DataFrame = {
@@ -122,6 +124,93 @@ object Similarity {
       .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= maxHamming &&
         col("vec_id") =!= queryId)
       .select(col("vec_id"), cosine(col("qv"), col("query_v")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Materialize the ANN-ready LSH layout: quantized vectors partitioned
+    * on disk by sign-bucket id (`.../bucket=N/`). The multi-probe
+    * `bit_count(XOR)` filter in [[lshMultiProbeTopK]] is a cheap one-pass
+    * filter but still SCANS the full corpus; on this layout the probe set
+    * becomes an explicit partition list, so a query reads ONLY the probed
+    * directories — C(p, ≤h) of 2^p at 100 TB. The quantized vector is
+    * stored so queries skip re-quantization.
+    */
+  def writeLshPartitioned(emb: DataFrame, path: String,
+      numPlanes: Int = NumPlanes): Unit =
+    emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), numPlanes = numPlanes))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Multi-probe LSH top-k over a [[writeLshPartitioned]] layout: the
+    * probe set (every bucket id within hamming ≤ `maxHamming` of the
+    * query's) is enumerated driver-side (2^p ids, p ≤ ~20) and pushed as
+    * an IN filter on the partition column — the scan prunes to the probed
+    * directories (`PartitionFilters`, plan-asserted in AnnRecallSpec).
+    * Candidates, scores, and ordering are identical to
+    * [[lshMultiProbeTopK]] on the same corpus.
+    */
+  def lshTopKPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryId: Long, k: Int, maxHamming: Int = 1,
+      numPlanes: Int = NumPlanes): DataFrame = {
+    val layout = spark.read.parquet(path)
+    val qRow = layout.filter(col("vec_id") === queryId)
+      .select(col("qv"), col("bucket")).collect()
+    require(qRow.nonEmpty, s"query vector $queryId not found in layout $path")
+    val qv = qRow.head.getSeq[Long](0)
+    val qbucket = qRow.head.getAs[Number](1).longValue
+    val probes = (0L until (1L << numPlanes))
+      .filter(b => java.lang.Long.bitCount(b ^ qbucket) <= maxHamming)
+    layout
+      .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), cosine(col("qv"), typedLit(qv)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Materialize the IVF layout: quantized vectors partitioned by inverted
+    * list (`.../data/cent_id=N/`) plus the codebook at `<path>/codebook`
+    * (k × dims longs — driver-sized by definition). Default codebook is
+    * the deterministic first-`centroids` one ([[ivfAssign]] parity); pass
+    * a trained [[kmeansCodebook]] for the k-means path — the layout and
+    * probe mechanics are identical.
+    */
+  def writeIvfPartitioned(emb: DataFrame, path: String, centroids: Int = 16,
+      codebook: Option[DataFrame] = None): Unit = {
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cents = codebook.getOrElse(
+      q.filter(col("vec_id") < centroids)
+        .select(col("vec_id").as("cent_id"), col("qv").as("cv")))
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    assignToCentroids(q, cents)
+      .write.partitionBy("cent_id").mode("overwrite").parquet(s"$path/data")
+  }
+
+  /** Multi-probe IVF top-k over a [[writeIvfPartitioned]] layout: probe
+    * centroids are picked driver-side against the stored codebook (same
+    * exact-integer dot / double cosine as the distributed path, so the
+    * probe choice is bit-identical to [[ivfMultiProbeTopK]]) and pushed as
+    * an IN filter on the `cent_id` partition column — the scan reads only
+    * the probed inverted lists.
+    */
+  def ivfTopKPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryId: Long, k: Int, nprobe: Int = 2): DataFrame = {
+    def ldot(a: Seq[Long], b: Seq[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    def lcos(a: Seq[Long], b: Seq[Long]): Double =
+      ldot(a, b).toDouble / (math.sqrt(ldot(a, a).toDouble) * math.sqrt(ldot(b, b).toDouble))
+    val cents = spark.read.parquet(s"$path/codebook").collect()
+      .map(r => (r.getLong(r.fieldIndex("cent_id")),
+        r.getSeq[Long](r.fieldIndex("cv"))))
+    val data = spark.read.parquet(s"$path/data")
+    val qRow = data.filter(col("vec_id") === queryId).select("qv").collect()
+    require(qRow.nonEmpty, s"query vector $queryId not found in layout $path")
+    val qv = qRow.head.getSeq[Long](0)
+    val probes = cents.map { case (cid, cv) => (cid, lcos(qv, cv)) }
+      .sortBy { case (cid, cc) => (-cc, cid) }.take(nprobe).map(_._1).toSeq
+    data
+      .filter(col("cent_id").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), cosine(col("qv"), typedLit(qv)).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }

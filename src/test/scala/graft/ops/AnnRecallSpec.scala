@@ -82,4 +82,58 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"ivfKmeansTopK recall@$K at centroids=8, iters=2: $r%.4f")
     assert(r >= 0.90, f"IVF-kmeans recall $r%.3f fell below the documented floor of 0.90")
   }
+
+  /** The scan of a partitioned-layout query must carry a partition filter
+    * on the layout's partition column AND touch only the probed subset of
+    * partition directories — the at-scale property the layout exists for.
+    */
+  private def assertPruned(df: org.apache.spark.sql.DataFrame,
+      partCol: String, maxParts: Int): Unit = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val pruned = scans.filter(_.partitionFilters
+      .exists(_.references.exists(_.name == partCol)))
+    assert(pruned.nonEmpty,
+      s"no FileSourceScan carries a $partCol partition filter:\n" +
+        df.queryExecution.executedPlan)
+    pruned.foreach { s =>
+      val n = s.selectedPartitions.partitionCount
+      assert(n <= maxParts,
+        s"scan touches $n partition directories, expected <= $maxParts (pruning lost)")
+    }
+  }
+
+  test("partitioned LSH layout: identical results to multi-probe, scan pruned " +
+      "to the probe directories") {
+    val path = java.nio.file.Files.createTempDirectory("ann_lsh_part").toString
+    Similarity.writeLshPartitioned(emb, path)
+    queries.take(5).foreach { q =>
+      val pr = Similarity.lshTopKPartitioned(spark, path, q, K)
+      val mp = Similarity.lshMultiProbeTopK(emb, q, K)
+      assert(pr.collect().toSeq == mp.collect().toSeq,
+        s"partitioned and full-scan multi-probe diverge for query $q")
+      assertPruned(pr, "bucket", maxParts = 7) // C(6,<=1) = 7 of 64 buckets
+    }
+    // recall parity is implied by result identity; record the number anyway
+    val r = recallOf(q => topkIds(Similarity.lshTopKPartitioned(spark, path, q, K)), queries)
+    info(f"lshTopKPartitioned recall@$K: $r%.4f")
+    assert(r >= 0.8)
+  }
+
+  test("partitioned IVF layout: identical results to multi-probe, scan pruned " +
+      "to the probed inverted lists") {
+    val path = java.nio.file.Files.createTempDirectory("ann_ivf_part").toString
+    Similarity.writeIvfPartitioned(emb, path)
+    queries.take(5).foreach { q =>
+      val pr = Similarity.ivfTopKPartitioned(spark, path, q, K)
+      val mp = Similarity.ivfMultiProbeTopK(emb, q, K)
+      assert(pr.collect().toSeq == mp.collect().toSeq,
+        s"partitioned and broadcast-join multi-probe diverge for query $q")
+      assertPruned(pr, "cent_id", maxParts = 2) // nprobe = 2 inverted lists
+    }
+    val r = recallOf(q => topkIds(Similarity.ivfTopKPartitioned(spark, path, q, K)), queries)
+    info(f"ivfTopKPartitioned recall@$K: $r%.4f")
+    assert(r >= 0.8)
+  }
 }
