@@ -479,6 +479,37 @@ object SparkEntry {
       s.read.parquet(s"$tmp/out")
     }),
 
+    "qc_stream_frames" -> ((s, dir) => {
+      // the STREAMING frame-level tumbling path (chained window
+      // aggregation, CanStream.bucketedStreamFromFrames) under the same
+      // oracle as its batch twin qc_bucket_frames. µs are kept end-to-end:
+      // ts_ms carries the raw µs count (the gate is time-unit-agnostic
+      // like the batch one) and ts quantizes it 1:1, so the 3600e6-"ms"
+      // windows land on exactly the oracle's floor(us/3600e6) buckets.
+      // Append mode only emits watermark-closed windows — a far-future
+      // sentinel frame closes every real bucket; its own (never-emitted)
+      // bucket is filtered back out by timestamp.
+      import graft.streaming.CanStream
+      val tmp = scratchDir("graft_qsf")
+      val horizonUs = 4102444800000000L // 2100-01-01, beyond any event ts
+      canLines(events(s, dir)).select("value")
+        .unionAll(s.createDataset(Seq(
+          f"(${horizonUs / 1000000}%d.${horizonUs % 1000000}%06d) vcan0 100#0000000000000000"))(
+          org.apache.spark.sql.Encoders.STRING).toDF("value"))
+        .write.mode("overwrite").text(s"$tmp/lines")
+      val net = DbcParser.parseString(canTestDbc)
+      val frames = CanStream.framesFromTextFiles(s, s"$tmp/lines")
+        .withColumn("ts_ms", col("ts_us"))
+        .withColumn("ts", timestamp_millis(col("ts_us")))
+      val bucketed = CanStream.bucketedStreamFromFrames(net, frames,
+        cacheMs = 3600000000L)
+      val q = CanStream.parquetSink(bucketed, s"$tmp/out", s"$tmp/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .filter(col(DbcColumns.TimeCol) < horizonUs)
+        .orderBy(DbcColumns.TimeCol)
+    }),
+
     "qc_decode_defacto" -> ((s, dir) => {
       // §1.2 DeFacto typing: the shipped binary's dead integer branches —
       // every non-bool signal lands in the scaled float/double path
@@ -1564,9 +1595,11 @@ object SparkEntry {
       // the streaming session run shares the batch session oracle the same way
       val all2 = all + ("qc_stream_sessions" -> all("q17_session_window"))
       // the partition-pruned ANN layouts must return the exact candidates
-      // and scores of the full-scan multi-probe paths — shared oracles
+      // and scores of the full-scan multi-probe paths — shared oracles;
+      // the streaming frame-level tumbling run shares its batch twin's
       all2 + ("qs_lsh_pruned" -> all2("qs_lsh_multiprobe")) +
-        ("qs_ivf_pruned" -> all2("qs_ivf_multiprobe"))
+        ("qs_ivf_pruned" -> all2("qs_ivf_multiprobe")) +
+        ("qc_stream_frames" -> all2("qc_bucket_frames"))
   }
 
   /** DuckDB equivalents of the ops queries. Repetitive hash SQL is

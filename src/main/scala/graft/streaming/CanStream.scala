@@ -179,9 +179,13 @@ object CanStream {
     * by payload u64, not per signal by value — identical on tie-free
     * streams; see its scaladoc).
     *
-    * `frames` is the parsed candump stream (`ts_us, can_id, data`);
-    * `observe` is applied to the known-id frame scan (the CLI threads the
-    * T7 frame counter through it).
+    * `frames` is the parsed candump stream (`ts_us, can_id, data`); the
+    * event-time columns (`ts_ms` double + `ts` timestamp) are derived from
+    * `ts_us` unless the caller already provides both (time-unit-agnostic
+    * callers — e.g. a gate keeping µs end-to-end — pre-derive them; the
+    * only requirement is that `ts` quantizes `ts_ms` no coarser than
+    * `cacheMs` buckets). `observe` is applied to the known-id frame scan
+    * (the CLI threads the T7 frame counter through it).
     */
   def bucketedStreamFromFrames(net: Network, frames: DataFrame, cacheMs: Long,
       watermark: String = "0 seconds",
@@ -189,8 +193,10 @@ object CanStream {
       typing: TypingMode = TypingMode.Intended,
       observe: DataFrame => DataFrame = identity): DataFrame = {
     require(cacheMs > 0, "bucketedStreamFromFrames requires cacheMs > 0")
-    val withTs = frames.withColumn("ts_ms", col("ts_us") / 1000.0)
-      .withColumn("ts", timestamp_millis(col("ts_ms").cast("long")))
+    val withTs =
+      if (frames.columns.contains("ts_ms") && frames.columns.contains("ts")) frames
+      else frames.withColumn("ts_ms", col("ts_us") / 1000.0)
+        .withColumn("ts", timestamp_millis(col("ts_ms").cast("long")))
     val views = observe(Bucketer.frameViews(net, withTs))
       .withWatermark("ts", watermark)
     val winners = Bucketer.winnerFrames(views,
