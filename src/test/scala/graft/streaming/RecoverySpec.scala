@@ -95,6 +95,48 @@ class RecoverySpec extends AnyFunSuite {
     }
 
   for (backend <- Seq(CanStream.StateBackend.InHeap, CanStream.StateBackend.RocksDB))
+    test(s"frame-level tumbling (chained aggregation) restart recovers BOTH " +
+        s"stateful operators' windows ($backend)") {
+      withBackend(backend) {
+        // sentinel far past the data closes every real window in append
+        // mode; its own window never emits (watermark never passes it)
+        val sentinel = engineLine(3600L * 1000000L, 1)
+        def pipeline(dir: String): DataFrame =
+          CanStream.bucketedStreamFromFrames(net,
+            CanStream.framesFromTextFiles(spark, dir), cacheMs = 12L)
+
+        // reference: one uninterrupted run
+        val refLog = tmp("flr_ref_log"); val refOut = tmp("flr_ref_out")
+        writeLog(refLog, "all.log", allLines :+ sentinel)
+        drain(pipeline, refLog, refOut, tmp("flr_ref_ck"))
+
+        // SUT: first 10 frames (stop lands mid-window: 5 ms spacing,
+        // 12 ms windows), restart from the same checkpoint with the rest
+        val log = tmp("flr_log"); val out = tmp("flr_out"); val ck = tmp("flr_ck")
+        writeLog(log, "part0.log", allLines.take(10))
+        drain(pipeline, log, out, ck)
+        writeLog(log, "part1.log", allLines.drop(10) :+ sentinel)
+        drain(pipeline, log, out, ck)
+
+        val ref = spark.read.parquet(refOut).collect().map(_.toSeq).sortBy(_.toString)
+        val got = spark.read.parquet(out).collect().map(_.toSeq).sortBy(_.toString)
+        assert(got.length == ref.length,
+          s"restart run emitted ${got.length} rows vs uninterrupted ${ref.length}")
+        assert(got.toSeq == ref.toSeq,
+          "restarted output differs from the uninterrupted run")
+
+        // and both equal the BATCH frame-level path over the same frames
+        val batch = graft.can.Bucketer.tumblingFromFrames(net,
+          graft.can.CandumpParser.withTsMs(
+            graft.can.CandumpParser.parseLines(allLines.toDF("value")),
+            adjust = false), 12.0)
+          .collect().map(_.toSeq).sortBy(_.toString)
+        assert(got.toSeq == batch.toSeq,
+          "streaming restart output differs from batch tumblingFromFrames")
+      }
+    }
+
+  for (backend <- Seq(CanStream.StateBackend.InHeap, CanStream.StateBackend.RocksDB))
     test(s"streaming dedup state survives restart: cross-restart duplicates " +
         s"still dropped ($backend)") {
       withBackend(backend) {
