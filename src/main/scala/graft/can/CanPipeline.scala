@@ -33,7 +33,8 @@ final case class CanPipelineConfig(
     typing: TypingMode = TypingMode.Intended,
     combine: CombinePolicy = CombinePolicy.LastWins,
     observeMetrics: Boolean = false,
-    frameLevelTumbling: Option[Boolean] = None)
+    frameLevelTumbling: Option[Boolean] = None,
+    lenientDbc: Boolean = false)
 
 object CanPipeline {
 
@@ -41,7 +42,7 @@ object CanPipeline {
 
   def decodeLog(spark: SparkSession, dbcPath: String, logPath: String,
       cfg: CanPipelineConfig = CanPipelineConfig()): DataFrame = {
-    val net = DbcParser.parseFile(dbcPath)
+    val net = DbcParser.parseFile(dbcPath, cfg.lenientDbc)
     val frames = CandumpParser.readLog(spark, logPath, cfg.adjustTimestamp)
     fromFrames(net, frames, cfg)
   }
@@ -64,7 +65,7 @@ object CanPipeline {
   def decodeStdin(spark: SparkSession, dbcPath: String,
       cfg: CanPipelineConfig = CanPipelineConfig(),
       in: java.io.InputStream = System.in): DataFrame = {
-    val net = DbcParser.parseFile(dbcPath)
+    val net = DbcParser.parseFile(dbcPath, cfg.lenientDbc)
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
     val lines = Iterator.continually(reader.readLine()).takeWhile(_ != null).toSeq

@@ -54,6 +54,10 @@ object Main {
     // independently per key and scale with the cluster, vs the keyless
     // form's single sequential fold (the reference's global semantics)
     var bucketKey: Option[String] = None
+    // vendor DBCs often carry orphaned SIG_VALTYPE_/SG_MUL_VAL_ lines for
+    // messages outside the parsed subset; lenient downgrades those to
+    // warnings (mistyped declarations still fail — see DbcParser.parse)
+    var lenientDbc = false
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -70,6 +74,7 @@ object Main {
         case "--live-decode" => live ::= args(i + 1); i += 2
         case "--no-adjust-timestamp" => adjust = false; i += 1
         case "--bucket-key" => bucketKey = Some(args(i + 1)); i += 2
+        case "--lenient-dbc" => lenientDbc = true; i += 1
         case "--max-lines-per-trigger" => maxLinesPerTrigger = args(i + 1).toLong; i += 2
         case "--max-files-per-trigger" => maxFilesPerTrigger = args(i + 1).toInt; i += 2
         case "--state-backend" =>
@@ -111,18 +116,20 @@ object Main {
         spark.listenerManager.register(new PipelineMetrics.Progress()) // T7
         val cfg = CanPipelineConfig(cacheMs = cacheMs, exact = exact,
           exactKeys = bucketKey.toSeq,
-          forwardFill = ffill, adjustTimestamp = adjust, observeMetrics = true)
+          forwardFill = ffill, adjustTimestamp = adjust, observeMetrics = true,
+          lenientDbc = lenientDbc)
         writeBatch(CanPipeline.decodeLog(spark, dbc, in, cfg))
       case "stdin" => // S3: `cat log | graft.cli.Main <dbc> --stdin`
         spark.listenerManager.register(new PipelineMetrics.Progress()) // T7
         val cfg = CanPipelineConfig(cacheMs = cacheMs, exact = exact,
           exactKeys = bucketKey.toSeq,
-          forwardFill = ffill, adjustTimestamp = adjust, observeMetrics = true)
+          forwardFill = ffill, adjustTimestamp = adjust, observeMetrics = true,
+          lenientDbc = lenientDbc)
         writeBatch(CanPipeline.decodeStdin(spark, dbc, cfg))
       case "socket" | "process" | "stream-file" =>
         spark.streams.addListener(new PipelineMetrics.StreamingProgress()) // T7
         stateBackend.foreach(CanStream.StateBackend.configure(spark, _))
-        val net = DbcParser.parseFile(dbc)
+        val net = DbcParser.parseFile(dbc, lenientDbc)
         val frames = mode match {
           case "process" => CanStream.framesFromProcess(spark, in,
             if (maxLinesPerTrigger > 0) Some(maxLinesPerTrigger) else None)
@@ -165,7 +172,7 @@ object Main {
       |  [--cache <ms>] [--exact] [--bucket-key <col>]
       |  [--forward-fill] [--live-decode SIG]... [--no-adjust-timestamp]
       |  [--max-lines-per-trigger <n>] [--max-files-per-trigger <n>]
-      |  [--state-backend inheap|rocksdb]
+      |  [--state-backend inheap|rocksdb] [--lenient-dbc]
       |  --socket: --if is host:port of a candump text stream
       |  --process: --if is a bridge command (e.g. "candump -L can0")
       |  --stream-file: --if is a directory watched for candump log files
@@ -176,6 +183,9 @@ object Main {
       |  --state-backend: streaming state store — inheap (default, fastest,
       |    memory grows with keys) or rocksdb (on-disk state, bounded
       |    executor memory at high key cardinality)
+      |  --lenient-dbc: load vendor DBCs whose SIG_VALTYPE_/SG_MUL_VAL_
+      |    declarations reference unparsed messages (warn instead of fail;
+      |    mistyped declarations on present signals still fail)
       |  --bucket-key: partition column for --exact bucketing (e.g. iface);
       |    keyed folds/state run independently per key and scale with the
       |    cluster — default is the reference's global sequential semantics""".stripMargin
