@@ -403,18 +403,21 @@ object Bucketer {
         last = ts
         n += 1
       }
-      // T7 on the exact path: this collect is the one exactly-once pass
-      // over the pipeline input (RDD actions bypass Dataset.observe —
-      // see PipelineMetrics.newExactFramesCounter)
-      frameCounter.foreach(_.add(n))
-      Iterator.single((pid, first, last, gaps))
+      Iterator.single((pid, first, last, gaps, n))
     }.collect().sortBy(_._1)
+    // T7 on the exact path: frame count rides the collected summaries and
+    // is added to the accumulator ONCE, driver-side — an add inside the
+    // mapPartitions closure would be a transformation-side accumulator
+    // update, which task retries / speculative duplicates can re-apply
+    // (RDD actions bypass Dataset.observe entirely — see
+    // PipelineMetrics.newExactFramesCounter)
+    frameCounter.foreach(_.add(summaries.map(_._5).sum))
 
     // Driver prefix: segment-id offset at the start of each partition
     val offsets = new Array[Long](summaries.length)
     var segBase = 0L
     var prevLast = Double.NaN
-    summaries.foreach { case (pid, first, last, gaps) =>
+    summaries.foreach { case (pid, first, last, gaps, _) =>
       if (!first.isNaN && !prevLast.isNaN && first > prevLast + cacheMs) segBase += 1
       offsets(pid) = segBase
       if (!first.isNaN) { segBase += gaps; prevLast = last }

@@ -39,24 +39,28 @@ object PipelineMetrics {
     * decoder's `msg_count` (`/root/reference/src/decoder.cpp:125`) —
     * where the observed-metric path counts parsed packets (main's
     * `messages`); the pre-filter stream is not observable exactly-once on
-    * this path. One registered counter per session; a new exact run
-    * replaces it (the progress line reflects the most recent exact
-    * pipeline plus any observed totals).
+    * this path. One registered counter per SESSION (weak-keyed, so a
+    * dropped session frees it); a new exact run in the same session
+    * replaces it — the progress line reflects the most recent exact
+    * pipeline plus any observed totals, and never another session's count.
     */
-  @volatile private var exactFramesAcc: Option[org.apache.spark.util.LongAccumulator] = None
+  private val exactFramesAccs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.util.LongAccumulator]())
 
-  /** Fresh accumulator for an exact-pipeline run, registered for
-    * [[Progress]] to read.
+  /** Fresh accumulator for an exact-pipeline run, registered per session
+    * for [[Progress]] to read.
     */
   def newExactFramesCounter(
       spark: org.apache.spark.sql.SparkSession): org.apache.spark.util.LongAccumulator = {
     val acc = spark.sparkContext.longAccumulator(FramesMetric + "_exact")
-    exactFramesAcc = Some(acc)
+    exactFramesAccs.put(spark, acc)
     acc
   }
 
-  private[graft] def exactFramesValue: Long =
-    exactFramesAcc.map(_.value.longValue).getOrElse(0L)
+  private[graft] def exactFramesValue(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    Option(exactFramesAccs.get(spark)).map(_.value.longValue).getOrElse(0L)
 
   /** Count parsed frames (the reference's `messages`) as they flow by. */
   def observeFrames(frames: DataFrame): DataFrame =
@@ -84,12 +88,20 @@ object PipelineMetrics {
       */
     @volatile private var sawFrames = false
 
-    /** Total packet count: observed-metric totals plus the exact path's
-      * accumulator (see [[PipelineMetrics.newExactFramesCounter]]).
+    /** The session whose queries this listener has seen — the scope for
+      * the exact-path accumulator lookup. Set on first callback.
       */
-    def packets: Long = messages.get() + PipelineMetrics.exactFramesValue
+    @volatile private var session: Option[org.apache.spark.sql.SparkSession] = None
+
+    /** Total packet count: observed-metric totals plus this session's
+      * exact-path accumulator (see
+      * [[PipelineMetrics.newExactFramesCounter]]).
+      */
+    def packets: Long = messages.get() +
+      session.map(PipelineMetrics.exactFramesValue).getOrElse(0L)
 
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+      if (session.isEmpty) session = Some(qe.sparkSession)
       qe.observedMetrics.get(FramesMetric).foreach { r =>
         sawFrames = true
         messages.addAndGet(r.getAs[Long]("messages"))

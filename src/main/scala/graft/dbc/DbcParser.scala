@@ -309,10 +309,15 @@ object DbcParser {
       val matched = Set.newBuilder[(Long, String)]
       val out = Network(net.messages.map { m =>
         m.copy(signals = m.signals.map { s =>
-          mv.get((m.id, s.name)) match {
+          // like applyValTypes: a flt32_-prefixed signal (parsed name
+          // stripped) matches a declaration under either spelling
+          val key = ((m.id, s.name): (Long, String))
+          val altKey = if (s.isFlt32) Some((m.id, "flt32_" + s.name)) else None
+          val decl = mv.get(key).map { d => matched += key; d }
+            .orElse(altKey.flatMap(k => mv.get(k).map { d => matched += k; d }))
+          decl match {
             case None => s
             case Some((sw, ranges)) =>
-              matched += ((m.id, s.name))
               val topSwitch = m.muxSwitch.getOrElse(throw new IllegalArgumentException(
                 s"SG_MUL_VAL_ on ${m.name}.${s.name}: message has no mux switch"))
               require(topSwitch.name == sw,

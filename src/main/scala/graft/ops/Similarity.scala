@@ -142,6 +142,17 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("qv"), numPlanes = numPlanes))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
 
+  /** Driver-side LSH bucket of a quantized vector — the same integer
+    * dot-product signs as the [[lshBucket]] Column expression, so a
+    * vector's driver bucket and stored bucket always agree.
+    */
+  def lshBucketOf(qv: Seq[Long], numPlanes: Int = NumPlanes): Long =
+    (0 until numPlanes).map { p =>
+      val dot = qv.iterator.zipWithIndex
+        .map { case (x, j) => x * planeWeight(p, j) }.sum
+      if (dot >= 0) 1L << p else 0L
+    }.sum
+
   /** Multi-probe LSH top-k over a [[writeLshPartitioned]] layout: the
     * probe set (every bucket id within hamming ≤ `maxHamming` of the
     * query's) is enumerated driver-side (2^p ids, p ≤ ~20) and pushed as
@@ -149,16 +160,23 @@ object Similarity {
     * directories (`PartitionFilters`, plan-asserted in AnnRecallSpec).
     * Candidates, scores, and ordering are identical to
     * [[lshMultiProbeTopK]] on the same corpus.
+    *
+    * AT SCALE pass `queryVec` (the already-quantized query — external
+    * queries are usually not corpus members anyway): the `queryId`
+    * fallback is a convenience point-lookup that, while a pushed data
+    * filter, still lists/touches every partition directory once.
     */
   def lshTopKPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
       queryId: Long, k: Int, maxHamming: Int = 1,
-      numPlanes: Int = NumPlanes): DataFrame = {
+      numPlanes: Int = NumPlanes,
+      queryVec: Option[Seq[Long]] = None): DataFrame = {
     val layout = spark.read.parquet(path)
-    val qRow = layout.filter(col("vec_id") === queryId)
-      .select(col("qv"), col("bucket")).collect()
-    require(qRow.nonEmpty, s"query vector $queryId not found in layout $path")
-    val qv = qRow.head.getSeq[Long](0)
-    val qbucket = qRow.head.getAs[Number](1).longValue
+    val qv = queryVec.getOrElse {
+      val qRow = layout.filter(col("vec_id") === queryId).select("qv").collect()
+      require(qRow.nonEmpty, s"query vector $queryId not found in layout $path")
+      qRow.head.getSeq[Long](0)
+    }
+    val qbucket = lshBucketOf(qv, numPlanes)
     val probes = (0L until (1L << numPlanes))
       .filter(b => java.lang.Long.bitCount(b ^ qbucket) <= maxHamming)
     layout
@@ -191,10 +209,12 @@ object Similarity {
     * exact-integer dot / double cosine as the distributed path, so the
     * probe choice is bit-identical to [[ivfMultiProbeTopK]]) and pushed as
     * an IN filter on the `cent_id` partition column — the scan reads only
-    * the probed inverted lists.
+    * the probed inverted lists. AT SCALE pass `queryVec` — see
+    * [[lshTopKPartitioned]].
     */
   def ivfTopKPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
-      queryId: Long, k: Int, nprobe: Int = 2): DataFrame = {
+      queryId: Long, k: Int, nprobe: Int = 2,
+      queryVec: Option[Seq[Long]] = None): DataFrame = {
     def ldot(a: Seq[Long], b: Seq[Long]): Long =
       a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
     def lcos(a: Seq[Long], b: Seq[Long]): Double =
@@ -203,9 +223,11 @@ object Similarity {
       .map(r => (r.getLong(r.fieldIndex("cent_id")),
         r.getSeq[Long](r.fieldIndex("cv"))))
     val data = spark.read.parquet(s"$path/data")
-    val qRow = data.filter(col("vec_id") === queryId).select("qv").collect()
-    require(qRow.nonEmpty, s"query vector $queryId not found in layout $path")
-    val qv = qRow.head.getSeq[Long](0)
+    val qv = queryVec.getOrElse {
+      val qRow = data.filter(col("vec_id") === queryId).select("qv").collect()
+      require(qRow.nonEmpty, s"query vector $queryId not found in layout $path")
+      qRow.head.getSeq[Long](0)
+    }
     val probes = cents.map { case (cid, cv) => (cid, lcos(qv, cv)) }
       .sortBy { case (cid, cc) => (-cc, cid) }.take(nprobe).map(_._1).toSeq
     data

