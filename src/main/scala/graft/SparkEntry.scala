@@ -503,7 +503,12 @@ object SparkEntry {
         .withColumn("ts", timestamp_millis(col("ts_us")))
       val bucketed = CanStream.bucketedStreamFromFrames(net, frames,
         cacheMs = 3600000000L)
-      val q = CanStream.parquetSink(bucketed, s"$tmp/out", s"$tmp/ckpt")
+      // state partitions sized to the key space (a handful of can_id × mux
+      // values on the oracle DBC), not the session's batch shuffle setting
+      // — see CanStream.withStatePartitions; results are partition-count
+      // invariant (this gate is hash-exact against DuckDB either way)
+      val q = CanStream.parquetSink(bucketed, s"$tmp/out", s"$tmp/ckpt",
+        statePartitions = Some(8))
       q.awaitTermination()
       s.read.parquet(s"$tmp/out")
         .filter(col(DbcColumns.TimeCol) < horizonUs)
@@ -1141,8 +1146,12 @@ object SparkEntry {
         .select(col("user_id"),
           unix_micros(col("session_window.start")).as("session_start_us"),
           col("n_events"), col("total"))
-      val q = agg.writeStream.format("memory").queryName("graft_qss_tbl")
-        .outputMode("complete").start()
+      // state partitions sized to hold the active-user key space, not the
+      // batch shuffle default (see CanStream.withStatePartitions)
+      val q = graft.streaming.CanStream.withStatePartitions(s, Some(8)) {
+        agg.writeStream.format("memory").queryName("graft_qss_tbl")
+          .outputMode("complete").start()
+      }
       q.processAllAvailable(); q.stop()
       s.table("graft_qss_tbl").orderBy("user_id", "session_start_us")
     }),

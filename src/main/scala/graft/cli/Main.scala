@@ -58,6 +58,10 @@ object Main {
     // messages outside the parsed subset; lenient downgrades those to
     // warnings (mistyped declarations still fail — see DbcParser.parse)
     var lenientDbc = false
+    // stateful streaming state-store partition count — frozen into the
+    // checkpoint at first start; size to key cardinality × rate, not core
+    // count (CanStream.withStatePartitions). None = session default.
+    var statePartitions: Option[Int] = None
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -76,6 +80,7 @@ object Main {
         case "--bucket-key" => bucketKey = Some(args(i + 1)); i += 2
         case "--lenient-dbc" => lenientDbc = true; i += 1
         case "--max-lines-per-trigger" => maxLinesPerTrigger = args(i + 1).toLong; i += 2
+        case "--state-partitions" => statePartitions = Some(args(i + 1).toInt); i += 2
         case "--max-files-per-trigger" => maxFilesPerTrigger = args(i + 1).toInt; i += 2
         case "--state-backend" =>
           stateBackend = Some(args(i + 1).toLowerCase match {
@@ -154,7 +159,7 @@ object Main {
               observe = PipelineMetrics.observeFrames)
           else CanStream.bucketedStream(wide, cacheMs.toLong)
         val q = CanStream.parquetSink(bucketed, out, s"$out.checkpoint",
-          Trigger.ProcessingTime("1 second"))
+          Trigger.ProcessingTime("1 second"), statePartitions)
         val liveQ = if (live.nonEmpty)
           Some(CanStream.consoleSink(
             if (cacheMs <= 0) wide.withColumnRenamed("ts_ms", DbcColumns.TimeCol) else bucketed,
@@ -172,7 +177,8 @@ object Main {
       |  [--cache <ms>] [--exact] [--bucket-key <col>]
       |  [--forward-fill] [--live-decode SIG]... [--no-adjust-timestamp]
       |  [--max-lines-per-trigger <n>] [--max-files-per-trigger <n>]
-      |  [--state-backend inheap|rocksdb] [--lenient-dbc]
+      |  [--state-backend inheap|rocksdb] [--state-partitions <n>]
+      |  [--lenient-dbc]
       |  --socket: --if is host:port of a candump text stream
       |  --process: --if is a bridge command (e.g. "candump -L can0")
       |  --stream-file: --if is a directory watched for candump log files
@@ -183,6 +189,10 @@ object Main {
       |  --state-backend: streaming state store — inheap (default, fastest,
       |    memory grows with keys) or rocksdb (on-disk state, bounded
       |    executor memory at high key cardinality)
+      |  --state-partitions: state-store partition count for stateful
+      |    streaming (frozen into the checkpoint at first start; size to
+      |    distinct keys × rate, not core count — default: session shuffle
+      |    partitions)
       |  --lenient-dbc: load vendor DBCs whose SIG_VALTYPE_/SG_MUL_VAL_
       |    declarations reference unparsed messages (warn instead of fail;
       |    mistyped declarations on present signals still fail)

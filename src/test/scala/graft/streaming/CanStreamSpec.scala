@@ -284,6 +284,49 @@ class CanStreamSpec extends AnyFunSuite {
     assert(back.schema.fieldNames.contains("Engine_Speed"))
   }
 
+  test("statePartitions sizes state stores, restores the conf, and is frozen in the checkpoint") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sp_out").toString
+    val logDir = java.nio.file.Files.createTempDirectory("graft_sp_in").toString
+    java.nio.file.Files.copy(java.nio.file.Paths.get("fixtures/mini.log"),
+      java.nio.file.Paths.get(s"$logDir/mini.log"))
+    val savedConf = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run(statePartitions: Option[Int]): Unit = {
+      val frames = CanStream.framesFromTextFiles(spark, logDir)
+      val bucketed = CanStream.bucketedStreamFromFrames(net, frames, cacheMs = 10L)
+      val q = CanStream.parquetSink(bucketed, s"$outDir/data", s"$outDir/ckpt",
+        Trigger.AvailableNow(), statePartitions)
+      q.awaitTermination(60000)
+    }
+    run(Some(3))
+    // session conf restored after start
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == savedConf)
+    // the knob is recorded in the checkpoint's offset log (this is what
+    // makes it per-query durable rather than a session-lifetime setting)
+    val off0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$outDir/ckpt/offsets/0")), "UTF-8")
+    assert(off0.contains("\"spark.sql.shuffle.partitions\":\"3\""),
+      s"offset log should pin 3 state partitions:\n$off0")
+    // watermark = max ts (1700000000.050): buckets 000 and 012 closed
+    assert(spark.read.parquet(s"$outDir/data").count() == 2)
+
+    // a restart asking for a DIFFERENT width keeps the checkpointed 3 —
+    // the frozen value wins for the life of the checkpoint
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$logDir/later.log"),
+      "(1700000001.000000) vcan0 100#401F4B01\n".getBytes("UTF-8"))
+    run(Some(7))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == savedConf)
+    import scala.jdk.CollectionConverters._
+    val offFiles = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$outDir/ckpt/offsets")).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.forall(_.isDigit)).sortBy(_.getFileName.toString.toInt)
+    val offN = new String(java.nio.file.Files.readAllBytes(offFiles.last), "UTF-8")
+    assert(offN.contains("\"spark.sql.shuffle.partitions\":\"3\""),
+      s"restart must keep the checkpoint-frozen partition count:\n$offN")
+    // the +1s frame advanced the watermark: bucket 050 emitted on restart
+    assert(spark.read.parquet(s"$outDir/data").count() == 3)
+  }
+
   test("websocket IPC transport (K2): handshake, one binary frame per chunk") {
     import graft.sinks.WebSocketIpc
     // minimal RFC6455 server: accept one connection, validate the
