@@ -1089,6 +1089,28 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "qj_bucketed" -> ((s, dir) => {
+      // co-located fact⋈fact join over BucketedLayout tables: both sides
+      // bucketed by their orderkey into the SAME count, so the join plans
+      // with zero shuffle on either side (plan-asserted in
+      // BucketedJoinSpec) — the write-side shuffle is paid once per
+      // layout and amortized across every later join. Layout-invariant
+      // results: shares a plain-join oracle.
+      import graft.ops.BucketedLayout
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      def staged(t: String) =
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft_bkt_${t}_$key").toString
+      val o = BucketedLayout.ensure(s, s"graft_bkt_orders_$key",
+        staged("orders"), "o_orderkey", 8)(t(s, dir, "orders"))
+      val li = BucketedLayout.ensure(s, s"graft_bkt_lineitem_$key",
+        staged("lineitem"), "l_orderkey", 8)(t(s, dir, "lineitem"))
+      o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          centSum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q13_cube" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders")
       // Cube semantics as a UNION ALL of its four grouping sets with literal
@@ -2156,6 +2178,12 @@ object SparkEntry {
           |  sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS revenue,
           |  count(*) AS n_items
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "qj_bucketed" ->
+        """SELECT o_orderpriority, count(*) AS n_items,
+          |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q13_cube" ->

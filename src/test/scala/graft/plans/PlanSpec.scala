@@ -235,4 +235,37 @@ class PlanSpec extends AnyFunSuite {
       s"multi-probe LSH must broadcast the 1-row query:\n$mp")
     assert(!mp.contains("CartesianProduct"), s"no cartesian:\n$mp")
   }
+
+  test("bucketed co-located join: zero exchange on either side (AQE off+on)") {
+    import graft.ops.BucketedLayout
+    val base = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    val o = (0L until 200L).map(i => (i, s"P${i % 5}")).toDF("o_key", "prio")
+    val li = (0L until 1000L).map(i => (i % 200L, i * 10L)).toDF("l_key", "amount")
+    val bo = BucketedLayout.ensure(spark, "plan_bkt_o", s"$base/o", "o_key", 4)(o)
+    val bli = BucketedLayout.ensure(spark, "plan_bkt_li", s"$base/li", "l_key", 4)(li)
+    // the join itself (agg keys differ from the join key and would add
+    // their own — legitimate — exchange, so assert on the join alone)
+    def joined = bo.join(bli, $"o_key" === $"l_key").select($"prio", $"amount")
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val savedBc = spark.conf.get(bcKey)
+    spark.conf.set(bcKey, "-1") // pin SMJ: broadcast would mask the layout
+    try {
+      val p0 = plan(joined)
+      assert(p0.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p0")
+      assert(!p0.contains("Exchange"),
+        s"co-located bucketed join must not shuffle either side:\n$p0")
+      val pAqe = aqeFinalPlan(joined)
+      assert(!pAqe.contains("Exchange"),
+        s"AQE must not reintroduce an exchange:\n$pAqe")
+      // layout-invariance: same rows as the plain (shuffled) join
+      val got = joined.orderBy("prio", "amount").collect().toSeq
+      val want = o.join(li, $"o_key" === $"l_key").select($"prio", $"amount")
+        .orderBy("prio", "amount").collect().toSeq
+      assert(got == want, "bucketed join diverges from plain join")
+    } finally {
+      spark.conf.set(bcKey, savedBc)
+      spark.sql("DROP TABLE IF EXISTS plan_bkt_o")
+      spark.sql("DROP TABLE IF EXISTS plan_bkt_li")
+    }
+  }
 }
