@@ -59,6 +59,16 @@ class CliStreamSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("keyless exact streaming auto-sizes state partitions to its single group") {
+    // keyless exact → 1 store; keyed / tumbling / explicit-flag cases
+    // keep the session default or the explicit value
+    assert(Main.effectiveStatePartitions(None, exact = true, 10.0, None) == Some(1))
+    assert(Main.effectiveStatePartitions(None, exact = true, 10.0, Some("iface")).isEmpty)
+    assert(Main.effectiveStatePartitions(None, exact = false, 10.0, None).isEmpty)
+    assert(Main.effectiveStatePartitions(None, exact = true, 0.0, None).isEmpty)
+    assert(Main.effectiveStatePartitions(Some(16), exact = true, 10.0, None) == Some(16))
+  }
+
   test("CLI --stream-file with rocksdb state backend and admission bound " +
       "decodes to parquet end-to-end") {
     val inDir = java.nio.file.Files.createTempDirectory("cli_smoke_in").toString
