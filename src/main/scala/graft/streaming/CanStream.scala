@@ -52,10 +52,25 @@ object CanStream {
 
     /** Set the session's state-store provider for subsequently started
       * streaming queries.
+      *
+      * For RocksDB, changelog checkpointing is enabled alongside: the
+      * per-commit durable artifact becomes the batch's change log (append
+      * of puts/deletes) instead of a full SST snapshot upload, with
+      * snapshots taken asynchronously in the background — at 100 TB-class
+      * state this turns commit cost from O(state size) into O(batch
+      * updates), the difference between a streaming job that keeps up and
+      * one whose commit time grows with its own history. Recovery replays
+      * the latest snapshot plus the changelog tail (proven in
+      * RecoverySpec's cross-restart cases, which run under this config).
       */
-    def configure(spark: SparkSession, backend: StateBackend): Unit =
+    def configure(spark: SparkSession, backend: StateBackend): Unit = {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         backend.providerClass)
+      if (backend == RocksDB)
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+    }
   }
 
   /** S3/S2 portable form: candump-format lines over a TCP socket. */

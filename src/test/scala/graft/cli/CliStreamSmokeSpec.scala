@@ -122,13 +122,17 @@ class CliStreamSmokeSpec extends AnyFunSuite {
       assert(byTs(0).getAs[Float]("Engine_Speed") == 2000.0f) // 0x1F40*0.25
       assert(byTs(1).getAs[Int]("Val_B") == 32767)
 
-      // rocksdb actually engaged: zip snapshots in the state checkpoint
+      // rocksdb actually engaged: changelog commits (changelog
+      // checkpointing is on for RocksDB — commits append the batch's
+      // changes; full zip snapshots only land every minDeltasForSnapshot
+      // commits, so a short smoke may see none) and never the HDFS
+      // provider's .delta files
       val stateDir = java.nio.file.Paths.get(s"$outDir.checkpoint/state")
-      val sawZip = java.nio.file.Files.walk(stateDir).anyMatch(p =>
-        p.toString.endsWith(".zip"))
+      val sawRocks = java.nio.file.Files.walk(stateDir).anyMatch(p =>
+        p.toString.endsWith(".zip") || p.toString.endsWith(".changelog"))
       val sawDelta = java.nio.file.Files.walk(stateDir).anyMatch(p =>
         p.toString.endsWith(".delta"))
-      assert(sawZip && !sawDelta,
+      assert(sawRocks && !sawDelta,
         "state checkpoint is not RocksDB-format (--state-backend ignored?)")
     } finally {
       proc.destroyForcibly()
