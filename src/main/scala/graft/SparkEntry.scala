@@ -110,20 +110,36 @@ object SparkEntry {
     p.toString
   }
 
+  /** Root for per-(gate, input dir) staged data: ONE shutdown-hooked
+    * scratch dir per JVM, so staged copies are cleaned at exit like every
+    * other scratch dir (no /tmp accumulation across runs), never survive
+    * into a JVM whose source data may have been regenerated, and never
+    * collide with another process's staging.
+    */
+  private lazy val stageRoot = scratchDir("graft_stage")
+
+  /** Deterministic per-JVM staging location for (gate, input dir) —
+    * shared by [[stagedInput]] and the bucketed-layout gate so there is
+    * exactly one keying scheme. The readable tail disambiguates; the hash
+    * covers what the tail truncated.
+    */
+  private def stagedPath(prefix: String, dir: String): String = {
+    val tail = dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(32)
+    java.nio.file.Paths.get(stageRoot,
+      s"${prefix}_${tail}_${java.lang.Integer.toHexString(dir.hashCode)}").toString
+  }
+
   /** Idempotent input staging for the streaming gates: materialize `write`
-    * under a path keyed by (gate, input dir) exactly once per JVM-visible
-    * scratch space and reuse it afterwards (guarded by the writer's own
-    * `_SUCCESS` marker). Streaming gates create their source data here —
-    * a real deployment's source already exists, so re-staging identical
-    * input on every bench rep would charge fixture setup to the streaming
-    * engine. Query state (sink, checkpoint) stays fresh per call.
+    * at [[stagedPath]] once per JVM (guarded by the writer's `_SUCCESS`
+    * marker) and reuse it for subsequent calls — bench reps re-run the
+    * STREAM, not the fixture setup; a real deployment's source already
+    * exists. Query state (sink, checkpoint) stays fresh per call.
     */
   private def stagedInput(prefix: String, dir: String)(write: String => Unit): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stage_${prefix}_$key")
-    if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) write(p.toString)
-    p.toString
+    val p = stagedPath(prefix, dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))
+      write(p)
+    p
   }
 
   private def canLines(ev: DataFrame): DataFrame = {
@@ -1098,12 +1114,10 @@ object SparkEntry {
       // results: shares a plain-join oracle.
       import graft.ops.BucketedLayout
       val key = java.lang.Integer.toHexString(dir.hashCode)
-      def staged(t: String) =
-        java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft_bkt_${t}_$key").toString
       val o = BucketedLayout.ensure(s, s"graft_bkt_orders_$key",
-        staged("orders"), "o_orderkey", 8)(t(s, dir, "orders"))
+        stagedPath("bkt_orders", dir), "o_orderkey", 8)(t(s, dir, "orders"))
       val li = BucketedLayout.ensure(s, s"graft_bkt_lineitem_$key",
-        staged("lineitem"), "l_orderkey", 8)(t(s, dir, "lineitem"))
+        stagedPath("bkt_lineitem", dir), "l_orderkey", 8)(t(s, dir, "lineitem"))
       o.join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),

@@ -72,8 +72,16 @@ object PipelineMetrics {
 
   /** Batch listener: accumulates totals and prints the reference-style
     * progress line after each action touching the observed plans.
+    *
+    * `sessionHint` scopes the exact-path accumulator lookup from
+    * construction onwards (the CLI passes its session). Without it the
+    * scope is learned from the first listener callback — correct, but
+    * [[Progress.packets]] reads 0 until then even if an exact pipeline
+    * has already filled its accumulator.
     */
-  final class Progress(quiet: Boolean = false) extends QueryExecutionListener {
+  final class Progress(quiet: Boolean = false,
+      sessionHint: Option[org.apache.spark.sql.SparkSession] = None)
+      extends QueryExecutionListener {
     val messages = new AtomicLong(0)
     val rows = new AtomicLong(0)
 
@@ -88,10 +96,10 @@ object PipelineMetrics {
       */
     @volatile private var sawFrames = false
 
-    /** The session whose queries this listener has seen — the scope for
-      * the exact-path accumulator lookup. Set on first callback.
+    /** The session scoping the exact-path accumulator lookup: the
+      * construction hint, else learned from the first callback.
       */
-    @volatile private var session: Option[org.apache.spark.sql.SparkSession] = None
+    @volatile private var session: Option[org.apache.spark.sql.SparkSession] = sessionHint
 
     /** Total packet count: observed-metric totals plus this session's
       * exact-path accumulator (see

@@ -97,6 +97,16 @@ object Main {
       System.err.println(s"--bucket-key requires --exact and --cache > 0\n$usage")
       sys.exit(2)
     }
+    if (statePartitions.exists(_ <= 0)) {
+      System.err.println(s"--state-partitions must be positive\n$usage")
+      sys.exit(2)
+    }
+    if (statePartitions.isDefined &&
+        !Set("socket", "process", "stream-file").contains(mode)) {
+      System.err.println(
+        s"--state-partitions applies to streaming modes only\n$usage")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .appName("graft-can")
       .config("spark.sql.shuffle.partitions",
@@ -118,14 +128,14 @@ object Main {
 
     mode match {
       case "file" =>
-        spark.listenerManager.register(new PipelineMetrics.Progress()) // T7
+        spark.listenerManager.register(new PipelineMetrics.Progress(sessionHint = Some(spark))) // T7
         val cfg = CanPipelineConfig(cacheMs = cacheMs, exact = exact,
           exactKeys = bucketKey.toSeq,
           forwardFill = ffill, adjustTimestamp = adjust, observeMetrics = true,
           lenientDbc = lenientDbc)
         writeBatch(CanPipeline.decodeLog(spark, dbc, in, cfg))
       case "stdin" => // S3: `cat log | graft.cli.Main <dbc> --stdin`
-        spark.listenerManager.register(new PipelineMetrics.Progress()) // T7
+        spark.listenerManager.register(new PipelineMetrics.Progress(sessionHint = Some(spark))) // T7
         val cfg = CanPipelineConfig(cacheMs = cacheMs, exact = exact,
           exactKeys = bucketKey.toSeq,
           forwardFill = ffill, adjustTimestamp = adjust, observeMetrics = true,

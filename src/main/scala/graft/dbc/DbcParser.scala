@@ -263,6 +263,20 @@ object DbcParser {
     }
   }
 
+  /** Declaration lookup shared by the per-signal appendix appliers: a
+    * `flt32_`-prefixed signal (parsed name stripped) matches its
+    * declaration under either spelling; the matched key is recorded so
+    * the caller can report unmatched declarations afterwards.
+    */
+  private def lookupDecl[T](m: Message, s: Signal,
+      decls: Map[(Long, String), T],
+      matched: scala.collection.mutable.Builder[(Long, String), Set[(Long, String)]]): Option[T] = {
+    val key = ((m.id, s.name): (Long, String))
+    val altKey = if (s.isFlt32) Some((m.id, "flt32_" + s.name)) else None
+    decls.get(key).map { t => matched += key; t }
+      .orElse(altKey.flatMap(k => decls.get(k).map { t => matched += k; t }))
+  }
+
   private def applyValTypes(net: Network,
       vt: Map[(Long, String), ValType], lenient: Boolean): Network = {
     if (vt.isEmpty) net
@@ -270,11 +284,7 @@ object DbcParser {
       val matched = Set.newBuilder[(Long, String)]
       val out = Network(net.messages.map { m =>
         m.copy(signals = m.signals.map { s =>
-          val key = ((m.id, s.name): (Long, String))
-          val altKey = if (s.isFlt32) Some((m.id, "flt32_" + s.name)) else None
-          val declared = vt.get(key).map { t => matched += key; t }
-            .orElse(altKey.flatMap(k => vt.get(k).map { t => matched += k; t }))
-          declared match {
+          lookupDecl(m, s, vt, matched) match {
             case None | Some(ValType.Integer) => s
             case Some(t @ ValType.Float32) =>
               require(s.bitLen == 32,
@@ -309,13 +319,7 @@ object DbcParser {
       val matched = Set.newBuilder[(Long, String)]
       val out = Network(net.messages.map { m =>
         m.copy(signals = m.signals.map { s =>
-          // like applyValTypes: a flt32_-prefixed signal (parsed name
-          // stripped) matches a declaration under either spelling
-          val key = ((m.id, s.name): (Long, String))
-          val altKey = if (s.isFlt32) Some((m.id, "flt32_" + s.name)) else None
-          val decl = mv.get(key).map { d => matched += key; d }
-            .orElse(altKey.flatMap(k => mv.get(k).map { d => matched += k; d }))
-          decl match {
+          lookupDecl(m, s, mv, matched) match {
             case None => s
             case Some((sw, ranges)) =>
               val topSwitch = m.muxSwitch.getOrElse(throw new IllegalArgumentException(

@@ -22,19 +22,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedLayout {
 
+  /** Remembers the (path, key, numBuckets) each session's `ensure` call
+    * created a table with, so a later call reusing the NAME with a
+    * different spec fails loudly instead of silently returning a layout
+    * bucketed on the wrong key/count (which would still plan "without
+    * exchange" — on the wrong partitioning). Weak-keyed so dropped
+    * sessions free their entries.
+    */
+  private val created = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Map[String, (String, String, Int)]]())
+
   /** Create-once: write `df` as an external bucketed+sorted table under
     * `path` unless `name` is already in the session catalog, then return
     * the catalog-backed frame (whose scan carries the bucket spec — this
     * is what makes downstream joins exchange-free; reading the parquet
     * path directly would lose it). The write is the one-time shuffle the
     * layout amortizes; callers (gates, benches) share it per session.
+    * An existing table is only reused when THIS helper created it in the
+    * same session with the SAME (path, key, numBuckets) — any mismatch,
+    * or a pre-existing table of unknown origin, throws.
     */
   def ensure(spark: SparkSession, name: String, path: String, key: String,
       numBuckets: Int)(df: => DataFrame): DataFrame = {
-    if (!spark.catalog.tableExists(name)) {
+    val want = (path, key, numBuckets)
+    val mine = created.synchronized {
+      created.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, (String, String, Int)]())
+    }
+    if (spark.catalog.tableExists(name)) {
+      val prev = Option(mine.get(name))
+      require(prev.contains(want),
+        s"bucketed table $name exists with a different spec or origin: " +
+          s"have ${prev.getOrElse("<not created by BucketedLayout.ensure>")}, want $want")
+    } else {
       df.write.mode("overwrite").option("path", path)
         .bucketBy(numBuckets, key).sortBy(key)
         .saveAsTable(name)
+      mine.put(name, want)
     }
     spark.table(name)
   }

@@ -71,13 +71,25 @@ object Similarity {
   def planeWeight(plane: Int, dim: Int): Long =
     ((plane * 64L + dim) * 2654435761L) % 1000003L - 501001L
 
-  /** LSH bucket id from hyperplane sign bits. */
-  def lshBucket(qv: Column, dims: Int = 64, numPlanes: Int = NumPlanes): Column =
-    (0 until numPlanes).map { p =>
+  /** LSH bucket id from hyperplane sign bits. Each plane's dot product
+    * runs over the first `size(qv)` of `dims` hyperplane weights, so any
+    * vector length up to `dims` gets a real signature (a full-width
+    * zip_with would null-pad shorter vectors, poison the aggregate, and
+    * silently collapse every bucket to 0); longer vectors raise. The
+    * driver-side twin [[lshBucketOf]] applies the identical rule, keeping
+    * stored and recomputed buckets in lockstep at every length.
+    */
+  def lshBucket(qv: Column, dims: Int = 64, numPlanes: Int = NumPlanes): Column = {
+    val bucket = (0 until numPlanes).map { p =>
       val w = array((0 until dims).map(j => lit(planeWeight(p, j))): _*)
-      when(aggregate(zip_with(qv, w, (x, y) => x * y), lit(0L), (a, v) => a + v) >= 0,
+      when(aggregate(zip_with(qv, slice(w, lit(1), size(qv)), (x, y) => x * y),
+          lit(0L), (a, v) => a + v) >= 0,
         lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
+    when(size(qv) <= dims, bucket)
+      .otherwise(raise_error(concat(
+        lit(s"lshBucket: vector longer than $dims dims: "), size(qv).cast("string"))))
+  }
 
   /** LSH-bucketed top-k: scan only the query's bucket. */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
@@ -143,15 +155,20 @@ object Similarity {
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
 
   /** Driver-side LSH bucket of a quantized vector — the same integer
-    * dot-product signs as the [[lshBucket]] Column expression, so a
-    * vector's driver bucket and stored bucket always agree.
+    * dot-product signs over the same first-`length` weights as the
+    * [[lshBucket]] Column expression, so a vector's driver bucket and
+    * stored bucket always agree (both sides reject vectors longer than
+    * `dims` — see [[lshBucket]]).
     */
-  def lshBucketOf(qv: Seq[Long], numPlanes: Int = NumPlanes): Long =
+  def lshBucketOf(qv: Seq[Long], dims: Int = 64, numPlanes: Int = NumPlanes): Long = {
+    require(qv.length <= dims,
+      s"lshBucketOf: vector longer than $dims dims: ${qv.length}")
     (0 until numPlanes).map { p =>
       val dot = qv.iterator.zipWithIndex
         .map { case (x, j) => x * planeWeight(p, j) }.sum
       if (dot >= 0) 1L << p else 0L
     }.sum
+  }
 
   /** Multi-probe LSH top-k over a [[writeLshPartitioned]] layout: the
     * probe set (every bucket id within hamming ≤ `maxHamming` of the
@@ -176,7 +193,7 @@ object Similarity {
       require(qRow.nonEmpty, s"query vector $queryId not found in layout $path")
       qRow.head.getSeq[Long](0)
     }
-    val qbucket = lshBucketOf(qv, numPlanes)
+    val qbucket = lshBucketOf(qv, numPlanes = numPlanes)
     val probes = (0L until (1L << numPlanes))
       .filter(b => java.lang.Long.bitCount(b ^ qbucket) <= maxHamming)
     layout

@@ -45,15 +45,18 @@ class PipelineMetricsSpec extends AnyFunSuite {
 
   test("T7 exact keyless: frames counted via accumulator (RDD passes bypass " +
       "observe) — the 'Received 0 packets' wart") {
-    val progress = new PipelineMetrics.Progress(quiet = true)
+    // the CLI's shape: session hint at construction, so packets is
+    // readable as soon as the exact pipeline has filled its accumulator —
+    // no listener callback needed first
+    val progress = new PipelineMetrics.Progress(quiet = true, sessionHint = Some(spark))
     spark.listenerManager.register(progress)
     try {
       val cfg = CanPipelineConfig(cacheMs = 10.0, exact = true, observeMetrics = true)
       // exactDistributed runs its segment passes eagerly at construction;
-      // the accumulator holds the 6 decoded (known-id) frames already here.
-      // packets is session-scoped, so the listener must see one callback
-      // (the count() below) before it can resolve the accumulator
+      // the accumulator holds the 6 decoded (known-id) frames already here
       val wide = CanPipeline.decodeLog(spark, "fixtures/mini.dbc", "fixtures/mini.log", cfg)
+      assert(progress.packets == 6,
+        s"exact-path frame counter: got ${progress.packets}, want 6")
       assert(wide.count() == 3) // exact buckets open at +0, +12, +50
       // the progress line now claims a packet count on the exact path too
       eventually() { progress.rows.get() == 3 && progress.packets == 6 }

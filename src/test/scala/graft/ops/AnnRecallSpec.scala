@@ -115,6 +115,24 @@ class AnnRecallSpec extends AnyFunSuite {
         s"partitioned and full-scan multi-probe diverge for query $q")
       assertPruned(pr, "bucket", maxParts = 7) // C(6,<=1) = 7 of 64 buckets
     }
+    // driver and Column bucket forms stay in lockstep at sub-dims lengths
+    // (both project onto the first `length` hyperplane weights); vectors
+    // longer than dims raise in both forms rather than silently
+    // null-padding the zip_with and collapsing every bucket to 0
+    val shortVec = Seq(5L, -3L, 7L)
+    val colBucket = spark.range(1)
+      .select(Similarity.lshBucket(array(shortVec.map(lit): _*)).as("b"))
+      .collect().head.getLong(0)
+    assert(colBucket == Similarity.lshBucketOf(shortVec),
+      "driver/Column bucket divergence on a short vector")
+    intercept[IllegalArgumentException] {
+      Similarity.lshBucketOf(Seq.fill(65)(1L))
+    }
+    val dimErr = intercept[Exception] {
+      spark.range(1)
+        .select(Similarity.lshBucket(array(Seq.fill(65)(lit(1L)): _*))).collect()
+    }
+    assert(dimErr.getMessage.contains("lshBucket"), dimErr.getMessage)
     // the at-scale entry (explicit queryVec, no point-lookup scan) must
     // agree — proves driver-side lshBucketOf matches the stored buckets
     val qv = emb.filter(col("vec_id") === queries.head)

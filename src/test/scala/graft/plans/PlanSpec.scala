@@ -262,6 +262,13 @@ class PlanSpec extends AnyFunSuite {
       val want = o.join(li, $"o_key" === $"l_key").select($"prio", $"amount")
         .orderBy("prio", "amount").collect().toSeq
       assert(got == want, "bucketed join diverges from plain join")
+      // reusing the table NAME with a different spec must fail loudly —
+      // a silently-returned wrong layout would still plan "no exchange",
+      // just on the wrong partitioning
+      val e = intercept[IllegalArgumentException] {
+        BucketedLayout.ensure(spark, "plan_bkt_o", s"$base/o2", "o_key", 8)(o)
+      }
+      assert(e.getMessage.contains("different spec"))
     } finally {
       spark.conf.set(bcKey, savedBc)
       spark.sql("DROP TABLE IF EXISTS plan_bkt_o")
