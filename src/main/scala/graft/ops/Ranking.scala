@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over a document corpus — the "find the training
+  * examples most relevant to this probe query" primitive a data-curation
+  * pipeline uses for targeted sampling and contamination triage.
+  *
+  * Shape, designed for a 100 TB corpus:
+  *   1. ONE projection computes the per-document length and a per-query-term
+  *      term frequency via higher-order array functions (`filter`/`size`) —
+  *      no explode, no shuffle, stays inside whole-stage codegen. The query
+  *      is a small literal term set, so tf is a fixed-width column vector,
+  *      not a token relation.
+  *   2. ONE single-row global aggregate (N, total length, per-term document
+  *      frequency) — the only full shuffle, reduced map-side to one row per
+  *      partition — broadcast back with a 1-row cross join.
+  *   3. A scoring projection plus `TakeOrderedAndProject` top-k: no global
+  *      sort materialization, each partition keeps k candidates.
+  *
+  * Oracle portability: per-term BM25 contributions are quantized to integer
+  * micro-units (`CAST(round(1e6·x) AS BIGINT)`) BEFORE summing, the repo's
+  * fixed-point convention, so aggregation order cannot perturb the result
+  * and DuckDB reproduces it hash-exactly. All arithmetic is IEEE ops on
+  * identically-derived operands evaluated in the same literal term order;
+  * the one transcendental (`ln` in idf) matches across engines at this
+  * quantization.
+  *
+  * Tokenization matches the corpus gates: lowercase letter runs
+  * (`[^a-z]+` split, empties dropped) — identical under Java regex and RE2.
+  */
+object Ranking {
+
+  /** Okapi defaults. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Lowercase letter-run tokens of `text` (empties filtered). */
+  def letterTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+
+  /** Per-document BM25 score against literal `terms`, in integer
+    * micro-units (sum over terms of `round(1e6·idf_t·sat_t)`), plus the
+    * inputs a caller may want to re-weight (`dl`, per-term tf).
+    *
+    * idf_t = ln((N − df_t + 0.5)/(df_t + 0.5) + 1)   (BM25+-style floor ≥ 0)
+    * sat_t = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    */
+  def bm25Scores(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text", k1: Double = K1, b: Double = B): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct,
+      s"terms must be non-empty and distinct: $terms")
+    def tfCol(t: String) = s"tf_$t"
+    val toks = letterTokens(col(textCol))
+    val base = docs.select(
+      col(idCol) +: size(toks).cast("long").as("dl") +:
+        terms.map(q => size(filter(toks, x => x === q)).cast("long").as(tfCol(q))): _*)
+    // single-row corpus stats: N, avgdl numerator, df per term
+    val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      terms.map(q => sum(when(col(tfCol(q)) > 0, 1L).otherwise(0L)).as(s"df_$q"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val perTerm = terms.map { q =>
+      val tf = col(tfCol(q)).cast("double")
+      val df = col(s"df_$q").cast("double")
+      val idf = log((col("n_docs").cast("double") - df + 0.5) / (df + 0.5) + 1.0)
+      val sat = tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+      round(idf * sat * 1e6).cast("long")
+    }
+    base.crossJoin(broadcast(stats))
+      .select(
+        col(idCol) +: col("dl") +: terms.map(q => col(tfCol(q))) :+
+          perTerm.reduce(_ + _).as("bm25_micro"): _*)
+  }
+
+  /** Top-`k` documents by BM25 against `terms`; ties broken by id so the
+    * result is deterministic (and oracle-hashable).
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      k1: Double = K1, b: Double = B): DataFrame =
+    bm25Scores(docs, terms, idCol, textCol, k1, b)
+      .orderBy(col("bm25_micro").desc, col(idCol))
+      .limit(k)
+}

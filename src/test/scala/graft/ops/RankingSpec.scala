@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 ranked retrieval: value check against an independently computed
+  * fixture, determinism of the top-k tie-break, and the plan shape the
+  * scaladoc promises (no explode, one shuffle for the single-row stats
+  * aggregate, broadcast join back, TakeOrdered top-k).
+  */
+class RankingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("ranking-spec")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", false)
+    .getOrCreate()
+
+  test("bm25Scores matches an independently computed fixture") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b c"), (2L, "b b b d"), (3L, "c d e"))
+      .toDF("doc_id", "text")
+    val got = Ranking.bm25Scores(docs, Seq("a", "b"))
+      .select("doc_id", "dl", "tf_a", "tf_b", "bm25_micro")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // expected micro scores computed out-of-band with the textbook
+    // formula (k1=1.2, b=0.75, idf=ln((N-df+.5)/(df+.5)+1))
+    assert(got(1L) == ((4L, 2L, 1L, 1768169L)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((4L, 0L, 3L, 724464L)), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((3L, 0L, 0L, 0L)), s"doc 3: ${got(3L)}")
+  }
+
+  test("bm25TopK is deterministic under ties and ranks by score") {
+    import spark.implicits._
+    // docs 10 and 11 are identical → equal scores; id breaks the tie
+    val docs = Seq((10L, "x y"), (11L, "x y"), (12L, "x x y"), (13L, "z"))
+      .toDF("doc_id", "text")
+    val top = Ranking.bm25TopK(docs, Seq("x"), k = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top.head == 12L, s"highest-tf doc first: $top")
+    assert(top.tail == Seq(10L, 11L), s"tie broken by id: $top")
+  }
+
+  test("plan: no explode, one stats shuffle, broadcast join, TakeOrdered") {
+    import spark.implicits._
+    val docs = Seq.tabulate(100)(i => (i.toLong, s"a b c d$i")).toDF("doc_id", "text")
+    val plan = Ranking.bm25TopK(docs, Seq("a", "d7"), k = 5)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Generate"), s"token explode crept in:\n$plan")
+    val shuffles = "Exchange hashpartitioning|Exchange SinglePartition".r
+      .findAllIn(plan).length
+    assert(shuffles <= 1, s"want at most the stats shuffle, got $shuffles:\n$plan")
+    assert(plan.contains("Broadcast"), s"stats join must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+  }
+}
