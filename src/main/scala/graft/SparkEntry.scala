@@ -977,6 +977,27 @@ object SparkEntry {
         .orderBy("sig")
     }),
 
+    "qd_stream_neardup" -> ((s, dir) => {
+      // STREAMING near-dedup (greedy banded minhash + persisted claim
+      // store, Dedup.streamingNearDup) under a DuckDB greedy oracle: a
+      // doc survives iff it is the min-id claimant of every one of its
+      // LSH band buckets. Single AvailableNow pass (per-bucket min is
+      // order-invariant within a batch; the multi-batch/restart behavior
+      // is spec'd in StreamingNearDupSpec)
+      val tmp = scratchDir("graft_qsn")
+      val src = stagedInput("qsn", dir) { p =>
+        t(s, dir, "documents").select("doc_id", "text")
+          .write.mode("overwrite").parquet(p)
+      }
+      val stream = s.readStream.schema(
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string")).parquet(src)
+      val q = Dedup.streamingNearDup(stream, "doc_id", col("text"),
+        s"$tmp/claims", s"$tmp/out", s"$tmp/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
+    }),
+
     "qt_vocab" -> ((s, dir) => {
       // vocabulary building: top 50 tokens by corpus frequency
       t(s, dir, "documents")
@@ -1928,6 +1949,19 @@ object SparkEntry {
         """SELECT min(doc_id) AS doc_id FROM documents
           |GROUP BY md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text),'\s+'))),'string_agg','|'))
           |ORDER BY doc_id""".stripMargin,
+
+      // greedy banded near-dedup (the streaming gate's semantics): doc
+      // survives iff it is min-id in EVERY of its band buckets; docs too
+      // short to shingle have no buckets and survive trivially
+      "qd_stream_neardup" -> (shinglesCte +
+        s""",
+           |sig AS (SELECT doc_id, $minhashSig FROM sh GROUP BY 1),
+           |bands AS ($bandRows),
+           |b2 AS (SELECT doc_id,
+           |    min(doc_id) OVER (PARTITION BY band, bkey) AS mn FROM bands)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM b2 WHERE mn < doc_id)
+           |ORDER BY doc_id""".stripMargin),
 
       "qd_minhash_pairs" -> (minhashPairsCtes +
         "\nSELECT doc_a, doc_b, jaccard FROM mp ORDER BY doc_a, doc_b"),

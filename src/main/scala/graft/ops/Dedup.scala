@@ -400,4 +400,104 @@ object Dedup {
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  // -------------------------------------------------------------------
+  // Streaming NEAR-dup (greedy banded minhash) — the near-dup analogue of
+  // [[streamingExact]]. A document survives iff it is the lowest-id
+  // claimant of EVERY one of its LSH band buckets, counting buckets
+  // claimed by any earlier micro-batch (arrival order dominates across
+  // batches; id order decides within a batch). Greedy bucket claiming is
+  // the standard streaming relaxation of batch minhash dedup: no Jaccard
+  // verification pass (a band collision alone drops the newcomer — more
+  // aggressive than [[minhashNearDups]]' verified ≥0.4 pairs) and no
+  // band-bucket cap (winner-per-bucket is an aggregation, so there is no
+  // pairwise expansion to bound). On an in-order replay the result is
+  // IDENTICAL to running [[greedyNearDupStep]] once over the whole corpus
+  // (per-bucket min is batch-decomposable when ids arrive ascending) —
+  // differential-tested in StreamingNearDupSpec and oracle-gated.
+  // -------------------------------------------------------------------
+
+  /** Band-bucket claims of a corpus slice: one row per (id, band, bkey). */
+  def bandClaims(df: DataFrame, idCol: String, text: Column,
+      nGram: Int = 3): DataFrame =
+    bandKeys(minhashAgg(shingleHashes(df, idCol, text, nGram), idCol), idCol)
+
+  /** One greedy dedup round over a (micro-)batch: returns
+    * `(survivors, newClaims)` where survivors are the batch rows that are
+    * the minimum-id claimant of all their buckets AND collide with no
+    * bucket in `priorClaims` (band, bkey — claims from earlier batches),
+    * and newClaims are the batch's distinct buckets not already in
+    * `priorClaims` (so a store stays duplicate-free). Documents too short
+    * to shingle have no buckets and always survive.
+    *
+    * Shuffle shape: one aggregation keyed (band, bkey) for the per-bucket
+    * winner, joins on the same key (partitioning reused), and one
+    * left-anti join back on the id — no pairwise candidate expansion
+    * anywhere, so no bucket cap is needed.
+    */
+  def greedyNearDupStep(batch: DataFrame, idCol: String, text: Column,
+      priorClaims: Option[DataFrame], nGram: Int = 3)
+      : (DataFrame, DataFrame) =
+    greedyFromClaims(batch, idCol, bandClaims(batch, idCol, text, nGram),
+      priorClaims)
+
+  /** [[greedyNearDupStep]] over an already-computed (and ideally
+    * persisted) claims relation — the claims subtree feeds four separate
+    * consumers, so the streaming wrapper caches it once per micro-batch
+    * instead of re-deriving shingles+minhash per consumer.
+    */
+  def greedyFromClaims(batch: DataFrame, idCol: String, claims: DataFrame,
+      priorClaims: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val blockedByPrior = priorClaims.map(pc =>
+        claims.join(pc.select("band", "bkey"), Seq("band", "bkey"), "left_semi"))
+      .getOrElse(claims.limit(0))
+    val bucketMin = claims.groupBy("band", "bkey")
+      .agg(min(col(idCol)).as("win_id"))
+    val lostInBatch = claims.join(bucketMin, Seq("band", "bkey"))
+      .filter(col(idCol) > col("win_id"))
+    val losers = blockedByPrior.select(idCol)
+      .unionAll(lostInBatch.select(idCol)).distinct()
+    val survivors = batch.join(losers, Seq(idCol), "left_anti")
+    val newClaims = priorClaims.foldLeft(
+        claims.select("band", "bkey").distinct())(
+      (c, pc) => c.join(pc.select("band", "bkey"), Seq("band", "bkey"), "left_anti"))
+    (survivors, newClaims)
+  }
+
+  /** Streaming greedy near-dedup: `docs` (a streaming DataFrame) →
+    * surviving rows under `outPath`, claimed buckets under `storePath`,
+    * both partitioned by micro-batch id so a replayed batch OVERWRITES its
+    * own previous partial output instead of double-claiming (the standard
+    * idempotent-foreachBatch pattern; each round reads only claims with
+    * `claim_batch < batchId`). Claims are never evicted — near-dup state,
+    * unlike exact-signature state, has no watermark semantics a newcomer
+    * could rely on; at 100 TB the store is a partitioned table whose
+    * per-batch files an offline job can compact.
+    */
+  def streamingNearDup(docs: DataFrame, idCol: String, text: Column,
+      storePath: String, outPath: String, checkpoint: String,
+      nGram: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val storeFsPath = new org.apache.hadoop.fs.Path(storePath)
+        val storeExists = storeFsPath
+          .getFileSystem(s.sparkContext.hadoopConfiguration).exists(storeFsPath)
+        val prior = if (!storeExists) None else scala.util.Try(
+            s.read.option("basePath", storePath).parquet(storePath)
+              .filter(col("claim_batch") < batchId)
+              .select("band", "bkey")).toOption
+        val cached = batch.persist()
+        val claims = bandClaims(cached, idCol, text, nGram).persist()
+        try {
+          val (surv, newClaims) =
+            greedyFromClaims(cached, idCol, claims, prior)
+          surv.write.mode("overwrite").parquet(s"$outPath/out_batch=$batchId")
+          newClaims.write.mode("overwrite")
+            .parquet(s"$storePath/claim_batch=$batchId")
+        } finally { claims.unpersist(); cached.unpersist(); () }
+      }
+      .start()
 }
