@@ -474,6 +474,34 @@ object Dedup {
     * could rely on; at 100 TB the store is a partitioned table whose
     * per-batch files an offline job can compact.
     */
+  /** Offline compaction of a [[streamingNearDup]] claim store: rewrite
+    * the whole store as ONE distinct bucket set under a fresh NEGATIVE
+    * `claim_batch` partition (strictly below any existing one — live
+    * batch ids are ≥ 0, so the streaming loop's `claim_batch < batchId`
+    * read always sees the compacted base), then drop the old partitions.
+    * Run while the query is STOPPED (between AvailableNow drains).
+    * Crash-safe in the weak-but-sufficient sense: the base lands in a
+    * directory that was never an input before anything is deleted, so an
+    * interrupted run leaves duplicate claims (harmless — blocking is a
+    * semi-join) never missing ones, and a re-run finishes the job.
+    */
+  def compactClaims(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("claim_batch="))
+      .map(_.getPath)
+    if (parts.length > 1) {
+      val target =
+        math.min(-1L, parts.map(_.getName.stripPrefix("claim_batch=").toLong).min - 1)
+      spark.read.option("basePath", storePath).parquet(storePath)
+        .select("band", "bkey").distinct()
+        .write.parquet(s"$storePath/claim_batch=$target")
+      parts.foreach(p => fs.delete(p, true))
+    }
+  }
+
   def streamingNearDup(docs: DataFrame, idCol: String, text: Column,
       storePath: String, outPath: String, checkpoint: String,
       nGram: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =

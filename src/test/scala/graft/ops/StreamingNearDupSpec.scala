@@ -92,6 +92,29 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(c.length == claims.distinct().count().toInt)
   }
 
+  test("compaction folds the store into one negative base; blocking survives") {
+    val src = tmp("snd_src"); val base = tmp("snd")
+    writeDocs(src, "b0", corpusA, 1000000L)
+    writeDocs(src, "b1", corpusB, 2000000L)
+    runStream(src, base, maxFilesPerTrigger = Some(1)) // ≥2 claim batches
+    val before = spark.read.option("basePath", s"$base/claims")
+      .parquet(s"$base/claims").select("band", "bkey").distinct().count()
+    Dedup.compactClaims(spark, s"$base/claims")
+    val after = spark.read.option("basePath", s"$base/claims")
+      .parquet(s"$base/claims")
+    assert(after.select("claim_batch").distinct().as[Long].collect().toSeq
+        .forall(_ < 0), "compacted base must sit below live batch ids")
+    assert(after.select("band", "bkey").count() == before,
+      "compaction must keep exactly the distinct claim set")
+    // a post-compaction batch is still blocked by the compacted base
+    writeDocs(src, "b2", Seq(
+      7L -> "alpha beta gamma delta epsilon", // dup of compacted doc 1
+      8L -> "twelve thirteen fourteen fifteen"), 3000000L)
+    runStream(src, base)
+    assert(survivors(base) == Seq(1L, 3L, 4L, 6L, 8L),
+      "doc 7 must be blocked by the compacted claims")
+  }
+
   test("prior claims block, and newClaims excludes already-stored buckets") {
     val first = corpusA.toDF("doc_id", "text")
     val (_, claims1) = Dedup.greedyNearDupStep(first, "doc_id", col("text"), None)
