@@ -967,6 +967,50 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "qt_split" -> ((s, dir) => {
+      // deterministic train/val/test assignment: md5-residue buckets
+      // (90/5/5) — reproducible across engines, runs, and cluster sizes
+      // (a pure function of the row, unlike randomSplit), the standard
+      // hash-split for training corpora
+      val bucket = TextAnalysis.md5Long(col("text")) % 100
+      val split = when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise(lit("test"))
+      t(s, dir, "documents")
+        .groupBy(split.as("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("split", "lang")
+    }),
+
+    "qt_pii" -> ((s, dir) => {
+      // PII scrub (C4/Dolma-style): the synthetic corpus is digit-free,
+      // so the gate injects deterministic PII (email, phone, dotted-quad
+      // IP) from doc fields with the same concat in both engines, then
+      // counts per kind and hashes the redacted text. Map-only pass —
+      // regexp_count/regexp_replace stay in whole-stage codegen.
+      val injected = concat(
+        lit("reach user"), col("doc_id").cast("string"),
+        lit("@example.com or ("),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit(") "), lpad(((col("doc_id") * 3) % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" or 10.0."), (col("doc_id") % 200).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 250).cast("string"),
+        lit(" -- "), col("text"))
+      val counts = TextAnalysis.piiCounts(injected).map { case (n, c) => c.as(n) }
+      t(s, dir, "documents")
+        .select(col("doc_id") +: counts :+
+          md5(TextAnalysis.piiRedact(injected)).as("redacted_md5"): _*)
+        .orderBy("doc_id")
+    }),
+
+    "qd_semantic" -> ((s, dir) =>
+      // SemDeDup: k-means-clustered embedding dedup — survivors after
+      // dropping any vector with a lower-id ≥0.3-cosine neighbor in its
+      // trained cluster (threshold per qd_embed_dups: the synthetic
+      // corpus's max NN cosine ≈0.41)
+      Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.3)
+        .orderBy("vec_id")),
+
     "qd_cross_source" -> ((s, dir) => {
       // contamination check: identical bag-of-words across distinct sources
       t(s, dir, "documents")
@@ -1913,6 +1957,48 @@ object SparkEntry {
       "qt_sample" ->
         s"""SELECT lang, count(*) AS n_sampled FROM documents
            |WHERE ${h("text")} % 10 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "qt_split" ->
+        s"""SELECT CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+           |            ELSE 'test' END AS split,
+           |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM (SELECT lang, n_chars, ${h("text")} % 100 AS h FROM documents)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "qt_pii" -> {
+        val Seq(email, phone, ip) = TextAnalysis.PiiPatterns.map(_._2)
+        val redacted = TextAnalysis.PiiPatterns.foldLeft("t") {
+          case (acc, (_, pat, tok)) => s"regexp_replace($acc, '$pat', '$tok', 'g')"
+        }
+        s"""WITH inj AS (SELECT doc_id,
+           |  'reach user' || CAST(doc_id AS VARCHAR) || '@example.com or (' ||
+           |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ') ' ||
+           |  lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0') || '-' ||
+           |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' or 10.0.' ||
+           |  CAST(doc_id % 200 AS VARCHAR) || '.' || CAST((doc_id * 7) % 250 AS VARCHAR) ||
+           |  ' -- ' || text AS t FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
+           |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ip,
+           |  md5($redacted) AS redacted_md5
+           |FROM inj ORDER BY doc_id""".stripMargin
+      },
+
+      "qd_semantic" -> (quantCte +
+        s""",
+           |c0 AS (SELECT vec_id AS cent_id, qe AS cv FROM q WHERE vec_id < 8),
+           |${kmRound(1, "c0")},
+           |${kmRound(2, "c1")},
+           |${kmAssign("af", "c2")},
+           |dups AS (SELECT DISTINCT b.vec_id AS vec_id
+           |  FROM af a JOIN af b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+           |  JOIN n na ON a.vec_id = na.vec_id JOIN n nb ON b.vec_id = nb.vec_id
+           |  WHERE (list_reduce(list_transform(list_zip(a.qe, b.qe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |    / (sqrt(na.nrm) * sqrt(nb.nrm))) >= 0.3)
+           |SELECT a.vec_id, a.cent_id FROM af a
+           |WHERE a.vec_id NOT IN (SELECT vec_id FROM dups)
+           |ORDER BY a.vec_id""".stripMargin),
 
       "qd_cross_source" ->
         """SELECT md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text),'\s+'))),'string_agg','|')) AS sig,

@@ -462,6 +462,40 @@ object Similarity {
     candidateCosines(quantized(emb), ordered = true)
       .filter(col("cos") >= threshold)
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embeddings with the deterministic Lloyd codebook
+    * ([[kmeansCodebook]]), then within each cluster drop every vector
+    * that has a LOWER-id neighbor at cosine ≥ `threshold`. Survivors are
+    * returned as (vec_id, cent_id). Unlike [[embeddingNearDups]] (LSH
+    * buckets + ring, no training), the candidate structure here is the
+    * trained cluster — the semantic-dedup tradeoff: a training pass buys
+    * candidate cells aligned with the actual data clusters.
+    *
+    * Drop rule: "has any earlier neighbor", not transitive-closure —
+    * order-invariant (no dependence on scan order) and identical to the
+    * greedy keep-first semantics of the other dedup family members.
+    *
+    * Scale shape: assignment is a broadcast scan (codebook is k × dims);
+    * the candidate join is an equi-join on cent_id, so pair expansion is
+    * bounded per cluster at ~(N/k)² on balanced data. At 100 TB you raise
+    * k with N (clusters stay roughly constant-sized), keeping per-cluster
+    * work flat while the cent_id shuffle stays an ordinary hash
+    * partition; no all-pairs product ever forms.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double,
+      centroids: Int = 8, iters: Int = 2): DataFrame = {
+    val cents = kmeansCodebook(emb, centroids, iters)
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val assigned = assignToCentroids(q, cents)
+    val a = assigned.select(col("cent_id"), col("vec_id").as("va"), col("qv").as("qa"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("vb"), col("qv").as("qb"))
+    val dups = a.join(b, "cent_id")
+      .filter(col("va") < col("vb") && cosine(col("qa"), col("qb")) >= threshold)
+      .select(col("vb").as("vec_id")).distinct()
+    assigned.join(dups, Seq("vec_id"), "left_anti")
+      .select("vec_id", "cent_id")
+  }
+
   /** All-pairs exact form of [[nearestNeighborPerVector]] — correctness
     * baseline for small blocks and the differential test; k² per label, so
     * not the scale path.

@@ -113,6 +113,38 @@ object TextAnalysis {
       least(comp("mean_tok_len") / 8.0, lit(1.0)) * 0.3
   }
 
+  /** PII patterns shared with the oracle SQL. Kept to regex syntax with
+    * identical semantics in Java regex (Spark codegen) and RE2 (DuckDB):
+    * character classes, bounded repetition, `?`, and ASCII `\b`. Each
+    * entry is (kind, pattern, redaction token).
+    *
+    * The usual training-pipeline scrub set (C4/Dolma-style): emails,
+    * NANP-ish phone numbers, dotted-quad IPs. Counting is per-pattern on
+    * the raw text; [[piiRedact]] applies the replacements in this order,
+    * so a phone is rewritten before the IP pass can see its digit runs.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}", "[PHONE]"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"))
+
+  /** Per-kind PII match counts on the raw text (columns `n_email`,
+    * `n_phone`, `n_ip`). Pure `regexp_count` — codegen, no UDFs.
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (kind, pat, _) =>
+      s"n_$kind" -> regexp_count(text, lit(pat)).cast("long")
+    }
+
+  /** Redact PII in-place: sequential `regexp_replace` of every pattern
+    * with its token. One projection, stays in whole-stage codegen; at any
+    * scale this is a map-only pass (no shuffle, no state).
+    */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (_, pat, tok)) =>
+      regexp_replace(t, pat, tok)
+    }
+
   /** Repetition statistics per document — the Gopher/MassiveText-style
     * repetition filter signals: `top_unigram_frac` (share of the most
     * frequent token) and `dup_bigram_frac` (1 − distinct/total bigrams);

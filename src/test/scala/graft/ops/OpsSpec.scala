@@ -354,6 +354,48 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(d.size == (0L until 60L).map(id => (id % 8 + 2 + 2) / 3).sum)
   }
+
+  test("pii: per-kind counts and sequential redaction") {
+    val df = Seq(
+      (1L, "mail a.b-c_d%x+1@sub.example.co.uk now"),
+      (2L, "call (555) 123-4567 or 555.123.4567 today"),
+      (3L, "host 192.168.0.1 and 10.0.0.255."),
+      (4L, "no pii here at all"),
+      (5L, "u@x.io 555-123-4567 1.2.3.4")
+    ).toDF("id", "t")
+    val out = df.select(
+        Seq(col("id")) ++
+          TextAnalysis.piiCounts(col("t")).map { case (n, c) => c.as(n) } :+
+          TextAnalysis.piiRedact(col("t")).as("red"): _*)
+      .orderBy("id").collect()
+    val counts = out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(counts == Seq((1L, 0L, 0L), (0L, 2L, 0L), (0L, 0L, 2L),
+      (0L, 0L, 0L), (1L, 1L, 1L)))
+    val red = out.map(_.getAs[String]("red")).toSeq
+    assert(red == Seq(
+      "mail [EMAIL] now",
+      "call [PHONE] or [PHONE] today", // dotted phone NOT seen by the IP pass
+      "host [IP] and [IP].",
+      "no pii here at all",
+      "[EMAIL] [PHONE] [IP]"))
+  }
+
+  test("semantic dedup: earliest id per cluster-local near-set survives") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), // init centroid A
+      (1L, Seq(0.0f, 1.0f)), // init centroid B
+      (2L, Seq(0.98f, 0.02f)), // cluster A, near-dup of 0
+      (3L, Seq(0.02f, 1.0f)), // cluster B, near-dup of 1
+      (4L, Seq(0.0f, 0.9f)), // cluster B, cosine 1.0 with 1
+      (5L, Seq(-1.0f, 0.05f)) // assigned somewhere, near nothing
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, threshold = 0.9, centroids = 2, iters = 1)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 5L))
+    // survivors 0 and 1 sit in different clusters
+    val cents = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cents(0L) != cents(1L))
+  }
 }
 
 class JoinOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
