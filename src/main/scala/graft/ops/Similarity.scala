@@ -266,25 +266,54 @@ object Similarity {
     val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val cents = q.filter(col("vec_id") < centroids)
       .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cent_id"))
-    q.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("qv"), col("cent_id"), cosine(col("qv"), col("cv")).as("cc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("qv"), col("cent_id"))
+    assignToCentroids(q, cents)
   }
 
   /** Assign every vector to its highest-cosine centroid from an explicit
-    * codebook `cents(cent_id, cv)` (ties → lowest cent_id). Broadcast
-    * codebook, one parallel scan — the IVF assignment shape at any scale.
+    * codebook `cents(cent_id, cv)` (ties → lowest cent_id). The codebook
+    * is k × dims longs — driver-sized by contract — so it is collected
+    * and the assignment runs through [[assignToCentroidsLit]]: a pure
+    * map-side argmax with ZERO exchange. (The previous form — broadcast
+    * cross join + a `row_number` window over vec_id — shuffled the whole
+    * corpus by vec_id just to rank k rows per vector; at 100 TB that is a
+    * full-corpus shuffle per assignment and per k-means round, for an
+    * argmax a projection can compute.)
     */
   def assignToCentroids(q: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cent_id"))
-    q.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("qv"), col("cent_id"), cosine(col("qv"), col("cv")).as("cc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("qv"), col("cent_id"))
+    val cb = cents.select(col("cent_id"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assignToCentroidsLit(q, cb)
+  }
+
+  /** Map-side argmax-cosine assignment against a literal codebook: k
+    * codegen dot products per row, a `greatest` fold for the max, and a
+    * first-match `when` chain in ascending cent_id order for the
+    * (cosine desc, cent_id asc) tie rule. Value-identical to the window
+    * form it replaced, including the edge cases: an all-null cosine row
+    * (null qv) and an all-NaN row (zero-norm qv) both resolve to the
+    * lowest cent_id, because Spark defines `NaN = NaN` as true, ranks NaN
+    * above every other double, and the chain falls through to the lowest
+    * id otherwise. Centroid norms are precomputed driver-side with the
+    * same Long-exact sum and `Math.sqrt` the distributed expression uses,
+    * so the cosine bits match [[cosine]] exactly.
+    */
+  def assignToCentroidsLit(q: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    require(cents.nonEmpty, "assignToCentroidsLit: empty codebook")
+    val sorted = cents.sortBy(_._1)
+    val qn = sqrt(qnorm2(col("qv")).cast("double"))
+    val ccs = sorted.map { case (id, cv) =>
+      val cvn = math.sqrt(cv.map(x => x * x).sum.toDouble)
+      (id, qdot(col("qv"), typedLit(cv)).cast("double") / (qn * lit(cvn)))
+    }
+    val mx =
+      if (ccs.size == 1) ccs.head._2
+      else greatest(ccs.map(_._2): _*)
+    val cid = ccs.tail
+      .foldLeft(when(ccs.head._2 === mx, lit(ccs.head._1))) {
+        case (acc, (id, cc)) => acc.when(cc === mx, lit(id))
+      }
+      .otherwise(lit(sorted.head._1))
+    q.select(col("vec_id"), col("qv"), cid.as("cent_id"))
   }
 
   /** Deterministic Lloyd's k-means over quantized vectors: init = first-k
