@@ -1003,6 +1003,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qt_lm_score" -> ((s, dir) =>
+      // corpus-trained bigram-LM quality signal (CCNet-style filter,
+      // exact-integer probabilities — see TextAnalysis.bigramLmScore)
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy("doc_id")),
+
+    "qt_interleave" -> ((s, dir) => {
+      // deterministic per-source round-robin interleave for training-mix
+      // ordering: rank docs within each source by (md5, doc_id); reading
+      // in (rn, source) order yields a balanced source rotation. The rank
+      // window partitions by source — no global single-partition window.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(TextAnalysis.md5Long(col("text")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          row_number().over(w).as("rn"))
+        .orderBy("rn", "source")
+    }),
+
     "qd_semantic" -> ((s, dir) =>
       // SemDeDup: k-means-clustered embedding dedup — survivors after
       // dropping any vector with a lower-id ≥0.3-cosine neighbor in its
@@ -1984,6 +2004,28 @@ object SparkEntry {
            |  md5($redacted) AS redacted_md5
            |FROM inj ORDER BY doc_id""".stripMargin
       },
+
+      "qt_lm_score" ->
+        s"""WITH base AS (SELECT doc_id, $toks AS w FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |bgs AS (SELECT doc_id,
+           |    unnest(list_transform(range(len(w)-1), i -> w[i+1]||' '||w[i+2])) AS bg
+           |  FROM base WHERE len(w) >= 2),
+           |c2 AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY 1),
+           |cp AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS cp
+           |  FROM c2 GROUP BY 1),
+           |p AS (SELECT doc_id, (c2.c2 * 1000000) // cp.cp AS p
+           |  FROM bgs JOIN c2 USING (bg)
+           |  JOIN cp ON split_part(bgs.bg, ' ', 1) = cp.w1)
+           |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(p) AS BIGINT) AS lm_sum,
+           |  CAST(sum(p) AS DOUBLE) / count(*) AS lm_avg
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "qt_interleave" ->
+        s"""SELECT doc_id, source,
+           |  CAST(row_number() OVER (PARTITION BY source
+           |    ORDER BY ${h("text")}, doc_id) AS INTEGER) AS rn
+           |FROM documents ORDER BY rn, source""".stripMargin,
 
       "qd_semantic" -> (quantCte +
         s""",

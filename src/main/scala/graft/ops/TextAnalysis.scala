@@ -145,6 +145,41 @@ object TextAnalysis {
       regexp_replace(t, pat, tok)
     }
 
+  /** CCNet/KenLM-style language-model quality signal with exact
+    * arithmetic: train a bigram MLE model on the corpus itself, then score
+    * every document by its average conditional bigram probability. A real
+    * LM filter sums LOG probabilities, but `log` is libm-dependent (Java
+    * vs C can differ in the last ulp), so the score here is the integer-
+    * scaled probability `(c(w1,w2) * scale) div c(w1·)` summed exactly —
+    * the same "how predictable is this text under the corpus model"
+    * signal, threshold-usable, and bit-identical in any engine.
+    *
+    * Scale shape: the model is two hash aggregations over the exploded
+    * bigram stream (map-side combinable); scoring is two equi-joins of
+    * that stream against the model keyed by bigram / prefix — the
+    * standard distributed LM-training layout. Nothing is collected; the
+    * model relations shuffle by their own keys and AQE handles skewed
+    * heads (stopword prefixes). Docs with no bigram are dropped.
+    * `scale` bounds exactness: c2 * scale must stay in Long — at 1e6 that
+    * allows ~9e12 occurrences of a single bigram.
+    */
+  def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    val base = df.filter(length(trim(text)) > 0)
+      .select(col(idCol), tokens(text).as("_toks"))
+    val bg = base.filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(Dedup.shinglesOfTokens(col("_toks"), 2)).as("bg"))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val cp = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c2").as("cp"))
+    bg.join(c2, "bg")
+      .join(cp, substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col(idCol), expr(s"(c2 * ${scale}L) div cp").as("p"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("p").as("lm_sum"))
+      .withColumn("lm_avg", col("lm_sum").cast("double") / col("n_bigrams"))
+  }
+
   /** Repetition statistics per document — the Gopher/MassiveText-style
     * repetition filter signals: `top_unigram_frac` (share of the most
     * frequent token) and `dup_bigram_frac` (1 − distinct/total bigrams);

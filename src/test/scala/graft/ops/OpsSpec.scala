@@ -380,6 +380,22 @@ class OpsSpec extends AnyFunSuite {
       "[EMAIL] [PHONE] [IP]"))
   }
 
+  test("bigram LM score: exact scaled conditional probabilities") {
+    val df = Seq((1L, "a b a b c"), (2L, "x y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(df, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+    assert(out.length == 2) // "solo" has no bigram
+    // corpus model: c2("a b")=2, c2("b a")=1, c2("b c")=1, c2("x y")=1;
+    // prefixes: a->2, b->2, x->1
+    // doc 1: p = 1e6 + 5e5 + 1e6 + 5e5 = 3e6 over 4 bigrams
+    assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 3000000L &&
+      out(0).getDouble(3) == 750000.0)
+    // doc 2: "x y" is the only x-prefixed bigram -> p = 1e6
+    assert(out(1).getLong(1) == 1L && out(1).getLong(2) == 1000000L &&
+      out(1).getDouble(3) == 1000000.0)
+  }
+
   test("semantic dedup: earliest id per cluster-local near-set survives") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), // init centroid A
