@@ -118,6 +118,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"per-doc analysis must not shuffle:\n$p")
   }
 
+  test("centroid assignment is a pure projection — zero exchanges, no window") {
+    val emb = (0L until 50L)
+      .map(i => (i, Array.tabulate(8)(d => ((i + d) % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val cb = (0L until 4L).map(i => (i, Seq.tabulate(8)(d => (i * 100 + d))))
+    val p = plan(Similarity.assignToCentroidsLit(q, cb))
+    assert(!p.contains("Exchange") && !p.contains("Window"),
+      s"map-side argmax assignment must not shuffle or rank:\n$p")
+    // semantic dedup on top: the only joins are equi-joins (cent_id /
+    // anti on vec_id) — never a nested-loop pair expansion over the corpus
+    val sd = plan(Similarity.semanticDedup(emb, threshold = 0.5,
+      centroids = 4, iters = 1))
+    assert(!sd.contains("CartesianProduct") && !sd.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup must pair only within cent_id equi-join cells:\n$sd")
+  }
+
+  test("pii scrub is a pure projection — zero exchanges") {
+    val p = plan(docs.select(col("doc_id"),
+      TextAnalysis.piiRedact(col("text")).as("red")))
+    assert(!p.contains("Exchange"), s"pii redaction must not shuffle:\n$p")
+  }
+
   test("ANN scans broadcast the query side — never a cartesian product") {
     val emb = (0L until 50L)
       .map(i => (i, Array.tabulate(8)(d => ((i + d) % 7).toFloat)))
