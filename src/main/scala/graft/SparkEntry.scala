@@ -700,7 +700,7 @@ object SparkEntry {
   // multimodal) over the documents and embeddings tables.
   // ---------------------------------------------------------------------
 
-  import graft.ops.{AsOfJoin, Dedup, Multimodal, Ranking, Similarity, SkewJoin, TextAnalysis}
+  import graft.ops.{AsOfJoin, Chunker, Dedup, Multimodal, Ranking, Similarity, SkewJoin, TextAnalysis, ZOrder}
 
   /** Probe query for the BM25 gate — terms with spread document
     * frequencies in the synthetic corpus (shared with the oracle SQL).
@@ -1021,6 +1021,26 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           row_number().over(w).as("rn"))
         .orderBy("rn", "source")
+    }),
+
+    "qt_chunks" -> ((s, dir) =>
+      // overlapping token-window chunking (embedding/RAG ingest prep):
+      // 32-token windows every 24 tokens — map-only, one posexplode, no
+      // shuffle (see Chunker)
+      Chunker.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")),
+
+    "qt_zorder" -> ((s, dir) => {
+      // z-order clustering key over (n_chars, md5) buckets: one
+      // bit-interleaved sort key giving parquet min/max pruning on BOTH
+      // dimensions (see ZOrder; layout benefit asserted in ZOrderSpec)
+      val x = col("n_chars") % 1024
+      val y = TextAnalysis.md5Long(col("text")) % 1024
+      t(s, dir, "documents")
+        .select(col("doc_id"), x.cast("long").as("xb"), y.as("yb"),
+          ZOrder.zValue(x, y, bits = 10).as("z"))
+        .orderBy("doc_id")
     }),
 
     "qd_semantic" -> ((s, dir) =>
@@ -2026,6 +2046,22 @@ object SparkEntry {
            |  CAST(row_number() OVER (PARTITION BY source
            |    ORDER BY ${h("text")}, doc_id) AS INTEGER) AS rn
            |FROM documents ORDER BY rn, source""".stripMargin,
+
+      "qt_chunks" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS w FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |st AS (SELECT doc_id, w,
+           |    unnest(generate_series(0, len(w)-1, 24)) AS i FROM d)
+           |SELECT doc_id, CAST(i // 24 AS BIGINT) AS chunk_id,
+           |  CAST(len(list_slice(w, i+1, i+32)) AS BIGINT) AS n_tokens,
+           |  array_to_string(list_slice(w, i+1, i+32), ' ') AS chunk_text
+           |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+      "qt_zorder" ->
+        s"""SELECT doc_id, CAST(n_chars % 1024 AS BIGINT) AS xb,
+           |  ${h("text")} % 1024 AS yb,
+           |  ${graft.ops.ZOrder.zValueSql("n_chars % 1024", s"${h("text")} % 1024", 10)} AS z
+           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "qd_semantic" -> (quantCte +
         s""",

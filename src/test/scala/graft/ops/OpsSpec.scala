@@ -412,6 +412,29 @@ class OpsSpec extends AnyFunSuite {
     val cents = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cents(0L) != cents(1L))
   }
+
+  test("chunker: overlapping windows cover every token, short tail kept") {
+    val d = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"),
+      (2L, "a b"),
+      (3L, "   ")            // no tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val out = Chunker.chunk(d, "doc_id", "text", chunkSize = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    // starts 0,2,4,6: full windows then the 1-token tail
+    assert(doc1.toSeq == Seq(
+      (0L, 3L, "t1 t2 t3"), (1L, 3L, "t3 t4 t5"),
+      (2L, 3L, "t5 t6 t7"), (3L, 1L, "t7")))
+    assert(out.filter(_.getLong(0) == 2L).map(_.getString(3)).toSeq == Seq("a b"))
+    assert(!out.exists(_.getLong(0) == 3L))
+    // stride == chunkSize degenerates to non-overlapping fixed windows
+    val flat = Chunker.chunk(d.filter($"doc_id" === 1), "doc_id", "text",
+      chunkSize = 2, stride = 2).orderBy("chunk_id")
+      .collect().map(_.getString(3))
+    assert(flat.toSeq == Seq("t1 t2", "t3 t4", "t5 t6", "t7"))
+  }
 }
 
 class JoinOpsSpec extends org.scalatest.funsuite.AnyFunSuite {

@@ -142,6 +142,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"pii redaction must not shuffle:\n$p")
   }
 
+  test("chunker and z-value are map-only — zero exchanges, codegen") {
+    val c = plan(graft.ops.Chunker.chunk(docs, "doc_id", "text", 3, 2))
+    assert(!c.contains("Exchange"), s"chunking must not shuffle:\n$c")
+    assert(c.contains("Generate"), s"chunking explodes in-task:\n$c")
+    // range-backed input: a local relation would constant-fold the
+    // projection away and leave no codegen span to assert on
+    val z = plan(spark.range(100).select(col("id"),
+      graft.ops.ZOrder.zValue(col("id") % 64, col("id") % 17, 10).as("z")))
+    assert(!z.contains("Exchange"), s"z-value must not shuffle:\n$z")
+    // `*(n)` prefix = operator inside a whole-stage-codegen span
+    assert(z.contains("*(1) Project"), s"z-value stays codegen:\n$z")
+  }
+
   test("ANN scans broadcast the query side — never a cartesian product") {
     val emb = (0L until 50L)
       .map(i => (i, Array.tabulate(8)(d => ((i + d) % 7).toFloat)))
