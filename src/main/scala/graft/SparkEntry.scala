@@ -1003,6 +1003,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qt_markup" -> ((s, dir) => {
+      // boilerplate/markup stripping (C4-style): the synthetic corpus has
+      // no HTML, so the gate wraps each doc in deterministic markup from
+      // its own fields (same concat in both engines), then strips and
+      // hashes. Map-only regexp chain — stays in whole-stage codegen.
+      val injected = concat(
+        lit("<div id=\""), col("doc_id").cast("string"),
+        lit("\"><p class=\"x\">"), col("text"),
+        lit(" &amp; "), col("lang"), lit("</p></div><br/>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tagCount(injected).as("n_tags"),
+          md5(TextAnalysis.stripMarkup(injected)).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     "qt_lm_score" -> ((s, dir) =>
       // corpus-trained bigram-LM quality signal (CCNet-style filter,
       // exact-integer probabilities — see TextAnalysis.bigramLmScore)
@@ -2022,6 +2038,21 @@ object SparkEntry {
            |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
            |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ip,
            |  md5($redacted) AS redacted_md5
+           |FROM inj ORDER BY doc_id""".stripMargin
+      },
+
+      "qt_markup" -> {
+        val chain = TextAnalysis.MarkupSteps.foldLeft("t") {
+          case (acc, (pat, rep)) =>
+            s"regexp_replace($acc, '$pat', '${rep.replace("'", "''")}', 'g')"
+        }
+        s"""WITH inj AS (SELECT doc_id,
+           |  '<div id="' || CAST(doc_id AS VARCHAR) || '"><p class="x">' ||
+           |  text || ' &amp; ' || lang || '</p></div><br/>' AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags,
+           |  md5(trim(regexp_replace($chain, '\\s+', ' ', 'g'))) AS clean_md5
            |FROM inj ORDER BY doc_id""".stripMargin
       },
 

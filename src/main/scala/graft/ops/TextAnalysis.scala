@@ -145,6 +145,37 @@ object TextAnalysis {
       regexp_replace(t, pat, tok)
     }
 
+  /** Markup-strip steps, applied IN ORDER (order is part of the contract
+    * and shared with the oracle SQL): tags become spaces first (so
+    * adjacent words never fuse), then the common HTML entities unescape,
+    * then whitespace collapses. Patterns stick to syntax with identical
+    * Java-regex/RE2 semantics. A double-escaped entity (`&amp;lt;`)
+    * unescapes twice — deterministic, and identical in both engines.
+    */
+  val MarkupSteps: Seq[(String, String)] = Seq(
+    ("<[^>]*>", " "),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"))
+
+  /** Number of markup tags in the raw text. */
+  def tagCount(text: Column): Column =
+    regexp_count(text, lit("<[^>]*>")).cast("long")
+
+  /** C4/CCNet-style boilerplate cleanup: strip tags, unescape entities,
+    * collapse whitespace. A chain of `regexp_replace` in one projection —
+    * codegen, map-only at any scale (no shuffle, no UDF).
+    */
+  def stripMarkup(text: Column): Column =
+    trim(regexp_replace(
+      MarkupSteps.foldLeft(text) { case (t, (pat, rep)) =>
+        regexp_replace(t, pat, rep)
+      },
+      "\\s+", " "))
+
   /** CCNet/KenLM-style language-model quality signal with exact
     * arithmetic: train a bigram MLE model on the corpus itself, then score
     * every document by its average conditional bigram probability. A real

@@ -413,6 +413,22 @@ class OpsSpec extends AnyFunSuite {
     assert(cents(0L) != cents(1L))
   }
 
+  test("markup strip: tags out, entities unescaped, whitespace collapsed") {
+    val d = Seq(
+      (1L, """<div id="7"><p>a&amp;b</p> <br/>c &lt;tag&gt; &quot;q&#39;</div>"""),
+      (2L, "no markup at all"),
+      (3L, "&amp;lt;x double-escaped")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextAnalysis.tagCount(col("text")).as("n"),
+        TextAnalysis.stripMarkup(col("text")).as("s"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 5L)
+    assert(out(0).getString(2) == "a&b c <tag> \"q'")
+    assert(out(1).getLong(1) == 0L && out(1).getString(2) == "no markup at all")
+    // double-escaped &amp;lt; unescapes twice by the pinned step order
+    assert(out(2).getString(2) == "<x double-escaped")
+  }
+
   test("chunker: overlapping windows cover every token, short tail kept") {
     val d = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7"),
