@@ -71,24 +71,34 @@ object Similarity {
   def planeWeight(plane: Int, dim: Int): Long =
     ((plane * 64L + dim) * 2654435761L) % 1000003L - 501001L
 
-  /** LSH bucket id from hyperplane sign bits. Each plane's dot product
-    * runs over the first `size(qv)` of `dims` hyperplane weights, so any
-    * vector length up to `dims` gets a real signature (a full-width
-    * zip_with would null-pad shorter vectors, poison the aggregate, and
-    * silently collapse every bucket to 0); longer vectors raise. The
-    * driver-side twin [[lshBucketOf]] applies the identical rule, keeping
-    * stored and recomputed buckets in lockstep at every length.
+  /** LSH bucket id from hyperplane sign bits. Each plane's dot product is
+    * the codegen [[qdot]] ([[graft.plans.ArrayDotProduct]]) against a
+    * literal weight array — a tight primitive loop, where the previous
+    * `zip_with`+`aggregate` form paid one interpreted lambda call per
+    * element per row (and a `slice` variant additionally copied the
+    * 64-literal array per plane per row; the ladder measured on the
+    * sf0.1 bucketed top-k: slice 1.0 s → zip_with 0.36 s → qdot here).
+    * `ArrayDotProduct` truncates to the shorter operand, so any vector
+    * length up to `dims` gets a real signature over the first `size(qv)`
+    * weights; longer vectors raise. The driver-side twin [[lshBucketOf]]
+    * applies the same first-`length` rule, keeping stored and recomputed
+    * buckets in lockstep at every length. (Null ELEMENTS inside a vector
+    * are out of contract here — [[quantize]] never produces them.)
     */
   def lshBucket(qv: Column, dims: Int = 64, numPlanes: Int = NumPlanes): Column = {
     val bucket = (0 until numPlanes).map { p =>
-      val w = array((0 until dims).map(j => lit(planeWeight(p, j))): _*)
-      when(aggregate(zip_with(qv, slice(w, lit(1), size(qv)), (x, y) => x * y),
-          lit(0L), (a, v) => a + v) >= 0,
-        lit(1L << p)).otherwise(0L)
+      val w = typedLit((0 until dims).map(j => planeWeight(p, j)))
+      when(qdot(qv, w) >= 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
-    when(size(qv) <= dims, bucket)
-      .otherwise(raise_error(concat(
-        lit(s"lshBucket: vector longer than $dims dims: "), size(qv).cast("string"))))
+    // the length check is an additive 0-term, NOT a wrapper around the
+    // bucket: wrapping makes all numPlanes dot products conditionally
+    // executed, which exiles them from codegen subexpression elimination
+    // (measured 2× on the bucketed top-k); an add of a conditional scalar
+    // leaves the hot terms unconditional and costs one comparison
+    bucket + when(size(qv) > dims,
+      raise_error(concat(lit(s"lshBucket: vector longer than $dims dims: "),
+        size(qv).cast("string"))).cast("long"))
+      .otherwise(lit(0L))
   }
 
   /** LSH-bucketed top-k: scan only the query's bucket. */
@@ -286,16 +296,22 @@ object Similarity {
   }
 
   /** Map-side argmax-cosine assignment against a literal codebook: k
-    * codegen dot products per row, a `greatest` fold for the max, and a
-    * first-match `when` chain in ascending cent_id order for the
-    * (cosine desc, cent_id asc) tie rule. Value-identical to the window
-    * form it replaced, including the edge cases: an all-null cosine row
-    * (null qv) and an all-NaN row (zero-norm qv) both resolve to the
-    * lowest cent_id, because Spark defines `NaN = NaN` as true, ranks NaN
-    * above every other double, and the chain falls through to the lowest
-    * id otherwise. Centroid norms are precomputed driver-side with the
-    * same Long-exact sum and `Math.sqrt` the distributed expression uses,
-    * so the cosine bits match [[cosine]] exactly.
+    * codegen dot products per row assembled into ONE array, `array_max`
+    * for the maximum, and `array_position`'s first-occurrence rule for
+    * the (cosine desc, cent_id asc) tie break. Each cosine is computed
+    * exactly once per row — a `greatest` + first-match `when`-chain form
+    * re-evaluates the max (all k dots) inside every branch condition,
+    * because codegen subexpression elimination deliberately skips
+    * conditionally-executed subtrees (measured ~2.4× slower on the IVF
+    * gate). Value-identical to the window form both replaced, including
+    * the edge cases: an all-null cosine row (null qv) falls through
+    * `array_position`'s null result to the lowest cent_id via coalesce,
+    * and an all-NaN row (zero-norm qv) resolves to the lowest cent_id
+    * because Spark ranks NaN above every double and defines `NaN = NaN`
+    * as true for `array_max`/`array_position`. Centroid norms are
+    * precomputed driver-side with the same Long-exact sum and
+    * `Math.sqrt` the distributed expression uses, so the cosine bits
+    * match [[cosine]] exactly.
     */
   def assignToCentroidsLit(q: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
     require(cents.nonEmpty, "assignToCentroidsLit: empty codebook")
@@ -305,14 +321,11 @@ object Similarity {
       val cvn = math.sqrt(cv.map(x => x * x).sum.toDouble)
       (id, qdot(col("qv"), typedLit(cv)).cast("double") / (qn * lit(cvn)))
     }
-    val mx =
-      if (ccs.size == 1) ccs.head._2
-      else greatest(ccs.map(_._2): _*)
-    val cid = ccs.tail
-      .foldLeft(when(ccs.head._2 === mx, lit(ccs.head._1))) {
-        case (acc, (id, cc)) => acc.when(cc === mx, lit(id))
-      }
-      .otherwise(lit(sorted.head._1))
+    val ids = typedLit(sorted.map(_._1))
+    val arr = array(ccs.map(_._2): _*)
+    val cid = coalesce(
+      element_at(ids, array_position(arr, array_max(arr)).cast("int")),
+      lit(sorted.head._1))
     q.select(col("vec_id"), col("qv"), cid.as("cent_id"))
   }
 
