@@ -38,7 +38,9 @@ object Chunker {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
     require(stride > 0 && stride <= chunkSize,
       s"stride must be in [1, chunkSize=$chunkSize], got $stride")
-    val toks = split(trim(col(textCol)), "\\s+")
+    // the repo-wide tokenization convention — every text gate's oracle
+    // parity hangs on this single definition
+    val toks = TextAnalysis.tokens(col(textCol))
     df.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), toks.as("w"))
       .select(col(idCol), col("w"),

@@ -464,6 +464,70 @@ object Dedup {
     (survivors, newClaims)
   }
 
+  /** The claim-store row schema ([[bandKeys]] output minus the id) plus
+    * the `claim_batch` partition column — passed explicitly to store
+    * reads so a store containing only in-flight partition dirs (e.g. an
+    * interrupted first batch left `_temporary` files) reads as empty
+    * instead of failing schema inference.
+    */
+  private val ClaimStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bkey",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("claim_batch",
+      org.apache.spark.sql.types.LongType)))
+
+  private def claimPartitions(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Array[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("claim_batch="))
+      .map(_.getPath)
+  }
+
+  /** Offline compaction of a [[streamingNearDup]] claim store: fold the
+    * compacted base and every FINALIZED batch partition into one distinct
+    * bucket set under a fresh NEGATIVE `claim_batch` partition (strictly
+    * below any existing one — live batch ids are ≥ 0, so the streaming
+    * loop's `claim_batch < batchId` read always sees the base), then drop
+    * the folded partitions.
+    *
+    * The HIGHEST live batch id is deliberately left out of the fold: only
+    * one micro-batch can ever be written-but-uncommitted (structured
+    * streaming commits batch N before starting N+1), so a checkpoint
+    * replay can only re-run that highest batch — and a replayed batch
+    * must NOT see its own claims as prior (it would classify every
+    * shingled doc in the batch as a loser and overwrite its output with
+    * a near-empty survivor set). Keeping that batch under its own
+    * `claim_batch=N` partition preserves the `< batchId` exclusion
+    * across compaction. Run while the query is STOPPED (between
+    * AvailableNow drains). Crash-safe in the weak-but-sufficient sense:
+    * the base lands in a directory that was never an input before
+    * anything is deleted, so an interrupted run leaves duplicate claims
+    * (harmless — blocking is a semi-join) never missing ones, and a
+    * re-run finishes the job.
+    */
+  def compactClaims(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Unit = {
+    val parts = claimPartitions(spark, storePath)
+    def idOf(p: org.apache.hadoop.fs.Path): Long =
+      p.getName.stripPrefix("claim_batch=").toLong
+    val maxLive = parts.map(idOf).filter(_ >= 0).sorted.lastOption
+    val fold = parts.filter(p => idOf(p) < 0 || maxLive.exists(idOf(p) < _))
+    if (fold.length > 1) {
+      val fs = fold.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val target = math.min(-1L, parts.map(idOf).min - 1)
+      spark.read.option("basePath", storePath).schema(ClaimStoreSchema)
+        .parquet(fold.map(_.toString).toIndexedSeq: _*)
+        .select("band", "bkey").distinct()
+        .write.parquet(s"$storePath/claim_batch=$target")
+      fold.foreach(p => fs.delete(p, true))
+    }
+  }
+
   /** Streaming greedy near-dedup: `docs` (a streaming DataFrame) →
     * surviving rows under `outPath`, claimed buckets under `storePath`,
     * both partitioned by micro-batch id so a replayed batch OVERWRITES its
@@ -471,37 +535,12 @@ object Dedup {
     * idempotent-foreachBatch pattern; each round reads only claims with
     * `claim_batch < batchId`). Claims are never evicted — near-dup state,
     * unlike exact-signature state, has no watermark semantics a newcomer
-    * could rely on; at 100 TB the store is a partitioned table whose
-    * per-batch files an offline job can compact.
+    * could rely on; at 100 TB the store is a partitioned table compacted
+    * offline by [[compactClaims]]. Store reads carry an explicit schema
+    * (empty/in-flight stores read as empty); any OTHER store-read failure
+    * fails the batch — silently proceeding without prior claims would
+    * ship duplicates as survivors.
     */
-  /** Offline compaction of a [[streamingNearDup]] claim store: rewrite
-    * the whole store as ONE distinct bucket set under a fresh NEGATIVE
-    * `claim_batch` partition (strictly below any existing one — live
-    * batch ids are ≥ 0, so the streaming loop's `claim_batch < batchId`
-    * read always sees the compacted base), then drop the old partitions.
-    * Run while the query is STOPPED (between AvailableNow drains).
-    * Crash-safe in the weak-but-sufficient sense: the base lands in a
-    * directory that was never an input before anything is deleted, so an
-    * interrupted run leaves duplicate claims (harmless — blocking is a
-    * semi-join) never missing ones, and a re-run finishes the job.
-    */
-  def compactClaims(spark: org.apache.spark.sql.SparkSession,
-      storePath: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("claim_batch="))
-      .map(_.getPath)
-    if (parts.length > 1) {
-      val target =
-        math.min(-1L, parts.map(_.getName.stripPrefix("claim_batch=").toLong).min - 1)
-      spark.read.option("basePath", storePath).parquet(storePath)
-        .select("band", "bkey").distinct()
-        .write.parquet(s"$storePath/claim_batch=$target")
-      parts.foreach(p => fs.delete(p, true))
-    }
-  }
-
   def streamingNearDup(docs: DataFrame, idCol: String, text: Column,
       storePath: String, outPath: String, checkpoint: String,
       nGram: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
@@ -510,13 +549,13 @@ object Dedup {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val storeFsPath = new org.apache.hadoop.fs.Path(storePath)
-        val storeExists = storeFsPath
-          .getFileSystem(s.sparkContext.hadoopConfiguration).exists(storeFsPath)
-        val prior = if (!storeExists) None else scala.util.Try(
-            s.read.option("basePath", storePath).parquet(storePath)
+        val prior =
+          if (claimPartitions(s, storePath).isEmpty) None
+          else Some(
+            s.read.option("basePath", storePath).schema(ClaimStoreSchema)
+              .parquet(storePath)
               .filter(col("claim_batch") < batchId)
-              .select("band", "bkey")).toOption
+              .select("band", "bkey"))
         val cached = batch.persist()
         val claims = bandClaims(cached, idCol, text, nGram).persist()
         try {

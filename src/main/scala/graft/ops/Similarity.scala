@@ -204,8 +204,12 @@ object Similarity {
       qRow.head.getSeq[Long](0)
     }
     val qbucket = lshBucketOf(qv, numPlanes = numPlanes)
-    val probes = (0L until (1L << numPlanes))
-      .filter(b => java.lang.Long.bitCount(b ^ qbucket) <= maxHamming)
+    // generate the hamming ball directly — C(p, ≤h) ids — instead of
+    // filtering all 2^p: at p=20, h=1 that is 21 probe ids, not a
+    // million-element scan feeding a million-literal IN filter
+    val probes = (0 to maxHamming).flatMap(h =>
+      (0 until numPlanes).combinations(h).map(
+        _.foldLeft(qbucket)((b, i) => b ^ (1L << i)))).distinct
     layout
       .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), cosine(col("qv"), typedLit(qv)).as("score"))
@@ -255,8 +259,15 @@ object Similarity {
       require(qRow.nonEmpty, s"query vector $queryId not found in layout $path")
       qRow.head.getSeq[Long](0)
     }
+    // probe order must match the distributed orderBy(cc.desc, cent_id):
+    // Spark ranks NaN ABOVE every double in a desc sort, while Scala's
+    // total Double ordering would sort a NaN key LAST — map NaN to
+    // -Infinity under the negated key so a zero-norm centroid (NaN
+    // cosine) is probed first on both paths
     val probes = cents.map { case (cid, cv) => (cid, lcos(qv, cv)) }
-      .sortBy { case (cid, cc) => (-cc, cid) }.take(nprobe).map(_._1).toSeq
+      .sortBy { case (cid, cc) =>
+        (if (cc.isNaN) Double.NegativeInfinity else -cc, cid)
+      }.take(nprobe).map(_._1).toSeq
     data
       .filter(col("cent_id").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), cosine(col("qv"), typedLit(qv)).as("score"))

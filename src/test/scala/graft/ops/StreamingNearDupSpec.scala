@@ -96,22 +96,36 @@ class StreamingNearDupSpec extends AnyFunSuite {
     val src = tmp("snd_src"); val base = tmp("snd")
     writeDocs(src, "b0", corpusA, 1000000L)
     writeDocs(src, "b1", corpusB, 2000000L)
-    runStream(src, base, maxFilesPerTrigger = Some(1)) // ≥2 claim batches
+    // a third batch so compaction has ≥2 FINALIZED batches to fold (the
+    // latest batch is deliberately never folded — replay safety)
+    writeDocs(src, "b2",
+      Seq(9L -> "sixteen seventeen eighteen nineteen twenty"), 2500000L)
+    runStream(src, base, maxFilesPerTrigger = Some(1)) // ≥3 claim batches
     val before = spark.read.option("basePath", s"$base/claims")
       .parquet(s"$base/claims").select("band", "bkey").distinct().count()
+    val maxLive = spark.read.option("basePath", s"$base/claims")
+      .parquet(s"$base/claims").select("claim_batch").distinct()
+      .as[Long].collect().max
     Dedup.compactClaims(spark, s"$base/claims")
     val after = spark.read.option("basePath", s"$base/claims")
       .parquet(s"$base/claims")
-    assert(after.select("claim_batch").distinct().as[Long].collect().toSeq
-        .forall(_ < 0), "compacted base must sit below live batch ids")
-    assert(after.select("band", "bkey").count() == before,
+    // the HIGHEST live batch stays under its own id: it is the only batch
+    // a checkpoint replay can re-run, and a replayed batch must not see
+    // its own claims as prior (claim_batch < batchId would include a
+    // folded base) — everything below it folds into the negative base
+    val afterIds = after.select("claim_batch").distinct().as[Long].collect().toSeq
+    assert(afterIds.count(_ >= 0) == 1 && afterIds.contains(maxLive),
+      s"latest batch partition must survive compaction, got $afterIds")
+    assert(afterIds.forall(id => id < 0 || id == maxLive),
+      s"all finalized batches must fold into the base, got $afterIds")
+    assert(after.select("band", "bkey").distinct().count() == before,
       "compaction must keep exactly the distinct claim set")
     // a post-compaction batch is still blocked by the compacted base
-    writeDocs(src, "b2", Seq(
+    writeDocs(src, "b3", Seq(
       7L -> "alpha beta gamma delta epsilon", // dup of compacted doc 1
       8L -> "twelve thirteen fourteen fifteen"), 3000000L)
     runStream(src, base)
-    assert(survivors(base) == Seq(1L, 3L, 4L, 6L, 8L),
+    assert(survivors(base) == Seq(1L, 3L, 4L, 6L, 8L, 9L),
       "doc 7 must be blocked by the compacted claims")
   }
 
