@@ -515,7 +515,7 @@ object Dedup {
     val parts = claimPartitions(spark, storePath)
     def idOf(p: org.apache.hadoop.fs.Path): Long =
       p.getName.stripPrefix("claim_batch=").toLong
-    val maxLive = parts.map(idOf).filter(_ >= 0).sorted.lastOption
+    val maxLive = parts.map(idOf).filter(_ >= 0).maxOption
     val fold = parts.filter(p => idOf(p) < 0 || maxLive.exists(idOf(p) < _))
     if (fold.length > 1) {
       val fs = fold.head.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -207,9 +207,11 @@ object Similarity {
     // generate the hamming ball directly — C(p, ≤h) ids — instead of
     // filtering all 2^p: at p=20, h=1 that is 21 probe ids, not a
     // million-element scan feeding a million-literal IN filter
+    // distinct flip masks XOR'd with one fixed bucket stay distinct, so
+    // the ball needs no dedup pass
     val probes = (0 to maxHamming).flatMap(h =>
       (0 until numPlanes).combinations(h).map(
-        _.foldLeft(qbucket)((b, i) => b ^ (1L << i)))).distinct
+        _.foldLeft(qbucket)((b, i) => b ^ (1L << i))))
     layout
       .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), cosine(col("qv"), typedLit(qv)).as("score"))
@@ -259,15 +261,19 @@ object Similarity {
       require(qRow.nonEmpty, s"query vector $queryId not found in layout $path")
       qRow.head.getSeq[Long](0)
     }
-    // probe order must match the distributed orderBy(cc.desc, cent_id):
-    // Spark ranks NaN ABOVE every double in a desc sort, while Scala's
-    // total Double ordering would sort a NaN key LAST — map NaN to
-    // -Infinity under the negated key so a zero-norm centroid (NaN
-    // cosine) is probed first on both paths
-    val probes = cents.map { case (cid, cv) => (cid, lcos(qv, cv)) }
-      .sortBy { case (cid, cc) =>
-        (if (cc.isNaN) Double.NegativeInfinity else -cc, cid)
-      }.take(nprobe).map(_._1).toSeq
+    // a zero-norm vector makes the driver lcos silently NaN where the
+    // distributed cosine THROWS (ANSI double division by zero — the
+    // session default here); reject loudly so both entry points fail the
+    // same data instead of this one probing garbage lists. With norms
+    // non-zero, cc is never NaN and the plain (-cc, cid) sort is exactly
+    // the distributed orderBy(cc.desc, cent_id)
+    require(ldot(qv, qv) != 0L, "zero-norm query vector")
+    val probes = cents.map { case (cid, cv) =>
+        require(ldot(cv, cv) != 0L,
+          s"zero-norm centroid $cid in codebook $path/codebook")
+        (cid, lcos(qv, cv))
+      }
+      .sortBy { case (cid, cc) => (-cc, cid) }.take(nprobe).map(_._1).toSeq
     data
       .filter(col("cent_id").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), cosine(col("qv"), typedLit(qv)).as("score"))
@@ -316,8 +322,10 @@ object Similarity {
     * conditionally-executed subtrees (measured ~2.4× slower on the IVF
     * gate). Value-identical to the window form both replaced, including
     * the edge cases: an all-null cosine row (null qv) falls through
-    * `array_position`'s null result to the lowest cent_id via coalesce,
-    * and an all-NaN row (zero-norm qv) resolves to the lowest cent_id
+    * `array_position`'s null result to the lowest cent_id via coalesce;
+    * a zero-norm row throws under ANSI division (the session default —
+    * identically in the window form, which computes the same division),
+    * and with ANSI off its all-NaN cosines resolve to the lowest cent_id
     * because Spark ranks NaN above every double and defines `NaN = NaN`
     * as true for `array_max`/`array_position`. Centroid norms are
     * precomputed driver-side with the same Long-exact sum and

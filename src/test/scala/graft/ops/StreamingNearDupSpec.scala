@@ -118,8 +118,11 @@ class StreamingNearDupSpec extends AnyFunSuite {
       s"latest batch partition must survive compaction, got $afterIds")
     assert(afterIds.forall(id => id < 0 || id == maxLive),
       s"all finalized batches must fold into the base, got $afterIds")
-    assert(after.select("band", "bkey").distinct().count() == before,
-      "compaction must keep exactly the distinct claim set")
+    // raw count, not distinct: per-batch claim sets are disjoint by
+    // construction (newClaims excludes stored buckets), so folding must
+    // neither drop claims NOR duplicate any into the surviving partition
+    assert(after.select("band", "bkey").count() == before,
+      "compaction must keep exactly the distinct claim set, no duplication")
     // a post-compaction batch is still blocked by the compacted base
     writeDocs(src, "b3", Seq(
       7L -> "alpha beta gamma delta epsilon", // dup of compacted doc 1
