@@ -1107,6 +1107,33 @@ object SparkEntry {
         .limit(50)
     }),
 
+    "qt_token_ids" -> ((s, dir) => {
+      // vocabulary ENCODING — the text→ids step between tokenization
+      // (qt_token_stats/qt_vocab) and sequence packing (qt_packing):
+      // each token maps to its frequency-rank id (1-based, ties by token
+      // asc), out-of-vocab → 0. The vocab is driver-sized by contract
+      // (same precedent as the ANN codebooks), so it broadcasts as a
+      // literal map and encoding is a map-only transform — no per-doc
+      // shuffle at any corpus size; only the one vocab aggregation
+      // shuffles. Output as csv + oov count (array columns don't
+      // hash-compare portably across engines).
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok"))
+        .limit(50).collect()
+        .zipWithIndex.map { case (r, i) => r.getString(0) -> (i + 1L) }.toMap
+      val m = typedLit(vocab)
+      val ids = transform(TextAnalysis.tokens(col("text")),
+        t => coalesce(element_at(m, t), lit(0L)))
+      t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          size(filter(ids, _ === 0L)).cast("long").as("n_oov"),
+          concat_ws(",", transform(ids, _.cast("string"))).as("ids_csv"))
+        .orderBy("doc_id")
+    }),
+
     "qt_repetition" -> ((s, dir) =>
       // Gopher-style repetition signals per doc: top-unigram share and
       // duplicate-bigram fraction (machine-generated boilerplate scores
@@ -2118,6 +2145,22 @@ object SparkEntry {
         """SELECT tok, count(*) AS freq FROM (
           |  SELECT unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents) t
           |GROUP BY 1 ORDER BY freq DESC, tok LIMIT 50""".stripMargin,
+
+      "qt_token_ids" ->
+        s"""WITH v AS (SELECT tok, row_number() OVER (ORDER BY freq DESC, tok) AS id
+           |  FROM (SELECT tok, count(*) AS freq FROM (
+           |    SELECT unnest($toks) AS tok FROM documents) t GROUP BY 1
+           |    ORDER BY freq DESC, tok LIMIT 50) f),
+           |d AS (SELECT doc_id, $toks AS w FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |e AS (SELECT doc_id, unnest(w) AS tok,
+           |    unnest(generate_series(1, len(w))) AS ord FROM d),
+           |j AS (SELECT doc_id, ord, coalesce(v.id, 0) AS id
+           |  FROM e LEFT JOIN v USING (tok))
+           |SELECT doc_id,
+           |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY ord) AS ids_csv
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "qt_repetition" ->
         s"""WITH base AS (SELECT doc_id, $toks AS w FROM documents
