@@ -967,6 +967,30 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "qt_mixture" -> ((s, dir) => {
+      // temperature-based language rebalancing (the multilingual
+      // data-mixing staple): keep-rate per lang ∝ n^α / n at α = 0.5,
+      // normalized so the SMALLEST language keeps 100% (a filter can
+      // only downsample) — flattens the language distribution toward
+      // uniform without an upsampling pass. Rates derive from corpus
+      // counts: one driver-sized aggregation, thresholds broadcast as a
+      // literal map, then a deterministic md5-residue map-side filter —
+      // no per-doc shuffle at any corpus size. sqrt/division/floor are
+      // IEEE-exact in both engines, so thresholds are bit-identical.
+      val counts = t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nMin = counts.values.min.toDouble
+      val thr = counts.map { case (lang, n) =>
+        lang -> math.floor(10000.0 * math.sqrt(nMin) / math.sqrt(n.toDouble)).toLong
+      }
+      val residue = TextAnalysis.md5Long(col("text")) % 10000
+      t(s, dir, "documents")
+        .filter(residue < element_at(typedLit(thr), col("lang")))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     "qt_split" -> ((s, dir) => {
       // deterministic train/val/test assignment: md5-residue buckets
       // (90/5/5) — reproducible across engines, runs, and cluster sizes
@@ -2040,6 +2064,17 @@ object SparkEntry {
       "qt_sample" ->
         s"""SELECT lang, count(*) AS n_sampled FROM documents
            |WHERE ${h("text")} % 10 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "qt_mixture" ->
+        s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+           |mn AS (SELECT min(n) AS nmin FROM c),
+           |t AS (SELECT lang,
+           |    CAST(floor(10000.0 * sqrt(nmin) / sqrt(n)) AS BIGINT) AS thr
+           |  FROM c, mn)
+           |SELECT d.lang, count(*) AS n_kept
+           |FROM documents d JOIN t ON d.lang = t.lang
+           |WHERE ${h("text")} % 10000 < t.thr
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "qt_split" ->
         s"""SELECT CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
