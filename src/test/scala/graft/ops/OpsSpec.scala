@@ -429,6 +429,39 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2).getString(2) == "<x double-escaped")
   }
 
+  test("property: chunker windows match an independent slice reference") {
+    val rnd = new scala.util.Random(20260813L)
+    val docs = (1L to 50L).map { id =>
+      val n = rnd.nextInt(41) // 0..40 tokens
+      (id, Seq.fill(n)(s"w${rnd.nextInt(9)}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((chunkSize, stride) <- Seq((5, 3), (4, 4), (7, 1), (1, 1))) {
+      val got = Chunker.chunk(df, "doc_id", "text", chunkSize, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+        .toMap
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        (0 until toks.length by stride).zipWithIndex.map { case (start, k) =>
+          val w = toks.slice(start, start + chunkSize)
+          (id, k.toLong) -> (w.length.toLong, w.mkString(" "))
+        }
+      }.toMap
+      assert(got == want, s"chunkSize=$chunkSize stride=$stride")
+      // non-overlapping windows reconstruct the token stream exactly
+      if (stride == chunkSize) {
+        val rebuilt = got.toSeq.sortBy(_._1).groupBy(_._1._1)
+          .map { case (id, cs) =>
+            id -> cs.sortBy(_._1._2).map(_._2._2).mkString(" ")
+          }
+        docs.filter(_._2.trim.nonEmpty).foreach { case (id, text) =>
+          assert(rebuilt(id) == text.trim.split("\\s+").mkString(" "), s"doc $id")
+        }
+      }
+    }
+  }
+
   test("chunker: overlapping windows cover every token, short tail kept") {
     val d = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7"),
