@@ -26,6 +26,13 @@ object GraftSession {
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.codegen.maxFields", CodegenMaxFields.toString)
+    // Pin ANSI explicitly (it is the Spark 4 default, but operator
+    // semantics here are written to it — e.g. zero-norm cosine THROWS on
+    // division by zero, and the driver-side ANN probe picks mirror that
+    // loud failure): a session inheriting ansi=false from a migration
+    // config would silently change error behavior out from under the
+    // documented contracts.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     spark
   }
 }

@@ -980,15 +980,22 @@ object SparkEntry {
       val counts = t(s, dir, "documents").groupBy("lang")
         .agg(count(lit(1)).as("n")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val nMin = counts.values.min.toDouble
-      val thr = counts.map { case (lang, n) =>
-        lang -> math.floor(10000.0 * math.sqrt(nMin) / math.sqrt(n.toDouble)).toLong
+      if (counts.isEmpty)
+        // empty corpus degrades to an empty result (same schema), like
+        // every sibling sampling gate — not a driver-side empty.min crash
+        t(s, dir, "documents")
+          .groupBy("lang").agg(count(lit(1)).as("n_kept")).orderBy("lang")
+      else {
+        val nMin = counts.values.min.toDouble
+        val thr = counts.map { case (lang, n) =>
+          lang -> math.floor(10000.0 * math.sqrt(nMin) / math.sqrt(n.toDouble)).toLong
+        }
+        val residue = TextAnalysis.md5Long(col("text")) % 10000
+        t(s, dir, "documents")
+          .filter(residue < element_at(typedLit(thr), col("lang")))
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang")
       }
-      val residue = TextAnalysis.md5Long(col("text")) % 10000
-      t(s, dir, "documents")
-        .filter(residue < element_at(typedLit(thr), col("lang")))
-        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
-        .orderBy("lang")
     }),
 
     "qt_split" -> ((s, dir) => {

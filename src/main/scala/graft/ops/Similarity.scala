@@ -262,11 +262,14 @@ object Similarity {
       qRow.head.getSeq[Long](0)
     }
     // a zero-norm vector makes the driver lcos silently NaN where the
-    // distributed cosine THROWS (ANSI double division by zero — the
-    // session default here); reject loudly so both entry points fail the
-    // same data instead of this one probing garbage lists. With norms
-    // non-zero, cc is never NaN and the plain (-cc, cid) sort is exactly
-    // the distributed orderBy(cc.desc, cent_id)
+    // distributed cosine THROWS (ANSI double division by zero — pinned
+    // by GraftSession.tune); reject loudly so both entry points fail the
+    // same data instead of this one probing garbage lists. (Under a
+    // non-ANSI session the distributed path would instead NULL the
+    // cosine and rank that centroid last; this check is deliberately
+    // stricter there — fail-fast over silently probing a degenerate
+    // list.) With norms non-zero, cc is never NaN and the plain
+    // (-cc, cid) sort is exactly the distributed orderBy(cc.desc, cent_id)
     require(ldot(qv, qv) != 0L, "zero-norm query vector")
     val probes = cents.map { case (cid, cv) =>
         require(ldot(cv, cv) != 0L,

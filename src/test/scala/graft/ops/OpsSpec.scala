@@ -437,10 +437,13 @@ class OpsSpec extends AnyFunSuite {
     }
     val df = docs.toDF("doc_id", "text")
     for ((chunkSize, stride) <- Seq((5, 3), (4, 4), (7, 1), (1, 1))) {
-      val got = Chunker.chunk(df, "doc_id", "text", chunkSize, stride)
+      val rows = Chunker.chunk(df, "doc_id", "text", chunkSize, stride)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
-        .toMap
+      val got = rows.toMap
+      // row-count check first: the map compare alone would collapse
+      // duplicated (doc_id, chunk_id) rows (e.g. a join fan-out bug)
+      assert(rows.length == got.size, s"duplicate chunk keys at $chunkSize/$stride")
       val want = docs.flatMap { case (id, text) =>
         val toks = text.trim.split("\\s+").filter(_.nonEmpty)
         (0 until toks.length by stride).zipWithIndex.map { case (start, k) =>
