@@ -1098,6 +1098,23 @@ object SparkEntry {
       Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.3)
         .orderBy("vec_id")),
 
+    "qd_dup_ngrams" -> ((s, dir) => {
+      // duplicated n-gram fraction (the MassiveText/Gopher exact-substring
+      // dedup signal): per doc, how many of its DISTINCT 5-gram shingles
+      // occur in at least one OTHER document. One df aggregation keyed by
+      // shingle hash, one equi-join back on the same key (partitioning
+      // reused), one per-doc aggregation — no pairwise expansion, exact
+      // integer counts at any corpus size.
+      val sh = Dedup.shingleHashes(t(s, dir, "documents"), "doc_id",
+        col("text"), n = 5)
+      val dfr = sh.groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
+      sh.join(dfr, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .orderBy("doc_id")
+    }),
+
     "qd_cross_source" -> ((s, dir) => {
       // contamination check: identical bag-of-words across distinct sources
       t(s, dir, "documents")
@@ -2177,6 +2194,18 @@ object SparkEntry {
            |SELECT a.vec_id, a.cent_id FROM af a
            |WHERE a.vec_id NOT IN (SELECT vec_id FROM dups)
            |ORDER BY a.vec_id""".stripMargin),
+
+      "qd_dup_ngrams" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, ${h("s")} AS sh FROM (
+           |  SELECT doc_id, unnest(list_transform(range(len(w)-4),
+           |    i -> w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5])) AS s
+           |  FROM tk WHERE len(w) >= 5) x),
+           |df AS (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+           |SELECT doc_id, count(*) AS n_shingles,
+           |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+           |FROM sh JOIN df USING (sh)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "qd_cross_source" ->
         """SELECT md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text),'\s+'))),'string_agg','|')) AS sig,
