@@ -142,6 +142,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"pii redaction must not shuffle:\n$p")
   }
 
+  test("dup-ngram fraction reuses the shingle exchange — one scan, one shuffle") {
+    val sh = Dedup.shingleHashes(docs, "doc_id", col("text"), n = 5)
+    val dfr = sh.groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
+    val p = plan(sh.join(dfr, "sh").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup")))
+    assert(p.contains("ReusedExchange"),
+      s"the (sh) exchange must be computed once and reused:\n$p")
+  }
+
   test("chunker and z-value are map-only — zero exchanges, codegen") {
     val c = plan(graft.ops.Chunker.chunk(docs, "doc_id", "text", 3, 2))
     assert(!c.contains("Exchange"), s"chunking must not shuffle:\n$c")
