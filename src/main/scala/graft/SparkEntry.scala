@@ -24,13 +24,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map to
-    * TimestampType; read it as a nanos long (legacy conf) and truncate to
-    * micros — exactly what DuckDB's `epoch_us(ts)` sees on its side.
+  /** events.ts has shipped under two physical parquet encodings across
+    * testdata generations: TIMESTAMP(NANOS) (which Spark 4 refuses to map to
+    * TimestampType — read as a nanos long via the legacy conf and truncate)
+    * and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ or TIMESTAMP depending on
+    * isAdjustedToUTC). Dispatch on the READ schema so either generation
+    * yields the same TimestampType column — the cast is an identity under
+    * the UTC session zone, matching what DuckDB's `epoch_us(ts)` sees.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** The bounded (event_id < 2000, all-unique-ts) sparse-signal subset

@@ -29,6 +29,7 @@ object Verify {
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -36,6 +37,9 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) =
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            .take(500)
       }
       // release per-query caches/checkpoints so 50+ queries don't stack
       // storage memory (library hygiene: consumed results are done here)
@@ -57,6 +61,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that throws must read as a LOUD named error in the round
+    // artifacts, not a silently-missing row (round 12 lost 28 queries to a
+    // loader regression that only surfaced as stderr noise).
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: " +
+          errors.keys.mkString(", "))
+    }
     spark.stop()
   }
 }
