@@ -23,6 +23,15 @@ import org.apache.spark.sql.SparkSession
   *     driver bench rounds ran on a contended host and median-of-3
   *     reported ~2× inflated totals (131s vs 61s quiet for identical
   *     code); min-of-5 survives several loaded reps;
+  *   - the full board runs as ONE CHILD JVM PER QUERY FAMILY (q*, qc, qd,
+  *     qj, qm, qp, qs, qt), merged into the single output line. Cross-round
+  *     comparison on code-identical queries measured +29% (r11) and +84%
+  *     (r12) in-board inflation as the 92-query board grew — shared-JVM
+  *     GC/codegen-cache/codec pressure, not query cost. Per-family JVMs
+  *     bound that contamination to a family's own members while keeping
+  *     session bring-up untimed (each child warms up before timing).
+  *     `SPARK_GRAFT_BENCH_ONLY` (diagnostics) and
+  *     `SPARK_GRAFT_BENCH_FORK=0` both run single-JVM, unchanged;
   *   - the JSON line goes to stdout AND to a bare file (bench_out.json, or
   *     $SPARK_GRAFT_BENCH_OUT) so log-prefix wrapping (sbt's "[info] ")
   *     cannot break downstream parsing.
@@ -30,10 +39,127 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val Reps = 5
 
+  /** Family key for per-JVM chunking: `qc_*` → "qc", `qd_*` → "qd", …;
+    * the numbered core queries (`q1_…`–`q18_…`) share one "core" family.
+    */
+  private def familyOf(name: String): String = {
+    val prefix = name.takeWhile(_ != '_')
+    if (prefix.matches("q\\d+")) "core" else prefix
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a mistyped filter name must fail loudly, not write an empty (or
+    // silently smaller) results board
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names match no registered query: " +
+          s"${unknown.toSeq.sorted.mkString(", ")} (known: " +
+          s"${SparkEntry.queries.keySet.toSeq.sorted.take(5).mkString(", ")}, ...)")
+    }
+    val forkFamilies =
+      only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
+    val results: Seq[(String, Option[Double])] =
+      if (forkFamilies) runFamiliesInChildJvms(sfDir)
+      else runInProcess(sfDir, only)
+    // millisecond precision: sub-ms digits are pure noise at these run
+    // times, and the shorter line survives tail-window log captures that
+    // truncated a full-precision round-5 line mid-JSON. Locale.ROOT keeps
+    // the decimal separator a '.' on comma-decimal JVM locales — a
+    // locale-formatted "53,700" is invalid JSON
+    val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(fmt).getOrElse("null")
+      }
+      .mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, None) => "\"" + k + "\"" }
+    val failed = failedNames.mkString("[", ",", "]")
+    // any hard failure means the total covers a smaller query set than
+    // other rounds' — emit null so cross-round total comparisons can never
+    // silently read a failure as a speedup
+    val total =
+      if (failedNames.nonEmpty) "null" else fmt(results.flatMap(_._2).sum)
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  /** Orchestrator path: one child JVM per query family, run SEQUENTIALLY
+    * (parallel children would contend for the same cores and re-create the
+    * very cross-query interference this exists to remove). Child output is
+    * the same one-line JSON contract, read back from a temp file. A family
+    * whose child dies reports every member as failed — never silently
+    * missing.
+    */
+  private def runFamiliesInChildJvms(sfDir: String): Seq[(String, Option[Double])] = {
+    val families = SparkEntry.queries.keySet.toSeq.sorted.groupBy(familyOf)
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      // -agentlib/-javaagent (sbt/debugger plumbing) must not leak into
+      // children: agents bind ports and would collide across 8 launches
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    families.toSeq.sortBy(_._1).flatMap { case (family, names) =>
+      val childOut =
+        Files.createTempFile(s"bench_$family", ".json").toString
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", childOut)
+      pb.environment().put("SPARK_GRAFT_BENCH_FORK", "0")
+      pb.redirectErrorStream(false)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      System.err.println(s"[bench] family $family (${names.size} queries)...")
+      val exit =
+        try { pb.start().waitFor() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] family $family failed to launch: ${e.getMessage}")
+          -1
+        }
+      val parsed =
+        if (exit == 0) parseChildQueries(childOut) else Map.empty[String, Option[Double]]
+      if (exit != 0)
+        System.err.println(s"[bench] family $family child exited $exit")
+      Files.deleteIfExists(Paths.get(childOut))
+      names.map(n => n -> parsed.getOrElse(n, None))
+    }
+  }
+
+  /** Parse the `"queries":{...}` object out of a child's one-line JSON.
+    * The format is fully under our control (written by `main` above):
+    * keys are query names ([A-Za-z0-9_]), values are %.3f numbers or null —
+    * a 6-line scanner beats dragging in a JSON dependency.
+    */
+  private def parseChildQueries(path: String): Map[String, Option[Double]] = {
+    val line =
+      try new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+      catch { case _: Throwable => return Map.empty }
+    val entry = """"([A-Za-z0-9_]+)":(null|[0-9.]+)""".r
+    val start = line.indexOf("\"queries\":{")
+    if (start < 0) return Map.empty
+    val body = line.substring(start + "\"queries\":{".length,
+      line.indexOf("}", start))
+    entry.findAllMatchIn(body).map { m =>
+      m.group(1) -> (if (m.group(2) == "null") None else Some(m.group(2).toDouble))
+    }.toMap
+  }
+
+  /** Worker path (also the `SPARK_GRAFT_BENCH_ONLY` diagnostic path): one
+    * SparkSession, warmup untimed, min-of-5 per query.
+    */
+  private def runInProcess(
+      sfDir: String, only: Option[Set[String]]): Seq[(String, Option[Double])] = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,20 +176,6 @@ object Bench {
     // session bring-up
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
-    // optional comma-separated query filter (diagnostics: isolating a
-    // drifted query from the rest of the board, e.g. to bisect shared-JVM
-    // GC/codec pressure). The driver contract always runs unfiltered.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // a mistyped filter name must fail loudly, not write an empty (or
-    // silently smaller) results board
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY names match no registered query: " +
-          s"${unknown.toSeq.sorted.mkString(", ")} (known: " +
-          s"${SparkEntry.queries.keySet.toSeq.sorted.take(5).mkString(", ")}, ...)")
-    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
@@ -97,28 +209,7 @@ object Bench {
       // swallow) and is listed under "failed"
       name -> times.flatten.minOption
     }
-    // millisecond precision: sub-ms digits are pure noise at these run
-    // times, and the shorter line survives tail-window log captures that
-    // truncated a full-precision round-5 line mid-JSON. Locale.ROOT keeps
-    // the decimal separator a '.' on comma-decimal JVM locales — a
-    // locale-formatted "53,700" is invalid JSON
-    def fmt(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + v.map(fmt).getOrElse("null")
-      }
-      .mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, None) => "\"" + k + "\"" }
-    val failed = failedNames.mkString("[", ",", "]")
-    // any hard failure means the total covers a smaller query set than
-    // other rounds' — emit null so cross-round total comparisons can never
-    // silently read a failure as a speedup
-    val total =
-      if (failedNames.nonEmpty) "null" else fmt(results.flatMap(_._2).sum)
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    println(json)
-    Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
+    results
   }
 }
