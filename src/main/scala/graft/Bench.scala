@@ -82,8 +82,12 @@ object Bench {
     // silently read a failure as a speedup
     val total =
       if (failedNames.nonEmpty) "null" else fmt(results.flatMap(_._2).sum)
+    // key order matters downstream: the driver's round artifact captures
+    // only the LAST ~2000 chars of process output, and 92 query entries
+    // overflow that window — put the bulky "queries" map FIRST so the
+    // summary fields (failed/total/sf) always survive in the tail
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"queries":$qs,"failed":$failed,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     println(json)
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
   }

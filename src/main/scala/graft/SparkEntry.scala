@@ -937,6 +937,21 @@ object SparkEntry {
         .orderBy("lang", "lang_id")
     }),
 
+    "qp_token_budget" -> ((s, dir) => {
+      // token-budget corpus selection: highest-quality docs first until the
+      // budget fills — distributed 2-pass prefix sum (range partition +
+      // per-partition subtotals + broadcast carry-in), NOT a global
+      // single-partition window; partitions wholly past the budget are
+      // skipped before any row work
+      val d = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.ops.CorpusSelect.budgetPrefix(d, "n_tokens", 10000L,
+          Seq(col("quality").desc, col("doc_id").asc), cumCol = "cum_tokens")
+        .orderBy("cum_tokens")
+    }),
+
     "qd_simhash_pairs" -> ((s, dir) => {
       // hamming-banded near-dup pairing over the simhash signatures
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", col("text"))
@@ -2373,6 +2388,19 @@ object SparkEntry {
            |  sum(CAST(round(quality*1000000) AS BIGINT))/1000000.0 AS quality_sum
            |FROM k WHERE n_tokens >= 5 AND quality >= 0.45
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "qp_token_budget" ->
+        s"""WITH f AS (SELECT doc_id, lang,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens,
+           |    (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)) * 0.4
+           |     + least(CAST(${profCount(TextAnalysis.StopwordProfiles.head._2)} AS DOUBLE) / len($toks) * 4.0, 1.0) * 0.3
+           |     + least(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($toks) / 8.0, 1.0) * 0.3 AS quality
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |c AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           |  FROM f)
+           |SELECT doc_id, lang, n_tokens, quality, cum_tokens FROM c
+           |WHERE cum_tokens <= 10000 ORDER BY cum_tokens""".stripMargin,
 
       "qd_simhash_pairs" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),

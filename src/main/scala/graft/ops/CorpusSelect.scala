@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Token-budget corpus selection: keep the maximal prefix of a totally-
+  * ordered corpus whose running weight sum stays within `budget` — the
+  * "highest-quality documents until the token budget is full" selection
+  * step of a training-data pipeline.
+  *
+  * The naive form is a GLOBAL ordered window (`sum(w) OVER (ORDER BY ...)`),
+  * which funnels the whole corpus through one partition. This is the 100 TB
+  * design instead — the same two-pass prefix-combine as
+  * [[graft.can.ForwardFill.distributed]]:
+  *
+  *   1. range-partition on the selection order; per-partition weight
+  *      subtotals (ONE row per partition) are collected to the driver;
+  *   2. prefix-combine subtotals into per-partition carry-in offsets;
+  *      partitions whose carry-in already exceeds the budget are SKIPPED
+  *      WHOLESALE — no row work, so total cost is O(selected prefix +
+  *      one subtotal scan), not O(corpus sorted through one task);
+  *   3. surviving partitions fold locally against their broadcast
+  *      carry-in; within the straddling partition the scan stops at the
+  *      first row past the budget (weights are non-negative, so the
+  *      cumulative sum is monotone).
+  *
+  * The result carries every input column plus `cumCol` (the inclusive
+  * running sum). Selection is independent of the partition count: the
+  * range boundaries move work between passes but the selected set is
+  * defined purely by the total order, which callers must make total
+  * (e.g. `(quality DESC, doc_id)`).
+  */
+object CorpusSelect {
+
+  def budgetPrefix(df: DataFrame, weightCol: String, budget: Long,
+      order: Seq[Column], cumCol: String = "cum_weight",
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    require(df.schema(weightCol).dataType == LongType,
+      s"$weightCol must be LongType (exact token counts); cast upstream")
+    val wIdx = df.schema.fieldIndex(weightCol)
+
+    // persist, NOT localCheckpoint: both passes must see identical range
+    // boundaries, and lineage must survive executor loss at cluster scale
+    // (same reasoning as ForwardFill.distributed)
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Pass 1: per-partition weight subtotal (driver-sized: one long per
+    // partition).
+    val subtotals: Array[(Int, Long)] = sorted.rdd.mapPartitionsWithIndex {
+      (pid, it) =>
+        var s = 0L
+        it.foreach { r =>
+          val w = r.getLong(wIdx)
+          require(w >= 0, s"negative weight $w breaks prefix monotonicity")
+          s += w
+        }
+        Iterator.single((pid, s))
+    }.collect()
+
+    // Prefix-combine: carry-in for partition p = sum of partitions 0..p-1.
+    val offsets = new Array[Long](subtotals.length)
+    var acc = 0L
+    subtotals.sortBy(_._1).foreach { case (pid, s) =>
+      offsets(pid) = acc; acc += s
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // Pass 2: skip partitions already past the budget (strictly past —
+    // carry-in == budget still admits zero-weight rows); fold the rest
+    // locally, stopping at the first row over budget.
+    val schema = df.schema.add(cumCol, LongType, nullable = false)
+    val selected = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (bc.value(pid) > budget) Iterator.empty[Row]
+      else {
+        var run = bc.value(pid)
+        it.map { r =>
+          run += r.getLong(wIdx)
+          (run, r)
+        }.takeWhile(_._1 <= budget).map { case (cum, r) =>
+          Row.fromSeq(r.toSeq :+ cum)
+        }
+      }
+    }
+    spark.createDataFrame(selected, schema)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential test: the 2-pass distributed budget prefix must equal the
+  * textbook global-window form on every partitioning, including budget
+  * boundaries landing mid-partition, exactly on a row, and past the corpus.
+  */
+class CorpusSelectSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def oracle(rows: Seq[(Long, Long)], budget: Long): Seq[(Long, Long)] = {
+    // global-window reference implementation
+    val df = rows.toDF("id", "w")
+    val cum = sum(col("w")).over(
+      Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("cum", cum).filter(col("cum") <= budget)
+      .orderBy("id").select("id", "cum").as[(Long, Long)].collect().toSeq
+  }
+
+  private def run(rows: Seq[(Long, Long)], budget: Long, parts: Int): Seq[(Long, Long)] =
+    CorpusSelect.budgetPrefix(rows.toDF("id", "w"), "w", budget,
+        Seq(col("id").asc), cumCol = "cum", numPartitions = parts)
+      .orderBy("id").select("id", "cum").as[(Long, Long)].collect().toSeq
+
+  // deterministic pseudo-random weights (no Random: repeatability)
+  private val corpus: Seq[(Long, Long)] =
+    (1L to 200L).map(i => (i, (i * 2654435761L % 97) % 13))
+
+  test("matches the global-window oracle across budgets and partitionings") {
+    val total = corpus.map(_._2).sum
+    val budgets = Seq(0L, 1L, total / 7, total / 2, total - 1, total, total + 100)
+    for (b <- budgets; p <- Seq(1, 3, 8)) {
+      assert(run(corpus, b, p) == oracle(corpus, b), s"budget=$b parts=$p")
+    }
+  }
+
+  test("budget landing exactly on a row boundary keeps that row") {
+    val rows = Seq((1L, 5L), (2L, 5L), (3L, 5L))
+    assert(run(rows, 10L, 2) == Seq((1L, 5L), (2L, 10L)))
+  }
+
+  test("zero-weight rows at the boundary are kept (cum <= budget)") {
+    val rows = Seq((1L, 5L), (2L, 0L), (3L, 5L), (4L, 0L), (5L, 1L))
+    // cum: 5,5,10,10,11 — budget 10 keeps ids 1-4
+    assert(run(rows, 10L, 3).map(_._1) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("rejects non-long weight column") {
+    val df = Seq((1L, 1.5)).toDF("id", "w")
+    assertThrows[IllegalArgumentException] {
+      CorpusSelect.budgetPrefix(df, "w", 10L, Seq(col("id")))
+    }
+  }
+}
