@@ -937,6 +937,16 @@ object SparkEntry {
         .orderBy("lang", "lang_id")
     }),
 
+    "qp_decontaminate_fuzzy" -> ((s, dir) => {
+      // near-duplicate eval decontamination: MinHash band agreement picks
+      // candidates, exact shingle Jaccard >= 0.5 confirms. Train side is
+      // map-only (no shuffle) up to candidate verification; all
+      // eval-derived relations are broadcast — see Dedup.fuzzyDecontaminate
+      Dedup.fuzzyDecontaminate(t(s, dir, "documents"), "doc_id", col("text"),
+          TextAnalysis.md5Long(col("text")) % 20 === 1)
+        .orderBy("doc_id")
+    }),
+
     "qp_token_budget" -> ((s, dir) => {
       // token-budget corpus selection: highest-quality docs first until the
       // budget fills — distributed 2-pass prefix sum (range partition +
@@ -2388,6 +2398,28 @@ object SparkEntry {
            |  sum(CAST(round(quality*1000000) AS BIGINT))/1000000.0 AS quality_sum
            |FROM k WHERE n_tokens >= 5 AND quality >= 0.45
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "qp_decontaminate_fuzzy" -> (shinglesCte +
+        s""",
+           |sig AS (SELECT doc_id, $minhashSig FROM sh GROUP BY 1),
+           |bands AS ($bandRows),
+           |ev AS (SELECT doc_id, ${h("text")} % 20 = 1 AS is_eval FROM documents),
+           |tb AS (SELECT b.* FROM bands b JOIN ev USING (doc_id) WHERE NOT is_eval),
+           |eb AS (SELECT b.doc_id AS e_id, band, bkey
+           |  FROM bands b JOIN ev USING (doc_id) WHERE is_eval),
+           |pairs AS (SELECT DISTINCT tb.doc_id, eb.e_id
+           |  FROM tb JOIN eb USING (band, bkey)),
+           |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+           |common AS (SELECT p.doc_id, p.e_id, count(*) AS n_common
+           |  FROM pairs p JOIN sh st ON st.doc_id = p.doc_id
+           |  JOIN sh se ON se.doc_id = p.e_id AND st.sh = se.sh
+           |  GROUP BY 1, 2),
+           |j AS (SELECT c.doc_id, c.e_id,
+           |    CAST(n_common AS DOUBLE)/(x.nsh + y.nsh - n_common) AS jac
+           |  FROM common c JOIN sizes x ON c.doc_id = x.doc_id
+           |  JOIN sizes y ON c.e_id = y.doc_id)
+           |SELECT doc_id, count(*) AS n_eval_hits, max(jac) AS max_jaccard
+           |FROM j WHERE jac >= 0.5 GROUP BY 1 ORDER BY 1""".stripMargin),
 
       "qp_token_budget" ->
         s"""WITH f AS (SELECT doc_id, lang,

@@ -210,6 +210,91 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** Map-side MinHash signature: appends m0..m{k-1} + `nsh` to each row
+    * with NO shuffle — the per-doc minimum is an `array_min` over the
+    * materialized shingle-hash array instead of a groupBy over exploded
+    * shingles. Identical hash math to [[minhashAgg]] (same constants, same
+    * `md5Long`, same distinct-shingle set), so the two forms are
+    * interchangeable against the same oracle. Rows with fewer than `n`
+    * tokens (no shingles) are dropped, matching [[shingleHashes]].
+    *
+    * The shingle-hash array is materialized as a column FIRST and every
+    * lambda references it as a plain column: an inline derivation would be
+    * re-evaluated per element per hash function (the documented 8×
+    * re-tokenization trap, times k).
+    */
+  def withMinhashCols(df: DataFrame, text: Column, n: Int = 3): DataFrame = {
+    val withSh = df
+      .withColumn("_toks", tokens(text))
+      .filter(size(col("_toks")) >= n)
+      .withColumn("_shs",
+        transform(array_distinct(shinglesOfTokens(col("_toks"), n)),
+          s => md5Long(s)))
+    val mCols = (0 until NumHashes).map { i =>
+      array_min(transform(col("_shs"),
+        x => (lit(hashA(i)) * (x % P) + lit(hashB(i))) % P)).as(s"m$i")
+    }
+    withSh.select(
+      (df.columns.map(col).toSeq ++ mCols :+
+        size(col("_shs")).cast("long").as("nsh")): _*)
+  }
+
+  /** Fuzzy (MinHash-banded) eval-set decontamination: train docs whose
+    * true shingle Jaccard with ANY eval doc reaches `threshold`, where
+    * candidacy is LSH band agreement — the near-duplicate generalization
+    * of [[graft.SparkEntry]]'s exact-shingle `qp_decontaminate`.
+    *
+    * Scale shape (the 100 TB asymmetry): eval sets are small by
+    * construction, so everything eval-derived is BROADCAST. The train side
+    * is map-only until the verification of candidates: signatures and band
+    * keys come from [[withMinhashCols]] (no shuffle), candidacy is a
+    * broadcast semi-join on (band, bkey), and only surviving candidates —
+    * bounded by eval-bucket fan-out, not corpus size — re-explode their
+    * shingles for the exact-Jaccard verify against broadcast eval
+    * shingles. The single train-wide shuffle-free pass is what lets this
+    * run as a side-filter inside an ingest job rather than a dedup-scale
+    * campaign.
+    *
+    * Returns (idCol, n_eval_hits, max_jaccard) for contaminated train
+    * docs: hit count and best Jaccard over banded eval partners.
+    */
+  def fuzzyDecontaminate(docs: DataFrame, idCol: String, text: Column,
+      isEval: Column, threshold: Double = 0.5, n: Int = 3): DataFrame = {
+    val base = docs.select(col(idCol), text.as("_text"), isEval.as("_is_eval"))
+    val sigs = withMinhashCols(base, col("_text"), n)
+    val trainSigs = sigs.filter(!col("_is_eval"))
+    val evalSigs = sigs.filter(col("_is_eval"))
+
+    val trainBands = bandKeys(trainSigs, idCol)
+    val evalBands = bandKeys(evalSigs, idCol)
+      .withColumnRenamed(idCol, "_eval_id")
+    // candidate (train, eval) pairs: any shared band bucket
+    val pairs = trainBands
+      .join(broadcast(evalBands), Seq("band", "bkey"))
+      .select(col(idCol), col("_eval_id")).distinct()
+
+    // exact-Jaccard verify on candidates only: train shingles re-derived
+    // map-side for the candidate subset, eval shingles broadcast
+    val candDocs = base.join(pairs.select(idCol).distinct(), idCol)
+    val trainSh = shingleHashes(candDocs, idCol, col("_text"), n)
+    val evalSh = shingleHashes(base.filter(col("_is_eval")), idCol, col("_text"), n)
+      .withColumnRenamed(idCol, "_eval_id")
+    val common = trainSh
+      .join(broadcast(evalSh), "sh")
+      .join(pairs, Seq(idCol, "_eval_id"))
+      .groupBy(idCol, "_eval_id").agg(count(lit(1)).as("n_common"))
+    val trainSizes = trainSigs.select(col(idCol), col("nsh").as("_na"))
+    val evalSizes = evalSigs.select(col(idCol).as("_eval_id"), col("nsh").as("_nb"))
+    common
+      .join(trainSizes, idCol)
+      .join(broadcast(evalSizes), "_eval_id")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("_na") + col("_nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** Connected components over an undirected near-dup pair graph
     * (doc_a, doc_b): labels every vertex with the MINIMUM doc id of its
     * component — the transitive-closure step that turns pairwise
