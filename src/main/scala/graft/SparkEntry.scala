@@ -937,6 +937,36 @@ object SparkEntry {
         .orderBy("lang", "lang_id")
     }),
 
+    "qp_jsonl_ingest" -> ((s, dir) => {
+      // JSONL round-trip — the corpus interchange format of every LLM data
+      // pipeline: stage documents as JSON-lines once per JVM, re-ingest
+      // with an EXPLICIT schema (schema inference at 100 TB is a second
+      // full read — never pay it), and aggregate. sum_chars recomputed
+      // from the round-tripped text gates string fidelity through JSON
+      // escaping (quotes, newlines, unicode); staging is idempotent like
+      // the streaming fixtures.
+      val p = stagedInput("jsonl", dir) { path =>
+        t(s, dir, "documents").write.mode("overwrite").json(path)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      s.read.schema(schema).json(p)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          sum(col("n_chars")).as("sum_n_chars"))
+        .orderBy("lang", "source")
+    }),
+
     "qp_decontaminate_fuzzy" -> ((s, dir) => {
       // near-duplicate eval decontamination: MinHash band agreement picks
       // candidates, exact shingle Jaccard >= 0.5 confirms. Train side is
@@ -2398,6 +2428,12 @@ object SparkEntry {
            |  sum(CAST(round(quality*1000000) AS BIGINT))/1000000.0 AS quality_sum
            |FROM k WHERE n_tokens >= 5 AND quality >= 0.45
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "qp_jsonl_ingest" ->
+        """SELECT lang, source, count(*) AS n_docs,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "qp_decontaminate_fuzzy" -> (shinglesCte +
         s""",
