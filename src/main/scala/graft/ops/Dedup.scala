@@ -268,25 +268,33 @@ object Dedup {
     val trainBands = bandKeys(trainSigs, idCol)
     val evalBands = bandKeys(evalSigs, idCol)
       .withColumnRenamed(idCol, "_eval_id")
-    // candidate (train, eval) pairs: any shared band bucket
+    // candidate (train, eval) pairs: any shared band bucket. Persisted —
+    // candidate-bounded small, and reused three times below; without the
+    // persist each reuse re-derives it through another full train scan.
+    // Blocks are released by the harness (clearCache) or ContextCleaner.
     val pairs = trainBands
       .join(broadcast(evalBands), Seq("band", "bkey"))
       .select(col(idCol), col("_eval_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = pairs.select(col(idCol)).distinct()
 
-    // exact-Jaccard verify on candidates only: train shingles re-derived
-    // map-side for the candidate subset, eval shingles broadcast
-    val candDocs = base.join(pairs.select(idCol).distinct(), idCol)
+    // exact-Jaccard verify on candidates only. EVERY join against a
+    // train-wide relation broadcasts its candidate-bounded side — the
+    // train side must never shuffle (that is the operator's contract;
+    // FuzzyDecontaminateSpec pins zero train-side hash exchanges).
+    val candDocs = base.join(broadcast(candIds), idCol)
     val trainSh = shingleHashes(candDocs, idCol, col("_text"), n)
     val evalSh = shingleHashes(base.filter(col("_is_eval")), idCol, col("_text"), n)
       .withColumnRenamed(idCol, "_eval_id")
     val common = trainSh
       .join(broadcast(evalSh), "sh")
-      .join(pairs, Seq(idCol, "_eval_id"))
+      .join(broadcast(pairs), Seq(idCol, "_eval_id"))
       .groupBy(idCol, "_eval_id").agg(count(lit(1)).as("n_common"))
-    val trainSizes = trainSigs.select(col(idCol), col("nsh").as("_na"))
+    val trainSizes = trainSigs.join(broadcast(candIds), idCol)
+      .select(col(idCol), col("nsh").as("_na"))
     val evalSizes = evalSigs.select(col(idCol).as("_eval_id"), col("nsh").as("_nb"))
     common
-      .join(trainSizes, idCol)
+      .join(broadcast(trainSizes), idCol)
       .join(broadcast(evalSizes), "_eval_id")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("_na") + col("_nb") - col("n_common")))

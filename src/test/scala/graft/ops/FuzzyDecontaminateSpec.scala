@@ -43,6 +43,23 @@ class FuzzyDecontaminateSpec extends AnyFunSuite {
     assert(exact == 1.0, "exact dup has jaccard 1.0")
   }
 
+  test("all joins broadcast; only bounded aggregations hash-shuffle") {
+    // the operator contract: train-wide relations never shuffle — every
+    // join against them broadcasts its candidate/eval-bounded side; the
+    // only hash exchanges are the three candidate-bounded aggregations
+    // (pair distinct, common-shingle count, final per-doc rollup)
+    val out = Dedup.fuzzyDecontaminate(docs, "doc_id", col("text"),
+      isEval = col("doc_id") === 1L)
+    // NOTE: counting exchange substrings is unreliable here — the
+    // persisted `pairs` subtree reprints its own exchanges at every
+    // reuse — so the pin is join-type based: a shuffle join anywhere
+    // would mean a train-wide relation was hash-partitioned.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$plan")
+    assert(!plan.contains("ShuffledHashJoin"), s"unexpected shuffled hash join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins in plan")
+  }
+
   test("no eval docs yields empty result, not an error") {
     val out = Dedup.fuzzyDecontaminate(docs, "doc_id", col("text"),
       isEval = lit(false))
