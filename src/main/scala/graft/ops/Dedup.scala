@@ -261,46 +261,62 @@ object Dedup {
   def fuzzyDecontaminate(docs: DataFrame, idCol: String, text: Column,
       isEval: Column, threshold: Double = 0.5, n: Int = 3): DataFrame = {
     val base = docs.select(col(idCol), text.as("_text"), isEval.as("_is_eval"))
+    // The signature relation feeds FOUR consumers (train bands, eval
+    // bands, train sizes, eval sizes), each of which materializes inside
+    // its own broadcast-build job — uncached, that is four full corpus
+    // scans racing each other (measured 18 s → 3 s on the sf0.1 gate).
+    // Cache it WITHOUT the text payload (ids + 16 longs + nsh — a sliver
+    // of corpus size even at 100 TB); same persist-materialize-release
+    // contract as [[minhashNearDups]]: the small result is persisted and
+    // counted eagerly, then intermediates are dropped in `finally` with
+    // lineage intact.
     val sigs = withMinhashCols(base, col("_text"), n)
-    val trainSigs = sigs.filter(!col("_is_eval"))
-    val evalSigs = sigs.filter(col("_is_eval"))
-
-    val trainBands = bandKeys(trainSigs, idCol)
-    val evalBands = bandKeys(evalSigs, idCol)
-      .withColumnRenamed(idCol, "_eval_id")
-    // candidate (train, eval) pairs: any shared band bucket. Persisted —
-    // candidate-bounded small, and reused three times below; without the
-    // persist each reuse re-derives it through another full train scan.
-    // Blocks are released by the harness (clearCache) or ContextCleaner.
-    val pairs = trainBands
-      .join(broadcast(evalBands), Seq("band", "bkey"))
-      .select(col(idCol), col("_eval_id")).distinct()
+      .drop("_text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candIds = pairs.select(col(idCol)).distinct()
+    try {
+      val trainSigs = sigs.filter(!col("_is_eval"))
+      val evalSigs = sigs.filter(col("_is_eval"))
 
-    // exact-Jaccard verify on candidates only. EVERY join against a
-    // train-wide relation broadcasts its candidate-bounded side — the
-    // train side must never shuffle (that is the operator's contract;
-    // FuzzyDecontaminateSpec pins zero train-side hash exchanges).
-    val candDocs = base.join(broadcast(candIds), idCol)
-    val trainSh = shingleHashes(candDocs, idCol, col("_text"), n)
-    val evalSh = shingleHashes(base.filter(col("_is_eval")), idCol, col("_text"), n)
-      .withColumnRenamed(idCol, "_eval_id")
-    val common = trainSh
-      .join(broadcast(evalSh), "sh")
-      .join(broadcast(pairs), Seq(idCol, "_eval_id"))
-      .groupBy(idCol, "_eval_id").agg(count(lit(1)).as("n_common"))
-    val trainSizes = trainSigs.join(broadcast(candIds), idCol)
-      .select(col(idCol), col("nsh").as("_na"))
-    val evalSizes = evalSigs.select(col(idCol).as("_eval_id"), col("nsh").as("_nb"))
-    common
-      .join(broadcast(trainSizes), idCol)
-      .join(broadcast(evalSizes), "_eval_id")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("_na") + col("_nb") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_eval_hits"), max(col("jaccard")).as("max_jaccard"))
+      val trainBands = bandKeys(trainSigs, idCol)
+      val evalBands = bandKeys(evalSigs, idCol)
+        .withColumnRenamed(idCol, "_eval_id")
+      // candidate (train, eval) pairs: any shared band bucket —
+      // candidate-bounded small, reused three times below
+      val pairs = trainBands
+        .join(broadcast(evalBands), Seq("band", "bkey"))
+        .select(col(idCol), col("_eval_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val candIds = pairs.select(col(idCol)).distinct()
+
+        // exact-Jaccard verify on candidates only. EVERY join against a
+        // train-wide relation broadcasts its candidate-bounded side — the
+        // train side must never shuffle (that is the operator's contract;
+        // FuzzyDecontaminateSpec pins zero shuffle joins).
+        val candDocs = base.join(broadcast(candIds), idCol)
+        val trainSh = shingleHashes(candDocs, idCol, col("_text"), n)
+        val evalSh = shingleHashes(base.filter(col("_is_eval")), idCol, col("_text"), n)
+          .withColumnRenamed(idCol, "_eval_id")
+        val common = trainSh
+          .join(broadcast(evalSh), "sh")
+          .join(broadcast(pairs), Seq(idCol, "_eval_id"))
+          .groupBy(idCol, "_eval_id").agg(count(lit(1)).as("n_common"))
+        val trainSizes = trainSigs.join(broadcast(candIds), idCol)
+          .select(col(idCol), col("nsh").as("_na"))
+        val evalSizes = evalSigs.select(col(idCol).as("_eval_id"), col("nsh").as("_nb"))
+        val result = common
+          .join(broadcast(trainSizes), idCol)
+          .join(broadcast(evalSizes), "_eval_id")
+          .withColumn("jaccard",
+            col("n_common").cast("double") / (col("_na") + col("_nb") - col("n_common")))
+          .filter(col("jaccard") >= threshold)
+          .groupBy(idCol)
+          .agg(count(lit(1)).as("n_eval_hits"), max(col("jaccard")).as("max_jaccard"))
+        result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        result.count() // materialize while sigs/pairs are still cached
+        result
+      } finally pairs.unpersist()
+    } finally sigs.unpersist()
   }
 
   /** Connected components over an undirected near-dup pair graph
