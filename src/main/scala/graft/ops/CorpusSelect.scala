@@ -40,6 +40,8 @@ object CorpusSelect {
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     require(df.schema(weightCol).dataType == LongType,
       s"$weightCol must be LongType (exact token counts); cast upstream")
+    require(!df.columns.contains(cumCol),
+      s"output column '$cumCol' already exists in the input")
     val wIdx = df.schema.fieldIndex(weightCol)
 
     // persist, NOT localCheckpoint: both passes must see identical range
