@@ -50,7 +50,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    // a SET-BUT-BLANK filter var must mean "run all", not Some(emptySet):
+    // the latter passes the unknown-name check vacuously and would emit a
+    // zero-query board whose total 0.000 reads as an enormous speedup
+    // (same guard as Verify's query-name argument)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").filter(_.trim.nonEmpty)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // a mistyped filter name must fail loudly, not write an empty (or
     // silently smaller) results board
@@ -120,6 +124,9 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", childOut)
       pb.environment().put("SPARK_GRAFT_BENCH_FORK", "0")
+      // explicit, not inherited: the child must bench the sf dir THIS
+      // process resolved (and labels the merged JSON with)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.redirectErrorStream(false)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)

@@ -31,6 +31,13 @@ object SparkEntry {
     * isAdjustedToUTC). Dispatch on the READ schema so either generation
     * yields the same TimestampType column — the cast is an identity under
     * the UTC session zone, matching what DuckDB's `epoch_us(ts)` sees.
+    *
+    * KNOWN BLIND SPOT: a plain un-annotated INT64 ts column is
+    * indistinguishable from the nanos generation at the read-schema level
+    * (both surface as LongType), so a hypothetical micros-as-INT64
+    * generation would decode 1000× wrong WITHOUT throwing. The fence for
+    * that class of shift is value-level: tools/preflight.sh hash-compares
+    * every query against the DuckDB oracle at round start.
     */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -73,5 +73,12 @@ object Verify {
           errors.keys.mkString(", "))
     }
     spark.stop()
+    // Strict mode (preflight): exit nonzero on any failed query so ANY
+    // caller is loud, not just ones that parse errors.json. Opt-in via
+    // env because the driver's round harness must still collect partial
+    // boards from a run with failures.
+    if (errors.nonEmpty &&
+        sys.env.get("SPARK_GRAFT_VERIFY_STRICT").exists(_.trim.nonEmpty))
+      sys.exit(1)
   }
 }

@@ -29,6 +29,13 @@ import org.apache.spark.sql.types.LongType
   * range boundaries move work between passes but the selected set is
   * defined purely by the total order, which callers must make total
   * (e.g. `(quality DESC, doc_id)`).
+  *
+  * CONTRACT (same as [[Dedup.minhashNearDups]]): the returned DataFrame
+  * is persisted (MEMORY_AND_DISK) and already materialized — the caller
+  * owns the blocks and must `unpersist()` when done (or clearCache in a
+  * harness). The corpus-sized sorted intermediate is released before
+  * returning; lineage stays intact, so a lost result block recomputes
+  * through the (uncached) sort.
   */
 object CorpusSelect {
 
@@ -50,6 +57,7 @@ object CorpusSelect {
     val sorted = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // Pass 1: per-partition weight subtotal (driver-sized: one long per
     // partition).
@@ -88,6 +96,10 @@ object CorpusSelect {
         }
       }
     }
-    spark.createDataFrame(selected, schema)
+    val result = spark.createDataFrame(selected, schema)
+    result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize while `sorted` is still cached
+    result
+    } finally sorted.unpersist()
   }
 }

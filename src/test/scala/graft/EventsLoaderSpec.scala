@@ -27,9 +27,18 @@ class EventsLoaderSpec extends AnyFunSuite {
     (i.toLong, us, i.toLong * 10, s"type$i", i * 1.5, s"""{"k":$i}""")
   }
 
-  /** Write the events fixture with `ts` encoded per `mode`, return the dir. */
+  /** Write the events fixture with `ts` encoded per `mode`, return the
+    * dir (deleted on JVM exit).
+    */
   private def writeFixture(mode: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(s"events_$mode").toString
+    val p = java.nio.file.Files.createTempDirectory(s"events_$mode")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    val dir = p.toString
     val base = fixtureRows
       .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
     val withTs = mode match {
@@ -57,14 +66,16 @@ class EventsLoaderSpec extends AnyFunSuite {
       .orderBy("event_id").collect().toSeq
 
   test("events() yields identical rows across all three ts encodings") {
-    val byMode = Seq("nanos-long", "micros-ntz", "micros-utc")
-      .map(m => m -> load(writeFixture(m))).toMap
-    // ts must land as TimestampType in every mode (downstream unix_micros,
-    // window, and as-of joins all assume it).
-    byMode.keys.foreach { m =>
-      val dt = SparkEntry.events(spark, writeFixture(m)).schema("ts").dataType
+    // write each fixture ONCE; check schema and rows from the same dir
+    val dirs = Seq("nanos-long", "micros-ntz", "micros-utc")
+      .map(m => m -> writeFixture(m))
+    dirs.foreach { case (m, d) =>
+      val dt = SparkEntry.events(spark, d).schema("ts").dataType
+      // ts must land as TimestampType in every mode (downstream
+      // unix_micros, window, and as-of joins all assume it)
       assert(dt == TimestampType, s"mode=$m read back as $dt")
     }
+    val byMode = dirs.map { case (m, d) => m -> load(d) }.toMap
     val expected = micros
     byMode.foreach { case (m, rows) =>
       assert(rows.map(_.getLong(1)) == expected, s"mode=$m instants differ")

@@ -1,31 +1,29 @@
 #!/usr/bin/env bash
-# Round-start preflight (~1 min): compile + run every registered query at
-# sf0.001 and fail loudly if any errors. Catches driver-side testdata/env
-# shifts (e.g. the round-12 events.ts TIMESTAMP(NANOS)→(MICROS) regen that
-# silently killed 28 queries) BEFORE any building happens.
+# Round-start preflight (~2 min): compile, run every registered query at
+# sf0.001, and HASH-COMPARE each against its DuckDB oracle. Catches both
+# throwing regressions (the round-12 events.ts encoding shift) and silent
+# value-level shifts (e.g. a future micros-as-INT64 generation that decodes
+# without error but 1000x wrong).
 # Usage: tools/preflight.sh  [sf-dir]  (default /root/testdata/sf0.001)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.001}"
 OUT="$(mktemp -d /tmp/graft_preflight.XXXXXX)"
+trap 'rm -rf "$OUT"' EXIT
 sbt -batch compile
-ADD_OPENS=""
-for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
-         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
-  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
-done
-for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
-  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
-done
-SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" java $ADD_OPENS \
-  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx8g \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF" "$OUT"
-if [ "$(cat "$OUT/errors.json")" != "{}" ]; then
-  echo "PREFLIGHT FAILED — errors.json:" >&2
-  cat "$OUT/errors.json" >&2
+. tools/java_opts.sh
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" SPARK_GRAFT_VERIFY_STRICT=1 \
+  java $GRAFT_JAVA_OPTS -Xmx8g -cp "$GRAFT_CLASSPATH" \
+  graft.Verify "$SF" "$OUT" || {
+    echo "PREFLIGHT FAILED — errors.json:" >&2
+    cat "$OUT/errors.json" >&2
+    exit 1
+  }
+RES="$(python3 tools/check_oracle.py "$OUT" "$SF")"
+echo "$RES" | grep -v "^OK " | head -20
+echo "$RES" | tail -1 | grep -q " 0 failed" || {
+  echo "PREFLIGHT FAILED — oracle mismatches above" >&2
   exit 1
-fi
+}
 N=$(ls -d "$OUT"/*/ | wc -l)
-echo "PREFLIGHT OK: $N queries ran clean at $SF"
-rm -rf "$OUT"
+echo "PREFLIGHT OK: $N queries ran clean and hash-match the oracle at $SF"
