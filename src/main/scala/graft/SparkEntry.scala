@@ -1085,6 +1085,43 @@ object SparkEntry {
         .orderBy("split", "lang")
     }),
 
+    "qt_split_grouped" -> ((s, dir) => {
+      // leakage-free split: the fold is a function of the SOURCE, so every
+      // doc from one source lands in one fold — near-dups within a source
+      // can never straddle train/val (doc-level hash splits leak exactly
+      // this way). Map-only assignment; purity holds by construction, and
+      // the n_sources column lets the oracle check it (sum over folds =
+      // global distinct sources)
+      // md5Long is nonnegative (15 hex chars < 2^60), so plain % matches
+      // the oracle's %
+      val fold = TextAnalysis.md5Long(col("source")) % 10
+      t(s, dir, "documents")
+        .groupBy(fold.as("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("fold")
+    }),
+
+    "qt_quality_topk" -> ((s, dir) => {
+      // top-decile quality filter as a COUNT-budget prefix: budgetPrefix
+      // with weight 1 is a distributed top-k (no global window, partitions
+      // past the cutoff skipped). Rank threshold, not a quantile-value
+      // threshold: integer semantics survive engine differences in
+      // percentile interpolation
+      val d = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      val k = math.ceil(d.count() / 10.0).toLong
+      graft.ops.CorpusSelect.budgetPrefix(
+          d.withColumn("one", lit(1L)), "one", k,
+          Seq(col("quality").desc, col("doc_id").asc), cumCol = "rank")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(round(col("quality") * 1000000).cast("long")) / 1000000.0).as("quality_sum"))
+        .orderBy("lang")
+    }),
+
     "qt_pii" -> ((s, dir) => {
       // PII scrub (C4/Dolma-style): the synthetic corpus is digit-free,
       // so the gate injects deterministic PII (email, phone, dotted-quad
@@ -2179,6 +2216,24 @@ object SparkEntry {
            |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
            |FROM (SELECT lang, n_chars, ${h("text")} % 100 AS h FROM documents)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "qt_split_grouped" ->
+        s"""SELECT ${h("source")} % 10 AS fold, count(*) AS n_docs,
+           |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "qt_quality_topk" ->
+        s"""WITH f AS (SELECT doc_id, lang,
+           |    (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)) * 0.4
+           |     + least(CAST(${profCount(TextAnalysis.StopwordProfiles.head._2)} AS DOUBLE) / len($toks) * 4.0, 1.0) * 0.3
+           |     + least(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($toks) / 8.0, 1.0) * 0.3 AS quality
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |r AS (SELECT *, row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk,
+           |    (SELECT count(*) FROM f) AS n FROM f)
+           |SELECT lang, count(*) AS n_docs,
+           |  sum(CAST(round(quality*1000000) AS BIGINT))/1000000.0 AS quality_sum
+           |FROM r WHERE rnk <= ceil(n / 10.0) GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "qt_pii" -> {
         val Seq(email, phone, ip) = TextAnalysis.PiiPatterns.map(_._2)
