@@ -50,12 +50,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    // a SET-BUT-BLANK filter var must mean "run all", not Some(emptySet):
-    // the latter passes the unknown-name check vacuously and would emit a
-    // zero-query board whose total 0.000 reads as an enormous speedup
-    // (same guard as Verify's query-name argument)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").filter(_.trim.nonEmpty)
+    // a filter var that names NO queries ("", ",", " , ") must mean "run
+    // all", not Some(emptySet): the latter passes the unknown-name check
+    // vacuously and would emit a zero-query board whose total 0.000 reads
+    // as an enormous speedup — so guard on the RESULTING set, not the raw
+    // string (same guard as Verify's query-name argument)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     // a mistyped filter name must fail loudly, not write an empty (or
     // silently smaller) results board
     only.foreach { names =>

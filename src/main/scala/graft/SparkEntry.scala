@@ -2092,6 +2092,13 @@ object SparkEntry {
     // language-id profiles (same constants as TextAnalysis)
     def profCount(ws: Seq[String]) =
       s"len(list_filter($toks, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x)))"
+    // the quality-score formula, shared verbatim by every oracle that
+    // mirrors TextAnalysis.qualityScore (qt_quality, qt_quality_topk,
+    // qp_curation, qp_token_budget) — ONE definition so the gates can't
+    // drift from each other when the score changes
+    val qualitySql =
+      s"""(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)) * 0.4 + least(CAST(${profCount(TextAnalysis.StopwordProfiles.head._2)} AS DOUBLE) / len($toks) * 4.0, 1.0) * 0.3 + least(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($toks) / 8.0, 1.0) * 0.3"""
+
     val profiles = TextAnalysis.StopwordProfiles.filter(_._2.nonEmpty)
     val profCols = profiles.map { case (l, ws) => s"${profCount(ws)} AS c_$l" }.mkString(", ")
     val mx = s"greatest(${profiles.map(p => s"c_${p._1}").mkString(",")})"
@@ -2160,9 +2167,7 @@ object SparkEntry {
            |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) AS alpha_ratio,
            |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($toks) AS mean_tok_len,
            |  CAST(${profCount(TextAnalysis.StopwordProfiles.head._2)} AS DOUBLE) / len($toks) AS stop_ratio,
-           |  (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)) * 0.4
-           |   + least(CAST(${profCount(TextAnalysis.StopwordProfiles.head._2)} AS DOUBLE) / len($toks) * 4.0, 1.0) * 0.3
-           |   + least(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($toks) / 8.0, 1.0) * 0.3 AS quality
+           |  $qualitySql AS quality
            |FROM documents""".stripMargin,
 
       "qt_langid" ->
@@ -2225,9 +2230,7 @@ object SparkEntry {
 
       "qt_quality_topk" ->
         s"""WITH f AS (SELECT doc_id, lang,
-           |    (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)) * 0.4
-           |     + least(CAST(${profCount(TextAnalysis.StopwordProfiles.head._2)} AS DOUBLE) / len($toks) * 4.0, 1.0) * 0.3
-           |     + least(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($toks) / 8.0, 1.0) * 0.3 AS quality
+           |    $qualitySql AS quality
            |  FROM documents WHERE length(trim(text)) > 0),
            |r AS (SELECT *, row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk,
            |    (SELECT count(*) FROM f) AS n FROM f)
@@ -2476,9 +2479,7 @@ object SparkEntry {
            |    length(text) AS len,
            |    len(regexp_extract_all(text, '[一-鿿]')) AS cjk, $profCols,
            |    CAST(len($toks) AS BIGINT) AS n_tokens,
-           |    (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)) * 0.4
-           |     + least(CAST(${profCount(TextAnalysis.StopwordProfiles.head._2)} AS DOUBLE) / len($toks) * 4.0, 1.0) * 0.3
-           |     + least(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($toks) / 8.0, 1.0) * 0.3 AS quality
+           |    $qualitySql AS quality
            |  FROM documents WHERE length(trim(text)) > 0),
            |m AS (SELECT *, $mx AS mx FROM c),
            |f AS (SELECT doc_id, lang, sig, $langPred AS lang_id, n_tokens, quality FROM m),
@@ -2522,9 +2523,7 @@ object SparkEntry {
       "qp_token_budget" ->
         s"""WITH f AS (SELECT doc_id, lang,
            |    CAST(len($toks) AS BIGINT) AS n_tokens,
-           |    (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)) * 0.4
-           |     + least(CAST(${profCount(TextAnalysis.StopwordProfiles.head._2)} AS DOUBLE) / len($toks) * 4.0, 1.0) * 0.3
-           |     + least(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($toks) / 8.0, 1.0) * 0.3 AS quality
+           |    $qualitySql AS quality
            |  FROM documents WHERE length(trim(text)) > 0),
            |c AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens

@@ -10,10 +10,12 @@ object Verify {
     // it). A blank arg means "run all" (split("") would yield Set("") and
     // silently run NOTHING — a clean-looking round with zero coverage);
     // names that don't exist fail fast for the same reason.
+    // guard on the RESULTING set, not the raw string: "," or " , " would
+    // otherwise yield Some(emptySet) and silently run NOTHING
     val only: Option[Set[String]] =
-      if (args.length > 2 && args(2).trim.nonEmpty)
+      (if (args.length > 2 && args(2).trim.nonEmpty)
         Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      else None
+      else None).filter(_.nonEmpty)
     only.foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
@@ -76,9 +78,11 @@ object Verify {
     // Strict mode (preflight): exit nonzero on any failed query so ANY
     // caller is loud, not just ones that parse errors.json. Opt-in via
     // env because the driver's round harness must still collect partial
-    // boards from a run with failures.
+    // boards from a run with failures. "0" disables, matching the
+    // SPARK_GRAFT_BENCH_FORK=0 convention.
     if (errors.nonEmpty &&
-        sys.env.get("SPARK_GRAFT_VERIFY_STRICT").exists(_.trim.nonEmpty))
+        sys.env.get("SPARK_GRAFT_VERIFY_STRICT")
+          .exists(v => v.trim.nonEmpty && v.trim != "0"))
       sys.exit(1)
   }
 }

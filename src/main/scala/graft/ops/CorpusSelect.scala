@@ -98,7 +98,13 @@ object CorpusSelect {
     }
     val result = spark.createDataFrame(selected, schema)
     result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize while `sorted` is still cached
+    try result.count() // materialize while `sorted` is still cached
+    catch { case e: Throwable =>
+      // on failure the caller never receives a handle to unpersist —
+      // release the half-materialized cache before propagating
+      result.unpersist()
+      throw e
+    }
     result
     } finally sorted.unpersist()
   }
