@@ -109,6 +109,17 @@ object Bench {
     * missing.
     */
   private def runFamiliesInChildJvms(sfDir: String): Seq[(String, Option[Double])] = {
+    // Children inherit java.class.path verbatim. If the parent was started
+    // through a launcher/manifest-classpath jar (e.g. a non-forked `sbt
+    // run`), that property does NOT contain graft.Bench, every child dies
+    // with ClassNotFoundException, and the board would read as all-failed
+    // with only a stderr hint. Fail fast with an actionable message
+    // instead of emitting a meaningless board.
+    require(classpathResolvesBench(sys.props("java.class.path")),
+      "graft.Bench is not resolvable from java.class.path (launcher/" +
+        "manifest classpath?) — child JVMs cannot start. Run via " +
+        "tools/bench.sh (plain `java -cp`), or set SPARK_GRAFT_BENCH_FORK=0 " +
+        "for a single-JVM board.")
     val families = SparkEntry.queries.keySet.toSeq.sorted.groupBy(familyOf)
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     import scala.jdk.CollectionConverters._
@@ -145,6 +156,23 @@ object Bench {
         System.err.println(s"[bench] family $family child exited $exit")
       Files.deleteIfExists(Paths.get(childOut))
       names.map(n => n -> parsed.getOrElse(n, None))
+    }
+  }
+
+  /** True when some entry of `cp` (directory or jar) actually contains
+    * graft/Bench.class — i.e. a child launched with `-cp cp` can load us.
+    */
+  private[graft] def classpathResolvesBench(cp: String): Boolean = {
+    val rel = "graft/Bench.class"
+    cp.split(java.io.File.pathSeparator).exists { entry =>
+      val p = Paths.get(entry)
+      if (Files.isDirectory(p)) Files.exists(p.resolve(rel))
+      else if (entry.endsWith(".jar") && Files.isRegularFile(p)) {
+        try {
+          val jar = new java.util.jar.JarFile(p.toFile)
+          try jar.getEntry(rel) != null finally jar.close()
+        } catch { case _: Throwable => false }
+      } else false
     }
   }
 

@@ -78,11 +78,13 @@ object Verify {
     // Strict mode (preflight): exit nonzero on any failed query so ANY
     // caller is loud, not just ones that parse errors.json. Opt-in via
     // env because the driver's round harness must still collect partial
-    // boards from a run with failures. "0" disables, matching the
-    // SPARK_GRAFT_BENCH_FORK=0 convention.
+    // boards from a run with failures. "0"/"false"/"no"/"off" disable —
+    // a caller who exports SPARK_GRAFT_VERIFY_STRICT=false must not get
+    // strict mode turned ON by the non-blank check.
+    val strictOff = Set("", "0", "false", "no", "off")
     if (errors.nonEmpty &&
         sys.env.get("SPARK_GRAFT_VERIFY_STRICT")
-          .exists(v => v.trim.nonEmpty && v.trim != "0"))
+          .exists(v => !strictOff(v.trim.toLowerCase(java.util.Locale.ROOT))))
       sys.exit(1)
   }
 }

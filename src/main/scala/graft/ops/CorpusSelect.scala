@@ -43,8 +43,12 @@ object CorpusSelect {
       order: Seq[Column], cumCol: String = "cum_weight",
       numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
+    // "spark.sql.shuffle.partitions" may legitimately be non-numeric
+    // ("auto" under some AQE distributions) — fall back to cluster
+    // parallelism instead of throwing NumberFormatException
     val parts = if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+      else spark.conf.get("spark.sql.shuffle.partitions").toIntOption
+        .getOrElse(spark.sparkContext.defaultParallelism)
     require(df.schema(weightCol).dataType == LongType,
       s"$weightCol must be LongType (exact token counts); cast upstream")
     require(!df.columns.contains(cumCol),

@@ -259,7 +259,8 @@ object Dedup {
     * docs: hit count and best Jaccard over banded eval partners.
     */
   def fuzzyDecontaminate(docs: DataFrame, idCol: String, text: Column,
-      isEval: Column, threshold: Double = 0.5, n: Int = 3): DataFrame = {
+      isEval: Column, threshold: Double = 0.5, n: Int = 3,
+      maxBroadcastEvalDocs: Long = 1000000L): DataFrame = {
     val base = docs.select(col(idCol), text.as("_text"), isEval.as("_is_eval"))
     // The signature relation feeds FOUR consumers (train bands, eval
     // bands, train sizes, eval sizes), each of which materializes inside
@@ -277,13 +278,25 @@ object Dedup {
       val trainSigs = sigs.filter(!col("_is_eval"))
       val evalSigs = sigs.filter(col("_is_eval"))
 
+      // Broadcast guard: the design hinges on the eval set being small
+      // (the 100 TB asymmetry), but the hint must not be UNCONDITIONAL —
+      // an eval predicate that selects a corpus-scale slice would push a
+      // corpus-sized build side through the driver. Counting evalSigs is
+      // free here: it materializes the persisted `sigs` cache that every
+      // later consumer reuses anyway. Above the threshold the SAME joins
+      // run as shuffles — still correct, just no longer map-only on the
+      // train side (and the caller should question their eval predicate).
+      val evalDocCount = evalSigs.count()
+      def bj(df: DataFrame): DataFrame =
+        if (evalDocCount <= maxBroadcastEvalDocs) broadcast(df) else df
+
       val trainBands = bandKeys(trainSigs, idCol)
       val evalBands = bandKeys(evalSigs, idCol)
         .withColumnRenamed(idCol, "_eval_id")
       // candidate (train, eval) pairs: any shared band bucket —
       // candidate-bounded small, reused three times below
       val pairs = trainBands
-        .join(broadcast(evalBands), Seq("band", "bkey"))
+        .join(bj(evalBands), Seq("band", "bkey"))
         .select(col(idCol), col("_eval_id")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -293,27 +306,34 @@ object Dedup {
         // train-wide relation broadcasts its candidate-bounded side — the
         // train side must never shuffle (that is the operator's contract;
         // FuzzyDecontaminateSpec pins zero shuffle joins).
-        val candDocs = base.join(broadcast(candIds), idCol)
+        val candDocs = base.join(bj(candIds), idCol)
         val trainSh = shingleHashes(candDocs, idCol, col("_text"), n)
         val evalSh = shingleHashes(base.filter(col("_is_eval")), idCol, col("_text"), n)
           .withColumnRenamed(idCol, "_eval_id")
         val common = trainSh
-          .join(broadcast(evalSh), "sh")
-          .join(broadcast(pairs), Seq(idCol, "_eval_id"))
+          .join(bj(evalSh), "sh")
+          .join(bj(pairs), Seq(idCol, "_eval_id"))
           .groupBy(idCol, "_eval_id").agg(count(lit(1)).as("n_common"))
-        val trainSizes = trainSigs.join(broadcast(candIds), idCol)
+        val trainSizes = trainSigs.join(bj(candIds), idCol)
           .select(col(idCol), col("nsh").as("_na"))
         val evalSizes = evalSigs.select(col(idCol).as("_eval_id"), col("nsh").as("_nb"))
         val result = common
-          .join(broadcast(trainSizes), idCol)
-          .join(broadcast(evalSizes), "_eval_id")
+          .join(bj(trainSizes), idCol)
+          .join(bj(evalSizes), "_eval_id")
           .withColumn("jaccard",
             col("n_common").cast("double") / (col("_na") + col("_nb") - col("n_common")))
           .filter(col("jaccard") >= threshold)
           .groupBy(idCol)
           .agg(count(lit(1)).as("n_eval_hits"), max(col("jaccard")).as("max_jaccard"))
         result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        result.count() // materialize while sigs/pairs are still cached
+        try result.count() // materialize while sigs/pairs are still cached
+        catch { case e: Throwable =>
+          // on failure the caller never receives a handle to unpersist —
+          // release the half-materialized cache before propagating (same
+          // contract as CorpusSelect.budgetPrefix)
+          result.unpersist()
+          throw e
+        }
         result
       } finally pairs.unpersist()
     } finally sigs.unpersist()
