@@ -1359,6 +1359,35 @@ object SparkEntry {
       Similarity.ivfTopKPartitioned(s, ivf, queryId = 0L, k = 5)
     }),
 
+    "qs_batch_topk" -> ((s, dir) => {
+      // batch multi-query ANN: a whole query SET (8 probes) scored in ONE
+      // job — one corpus scan, one candidate join, one window — where the
+      // single-query entry points cost a driver round-trip + a Spark job
+      // per query (the scale-killer for matching millions of probes)
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKBatch(emb,
+        Similarity.batchQueries(emb, col("vec_id") < 8), k = 5)
+    }),
+
+    "qs_batch_ivf" -> ((s, dir) => {
+      // IVF analogue: probe lists picked distributed against the literal
+      // codebook, map-side corpus assignment, one window for all queries
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKBatch(emb,
+        Similarity.batchQueries(emb, col("vec_id") < 8), k = 5)
+    }),
+
+    "qs_batch_pruned" -> ((s, dir) => {
+      // batch ANN over the stored LSH layout (same staged index as
+      // qs_lsh_pruned): the UNION of all 8 probe balls pushed as ONE
+      // static partition IN filter — one pruned scan for the whole set
+      val emb = t(s, dir, "embeddings")
+      val lsh = stagedInput("qlp", dir)(p =>
+        Similarity.writeLshPartitioned(emb, p))
+      Similarity.lshTopKBatchPartitioned(s, lsh,
+        Similarity.batchQueries(emb, col("vec_id") < 8), k = 5)
+    }),
+
     "qm_media_decode" -> ((s, dir) => {
       // oracle computes byte math from characters, so restrict the gate to
       // ASCII docs (bytes == chars); the stub itself is byte-correct for
@@ -2025,7 +2054,10 @@ object SparkEntry {
       // the streaming frame-level tumbling run shares its batch twin's
       all2 + ("qs_lsh_pruned" -> all2("qs_lsh_multiprobe")) +
         ("qs_ivf_pruned" -> all2("qs_ivf_multiprobe")) +
-        ("qc_stream_frames" -> all2("qc_bucket_frames"))
+        ("qc_stream_frames" -> all2("qc_bucket_frames")) +
+        // batch ANN over the stored layout must return exactly the
+        // full-scan batch result — shared oracle
+        ("qs_batch_pruned" -> all2("qs_batch_topk"))
   }
 
   /** DuckDB equivalents of the ops queries. Repetitive hash SQL is
@@ -2670,6 +2702,48 @@ object SparkEntry {
            |    / (sqrt(${listNorm("a.qe")}) * sqrt(${listNorm("qq.qqe")})) AS score
            |FROM af a, qq WHERE a.cent_id = qq.qcent AND a.vec_id <> 0
            |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin),
+
+      "qs_batch_topk" -> (quantCte +
+        s""",
+           |bkt AS (SELECT vec_id, qe, nrm, $bucketExpr AS bucket FROM n),
+           |qq AS (SELECT vec_id AS query_id, qe AS qqe, nrm AS qnrm, bucket AS qbucket
+           |  FROM bkt WHERE vec_id < 8),
+           |cand AS (SELECT qq.query_id, a.vec_id,
+           |    list_reduce(list_transform(list_zip(a.qe, qq.qqe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(a.nrm)*sqrt(qq.qnrm)) AS score
+           |  FROM bkt a JOIN qq
+           |    ON bit_count(xor(a.bucket, qq.qbucket)) <= 1 AND a.vec_id <> qq.query_id),
+           |r AS (SELECT query_id, vec_id, score,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+           |  FROM cand)
+           |SELECT query_id, vec_id, score FROM r WHERE rn <= 5""".stripMargin),
+
+      "qs_batch_ivf" -> (quantCte +
+        s""",
+           |cents AS (SELECT vec_id AS cent_id, qe AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+           |scored AS (SELECT n.vec_id, n.qe, n.nrm, cents.cent_id,
+           |    list_reduce(list_transform(list_zip(n.qe, cents.cv), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(n.nrm)*sqrt(cents.cnrm)) AS cc
+           |  FROM n CROSS JOIN cents),
+           |assigned AS (SELECT vec_id, qe, nrm, cent_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id) AS rn
+           |  FROM scored) WHERE rn = 1),
+           |qprobes AS (SELECT vec_id AS query_id, cent_id FROM (
+           |  SELECT vec_id, cent_id,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id) AS rn
+           |    FROM scored WHERE vec_id < 8) WHERE rn <= 2),
+           |qq AS (SELECT vec_id AS query_id, qe AS qqe, nrm AS qnrm FROM n WHERE vec_id < 8),
+           |cand AS (SELECT qq.query_id, a.vec_id,
+           |    list_reduce(list_transform(list_zip(a.qe, qq.qqe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(a.nrm)*sqrt(qq.qnrm)) AS score
+           |  FROM assigned a
+           |  JOIN qprobes p ON a.cent_id = p.cent_id
+           |  JOIN qq ON qq.query_id = p.query_id
+           |  WHERE a.vec_id <> qq.query_id),
+           |r AS (SELECT query_id, vec_id, score,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+           |  FROM cand)
+           |SELECT query_id, vec_id, score FROM r WHERE rn <= 5""".stripMargin),
 
       "qm_media_decode" ->
         """SELECT doc_id,

@@ -284,6 +284,206 @@ object Similarity {
       .limit(k)
   }
 
+  /** Build a batch-query relation from corpus members: (query_id, qv)
+    * with the vector already quantized — the input contract of the
+    * `*TopKBatch` entry points. External (non-corpus) queries just build
+    * the same two columns themselves.
+    */
+  def batchQueries(emb: DataFrame, pred: Column): DataFrame =
+    emb.filter(pred)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+
+  /** Per-query top-k rank over a scored candidate relation
+    * (query_id, vec_id, score): ONE window partitioned by query — a
+    * shuffle of the candidate-bounded set only, never the corpus.
+    * row_number (not limit) because limit is global; ordering matches the
+    * single-query entry points (score desc, vec_id).
+    */
+  private def rankPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "score")
+  }
+
+  /** Broadcast-or-shuffle guard for the batch probe relation — the same
+    * conditional-hint pattern as [[Dedup.fuzzyDecontaminate]]: a query SET
+    * is small by contract (probes ≪ corpus), but the hint must not be
+    * unconditional, because a caller who feeds a corpus-sized query set
+    * would otherwise push it through the driver. Above the threshold the
+    * same join runs as a shuffle — correct, just no longer map-only on
+    * the corpus side.
+    */
+  private def bjIf(small: Boolean)(df: DataFrame): DataFrame =
+    if (small) broadcast(df) else df
+
+  /** Batch multi-probe LSH top-k: score a whole query SET in ONE job —
+    * the at-scale retrieval shape for matching millions of eval/dedup
+    * probes against a corpus, where the single-query entry points
+    * ([[lshMultiProbeTopK]]) would cost one driver round-trip and one
+    * Spark job per query.
+    *
+    * Shape: the probe ball of each query (C(p, ≤h) bucket ids, driver-
+    * enumerated flip masks XOR'd distributed — never a per-query driver
+    * call) joins the bucketed corpus on `bucket`; the probe side is
+    * broadcast while the query set is small (guarded — see [[bjIf]]), so
+    * the corpus side stays a single map-only scan; exact cosine re-rank
+    * runs per query inside ONE window over the candidate-bounded set.
+    * Distinct flip masks XOR'd with one fixed bucket stay distinct, so a
+    * (query, vector) pair matches at most one probe — no dedup pass.
+    *
+    * `queries` contract: (query_id, qv) — see [[batchQueries]].
+    * Result identity with N [[lshMultiProbeTopK]] calls is spec-pinned
+    * (BatchAnnSpec).
+    */
+  def lshTopKBatch(emb: DataFrame, queries: DataFrame, k: Int,
+      maxHamming: Int = 1, numPlanes: Int = NumPlanes,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    val withBucket = emb
+      .withColumn("qv", quantize(col("embedding")))
+      .withColumn("bucket", lshBucket(col("qv"), numPlanes = numPlanes))
+    val small = queries.count() <= maxBroadcastQueries
+    val probes = lshProbes(queries, maxHamming, numPlanes)
+    val cand = withBucket
+      .join(bjIf(small)(probes), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("query_v")).as("score"))
+    rankPerQuery(cand, k)
+  }
+
+  /** (query_id, query_v, bucket) — one row per probed bucket per query:
+    * the hamming-≤h ball around each query's sign-bucket, flip masks
+    * enumerated driver-side (C(p, ≤h) longs), applied as a distributed
+    * explode.
+    */
+  private def lshProbes(queries: DataFrame, maxHamming: Int,
+      numPlanes: Int): DataFrame = {
+    val masks = (0 to maxHamming).flatMap(h =>
+      (0 until numPlanes).combinations(h).map(
+        _.foldLeft(0L)((b, i) => b ^ (1L << i))))
+    queries
+      .withColumn("qbucket", lshBucket(col("qv"), numPlanes = numPlanes))
+      .select(col("query_id"), col("qv").as("query_v"),
+        explode(transform(typedLit(masks),
+          m => col("qbucket").bitwiseXOR(m))).as("bucket"))
+  }
+
+  /** Batch multi-probe LSH top-k over a [[writeLshPartitioned]] layout:
+    * [[lshTopKBatch]]'s one-job shape PLUS static partition pruning — the
+    * union of all queries' probe balls (bounded by min(|Q|·C(p,≤h), 2^p)
+    * DISTINCT bucket ids) is collected in ONE aggregation job over the
+    * probe relation (query-set-sized, never per-query) and pushed as an
+    * IN filter on the partition column, so the single corpus scan reads
+    * only the probed directories. If the union exceeds
+    * `maxProbeLiterals` the static filter is skipped — at that point the
+    * queries collectively probe most of the index anyway and the
+    * bucket-equi-join still bounds candidates.
+    */
+  def lshTopKBatchPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, maxHamming: Int = 1,
+      numPlanes: Int = NumPlanes, maxBroadcastQueries: Long = 100000L,
+      maxProbeLiterals: Int = 4096): DataFrame = {
+    val layout = spark.read.parquet(path)
+    val small = queries.count() <= maxBroadcastQueries
+    val probes = lshProbes(queries, maxHamming, numPlanes)
+    val probedBuckets =
+      probes.select("bucket").distinct().limit(maxProbeLiterals + 1).collect()
+        .map(_.getLong(0)).toSeq
+    val pruned =
+      if (probedBuckets.length <= maxProbeLiterals)
+        layout.filter(col("bucket").isin(probedBuckets: _*))
+      else layout
+    val cand = pruned
+      .join(bjIf(small)(probes), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("query_v")).as("score"))
+    rankPerQuery(cand, k)
+  }
+
+  /** Batch multi-probe IVF top-k: the IVF analogue of [[lshTopKBatch]].
+    * The codebook (k × dims longs — driver-sized by contract, same as
+    * [[assignToCentroids]]) is collected once; each query's `nprobe`
+    * highest-cosine centroids are picked DISTRIBUTED by a literal-codebook
+    * projection — an array of (cc, -cent_id) structs sorted descending
+    * (cc desc, cent_id asc; the cent_id negation keeps the tie-break
+    * ascending without negating doubles, which would mint -0.0s the
+    * oracle's ORDER BY never sees), sliced to `nprobe`, exploded. The
+    * corpus is assigned map-side ([[assignToCentroidsLit]], zero
+    * exchange), candidates come from an equi-join on `cent_id`, and ONE
+    * window ranks all queries. Probe choice is bit-identical to
+    * [[ivfMultiProbeTopK]]'s (same exact-integer dot, same double
+    * cosine), so batch(q) == single(q) row-for-row — spec-pinned.
+    */
+  def ivfTopKBatch(emb: DataFrame, queries: DataFrame, k: Int,
+      centroids: Int = 16, nprobe: Int = 2,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cb = q.filter(col("vec_id") < centroids)
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    val assigned = assignToCentroidsLit(q, cb)
+    val small = queries.count() <= maxBroadcastQueries
+    val probes = ivfProbes(queries, cb, nprobe)
+    val cand = assigned
+      .join(bjIf(small)(probes), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("query_v")).as("score"))
+    rankPerQuery(cand, k)
+  }
+
+  /** (query_id, query_v, cent_id) — each query's `nprobe` highest-cosine
+    * centroids from a literal codebook, computed map-side (no per-query
+    * driver work). Centroid norms are precomputed with the same Long-exact
+    * sum + Math.sqrt as [[assignToCentroidsLit]], so probe picks match
+    * the single-query path bit-for-bit.
+    */
+  private def ivfProbes(queries: DataFrame, cb: Seq[(Long, Seq[Long])],
+      nprobe: Int): DataFrame = {
+    require(cb.nonEmpty, "ivfProbes: empty codebook")
+    val qn = sqrt(qnorm2(col("qv")).cast("double"))
+    val entries = cb.map { case (id, cv) =>
+      val cvn = math.sqrt(cv.map(x => x * x).sum.toDouble)
+      struct(
+        (qdot(col("qv"), typedLit(cv)).cast("double") / (qn * lit(cvn))).as("cc"),
+        lit(-id).as("ncid"))
+    }
+    queries
+      .select(col("query_id"), col("qv").as("query_v"),
+        explode(slice(sort_array(array(entries: _*), asc = false), 1, nprobe)).as("pr"))
+      .select(col("query_id"), col("query_v"),
+        (-col("pr.ncid")).as("cent_id"))
+  }
+
+  /** Batch multi-probe IVF top-k over a [[writeIvfPartitioned]] layout:
+    * stored codebook collected once (driver-sized by definition), probe
+    * lists picked distributed per query, and the UNION of probed
+    * `cent_id`s (≤ codebook size) pushed as a static partition IN filter —
+    * one pruned scan of only the probed inverted lists for the whole
+    * query set.
+    */
+  def ivfTopKBatchPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, nprobe: Int = 2,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebook").collect()
+      .map(r => (r.getLong(r.fieldIndex("cent_id")),
+        r.getSeq[Long](r.fieldIndex("cv")))).toSeq.sortBy(_._1)
+    val layout = spark.read.parquet(s"$path/data")
+    val small = queries.count() <= maxBroadcastQueries
+    val probes = ivfProbes(queries, cb, nprobe)
+    // the probe union is bounded by the codebook size — always literal-safe
+    val probedCents = probes.select("cent_id").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val cand = layout.filter(col("cent_id").isin(probedCents: _*))
+      .join(bjIf(small)(probes), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("query_v")).as("score"))
+    rankPerQuery(cand, k)
+  }
+
   /** IVF-style bucketing: the first `k` vectors (by vec_id) act as
     * deterministic "centroids"; every vector is assigned to its
     * highest-cosine centroid (ties → lowest centroid id). A query then

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Pins the batch multi-query ANN contract ([[Similarity.lshTopKBatch]],
+  * [[Similarity.ivfTopKBatch]] and their partitioned-layout twins):
+  *
+  *  1. IDENTITY — batch(Q) restricted to one query equals the single-query
+  *     entry point for every query in the set (same candidates, scores,
+  *     order), so a caller can switch APIs without a result shift;
+  *  2. ONE SCAN — the whole query set is answered by ONE scan of the
+  *     corpus/layout (no per-query jobs): asserted as exactly one
+  *     FileSourceScan of the layout in the partitioned plans, carrying a
+  *     partition filter whose selected directories cover only the probe
+  *     union;
+  *  3. the broadcast guard keeps the probe relation broadcast for small
+  *     query sets and demotes to shuffle above the threshold without
+  *     changing results.
+  */
+class BatchAnnSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private val Dims = 64
+  private val K = 10
+
+  private lazy val emb = {
+    val rnd = new scala.util.Random(20260814)
+    val rows = (0 until 20).flatMap { c =>
+      val center = Array.fill(Dims)(rnd.nextFloat() - 0.5f)
+      (0 until 25).map { m =>
+        val v = center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f)
+        ((c * 25 + m).toLong, v.toSeq)
+      }
+    }
+    rows.toDF("vec_id", "embedding").cache()
+  }
+
+  // one query per cluster — diverse buckets/centroids
+  private val queryIds = (0 until 10).map(_ * 25L + 3)
+  private lazy val queries =
+    Similarity.batchQueries(emb, col("vec_id").isin(queryIds: _*))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.select("vec_id", "score").as[(Long, Double)].collect().toSeq
+
+  private def batchSlice(batch: org.apache.spark.sql.DataFrame,
+      q: Long): Seq[(Long, Double)] =
+    batch.filter(col("query_id") === q)
+      .orderBy(col("score").desc, col("vec_id"))
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+
+  test("lshTopKBatch == N x lshMultiProbeTopK, row for row") {
+    val batch = Similarity.lshTopKBatch(emb, queries, K).cache()
+    try {
+      assert(batch.select("query_id").distinct().count() == queryIds.size)
+      queryIds.foreach { q =>
+        val single = rows(Similarity.lshMultiProbeTopK(emb, q, K))
+        assert(batchSlice(batch, q) == single,
+          s"batch and single-query LSH diverge for query $q")
+      }
+    } finally batch.unpersist()
+  }
+
+  test("ivfTopKBatch == N x ivfMultiProbeTopK, row for row") {
+    val batch = Similarity.ivfTopKBatch(emb, queries, K).cache()
+    try {
+      queryIds.foreach { q =>
+        val single = rows(Similarity.ivfMultiProbeTopK(emb, q, K))
+        assert(batchSlice(batch, q) == single,
+          s"batch and single-query IVF diverge for query $q")
+      }
+    } finally batch.unpersist()
+  }
+
+  /** Exactly one scan of the layout, carrying a partition filter, touching
+    * no more directories than the probe union — the no-per-query-jobs
+    * property in plan form.
+    */
+  /** Collect FileSourceScans through AQE wrappers: the batch plans contain
+    * a window (shuffle), so the root is an AdaptiveSparkPlanExec whose
+    * children only appear via its current physical plan and materialized
+    * query stages.
+    */
+  private def scansOf(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+    }.flatten
+
+  private def assertOnePrunedScan(df: org.apache.spark.sql.DataFrame,
+      partCol: String, maxParts: Int): Unit = {
+    df.collect() // finalize the adaptive plan before inspecting it
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.length == 1,
+      s"expected ONE layout scan for the whole query set, found ${scans.length}:\n" +
+        df.queryExecution.executedPlan)
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == partCol)),
+      s"layout scan carries no $partCol partition filter:\n$scan")
+    val n = scan.selectedPartitions.partitionCount
+    assert(n <= maxParts,
+      s"scan touches $n partition directories, expected <= $maxParts")
+  }
+
+  test("lshTopKBatchPartitioned: identity with the full-scan batch, ONE " +
+      "pruned scan for the whole query set") {
+    val path = java.nio.file.Files.createTempDirectory("batch_lsh").toString
+    Similarity.writeLshPartitioned(emb, path)
+    val part = Similarity.lshTopKBatchPartitioned(spark, path, queries, K)
+    val full = Similarity.lshTopKBatch(emb, queries, K)
+    assert(
+      part.orderBy(col("query_id"), col("score").desc, col("vec_id")).collect().toSeq ==
+      full.orderBy(col("query_id"), col("score").desc, col("vec_id")).collect().toSeq,
+      "partitioned and full-scan batch LSH diverge")
+    // 10 queries x C(6,<=1)=7 probes, <= 64 buckets; dedup makes it < 70
+    assertOnePrunedScan(part, "bucket", maxParts = 64)
+  }
+
+  test("ivfTopKBatchPartitioned: identity with the full-scan batch, ONE " +
+      "pruned scan of only the probed inverted lists") {
+    val path = java.nio.file.Files.createTempDirectory("batch_ivf").toString
+    Similarity.writeIvfPartitioned(emb, path)
+    val part = Similarity.ivfTopKBatchPartitioned(spark, path, queries, K)
+    val full = Similarity.ivfTopKBatch(emb, queries, K)
+    assert(
+      part.orderBy(col("query_id"), col("score").desc, col("vec_id")).collect().toSeq ==
+      full.orderBy(col("query_id"), col("score").desc, col("vec_id")).collect().toSeq,
+      "partitioned and full-scan batch IVF diverge")
+    // probe union over 10 queries at nprobe=2 — at most 16 centroid dirs,
+    // and no more than 10*2 distinct
+    assertOnePrunedScan(part, "cent_id", maxParts = 16)
+  }
+
+  test("broadcast guard: demoting the probe side to a shuffle join does not " +
+      "change results") {
+    val guarded = Similarity.lshTopKBatch(emb, queries, K,
+      maxBroadcastQueries = 0L) // force the shuffle path
+    val normal = Similarity.lshTopKBatch(emb, queries, K)
+    assert(
+      guarded.orderBy(col("query_id"), col("score").desc, col("vec_id")).collect().toSeq ==
+      normal.orderBy(col("query_id"), col("score").desc, col("vec_id")).collect().toSeq,
+      "shuffle-join fallback changed batch results")
+  }
+}
