@@ -1104,17 +1104,17 @@ object SparkEntry {
     }),
 
     "qt_quality_topk" -> ((s, dir) => {
-      // top-decile quality filter as a COUNT-budget prefix: budgetPrefix
-      // with weight 1 is a distributed top-k (no global window, partitions
-      // past the cutoff skipped). Rank threshold, not a quantile-value
-      // threshold: integer semantics survive engine differences in
-      // percentile interpolation
+      // top-decile quality filter as a COUNT-fraction prefix: weight 1 +
+      // fraction 1/10 is a distributed top-k (no global window, partitions
+      // past the cutoff skipped), with k resolved from pass-1 subtotals —
+      // no separate count() scan of the corpus. Rank threshold, not a
+      // quantile-value threshold: integer semantics survive engine
+      // differences in percentile interpolation
       val d = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), col("lang"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
-      val k = math.ceil(d.count() / 10.0).toLong
-      graft.ops.CorpusSelect.budgetPrefix(
-          d.withColumn("one", lit(1L)), "one", k,
+      graft.ops.CorpusSelect.fractionPrefix(
+          d.withColumn("one", lit(1L)), "one", 1L, 10L,
           Seq(col("quality").desc, col("doc_id").asc), cumCol = "rank")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),

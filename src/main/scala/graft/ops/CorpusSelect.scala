@@ -41,7 +41,34 @@ object CorpusSelect {
 
   def budgetPrefix(df: DataFrame, weightCol: String, budget: Long,
       order: Seq[Column], cumCol: String = "cum_weight",
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    prefixCore(df, weightCol, order, cumCol, numPartitions, _ => budget)
+
+  /** Fraction-budget mode: keep the prefix holding `fractionNum /
+    * fractionDen` of the TOTAL weight (e.g. 1/10 with weight 1 = the
+    * top decile by the selection order). The total comes from pass 1's
+    * per-partition subtotals — which already traverse every row — so
+    * resolving the budget adds ZERO extra scans, where the naive
+    * `df.count()` + [[budgetPrefix]] pairing pays one full corpus scan
+    * just to learn k (one fewer 100 TB pass; CorpusSelectSpec pins the
+    * job count). The fraction is an exact rational, not a double:
+    * budget = ceil(total · num / den) in integer arithmetic, so the
+    * selected rank is bit-identical across engines (the same
+    * portability reasoning that made qt_quality_topk a rank threshold
+    * rather than a percentile-interpolation one).
+    */
+  def fractionPrefix(df: DataFrame, weightCol: String,
+      fractionNum: Long, fractionDen: Long, order: Seq[Column],
+      cumCol: String = "cum_weight", numPartitions: Int = 0): DataFrame = {
+    require(fractionNum > 0 && fractionDen > 0 && fractionNum <= fractionDen,
+      s"fraction must be in (0, 1]: $fractionNum/$fractionDen")
+    prefixCore(df, weightCol, order, cumCol, numPartitions, total =>
+      ((BigInt(total) * fractionNum + fractionDen - 1) / fractionDen).toLong)
+  }
+
+  private def prefixCore(df: DataFrame, weightCol: String,
+      order: Seq[Column], cumCol: String, numPartitions: Int,
+      resolveBudget: Long => Long): DataFrame = {
     val spark = df.sparkSession
     // "spark.sql.shuffle.partitions" may legitimately be non-numeric
     // ("auto" under some AQE distributions) — fall back to cluster
@@ -82,6 +109,9 @@ object CorpusSelect {
     subtotals.sortBy(_._1).foreach { case (pid, s) =>
       offsets(pid) = acc; acc += s
     }
+    // budget resolution sees the grand total (`acc`) — for the fraction
+    // mode this is the point where k materializes, with no extra scan
+    val budget = resolveBudget(acc)
     val bc = spark.sparkContext.broadcast(offsets)
 
     // Pass 2: skip partitions already past the budget (strictly past —

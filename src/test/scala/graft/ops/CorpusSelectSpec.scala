@@ -56,4 +56,56 @@ class CorpusSelectSpec extends AnyFunSuite {
       CorpusSelect.budgetPrefix(df, "w", 10L, Seq(col("id")))
     }
   }
+
+  test("fractionPrefix(num, den) == budgetPrefix(ceil(total*num/den))") {
+    val total = corpus.map(_._2).sum
+    for ((num, den) <- Seq((1L, 10L), (1L, 3L), (2L, 3L), (1L, 1L)); p <- Seq(1, 4)) {
+      val budget = (total * num + den - 1) / den
+      val frac = CorpusSelect.fractionPrefix(corpus.toDF("id", "w"), "w",
+          num, den, Seq(col("id").asc), cumCol = "cum", numPartitions = p)
+        .orderBy("id").select("id", "cum").as[(Long, Long)].collect().toSeq
+      assert(frac == oracle(corpus, budget), s"fraction $num/$den parts=$p")
+    }
+  }
+
+  test("fractionPrefix rejects fractions outside (0, 1]") {
+    val df = corpus.toDF("id", "w")
+    assertThrows[IllegalArgumentException] {
+      CorpusSelect.fractionPrefix(df, "w", 0L, 10L, Seq(col("id")))
+    }
+    assertThrows[IllegalArgumentException] {
+      CorpusSelect.fractionPrefix(df, "w", 11L, 10L, Seq(col("id")))
+    }
+  }
+
+  test("fraction mode resolves k from pass-1 subtotals: no extra job vs " +
+      "a fixed budget (the count() scan it replaces is gone)") {
+    val sc = spark.sparkContext
+    def jobsDuring(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      // the status store is fed asynchronously — poll until the count is
+      // stable across two reads
+      var last = -1
+      var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      while (cur != last) {
+        Thread.sleep(200)
+        last = cur
+        cur = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+    val df = corpus.toDF("id", "w")
+    val fixed = jobsDuring("csel-fixed") {
+      CorpusSelect.budgetPrefix(df, "w", 100L, Seq(col("id").asc),
+        numPartitions = 4).unpersist()
+    }
+    val frac = jobsDuring("csel-frac") {
+      CorpusSelect.fractionPrefix(df, "w", 1L, 10L, Seq(col("id").asc),
+        numPartitions = 4).unpersist()
+    }
+    assert(frac == fixed,
+      s"fraction mode ran $frac jobs vs $fixed for a fixed budget — " +
+        "budget resolution must not add a scan")
+  }
 }
