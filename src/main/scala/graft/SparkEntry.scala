@@ -1256,6 +1256,35 @@ object SparkEntry {
       s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
     }),
 
+    "qd_stream_decontam" -> ((s, dir) => {
+      // STREAMING fuzzy decontamination (Dedup.streamingDecontaminate):
+      // train docs arrive as micro-batches; eval signatures are prepared
+      // ONCE from the static table and reused every batch. Stateless per
+      // batch (a doc's contamination depends only on the eval set), so
+      // the unioned per-batch reports equal the batch operator — shares
+      // qp_decontaminate_fuzzy's oracle. Multi-batch + replay behavior is
+      // spec'd in StreamingDecontaminateSpec
+      val tmp = scratchDir("graft_qsdc")
+      val evalPred = TextAnalysis.md5Long(col("text")) % 20 === 1
+      val src = stagedInput("qsn", dir) { p =>
+        t(s, dir, "documents").select("doc_id", "text")
+          .write.mode("overwrite").parquet(p)
+      }
+      val eval = Dedup.prepareEvalSignatures(
+        t(s, dir, "documents").filter(evalPred), "doc_id", col("text"))
+      try {
+        val stream = s.readStream.schema(
+          new org.apache.spark.sql.types.StructType()
+            .add("doc_id", "long").add("text", "string")).parquet(src)
+          .filter(!evalPred)
+        val q = Dedup.streamingDecontaminate(stream, "doc_id", col("text"),
+          eval, s"$tmp/out", s"$tmp/ckpt")
+        q.awaitTermination()
+      } finally eval.unpersist()
+      s.read.parquet(s"$tmp/out/contam")
+        .select("doc_id", "n_eval_hits", "max_jaccard").orderBy("doc_id")
+    }),
+
     "qt_vocab" -> ((s, dir) => {
       // vocabulary building: top 50 tokens by corpus frequency
       t(s, dir, "documents")
@@ -2056,8 +2085,11 @@ object SparkEntry {
         ("qs_ivf_pruned" -> all2("qs_ivf_multiprobe")) +
         ("qc_stream_frames" -> all2("qc_bucket_frames")) +
         // batch ANN over the stored layout must return exactly the
-        // full-scan batch result — shared oracle
-        ("qs_batch_pruned" -> all2("qs_batch_topk"))
+        // full-scan batch result — shared oracle; streaming fuzzy
+        // decontamination is stateless per batch, so its unioned reports
+        // must equal the batch operator's
+        ("qs_batch_pruned" -> all2("qs_batch_topk")) +
+        ("qd_stream_decontam" -> all2("qp_decontaminate_fuzzy"))
   }
 
   /** DuckDB equivalents of the ops queries. Repetitive hash SQL is

@@ -287,57 +287,172 @@ object Dedup {
       // run as shuffles — still correct, just no longer map-only on the
       // train side (and the caller should question their eval predicate).
       val evalDocCount = evalSigs.count()
-      def bj(df: DataFrame): DataFrame =
-        if (evalDocCount <= maxBroadcastEvalDocs) broadcast(df) else df
-
-      val trainBands = bandKeys(trainSigs, idCol)
       val evalBands = bandKeys(evalSigs, idCol)
         .withColumnRenamed(idCol, "_eval_id")
-      // candidate (train, eval) pairs: any shared band bucket —
-      // candidate-bounded small, reused three times below
-      val pairs = trainBands
-        .join(bj(evalBands), Seq("band", "bkey"))
-        .select(col(idCol), col("_eval_id")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val candIds = pairs.select(col(idCol)).distinct()
-
-        // exact-Jaccard verify on candidates only. EVERY join against a
-        // train-wide relation broadcasts its candidate-bounded side — the
-        // train side must never shuffle (that is the operator's contract;
-        // FuzzyDecontaminateSpec pins zero shuffle joins).
-        val candDocs = base.join(bj(candIds), idCol)
-        val trainSh = shingleHashes(candDocs, idCol, col("_text"), n)
-        val evalSh = shingleHashes(base.filter(col("_is_eval")), idCol, col("_text"), n)
-          .withColumnRenamed(idCol, "_eval_id")
-        val common = trainSh
-          .join(bj(evalSh), "sh")
-          .join(bj(pairs), Seq(idCol, "_eval_id"))
-          .groupBy(idCol, "_eval_id").agg(count(lit(1)).as("n_common"))
-        val trainSizes = trainSigs.join(bj(candIds), idCol)
-          .select(col(idCol), col("nsh").as("_na"))
-        val evalSizes = evalSigs.select(col(idCol).as("_eval_id"), col("nsh").as("_nb"))
-        val result = common
-          .join(bj(trainSizes), idCol)
-          .join(bj(evalSizes), "_eval_id")
-          .withColumn("jaccard",
-            col("n_common").cast("double") / (col("_na") + col("_nb") - col("n_common")))
-          .filter(col("jaccard") >= threshold)
-          .groupBy(idCol)
-          .agg(count(lit(1)).as("n_eval_hits"), max(col("jaccard")).as("max_jaccard"))
-        result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try result.count() // materialize while sigs/pairs are still cached
-        catch { case e: Throwable =>
-          // on failure the caller never receives a handle to unpersist —
-          // release the half-materialized cache before propagating (same
-          // contract as CorpusSelect.budgetPrefix)
-          result.unpersist()
-          throw e
-        }
-        result
-      } finally pairs.unpersist()
+      val evalSh = shingleHashes(base.filter(col("_is_eval")), idCol, col("_text"), n)
+        .withColumnRenamed(idCol, "_eval_id")
+      val evalSizes = evalSigs.select(col(idCol).as("_eval_id"), col("nsh").as("_nb"))
+      decontaminateCore(base.filter(!col("_is_eval")), trainSigs, idCol,
+        evalBands, evalSh, evalSizes, threshold, n,
+        broadcastEval = evalDocCount <= maxBroadcastEvalDocs)
     } finally sigs.unpersist()
   }
+
+  /** Eval-side relations of the fuzzy-decontamination join, precomputed
+    * and persisted for REPEATED use — the static reference set of a
+    * streaming ingest filter ([[streamingDecontaminate]]), where
+    * recomputing eval signatures every micro-batch would waste the one
+    * part of the work that never changes. Built by
+    * [[prepareEvalSignatures]]; the holder owns the cached blocks and
+    * must [[EvalSignatures.unpersist]] when the stream is done.
+    */
+  final case class EvalSignatures(
+      bands: DataFrame, shingles: DataFrame, sizes: DataFrame,
+      evalDocCount: Long) {
+    def unpersist(): Unit = {
+      bands.unpersist(); shingles.unpersist(); sizes.unpersist(); ()
+    }
+  }
+
+  /** Precompute + persist the eval side of fuzzy decontamination: band
+    * keys (candidacy), shingle hashes (exact verify), and shingle counts
+    * (Jaccard denominator). One pass over the eval set; all three
+    * relations are eval-sized (the 100 TB asymmetry — small by contract).
+    */
+  def prepareEvalSignatures(evalDocs: DataFrame, idCol: String, text: Column,
+      n: Int = 3): EvalSignatures = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = evalDocs.select(col(idCol), text.as("_text"))
+    val sigs = withMinhashCols(base, col("_text"), n).drop("_text")
+    val bands = bandKeys(sigs, idCol)
+      .withColumnRenamed(idCol, "_eval_id").persist(lvl)
+    val shingles = shingleHashes(base, idCol, col("_text"), n)
+      .withColumnRenamed(idCol, "_eval_id").persist(lvl)
+    val sizes = sigs.select(col(idCol).as("_eval_id"), col("nsh").as("_nb"))
+      .persist(lvl)
+    val cnt = sizes.count() // one row per eval doc — materializes the guard input
+    bands.count(); shingles.count()
+    EvalSignatures(bands, shingles, sizes, cnt)
+  }
+
+  /** Fuzzy decontamination of a train relation against PREPARED eval
+    * signatures — the per-micro-batch body of [[streamingDecontaminate]],
+    * also usable standalone when one eval set screens many corpora.
+    * Identical result to [[fuzzyDecontaminate]] on the same (train, eval)
+    * data: same signatures, same candidacy, same exact-Jaccard verify
+    * (spec-pinned in StreamingDecontaminateSpec).
+    */
+  def fuzzyDecontaminateAgainst(train: DataFrame, idCol: String, text: Column,
+      eval: EvalSignatures, threshold: Double = 0.5, n: Int = 3,
+      maxBroadcastEvalDocs: Long = 1000000L): DataFrame = {
+    val base = train.select(col(idCol), text.as("_text"))
+    val trainSigs = withMinhashCols(base, col("_text"), n)
+      .drop("_text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try decontaminateCore(base, trainSigs, idCol,
+      eval.bands, eval.shingles, eval.sizes, threshold, n,
+      broadcastEval = eval.evalDocCount <= maxBroadcastEvalDocs)
+    finally trainSigs.unpersist()
+  }
+
+  /** Shared train-vs-eval verification core. `trainBase` carries
+    * (idCol, _text); `trainSigs` its minhash signatures (persisted by the
+    * caller — consumed by the candidacy join AND the size lookup). All
+    * eval relations are broadcast when `broadcastEval` (the guarded
+    * 100 TB default); the train side stays map-only to candidate
+    * verification either way.
+    */
+  private def decontaminateCore(trainBase: DataFrame, trainSigs: DataFrame,
+      idCol: String, evalBands: DataFrame, evalSh: DataFrame,
+      evalSizes: DataFrame, threshold: Double, n: Int,
+      broadcastEval: Boolean): DataFrame = {
+    def bj(df: DataFrame): DataFrame =
+      if (broadcastEval) broadcast(df) else df
+
+    val trainBands = bandKeys(trainSigs, idCol)
+    // candidate (train, eval) pairs: any shared band bucket —
+    // candidate-bounded small, reused three times below
+    val pairs = trainBands
+      .join(bj(evalBands), Seq("band", "bkey"))
+      .select(col(idCol), col("_eval_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val candIds = pairs.select(col(idCol)).distinct()
+
+      // exact-Jaccard verify on candidates only. EVERY join against a
+      // train-wide relation broadcasts its candidate-bounded side — the
+      // train side must never shuffle (that is the operator's contract;
+      // FuzzyDecontaminateSpec pins zero shuffle joins).
+      val candDocs = trainBase.join(bj(candIds), idCol)
+      val trainSh = shingleHashes(candDocs, idCol, col("_text"), n)
+      val common = trainSh
+        .join(bj(evalSh), "sh")
+        .join(bj(pairs), Seq(idCol, "_eval_id"))
+        .groupBy(idCol, "_eval_id").agg(count(lit(1)).as("n_common"))
+      val trainSizes = trainSigs.join(bj(candIds), idCol)
+        .select(col(idCol), col("nsh").as("_na"))
+      val result = common
+        .join(bj(trainSizes), idCol)
+        .join(bj(evalSizes), "_eval_id")
+        .withColumn("jaccard",
+          col("n_common").cast("double") / (col("_na") + col("_nb") - col("n_common")))
+        .filter(col("jaccard") >= threshold)
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_eval_hits"), max(col("jaccard")).as("max_jaccard"))
+      result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try result.count() // materialize while caller caches are still live
+      catch { case e: Throwable =>
+        // on failure the caller never receives a handle to unpersist —
+        // release the half-materialized cache before propagating (same
+        // contract as CorpusSelect.budgetPrefix)
+        result.unpersist()
+        throw e
+      }
+      result
+    } finally pairs.unpersist()
+  }
+
+  /** Streaming fuzzy decontamination: an ingest-time filter that screens
+    * every arriving micro-batch of train docs against a STATIC prepared
+    * eval set ([[prepareEvalSignatures]] — computed once, reused every
+    * batch). Survivors land under `outPath/clean/batch=N`, the
+    * contamination report (id, n_eval_hits, max_jaccard) under
+    * `outPath/contam/batch=N`.
+    *
+    * Unlike [[streamingNearDup]] there is NO cross-batch state: a doc's
+    * contamination depends only on (doc, eval set), so per-batch results
+    * are independent, the union over batches equals the batch-mode
+    * [[fuzzyDecontaminate]] on the concatenated input (spec-pinned), and
+    * replay is idempotent by partition overwrite alone — no claim store,
+    * no compaction. The per-batch plan is the batch operator's: train
+    * side map-only to candidate verification, eval side broadcast under
+    * the same size guard.
+    */
+  def streamingDecontaminate(docs: DataFrame, idCol: String, text: Column,
+      eval: EvalSignatures, outPath: String, checkpoint: String,
+      threshold: Double = 0.5, n: Int = 3,
+      maxBroadcastEvalDocs: Long = 1000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist()
+        try {
+          val contam = fuzzyDecontaminateAgainst(cached, idCol, text, eval,
+            threshold, n, maxBroadcastEvalDocs)
+          try {
+            // contam is candidate-bounded — broadcast the exclusion list
+            val clean = cached.join(
+              broadcast(contam.select(col(idCol))), Seq(idCol), "left_anti")
+            clean.write.mode("overwrite")
+              .parquet(s"$outPath/clean/batch=$batchId")
+            contam.write.mode("overwrite")
+              .parquet(s"$outPath/contam/batch=$batchId")
+          } finally { contam.unpersist(); () }
+        } finally { cached.unpersist(); () }
+      }
+      .start()
 
   /** Connected components over an undirected near-dup pair graph
     * (doc_a, doc_b): labels every vertex with the MINIMUM doc id of its
