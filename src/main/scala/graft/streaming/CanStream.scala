@@ -377,4 +377,131 @@ object CanStream {
   def consoleSink(df: DataFrame, signals: Seq[String]): StreamingQuery =
     df.select((graft.can.DbcColumns.TimeCol +: signals).map(col): _*)
       .writeStream.format("console").outputMode("append").start()
+
+  /** COMPACTABLE K1 sink: plain parquet under `out_batch=N` partitions via
+    * foreachBatch (idempotent overwrite on replay — the [[graft.ops.Dedup
+    * .streamingNearDup]] pattern). A long-running stream writing one file
+    * set per micro-batch is the classic small-files failure at 100 TB:
+    * list/open cost grows without bound and scan tasks shrink to
+    * per-micro-batch slivers. The built-in parquet sink cannot be
+    * compacted after the fact — its `_spark_metadata` log is the source
+    * of truth for readers, so rewriting data files underneath it either
+    * hides the compacted files or breaks exactly-once reads. Partitioned
+    * plain parquet has no such coupling: readers use ordinary partition
+    * discovery, and [[compactParquetSink]] folds finalized batch
+    * partitions offline.
+    */
+  def partitionedParquetSink(df: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      statePartitions: Option[Int] = None): StreamingQuery =
+    withStatePartitions(df.sparkSession, statePartitions) {
+      df.writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$path/out_batch=$batchId")
+        }
+        .start()
+    }
+
+  private def sinkPartitions(spark: SparkSession, root: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("out_batch="))
+      .map(_.getPath)
+  }
+
+  /** Offline compaction of a [[partitionedParquetSink]] output: fold the
+    * compacted base and every FINALIZED batch partition into one new base
+    * under a fresh NEGATIVE `out_batch` id, sized to `targetBytesPerFile`
+    * — so a stream that ran for N micro-batches reads as O(total bytes /
+    * target) files plus the most recent batch, not O(N) file sets.
+    *
+    * The HIGHEST live batch id is left out of the fold for the same
+    * reason as [[graft.ops.Dedup.compactClaims]]: only that batch can be
+    * replayed after a restart, and its replay must overwrite its OWN
+    * `out_batch=N` partition — folding it would turn a replay into row
+    * duplication. Run while the query is STOPPED (between AvailableNow
+    * drains).
+    *
+    * Unlike the claim store (a semi-join input, where duplicate rows are
+    * harmless), sink rows must never duplicate — so the fold is staged
+    * through a manifest for crash recovery: (1) new base lands in a
+    * `_`-prefixed temp dir (invisible to partition discovery), (2) a
+    * manifest records the fold set, (3) temp renames to
+    * `out_batch=<target>`, (4) folded partitions are deleted, (5) the
+    * manifest is removed. A crash before (3) rolls back (temp + manifest
+    * deleted on the next run); a crash after (3) completes forward (the
+    * manifest's fold set is deleted on the next run). Readers see
+    * duplicates only inside the (3)-(4) window, which the run-while-
+    * stopped contract already excludes.
+    */
+  def compactParquetSink(spark: SparkSession, path: String,
+      targetBytesPerFile: Long = 128L << 20): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, root)
+    val parts = sinkPartitions(spark, path)
+    def idOf(p: org.apache.hadoop.fs.Path): Long =
+      p.getName.stripPrefix("out_batch=").toLong
+    val maxLive = parts.map(idOf).filter(_ >= 0).maxOption
+    val fold = parts.filter(p => idOf(p) < 0 || maxLive.exists(idOf(p) < _))
+    if (fold.length > 1) {
+      val target = math.min(-1L, parts.map(idOf).min - 1)
+      val bytes = fold.map(p => fs.getContentSummary(p).getLength).sum
+      val nFiles = math.max(1L,
+        (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+      val tmp = new org.apache.hadoop.fs.Path(root, s"_compact_tmp_$target")
+      spark.read.option("basePath", path)
+        .parquet(fold.map(_.toString): _*)
+        .drop("out_batch")
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      writeManifest(fs, root, target, fold.map(_.getName))
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"out_batch=$target"))
+      fold.foreach(p => fs.delete(p, true))
+      fs.delete(manifestPath(root), false)
+      ()
+    }
+  }
+
+  private def manifestPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_compact_manifest")
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, target: Long,
+      folded: Seq[String]): Unit = {
+    val out = fs.create(manifestPath(root), true)
+    try out.write((target.toString +: folded).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Converge an interrupted compaction: forward if the new base was
+    * already renamed into place (delete the manifest's fold set), back
+    * out otherwise (drop temp + manifest). Idempotent.
+    */
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val mf = manifestPath(root)
+    if (fs.exists(mf)) {
+      val in = fs.open(mf)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val target = lines.head.toLong
+      val basePath = new org.apache.hadoop.fs.Path(root, s"out_batch=$target")
+      if (fs.exists(basePath))
+        lines.tail.foreach { name =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, name), true)
+        }
+      else
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"_compact_tmp_$target"), true)
+      fs.delete(mf, false)
+      ()
+    }
+  }
 }
