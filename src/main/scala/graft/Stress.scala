@@ -1,0 +1,196 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsOfJoin, Dedup, RangeJoin, TextAnalysis}
+
+/** Standing 10× scale-stress harness (the tagged-copy protocol the round
+  * notes ran ad-hoc, promoted to a tool): the five heaviest operator
+  * families each run at base scale and at 10× input, and the wall-clock
+  * ratio is the scale-safety evidence — a candidate-bounded operator
+  * should grow SUBLINEARLY in wall time (shared scan/shuffle constants
+  * amortize; candidate fan-out stays capped), where an uncapped design
+  * would go quadratic under exactly these adversarial copies.
+  *
+  * The 10× construction is deliberately adversarial per family:
+  *   - dedup/fuzzy: 10 id-shifted copies with IDENTICAL text — every doc
+  *     gains 9 cross-copy near-identical siblings, densifying the pair
+  *     graph ~100× (not just 10×);
+  *   - as-of: copies share user keys with ts shifted +i µs — 10× ROWS
+  *     PER KEY, the keyed-window worst axis;
+  *   - range: 10× points AND 10× intervals — the match set grows ~60×
+  *     while the ≤2-replica bucket bound must keep wall near-linear;
+  *   - decode: 10× generated candump frames through parse → decode →
+  *     tumbling bucket (the CLI spine) — expected ~linear (map-only).
+  *
+  * Output: ONE JSON line, `{"sf":…,"families":{"<name>":{"base":s,
+  * "x10":s,"ratio":r}}}`, written to stdout and to
+  * `$SPARK_GRAFT_STRESS_OUT` (default STRESS.json). Timing is min-of-2
+  * after a session warmup (the bench methodology, shortened: stress
+  * ratios compare within one JVM, so cross-rep weather mostly cancels).
+  */
+object Stress {
+
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "STRESS.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().collect() // session warmup, untimed
+
+    val families: Seq[(String, Int => Unit)] = Seq(
+      "dedup" -> (c => dedupSpine(spark, sfDir, c)),
+      "fuzzy_decon" -> (c => fuzzyDecon(spark, sfDir, c)),
+      "asof" -> (c => asof(spark, sfDir, c)),
+      "range" -> (c => range(spark, sfDir, c)),
+      "decode_bucket" -> (c => decodeBucket(spark, c)))
+
+    val results = families.map { case (name, run) =>
+      val base = time(spark, run(1))
+      val x10 = time(spark, run(10))
+      System.err.println(
+        f"[stress] $name base ${base}%.3f s -> x10 ${x10}%.3f s (${x10 / base}%.2fx)")
+      name -> (base, x10)
+    }
+    val body = results.map { case (n, (b, x)) =>
+      s""""$n":{"base":${fmt(b)},"x10":${fmt(x)},"ratio":${fmt(x / b)}}"""
+    }.mkString(",")
+    val json = s"""{"sf":"$sfDir","families":{$body}}"""
+    println(json)
+    Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    spark.stop()
+  }
+
+  /** Min-of-2 wall seconds; caches dropped between reps so rep 2 is not
+    * served from rep 1's blocks.
+    */
+  private def time(spark: SparkSession, body: => Unit): Double =
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      sec
+    }.min
+
+  /** 10 id-shifted copies, text unchanged: every doc gains 9 identical-
+    * text siblings across copies.
+    */
+  private def docCopies(spark: SparkSession, dir: String, copies: Int): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    if (copies == 1) d
+    else (0 until copies).map { i =>
+      d.select((col("doc_id") + lit(i * 100000000L)).as("doc_id"), col("text"))
+    }.reduce(_.unionByName(_))
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def dedupSpine(spark: SparkSession, dir: String, copies: Int): Unit = {
+    val pairs = Dedup.minhashNearDups(docCopies(spark, dir, copies),
+      "doc_id", col("text"))
+    try noop(Dedup.connectedComponents(pairs))
+    finally { pairs.unpersist(); () }
+  }
+
+  private def fuzzyDecon(spark: SparkSession, dir: String, copies: Int): Unit = {
+    val r = Dedup.fuzzyDecontaminate(docCopies(spark, dir, copies),
+      "doc_id", col("text"), TextAnalysis.md5Long(col("text")) % 20 === 1)
+    r.unpersist()
+    ()
+  }
+
+  /** Events with ts as micros long; copies share user keys, ts +i µs. */
+  private def eventCopies(spark: SparkSession, dir: String, copies: Int): DataFrame = {
+    val ev = SparkEntry.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+    if (copies == 1) ev
+    else (0 until copies).map { i =>
+      ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+        col("user_id"), col("event_type"), col("value"),
+        (col("us") + lit(i.toLong)).as("us"))
+    }.reduce(_.unionByName(_))
+  }
+
+  private def asof(spark: SparkSession, dir: String, copies: Int): Unit = {
+    val ev = eventCopies(spark, dir, copies)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    noop(AsOfJoin.backward(
+      ev.select("event_id", "user_id", "us"), purchases,
+      key = "user_id", ts = "us", payload = Seq("purchase_id", "purchase_value")))
+  }
+
+  private def range(spark: SparkSession, dir: String, copies: Int): Unit = {
+    val hourUs = 3600000000L
+    val ev = eventCopies(spark, dir, copies)
+    val points = ev.select(col("event_id"), col("user_id"), col("us"))
+    val intervals = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("start_us"),
+        (col("us") + hourUs).as("end_us"), col("event_id").as("purchase_id"))
+    noop(RangeJoin.pointInInterval(points, intervals,
+      "us", "start_us", "end_us", Seq("user_id"), bucketWidth = hourUs))
+  }
+
+  /** Generated candump lines (500k × copies frames over the mini.dbc
+    * fleet) through the full parse → decode → tumbling-bucket spine.
+    * Lines are generated DISTRIBUTED (spark.range → text files) so the
+    * timed run measures the pipeline, not driver-side string building;
+    * generation itself is untimed only in the sense that it is part of
+    * both scales equally (the input must be a real file — the spine's
+    * scan is the thing under test).
+    */
+  private def decodeBucket(spark: SparkSession, copies: Int): Unit = {
+    val n = 500000L * copies
+    val dir = Files.createTempDirectory("stress_candump").toString
+    val path = s"$dir/frames"
+    // 3 message ids from fixtures/mini.dbc: 100 (4B), 200 (8B), 300 (4B);
+    // 4ms cadence like the fixture
+    // `div`, not `/`: long division must stay integral for %d (Spark's
+    // `/` on longs returns double). Products stay under Long.MaxValue at
+    // any copies<=10 (5M ids), so ANSI overflow never fires.
+    spark.range(n).selectExpr(
+      """format_string('(%d.%06d) vcan0 %s',
+        |  1700000000 + (id * 4000) div 1000000,
+        |  (id * 4000) % 1000000,
+        |  case when id % 3 = 0
+        |         then format_string('100#%08X', (id * 2654435761) % 4294967296)
+        |       when id % 3 = 1
+        |         then format_string('200#%016X', id * 1099511628211)
+        |       else format_string('300#%08X', (id * 40503) % 4294967296)
+        |  end) as value""".stripMargin)
+      .write.mode("overwrite").text(path)
+    try {
+      noop(graft.can.CanPipeline.decodeLog(spark, "fixtures/mini.dbc", path,
+        graft.can.CanPipelineConfig(cacheMs = 10.0)))
+    } finally {
+      // best-effort temp cleanup
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+}
