@@ -496,6 +496,32 @@ object SparkEntry {
         .withColumnRenamed("ts_ms", "ts_us")
     }),
 
+    "qc_val_labels" -> ((s, dir) => {
+      // VAL_ value tables end-to-end: a labeled gear byte decodes through
+      // the spine numerically, then SignalDecoder.withLabels attaches the
+      // enum label as a literal-map element_at projection (map-only, no
+      // join) — value 4 is deliberately unlisted and labels null
+      val dbc =
+        """BO_ 256 G1: 8 E
+          | SG_ GEAR : 0|8@1+ (1,0) [0|0] "" X
+          | SG_ RAWB : 8|8@1+ (1,0) [0|0] "" X
+          |VAL_ 256 GEAR 0 "neutral" 1 "first" 2 "second" 3 "third" ;
+          |""".stripMargin
+      val net = DbcParser.parseString(dbc)
+      val ev = events(s, dir)
+      val lines = ev.select(format_string("(%d.%06d) vcan0 100#%s",
+        expr("unix_micros(ts) div 1000000"), expr("unix_micros(ts) % 1000000"),
+        concat(hex2(col("user_id") % 5), hex2(col("event_id").bitwiseAND(255)),
+          lit("000000000000"))).as("value"))
+      val frames = CandumpParser.parseLines(lines)
+        .withColumnRenamed("ts_us", "ts_ms")
+      SignalDecoder.withLabels(net, SignalDecoder.wideFrame(net, frames))
+        .select(col("ts_ms").cast("long").as("ts_us"),
+          col("GEAR").cast("int").as("gear"),
+          col("GEAR_label").as("gear_label"),
+          col("RAWB").cast("int").as("rawb"))
+    }),
+
     "qc_bucket_frames" -> ((s, dir) => {
       // the fleet-width frame-level tumbling path (one full-volume
       // aggregation over (bucket, can_id, mux) of the raw payload u64,
@@ -1847,6 +1873,14 @@ object SparkEntry {
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(CAST(props->>'$.k' AS BIGINT)) AS n_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "qc_val_labels" ->
+      """SELECT epoch_us(ts) AS ts_us,
+        |  CAST(user_id % 5 AS INTEGER) AS gear,
+        |  CASE user_id % 5 WHEN 0 THEN 'neutral' WHEN 1 THEN 'first'
+        |       WHEN 2 THEN 'second' WHEN 3 THEN 'third' END AS gear_label,
+        |  CAST(event_id % 256 AS INTEGER) AS rawb
+        |FROM events""".stripMargin,
 
     "qc_candump_parse" -> (canBytesCte +
       """

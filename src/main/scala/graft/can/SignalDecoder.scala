@@ -196,6 +196,36 @@ object SignalDecoder {
     * `carryCols` are passed through unchanged (e.g. `iface` as an exact-
     * bucketing key).
     */
+  /** Attach `VAL_` enum labels to a decoded wide frame: for every signal
+    * with a value table (and a column present in `df`), adds
+    * `<name>_label` = the label of the column's integer value, null when
+    * unlisted. Opt-in and additive — decode itself stays numeric, like
+    * the reference (dbcppp parses value encodings; its decode never
+    * applies them), because labels are presentation, not physics.
+    *
+    * Map-only: each table becomes a literal map and the lookup is an
+    * `element_at` projection — no join, no shuffle, any corpus size.
+    * Labels address the RAW integer domain, so the lookup casts the
+    * decoded column back through the inverse scale only when it is the
+    * identity (the overwhelmingly common case for enum signals); a
+    * labeled signal with a non-identity factor/offset is rejected loudly
+    * rather than silently mislabeled.
+    */
+  def withLabels(net: Network, df: DataFrame): DataFrame = {
+    val labeled = net.signalsInOrder.collect {
+      case (m, s) if s.labels.nonEmpty && df.columns.contains(s.name) => (m, s)
+    }
+    labeled.foldLeft(df) { case (d, (m, s)) =>
+      require(s.isIdentityScale,
+        s"withLabels on ${m.name}.${s.name}: value table over a scaled " +
+          s"signal (factor=${s.factor}, offset=${s.offset}) — labels " +
+          "address raw values; decode is physical")
+      val entries = s.labels.flatMap { case (v, l) => Seq(lit(v), lit(l)) }
+      d.withColumn(s"${s.name}_label",
+        element_at(map(entries: _*), col(s.name).cast(LongType)))
+    }
+  }
+
   def wideFrame(net: Network, frames: DataFrame,
       mode: TypingMode = TypingMode.Intended,
       nativeExtract: Boolean = true,

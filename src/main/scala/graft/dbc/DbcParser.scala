@@ -72,7 +72,8 @@ final case class Signal(
     unit: String,
     mux: Mux,
     isFlt32: Boolean,
-    valType: ValType = ValType.Integer
+    valType: ValType = ValType.Integer,
+    labels: Seq[(Long, String)] = Nil
 ) {
   require(bitLen >= 1 && bitLen <= 64, s"signal $name: bitLen $bitLen out of [1,64]")
   require(startBit >= 0 && startBit < 64, s"signal $name: startBit $startBit out of [0,64)")
@@ -147,6 +148,14 @@ object DbcParser {
   private val MulValMalformedRe =
     """^\s*SG_MUL_VAL_\s+.*$""".r
   private val RangeRe = """^(\d+)\s*-\s*(\d+)$""".r
+  // VAL_ msgId SigName v1 "label1" v2 "label2" ... ;  (value tables —
+  // parsed by the reference's dbcppp as IValueEncodingDescription even
+  // though its decode keeps values numeric). The keyword requires
+  // whitespace after VAL_, so global `VAL_TABLE_` definitions (a
+  // different keyword, no message scope) fall through to the skip case.
+  private val ValLabelsRe =
+    """^\s*VAL_\s+(\d+)\s+([A-Za-z0-9_]+)\s+(.*?)\s*;?\s*$""".r
+  private val LabelPairRe = """(-?\d+)\s+"([^"]*)"""".r
 
   def parseFile(path: String, lenient: Boolean = false): Network = {
     val src = Source.fromFile(path)
@@ -171,6 +180,7 @@ object DbcParser {
     // and applied once every message is flushed
     val valTypes = Map.newBuilder[(Long, String), ValType]
     val mulVals = Map.newBuilder[(Long, String), (String, Seq[(Long, Long)])]
+    val valLabels = Map.newBuilder[(Long, String), Seq[(Long, String)]]
 
     def flush(): Unit = {
       current.foreach { case (id, name, dlc) =>
@@ -232,13 +242,30 @@ object DbcParser {
         case MulValMalformedRe() =>
           throw new IllegalArgumentException(
             s"malformed SG_MUL_VAL_ declaration: $line")
-        case _ => // skip: VERSION, NS_, BS_, BU_, CM_, BA_, VAL_, blank, ...
+        case ValLabelsRe(id, sig, body) =>
+          val pairs = LabelPairRe.findAllMatchIn(body)
+            .map(m => (m.group(1).toLong, m.group(2))).toSeq
+          // the pair list must consume the whole body: leftover junk means
+          // a mistyped table (e.g. an unquoted label), which would silently
+          // drop labels of a signal that IS present
+          val residue = LabelPairRe.replaceAllIn(body, "").trim
+          require(pairs.nonEmpty && residue.isEmpty,
+            s"malformed VAL_ declaration (want: v \"label\" pairs): $line")
+          require(pairs.map(_._1).distinct.size == pairs.size,
+            s"VAL_ declaration repeats a value: $line")
+          valLabels += ((id.toLong & 0x1FFFFFFFL, sig) -> pairs)
+        // a VAL_ line with no leading message id is an environment-variable
+        // value table (`VAL_ <EnvVarName> ...`) — legal DBC outside our
+        // subset, skipped with the other unconsumed keywords below
+        case _ => // skip: VERSION, NS_, BS_, BU_, CM_, BA_, VAL_TABLE_, blank, ...
       }
     }
     flush()
-    applyMulVals(
-      applyValTypes(Network(messages.result()), valTypes.result(), lenient),
-      mulVals.result(), lenient)
+    applyValLabels(
+      applyMulVals(
+        applyValTypes(Network(messages.result()), valTypes.result(), lenient),
+        mulVals.result(), lenient),
+      valLabels.result(), lenient)
   }
 
   /** Attaches collected `SIG_VALTYPE_` declarations to their signals.
@@ -335,6 +362,31 @@ object DbcParser {
         })
       })
       unmatchedDecl("SG_MUL_VAL_", mv.keySet -- matched.result(), lenient)
+      out
+    }
+  }
+
+  /** Attaches collected `VAL_` value tables to their signals (declaration
+    * order preserved). Decode stays numeric — labels are opt-in via
+    * [[graft.can.SignalDecoder.withLabels]] — matching the reference,
+    * whose dbcppp parses value encodings while its decode path never
+    * applies them. Unmatched declarations follow the [[applyValTypes]]
+    * lenient rule.
+    */
+  private def applyValLabels(net: Network,
+      vl: Map[(Long, String), Seq[(Long, String)]], lenient: Boolean): Network = {
+    if (vl.isEmpty) net
+    else {
+      val matched = Set.newBuilder[(Long, String)]
+      val out = Network(net.messages.map { m =>
+        m.copy(signals = m.signals.map { s =>
+          lookupDecl(m, s, vl, matched) match {
+            case None => s
+            case Some(pairs) => s.copy(labels = pairs)
+          }
+        })
+      })
+      unmatchedDecl("VAL_", vl.keySet -- matched.result(), lenient)
       out
     }
   }

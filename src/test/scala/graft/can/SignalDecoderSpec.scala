@@ -298,4 +298,38 @@ class SignalDecoderSpec extends AnyFunSuite {
     assert(inline.exceptAll(outlined).count() == 0 &&
       outlined.exceptAll(inline).count() == 0)
   }
+
+  test("withLabels: VAL_ tables attach as map-only label columns; unlisted " +
+      "values null; scaled labeled signals rejected") {
+    val net = DbcParser.parseString(
+      """BO_ 16 G: 8 E
+        | SG_ Gear : 0|8@1+ (1,0) [0|0] "" T
+        | SG_ Plain : 8|8@1+ (1,0) [0|0] "" T
+        |
+        |VAL_ 16 Gear 0 "neutral" 1 "first" 2 "second" ;
+        |""".stripMargin)
+    val frames = Seq(
+      (0.0, 16L, Array[Byte](0, 5)),
+      (1.0, 16L, Array[Byte](2, 6)),
+      (2.0, 16L, Array[Byte](9, 7)) // 9 unlisted -> null label
+    ).toDF("ts_ms", "can_id", "data")
+    val out = SignalDecoder.withLabels(net, SignalDecoder.wideFrame(net, frames))
+      .orderBy("ts_ms")
+      .select("Gear", "Gear_label", "Plain").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((0, "neutral", 5), (2, "second", 6), (9, null, 7)))
+    // no stray label columns for unlabeled signals
+    assert(!SignalDecoder.withLabels(net, SignalDecoder.wideFrame(net, frames))
+      .columns.contains("Plain_label"))
+    // labels address RAW values: a scaled labeled signal would silently
+    // mislabel — rejected
+    val scaled = DbcParser.parseString(
+      """BO_ 16 G: 8 E
+        | SG_ Gear : 0|8@1+ (0.5,0) [0|0] "" T
+        |
+        |VAL_ 16 Gear 0 "neutral" ;
+        |""".stripMargin)
+    assertThrows[IllegalArgumentException](
+      SignalDecoder.withLabels(scaled, SignalDecoder.wideFrame(scaled, frames)))
+  }
 }

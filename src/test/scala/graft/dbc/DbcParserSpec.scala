@@ -235,4 +235,42 @@ class DbcParserSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](DbcParser.parseString(
       extMuxDbc.replace("SG_MUL_VAL_ 6 A", "SG_MUL_VAL_ 6 Z")))
   }
+
+  private val valDbc =
+    """BO_ 7 M: 8 ECU
+      | SG_ Gear : 0|8@1+ (1,0) [0|0] "" T
+      | SG_ Other : 8|8@1+ (1,0) [0|0] "" T
+      |
+      |VAL_ 7 Gear 0 "neutral" 1 "first" 2 "second" -1 "fault" ;
+      |""".stripMargin
+
+  test("VAL_ value tables parse into Signal.labels in declaration order") {
+    val n = DbcParser.parseString(valDbc)
+    val m = n.messageById(7L)
+    assert(m.signals.find(_.name == "Gear").get.labels ==
+      Seq((0L, "neutral"), (1L, "first"), (2L, "second"), (-1L, "fault")))
+    assert(m.signals.find(_.name == "Other").get.labels.isEmpty)
+  }
+
+  test("VAL_ rejects mistyped tables, follows the lenient rule for " +
+      "unmatched, skips env-var and VAL_TABLE_ forms") {
+    // unquoted label = mistyped table on a PRESENT signal — always fatal
+    assertThrows[IllegalArgumentException](DbcParser.parseString(
+      valDbc.replace("0 \"neutral\"", "0 neutral")))
+    // repeated value — ambiguous label, fatal
+    assertThrows[IllegalArgumentException](DbcParser.parseString(
+      valDbc.replace("1 \"first\"", "0 \"first\"")))
+    // unmatched message/signal: strict throws, lenient skips
+    assertThrows[IllegalArgumentException](DbcParser.parseString(
+      valDbc.replace("VAL_ 7 Gear", "VAL_ 99 Gear")))
+    val n = DbcParser.parseString(
+      valDbc.replace("VAL_ 7 Gear", "VAL_ 99 Gear"), lenient = true)
+    assert(n.messageById(7L).signals.forall(_.labels.isEmpty))
+    // env-var value tables and global VAL_TABLE_ are outside the subset —
+    // skipped like the other unconsumed keywords
+    val skipped = DbcParser.parseString(valDbc +
+      "VAL_ EnvName 0 \"off\" 1 \"on\" ;\n" +
+      "VAL_TABLE_ Tbl 0 \"zero\" 1 \"one\" ;\n")
+    assert(skipped.messageById(7L).signals.find(_.name == "Gear").get.labels.nonEmpty)
+  }
 }
