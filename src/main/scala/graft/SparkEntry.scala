@@ -1443,6 +1443,27 @@ object SparkEntry {
         Similarity.batchQueries(emb, col("vec_id") < 8), k = 5)
     }),
 
+    "qs_batch_brute" -> ((s, dir) => {
+      // exact ground truth for the whole query set in ONE job (corpus
+      // scan x broadcast fan-out, no candidate bound — that's what exact
+      // costs) — the recall-evaluation baseline at scale
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKBatch(emb,
+        Similarity.batchQueries(emb, col("vec_id") < 8), k = 5)
+    }),
+
+    "qs_batch_recall" -> ((s, dir) => {
+      // the measurement op that closes the ANN loop: per-query recall@5
+      // of the banded LSH batch against the exact batch — both one-job,
+      // join cost is top-k-sized regardless of corpus size
+      val emb = t(s, dir, "embeddings")
+      val q = Similarity.batchQueries(emb, col("vec_id") < 8)
+      Similarity.recallAtK(
+          Similarity.lshTopKBatch(emb, q, k = 5),
+          Similarity.bruteForceTopKBatch(emb, q, k = 5))
+        .orderBy("query_id")
+    }),
+
     "qm_media_decode" -> ((s, dir) => {
       // oracle computes byte math from characters, so restrict the gate to
       // ASCII docs (bytes == chars); the stub itself is byte-correct for
@@ -2810,6 +2831,43 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
            |  FROM cand)
            |SELECT query_id, vec_id, score FROM r WHERE rn <= 5""".stripMargin),
+
+      "qs_batch_brute" -> (quantCte +
+        s""",
+           |qq AS (SELECT vec_id AS query_id, qe AS qqe, nrm AS qnrm FROM n WHERE vec_id < 8),
+           |cand AS (SELECT qq.query_id, a.vec_id,
+           |    list_reduce(list_transform(list_zip(a.qe, qq.qqe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(a.nrm)*sqrt(qq.qnrm)) AS score
+           |  FROM n a CROSS JOIN qq WHERE a.vec_id <> qq.query_id),
+           |r AS (SELECT query_id, vec_id, score,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+           |  FROM cand)
+           |SELECT query_id, vec_id, score FROM r WHERE rn <= 5""".stripMargin),
+
+      "qs_batch_recall" -> (quantCte +
+        s""",
+           |bkt AS (SELECT vec_id, qe, nrm, $bucketExpr AS bucket FROM n),
+           |qq AS (SELECT vec_id AS query_id, qe AS qqe, nrm AS qnrm, bucket AS qbucket
+           |  FROM bkt WHERE vec_id < 8),
+           |acand AS (SELECT qq.query_id, a.vec_id,
+           |    list_reduce(list_transform(list_zip(a.qe, qq.qqe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(a.nrm)*sqrt(qq.qnrm)) AS score
+           |  FROM bkt a JOIN qq
+           |    ON bit_count(xor(a.bucket, qq.qbucket)) <= 1 AND a.vec_id <> qq.query_id),
+           |approx AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+           |  FROM acand) WHERE rn <= 5),
+           |tcand AS (SELECT qq.query_id, a.vec_id,
+           |    list_reduce(list_transform(list_zip(a.qe, qq.qqe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(a.nrm)*sqrt(qq.qnrm)) AS score
+           |  FROM n a CROSS JOIN qq WHERE a.vec_id <> qq.query_id),
+           |truth AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+           |  FROM tcand) WHERE rn <= 5)
+           |SELECT t.query_id, CAST(count(a.vec_id) AS DOUBLE)/count(*) AS recall
+           |FROM truth t LEFT JOIN approx a
+           |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
 
       "qm_media_decode" ->
         """SELECT doc_id,

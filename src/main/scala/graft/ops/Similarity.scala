@@ -402,6 +402,49 @@ object Similarity {
     rankPerQuery(cand, k)
   }
 
+  /** Batch brute-force top-k: exact ground truth for a whole query set in
+    * ONE job — corpus scan × broadcast probe fan-out + one window. This
+    * is the recall-evaluation baseline of an ANN pipeline at scale: the
+    * per-row cost is |Q| dot products (no candidate bound — that is what
+    * "exact" costs), but it is still one scan and zero per-query driver
+    * work, where N [[bruteForceTopK]] calls are N scans. Keep |Q| small
+    * (an eval probe sample); the guarded broadcast demotes to a shuffle
+    * above the threshold like every batch entry point.
+    */
+  def bruteForceTopKBatch(emb: DataFrame, queries: DataFrame, k: Int,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    val small = queries.count() <= maxBroadcastQueries
+    val q = bjIf(small)(queries.select(col("query_id"), col("qv").as("query_v")))
+    val cand = emb
+      .withColumn("qv", quantize(col("embedding")))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("query_v")).as("score"))
+    rankPerQuery(cand, k)
+  }
+
+  /** Recall@k of an approximate batch top-k against an exact one — the
+    * measurement operator that closes the ANN loop (the AnnRecallSpec
+    * methodology as a first-class DataFrame op): per query,
+    * |approx ∩ truth| / |truth|. Both inputs are (query_id, vec_id, ...)
+    * relations as returned by the `*TopKBatch` entry points; the join is
+    * an equi-join on (query_id, vec_id) — top-k-sized relations, so this
+    * costs nothing at any corpus size. Queries with no truth rows are
+    * absent from the output (recall undefined).
+    */
+  def recallAtK(approx: DataFrame, truth: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("vec_id"))
+    val t = truth.select(col("query_id"), col("vec_id"))
+    val hits = t.join(a, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    t.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth"))
+          .as("recall"))
+  }
+
   /** Batch multi-probe IVF top-k: the IVF analogue of [[lshTopKBatch]].
     * The codebook (k × dims longs — driver-sized by contract, same as
     * [[assignToCentroids]]) is collected once; each query's `nprobe`

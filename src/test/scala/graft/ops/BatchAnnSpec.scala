@@ -137,6 +137,34 @@ class BatchAnnSpec extends AnyFunSuite {
     assertOnePrunedScan(part, "cent_id", maxParts = 16)
   }
 
+  test("bruteForceTopKBatch == N x bruteForceTopK; recallAtK closes the " +
+      "loop (self-recall 1.0, approx recall in [0,1] and matches manual)") {
+    val truth = Similarity.bruteForceTopKBatch(emb, queries, K).cache()
+    try {
+      queryIds.foreach { q =>
+        val single = rows(Similarity.bruteForceTopK(emb, q, K))
+        assert(batchSlice(truth, q) == single,
+          s"batch and single-query brute force diverge for query $q")
+      }
+      // recall of the truth against itself is exactly 1.0 per query
+      val self = Similarity.recallAtK(truth, truth)
+        .select("recall").as[Double].collect()
+      assert(self.length == queryIds.size && self.forall(_ == 1.0))
+      // approx recall matches the hand-computed set intersection
+      val approx = Similarity.lshTopKBatch(emb, queries, K).cache()
+      try {
+        val got = Similarity.recallAtK(approx, truth)
+          .select("query_id", "recall").as[(Long, Double)].collect().toMap
+        queryIds.foreach { q =>
+          val t = batchSlice(truth, q).map(_._1).toSet
+          val a = batchSlice(approx, q).map(_._1).toSet
+          assert(got(q) == t.intersect(a).size.toDouble / t.size,
+            s"recall mismatch for query $q")
+        }
+      } finally approx.unpersist()
+    } finally truth.unpersist()
+  }
+
   test("broadcast guard: demoting the probe side to a shuffle join does not " +
       "change results") {
     val guarded = Similarity.lshTopKBatch(emb, queries, K,
