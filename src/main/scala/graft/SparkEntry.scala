@@ -853,6 +853,19 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "qd_keep_best" -> ((s, dir) => {
+      // quality-aware keeper selection: per near-dup component keep the
+      // highest-quality member (ties -> lowest id), singletons keep
+      // themselves — the curation policy on top of qd_components' labels
+      val d = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+      val r = Dedup.nearDupGroups(d, "doc_id", col("text"))
+      try {
+        Dedup.keepBestInGroups(d, "doc_id",
+            TextAnalysis.qualityScore(col("text")), r.groups)
+          .orderBy("doc_id")
+      } finally r.pairs.unpersist()
+    }),
+
     "qd_components" -> ((s, dir) => {
       // transitive closure of the verified near-dup pairs: min-label
       // propagation collapses chains (A~B, B~C ⇒ one group) the pairwise
@@ -2508,6 +2521,32 @@ object SparkEntry {
         """SELECT min(doc_id) AS doc_id FROM documents
           |GROUP BY md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text),'\s+'))),'string_agg','|'))
           |ORDER BY doc_id""".stripMargin,
+
+      "qd_keep_best" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mp
+           |  UNION SELECT doc_b, doc_a FROM mp),
+           |reach(id, comp) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, r2.comp FROM edges e JOIN reach r2 ON e.dst = r2.id),
+           |comps AS (SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY 1),
+           |qual AS (SELECT doc_id, $qualitySql AS quality FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |member AS (SELECT c.doc_id, c.comp, q.quality
+           |  FROM comps c JOIN qual q USING (doc_id)),
+           |keepers AS (SELECT comp, doc_id AS keeper FROM (
+           |  SELECT comp, doc_id,
+           |      row_number() OVER (PARTITION BY comp ORDER BY quality DESC, doc_id) AS rn
+           |    FROM member) WHERE rn = 1),
+           |grouped AS (SELECT m.doc_id, m.comp, k.keeper, m.doc_id = k.keeper AS kept
+           |  FROM member m JOIN keepers k USING (comp)),
+           |singles AS (SELECT q.doc_id, q.doc_id AS comp, q.doc_id AS keeper,
+           |    true AS kept
+           |  FROM qual q LEFT JOIN comps c USING (doc_id) WHERE c.doc_id IS NULL)
+           |SELECT doc_id, comp, keeper, kept FROM grouped
+           |UNION ALL SELECT doc_id, comp, keeper, kept FROM singles
+           |ORDER BY doc_id""".stripMargin),
 
       // greedy banded near-dedup (the streaming gate's semantics): doc
       // survives iff it is min-id in EVERY of its band buckets; docs too

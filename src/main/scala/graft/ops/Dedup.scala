@@ -571,6 +571,40 @@ object Dedup {
     } finally if (!ok) pairs.unpersist()
   }
 
+  /** Quality-aware keeper selection over near-dup components: per
+    * component keep the HIGHEST-scoring member (ties → lowest id) — the
+    * curation policy a real pipeline wants (keep the best version of a
+    * duplicated page), where [[nearDupGroups]]' min-id label alone
+    * encodes keep-first. Docs outside any component (no near-dup pair)
+    * keep themselves, with `comp = keeper = id`.
+    *
+    * Scale shape: `groups` is pair-graph-sized (≪ corpus), so keeper
+    * resolution — an argmax aggregation + an equi-join, both on `comp` —
+    * never touches full volume; the ONLY corpus-wide step is the
+    * left-anti join that marks singletons, whose build side is the same
+    * small group relation. The argmax is `max(struct(score, -id))`:
+    * lexicographic struct ordering gives highest score then lowest id,
+    * one aggregation, no window.
+    *
+    * Output: (idCol, comp, keeper, kept).
+    */
+  def keepBestInGroups(docs: DataFrame, idCol: String, score: Column,
+      groups: DataFrame): DataFrame = {
+    val scored = docs.select(col(idCol), score.as("_score"))
+    val g = groups.select(col("id").as(idCol), col("comp"))
+    val member = scored.join(g, Seq(idCol))
+    val keepers = member.groupBy("comp")
+      .agg(max(struct(col("_score"), (-col(idCol)).as("_nid"))).as("_best"))
+      .select(col("comp"), (-col("_best._nid")).as("keeper"))
+    val grouped = member.join(keepers, "comp")
+      .select(col(idCol), col("comp"), col("keeper"),
+        (col(idCol) === col("keeper")).as("kept"))
+    val singles = scored.join(g.select(idCol), Seq(idCol), "left_anti")
+      .select(col(idCol), col(idCol).as("comp"), col(idCol).as("keeper"),
+        lit(true).as("kept"))
+    grouped.unionByName(singles)
+  }
+
   /** SimHash bits (default 48 to stay in positive long territory). */
   val SimHashBits = 48
 

@@ -552,4 +552,23 @@ class JoinOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
       .select("k", "lv", "rv").collect().map(_.toSeq).toSet
     assert(salted == plain && plain.size == 5)
   }
+
+  test("keepBestInGroups: highest score wins, ties go to lowest id, " +
+      "singletons keep themselves") {
+    import org.apache.spark.sql.functions.col
+    // component {1,2,3}: 2 has the best score; component {5,6}: tied ->
+    // lowest id 5; doc 9 is a singleton
+    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7), (5L, 0.4), (6L, 0.4),
+      (9L, 0.1)).toDF("doc_id", "score")
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "comp")
+    val out = Dedup.keepBestInGroups(docs, "doc_id", col("score"), groups)
+      .orderBy("doc_id")
+      .select("doc_id", "comp", "keeper", "kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (5L, 5L, 5L, true), (6L, 5L, 5L, false),
+      (9L, 9L, 9L, true)))
+  }
 }
