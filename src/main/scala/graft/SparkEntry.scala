@@ -744,7 +744,7 @@ object SparkEntry {
   // multimodal) over the documents and embeddings tables.
   // ---------------------------------------------------------------------
 
-  import graft.ops.{AsOfJoin, Chunker, Dedup, Multimodal, Ranking, Similarity, SkewJoin, TextAnalysis, ZOrder}
+  import graft.ops.{AsOfJoin, Bpe, Chunker, Dedup, Multimodal, Ranking, Similarity, SkewJoin, TextAnalysis, ZOrder}
 
   /** Probe query for the BM25 gate — terms with spread document
     * frequencies in the synthetic corpus (shared with the oracle SQL).
@@ -1322,6 +1322,19 @@ object SparkEntry {
       } finally eval.unpersist()
       s.read.parquet(s"$tmp/out/contam")
         .select("doc_id", "n_eval_hits", "max_jaccard").orderBy("doc_id")
+    }),
+
+    "qt_bpe_merges" -> ((s, dir) => {
+      // distributed BPE merge training: corpus collapses ONCE to the
+      // word-frequency table, then 3 rounds of (pair-count aggregation ->
+      // driver argmax -> map-only replace-apply); the oracle replays the
+      // training unrolled in SQL, same delimited-string representation
+      import s.implicits._
+      val words = Bpe.wordTable(t(s, dir, "documents"), col("text"))
+      val (merges, fin) = Bpe.train(words, 3)
+      fin.unpersist()
+      merges.map(m => (m.round, m.a, m.b, m.count, m.a + m.b))
+        .toDF("round", "sym_a", "sym_b", "pair_count", "merged")
     }),
 
     "qt_vocab" -> ((s, dir) => {
@@ -2741,6 +2754,34 @@ object SparkEntry {
            |p AS (SELECT va, vb, $dotAB / (sqrt(a.nrm)*sqrt(b.nrm)) AS cos
            |  FROM cand JOIN n a ON va = a.vec_id JOIN n b ON vb = b.vec_id)
            |SELECT va, vb, cos FROM p WHERE cos >= 0.3 ORDER BY va, vb""".stripMargin),
+
+      "qt_bpe_merges" -> {
+        // one BPE round: segment, pair-count, argmax, replace-apply —
+        // generated per round so the SQL replays Bpe.train exactly
+        def bpeRound(r: Int, prev: String) =
+          s"""s$r AS (SELECT string_split(trim(seg, '|'), '||') AS sy, cnt FROM $prev),
+             |pr$r AS (SELECT z.a AS a, z.b AS b, sum(cnt) AS c FROM (
+             |    SELECT unnest(list_transform(range(1, len(sy)),
+             |      i -> {'a': sy[i], 'b': sy[i+1]})) AS z, cnt
+             |    FROM s$r) GROUP BY 1, 2),
+             |m$r AS (SELECT a, b, c FROM pr$r ORDER BY c DESC, a, b LIMIT 1),
+             |w$r AS (SELECT replace(seg, '|'||a||'||'||b||'|', '|'||a||b||'|') AS seg, cnt
+             |  FROM $prev CROSS JOIN m$r)""".stripMargin
+        s"""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+           |  FROM documents),
+           |wf AS (SELECT w, count(*) AS cnt FROM tok
+           |  WHERE regexp_matches(w, '^[A-Za-z]+$$') GROUP BY 1),
+           |w0 AS (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS seg, cnt FROM wf),
+           |${bpeRound(1, "w0")},
+           |${bpeRound(2, "w1")},
+           |${bpeRound(3, "w2")}
+           |SELECT round, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_count,
+           |  a || b AS merged
+           |FROM (SELECT 1 AS round, * FROM m1 UNION ALL
+           |      SELECT 2, * FROM m2 UNION ALL
+           |      SELECT 3, * FROM m3)
+           |ORDER BY round""".stripMargin
+      },
 
       "qt_stratified" ->
         s"""SELECT lang, count(*) AS n_sampled FROM documents
