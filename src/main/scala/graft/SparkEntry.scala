@@ -1469,6 +1469,18 @@ object SparkEntry {
         Similarity.batchQueries(emb, col("vec_id") < 8), k = 5)
     }),
 
+    "qs_batch_kmeans" -> ((s, dir) => {
+      // trained-codebook batch IVF: the full batch matrix point — Lloyd
+      // training (2 deterministic rounds), map-side assignment, per-query
+      // top-2 probe lists picked distributed, one window for all queries;
+      // the oracle replays training AND batch probing unrolled in SQL
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.kmeansCodebook(emb, 8, 2)
+      Similarity.ivfTopKBatch(emb,
+        Similarity.batchQueries(emb, col("vec_id") < 8),
+        k = 5, centroids = 8, nprobe = 2, codebook = Some(cb))
+    }),
+
     "qs_batch_brute" -> ((s, dir) => {
       // exact ground truth for the whole query set in ONE job (corpus
       // scan x broadcast fan-out, no candidate bound — that's what exact
@@ -2905,6 +2917,32 @@ object SparkEntry {
            |      / (sqrt(a.nrm)*sqrt(qq.qnrm)) AS score
            |  FROM assigned a
            |  JOIN qprobes p ON a.cent_id = p.cent_id
+           |  JOIN qq ON qq.query_id = p.query_id
+           |  WHERE a.vec_id <> qq.query_id),
+           |r AS (SELECT query_id, vec_id, score,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+           |  FROM cand)
+           |SELECT query_id, vec_id, score FROM r WHERE rn <= 5""".stripMargin),
+
+      "qs_batch_kmeans" -> (quantCte +
+        s""",
+           |c0 AS (SELECT vec_id AS cent_id, qe AS cv FROM q WHERE vec_id < 8),
+           |${kmRound(1, "c0")},
+           |${kmRound(2, "c1")},
+           |${kmAssign("af", "c2")},
+           |qq AS (SELECT vec_id AS query_id, qe AS qqe FROM n WHERE vec_id < 8),
+           |qsc AS (SELECT qq.query_id, c.cent_id,
+           |    list_reduce(list_transform(list_zip(qq.qqe, c.cv), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(${listNorm("qq.qqe")}) * sqrt(${listNorm("c.cv")})) AS cc
+           |  FROM qq CROSS JOIN c2 c),
+           |qpr AS (SELECT query_id, cent_id FROM (SELECT query_id, cent_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cc DESC, cent_id) AS rn
+           |  FROM qsc) WHERE rn <= 2),
+           |cand AS (SELECT qq.query_id, a.vec_id,
+           |    list_reduce(list_transform(list_zip(a.qe, qq.qqe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(${listNorm("a.qe")}) * sqrt(${listNorm("qq.qqe")})) AS score
+           |  FROM af a
+           |  JOIN qpr p ON a.cent_id = p.cent_id
            |  JOIN qq ON qq.query_id = p.query_id
            |  WHERE a.vec_id <> qq.query_id),
            |r AS (SELECT query_id, vec_id, score,

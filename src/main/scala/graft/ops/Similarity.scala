@@ -461,10 +461,17 @@ object Similarity {
     */
   def ivfTopKBatch(emb: DataFrame, queries: DataFrame, k: Int,
       centroids: Int = 16, nprobe: Int = 2,
-      maxBroadcastQueries: Long = 100000L): DataFrame = {
+      maxBroadcastQueries: Long = 100000L,
+      codebook: Option[DataFrame] = None): DataFrame = {
     val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    val cb = q.filter(col("vec_id") < centroids)
-      .select(col("vec_id"), col("qv")).collect()
+    // default codebook = deterministic first-k ([[ivfMultiProbeTopK]]
+    // parity); pass a trained [[kmeansCodebook]] for the k-means path —
+    // probe mechanics identical, only training differs
+    val cb = codebook
+      .map(_.select(col("cent_id"), col("cv")))
+      .getOrElse(q.filter(col("vec_id") < centroids)
+        .select(col("vec_id"), col("qv")))
+      .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
     val assigned = assignToCentroidsLit(q, cb)
     val small = queries.count() <= maxBroadcastQueries

@@ -137,6 +137,21 @@ class BatchAnnSpec extends AnyFunSuite {
     assertOnePrunedScan(part, "cent_id", maxParts = 16)
   }
 
+  test("trained-codebook batch IVF at nprobe=1 == N x ivfKmeansTopK") {
+    // a query's assigned centroid IS its argmax-cosine centroid, so the
+    // single-probe batch must reproduce the single-query trained path
+    val cb = Similarity.kmeansCodebook(emb, 8, 2)
+    val batch = Similarity.ivfTopKBatch(emb, queries, K,
+      centroids = 8, nprobe = 1, codebook = Some(cb)).cache()
+    try {
+      queryIds.foreach { q =>
+        val single = rows(Similarity.ivfKmeansTopK(emb, q, K))
+        assert(batchSlice(batch, q) == single,
+          s"trained batch and ivfKmeansTopK diverge for query $q")
+      }
+    } finally batch.unpersist()
+  }
+
   test("bruteForceTopKBatch == N x bruteForceTopK; recallAtK closes the " +
       "loop (self-recall 1.0, approx recall in [0,1] and matches manual)") {
     val truth = Similarity.bruteForceTopKBatch(emb, queries, K).cache()
