@@ -853,6 +853,16 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "qd_dup_spans" -> ((s, dir) => {
+      // exact-substring dedup shape: positions whose 5-gram repeats
+      // corpus-wide, merged per doc into maximal token intervals
+      // (gaps-and-islands); per-doc span stats, zeros for clean docs
+      Dedup.duplicatedSpans(
+          t(s, dir, "documents").filter(length(trim(col("text"))) > 0),
+          "doc_id", col("text"))
+        .orderBy("doc_id")
+    }),
+
     "qd_keep_best" -> ((s, dir) => {
       // quality-aware keeper selection: per near-dup component keep the
       // highest-quality member (ties -> lowest id), singletons keep
@@ -2546,6 +2556,34 @@ object SparkEntry {
         """SELECT min(doc_id) AS doc_id FROM documents
           |GROUP BY md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text),'\s+'))),'string_agg','|'))
           |ORDER BY doc_id""".stripMargin,
+
+      "qd_dup_spans" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |g AS (SELECT doc_id, z.pos AS pos, ${h("z.s")} AS gh FROM (
+           |  SELECT doc_id, unnest(list_transform(range(len(w)-4),
+           |    i -> {'pos': i,
+           |          's': w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]})) AS z
+           |  FROM tk WHERE len(w) >= 5)),
+           |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+           |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+           |pm AS (SELECT doc_id, pos, max(pos + 5) OVER (PARTITION BY doc_id
+           |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+           |  FROM dp),
+           |isl AS (SELECT doc_id, pos,
+           |    sum(CASE WHEN prev_e IS NULL OR pos > prev_e THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           |  FROM pm),
+           |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 5 AS e
+           |  FROM isl GROUP BY 1, 2),
+           |st AS (SELECT doc_id, count(*) AS n_spans, max(e - s) AS mx,
+           |    sum(e - s) AS dup FROM sp GROUP BY 1)
+           |SELECT t.doc_id,
+           |  coalesce(n_spans, 0) AS n_spans,
+           |  CAST(coalesce(mx, 0) AS BIGINT) AS max_span_tokens,
+           |  CAST(coalesce(dup, 0) AS BIGINT) AS dup_tokens,
+           |  CAST(len(w) AS BIGINT) AS n_tokens
+           |FROM tk t LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
 
       "qd_keep_best" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
         s""",

@@ -571,6 +571,56 @@ object Dedup {
     } finally if (!ok) pairs.unpersist()
   }
 
+  /** Duplicated-span detection — the exact-substring dedup shape
+    * (dedup-train-data's "remove any substring appearing more than once"
+    * policy, reduced to word n-grams): every position whose n-token gram
+    * occurs MORE THAN ONCE corpus-wide (any doc, including self-repeats)
+    * is a duplicated position; per doc, duplicated positions merge into
+    * MAXIMAL token intervals (`[pos, pos+n)` unioned by a gaps-and-islands
+    * pass), and the output is per-doc span statistics:
+    * (idCol, n_spans, max_span_tokens, dup_tokens, n_tokens) — zeros for
+    * clean docs.
+    *
+    * Scale shape: positional grams are corpus-token-sized — the
+    * irreducible cost is one hash aggregation plus one equi-join on the
+    * gram hash (the qd_dup_ngrams family's cost, with positions kept).
+    * The islands pass is a per-doc window (running max of interval ends,
+    * island id by prefix sum) — fully parallel across docs, bounded by
+    * each doc's own duplicated positions.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, text: Column,
+      n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol), tokens(text).as("_toks"))
+    val grams = base.filter(size(col("_toks")) >= n)
+      .select(col(idCol),
+        posexplode(shinglesOfTokens(col("_toks"), n)).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos"), md5Long(col("g")).as("gh"))
+    val dupGh = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("gh")
+    val dupPos = grams.join(dupGh, "gh").select(col(idCol), col("pos"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val prevMax = max(col("pos") + n)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = dupPos
+      .withColumn("_new",
+        when(prevMax.isNull || col("pos") > prevMax, 1).otherwise(0))
+      .withColumn("_isl", sum(col("_new")).over(w))
+    val spans = flagged.groupBy(col(idCol), col("_isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + n).as("e"))
+    val stats = spans.groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("e") - col("s")).cast("long").as("max_span_tokens"),
+        sum(col("e") - col("s")).cast("long").as("dup_tokens"))
+    base.select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"))
+      .join(stats, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("n_tokens"))
+  }
+
   /** Quality-aware keeper selection over near-dup components: per
     * component keep the HIGHEST-scoring member (ties → lowest id) — the
     * curation policy a real pipeline wants (keep the best version of a

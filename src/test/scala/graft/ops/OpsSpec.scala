@@ -487,6 +487,49 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getString(3))
     assert(flat.toSeq == Seq("t1 t2", "t3 t4", "t5 t6", "t7"))
   }
+
+  test("duplicatedSpans: corpus-repeated grams merge into maximal token " +
+      "intervals; overlapping islands union; clean docs report zeros") {
+    import org.apache.spark.sql.functions.col
+    // docs 1 and 2 share the run "a b c d e f" (two overlapping dup
+    // 5-grams at pos 0,1 -> ONE span of 6 tokens); doc 3 is clean; doc 4
+    // self-repeats "p q r s t" twice with a gap -> its dup 5-grams sit at
+    // pos 0 and 6, intervals [0,5) and [6,11) do NOT touch -> 2 spans
+    val docs = Seq(
+      (1L, "a b c d e f x y z w v"),
+      (2L, "q q q a b c d e f r r"),
+      (3L, "k l m n o p k2 l2 m2"),
+      (4L, "p q r s t gap p q r s t")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", col("text"), n = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "max_span_tokens", "dup_tokens", "n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 6L, 6L, 11L),
+      (2L, 1L, 6L, 6L, 11L),
+      (3L, 0L, 0L, 0L, 9L),
+      (4L, 2L, 5L, 10L, 11L)))
+  }
+
+  test("keepBestInGroups: highest score wins, ties go to lowest id, " +
+      "singletons keep themselves") {
+    import org.apache.spark.sql.functions.col
+    // component {1,2,3}: 2 has the best score; component {5,6}: tied ->
+    // lowest id 5; doc 9 is a singleton
+    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7), (5L, 0.4), (6L, 0.4),
+      (9L, 0.1)).toDF("doc_id", "score")
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "comp")
+    val out = Dedup.keepBestInGroups(docs, "doc_id", col("score"), groups)
+      .orderBy("doc_id")
+      .select("doc_id", "comp", "keeper", "kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (5L, 5L, 5L, true), (6L, 5L, 5L, false),
+      (9L, 9L, 9L, true)))
+  }
 }
 
 class JoinOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -553,22 +596,4 @@ class JoinOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(salted == plain && plain.size == 5)
   }
 
-  test("keepBestInGroups: highest score wins, ties go to lowest id, " +
-      "singletons keep themselves") {
-    import org.apache.spark.sql.functions.col
-    // component {1,2,3}: 2 has the best score; component {5,6}: tied ->
-    // lowest id 5; doc 9 is a singleton
-    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7), (5L, 0.4), (6L, 0.4),
-      (9L, 0.1)).toDF("doc_id", "score")
-    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
-      .toDF("id", "comp")
-    val out = Dedup.keepBestInGroups(docs, "doc_id", col("score"), groups)
-      .orderBy("doc_id")
-      .select("doc_id", "comp", "keeper", "kept")
-      .as[(Long, Long, Long, Boolean)].collect().toSeq
-    assert(out == Seq(
-      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
-      (5L, 5L, 5L, true), (6L, 5L, 5L, false),
-      (9L, 9L, 9L, true)))
-  }
 }
