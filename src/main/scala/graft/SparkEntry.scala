@@ -1347,6 +1347,28 @@ object SparkEntry {
         .toDF("round", "sym_a", "sym_b", "pair_count", "merged")
     }),
 
+    "qt_bpe_encode" -> ((s, dir) => {
+      // the APPLY side of BPE at corpus scale: re-segment every
+      // alphanumeric token of every document with the trained merge
+      // table (Bpe.segment — a fold of replaces inside array HOFs, fully
+      // map-only after training) and aggregate symbol counts per lang
+      val d = t(s, dir, "documents")
+      val (merges, fin) = Bpe.train(Bpe.wordTable(d, col("text")), 3)
+      fin.unpersist()
+      val toksF = filter(TextAnalysis.tokens(col("text")),
+        w => w.rlike("^[A-Za-z]+$"))
+      val nSyms = aggregate(
+        transform(col("_w"),
+          w => size(split(Bpe.segment(w, merges), "\\|\\|")).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      d.select(col("lang"), toksF.as("_w"))
+        .select(col("lang"), nSyms.as("_nsym"),
+          size(col("_w")).cast("long").as("_nw"))
+        .groupBy("lang")
+        .agg(sum(col("_nsym")).as("n_symbols"), sum(col("_nw")).as("n_words"))
+        .orderBy("lang")
+    }),
+
     "qt_vocab" -> ((s, dir) => {
       // vocabulary building: top 50 tokens by corpus frequency
       t(s, dir, "documents")
@@ -2831,6 +2853,40 @@ object SparkEntry {
            |      SELECT 2, * FROM m2 UNION ALL
            |      SELECT 3, * FROM m3)
            |ORDER BY round""".stripMargin
+      },
+
+      "qt_bpe_encode" -> {
+        def bpeRound(r: Int, prev: String) =
+          s"""s$r AS (SELECT string_split(trim(seg, '|'), '||') AS sy, cnt FROM $prev),
+             |pr$r AS (SELECT z.a AS a, z.b AS b, sum(cnt) AS c FROM (
+             |    SELECT unnest(list_transform(range(1, len(sy)),
+             |      i -> {'a': sy[i], 'b': sy[i+1]})) AS z, cnt
+             |    FROM s$r) GROUP BY 1, 2),
+             |m$r AS (SELECT a, b, c FROM pr$r ORDER BY c DESC, a, b LIMIT 1),
+             |w$r AS (SELECT replace(seg, '|'||a||'||'||b||'|', '|'||a||b||'|') AS seg, cnt
+             |  FROM $prev CROSS JOIN m$r)""".stripMargin
+        s"""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+           |  FROM documents),
+           |wf AS (SELECT w, count(*) AS cnt FROM tok
+           |  WHERE regexp_matches(w, '^[A-Za-z]+$$') GROUP BY 1),
+           |w0 AS (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS seg, cnt FROM wf),
+           |${bpeRound(1, "w0")},
+           |${bpeRound(2, "w1")},
+           |${bpeRound(3, "w2")},
+           |tok2 AS (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+           |  FROM documents),
+           |aw AS (SELECT lang, regexp_replace(w, '(.)', '|\\1|', 'g') AS seg
+           |  FROM tok2 WHERE regexp_matches(w, '^[A-Za-z]+$$')),
+           |ap AS (SELECT lang,
+           |    replace(replace(replace(seg,
+           |      '|'||m1.a||'||'||m1.b||'|', '|'||m1.a||m1.b||'|'),
+           |      '|'||m2.a||'||'||m2.b||'|', '|'||m2.a||m2.b||'|'),
+           |      '|'||m3.a||'||'||m3.b||'|', '|'||m3.a||m3.b||'|') AS seg2
+           |  FROM aw, m1, m2, m3)
+           |SELECT lang,
+           |  CAST(sum(len(string_split(seg2, '||'))) AS BIGINT) AS n_symbols,
+           |  count(*) AS n_words
+           |FROM ap GROUP BY 1 ORDER BY 1""".stripMargin
       },
 
       "qt_stratified" ->
