@@ -1612,6 +1612,43 @@ object SparkEntry {
         .select("event_id", "user_id", "next_purchase_id", "next_purchase_value")
     }),
 
+    "qj_asof_tolerance" -> ((s, dir) => {
+      // tolerance-bounded as-of: most recent prior purchase ONLY if it is
+      // at most 10 minutes old — staleness nulls out at projection time
+      // on the same single-shuffle plan (the matched ts rides the
+      // payload struct)
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      AsOfJoin.backwardWithin(ev.select("event_id", "user_id", "us"),
+          purchases, key = "user_id", ts = "us",
+          payload = Seq("purchase_id", "purchase_value"),
+          tolerance = 600000000L)
+        .select("event_id", "user_id", "prev_purchase_id", "prev_purchase_value")
+    }),
+
+    "qj_interval" -> ((s, dir) => {
+      // interval-overlap join with bucket-OWNERSHIP dedup (each pair
+      // belongs to the bucket holding its overlap start — no DISTINCT
+      // pass): purchase 1-hour windows x click 1-hour windows per user
+      val hourUs = 3600000000L
+      val ev = events(s, dir)
+      val pv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ps"),
+          (unix_micros(col("ts")) + hourUs).as("pe"),
+          col("event_id").as("purchase_id"))
+      val cv = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("cs"),
+          (unix_micros(col("ts")) + hourUs).as("ce"),
+          col("event_id").as("click_id"))
+      graft.ops.RangeJoin.intervalOverlap(pv, cv, "ps", "pe", "cs", "ce",
+          Seq("user_id"), bucketWidth = hourUs)
+        .select("purchase_id", "click_id")
+        .orderBy("purchase_id", "click_id")
+    }),
+
     "qj_range" -> ((s, dir) => {
       // bucketized range join: events falling inside any 1-hour
       // post-purchase window of the same user (bucket width = interval
@@ -3154,6 +3191,27 @@ object SparkEntry {
           |FROM events e
           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           |  ON e.user_id = p.user_id AND e.ts < p.ts""".stripMargin,
+
+      "qj_asof_tolerance" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+          |p AS (SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events
+          |  WHERE event_type = 'purchase')
+          |SELECT e.event_id, e.user_id,
+          |  CASE WHEN e.us - p.us <= 600000000 THEN p.event_id END AS prev_purchase_id,
+          |  CASE WHEN e.us - p.us <= 600000000 THEN p.value END AS prev_purchase_value
+          |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.us > p.us""".stripMargin,
+
+      "qj_interval" ->
+        """WITH pv AS (SELECT user_id, epoch_us(ts) AS ps,
+          |    epoch_us(ts) + 3600000000 AS pe, event_id AS purchase_id
+          |  FROM events WHERE event_type = 'purchase'),
+          |cv AS (SELECT user_id, epoch_us(ts) AS cs,
+          |    epoch_us(ts) + 3600000000 AS ce, event_id AS click_id
+          |  FROM events WHERE event_type = 'click')
+          |SELECT purchase_id, click_id
+          |FROM pv JOIN cv ON pv.user_id = cv.user_id
+          |  AND ps <= ce AND cs <= pe
+          |ORDER BY 1, 2""".stripMargin,
 
       "qj_range" ->
         """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),

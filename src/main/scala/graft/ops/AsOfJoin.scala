@@ -41,21 +41,47 @@ object AsOfJoin {
       payload: Seq[String], strict: Boolean = true): DataFrame =
     asof(left, right, key, ts, payload, strict, descending = true, prefix = "next_")
 
+  /** Tolerance-bounded backward as-of: like [[backward]], but a match
+    * older than `tolerance` (in the ts column's own units — convert
+    * timestamps to epoch micros upstream) reads as NO match (nulls). The
+    * standard telemetry semantics: "the most recent sensor reading,
+    * unless it is stale". Same single-shuffle plan — the matched row's ts
+    * rides the payload struct and the bound is a projection-time filter,
+    * so tolerance costs nothing.
+    */
+  def backwardWithin(left: DataFrame, right: DataFrame, key: String,
+      ts: String, payload: Seq[String], tolerance: Long,
+      strict: Boolean = true): DataFrame =
+    asof(left, right, key, ts, payload, strict, descending = false,
+      prefix = "prev_", toleranceOpt = Some(tolerance))
+
+  /** Tolerance-bounded forward as-of — [[forward]] with a staleness bound
+    * in the other direction.
+    */
+  def forwardWithin(left: DataFrame, right: DataFrame, key: String,
+      ts: String, payload: Seq[String], tolerance: Long,
+      strict: Boolean = true): DataFrame =
+    asof(left, right, key, ts, payload, strict, descending = true,
+      prefix = "next_", toleranceOpt = Some(tolerance))
+
   /** Shared union+window fold: descending time turns "last preceding" into
     * "first following"; at equal ts the side order decides strictness.
     */
   private def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
       payload: Seq[String], strict: Boolean, descending: Boolean,
-      prefix: String): DataFrame = {
+      prefix: String, toleranceOpt: Option[Long] = None): DataFrame = {
+    require(!payload.contains("_asof_ts"),
+      "payload column name _asof_ts is reserved")
     val (lSide, rSide) = if (strict) (0, 1) else (1, 0)
     val leftCols = left.columns.toSeq
     val l = left.withColumn("_side", lit(lSide))
     // carry the payload as ONE struct so the matched right row is atomic —
     // per-column fills would mix fields from different right rows whenever
     // the latest match has a null field (an as-of join must return the
-    // matched row's nulls, not older non-null values)
+    // matched row's nulls, not older non-null values). The matched ts
+    // rides the same struct for the tolerance bound.
     val r = right.select(col(key), col(ts),
-        struct(payload.map(col): _*).as("_asof_p"))
+        struct(payload.map(col) :+ col(ts).as("_asof_ts"): _*).as("_asof_p"))
       .withColumn("_side", lit(rSide))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val order = if (descending) col(ts).desc else col(ts).asc
@@ -63,9 +89,20 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("_asof_p",
       last(col("_asof_p"), ignoreNulls = true).over(w))
+    // staleness: age of the match in the direction of travel; a match
+    // past the bound nulls out (same as no match). No tolerance → pass
+    // the payload through untouched.
+    def bounded(c: String): Column = toleranceOpt match {
+      case None => col(s"_asof_p.$c")
+      case Some(t) =>
+        val age =
+          if (descending) col(s"_asof_p._asof_ts") - col(ts)
+          else col(ts) - col(s"_asof_p._asof_ts")
+        when(age <= t, col(s"_asof_p.$c"))
+    }
     filled.filter(col("_side") === lSide)
       .select((leftCols.map(col) ++
-        payload.map(c => col(s"_asof_p.$c").as(s"$prefix$c"))): _*)
+        payload.map(c => bounded(c).as(s"$prefix$c"))): _*)
   }
 }
 

@@ -586,6 +586,42 @@ class JoinOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("backwardWithin: stale matches null out exactly at the tolerance " +
+      "boundary; in-bound matches identical to backward") {
+    val l = Seq((1L, "u", 100L), (2L, "u", 105L), (3L, "u", 200L), (4L, "v", 50L))
+      .toDF("id", "k", "t")
+    val r = Seq(("u", 95L, 7L), ("u", 103L, 8L)).toDF("k", "t", "p")
+    val out = AsOfJoin.backwardWithin(l, r, "k", "t", Seq("p"), tolerance = 5L)
+      .orderBy("id").select("id", "prev_p")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    // id1: match t=95, age 5 == tolerance -> kept; id2: match t=103, age 2
+    // -> kept; id3: match t=103, age 97 -> stale, nulled; id4: no match
+    assert(out.toSeq == Seq((1L, 7L), (2L, 8L), (3L, null), (4L, null)))
+    // without tolerance, id3 keeps the stale match — the bound is the only
+    // difference
+    val plain = AsOfJoin.backward(l, r, "k", "t", Seq("p"))
+      .filter($"id" === 3L).select("prev_p").as[Long].head()
+    assert(plain == 8L)
+  }
+
+  test("intervalOverlap: ownership emits each pair once even when the " +
+      "overlap spans many buckets; non-overlap excluded; touching ends meet") {
+    val l = Seq(("u", 0L, 100L, "L1"), ("u", 250L, 260L, "L2"))
+      .toDF("k", "ls", "le", "lid")
+    val r = Seq(("u", 40L, 90L, "R1"),   // nested in L1, spans buckets
+      ("u", 100L, 120L, "R2"),           // touches L1 end exactly
+      ("u", 150L, 200L, "R3"),           // disjoint from both
+      ("u", 255L, 400L, "R4"),           // overlaps L2
+      ("w", 0L, 100L, "R5"))             // other key
+      .toDF("k", "rs", "re", "rid")
+    // tiny bucket width: every interval spans MANY buckets — the
+    // ownership filter must still emit each qualifying pair exactly once
+    val out = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re",
+        Seq("k"), bucketWidth = 10L)
+      .select("lid", "rid").as[(String, String)].collect().toSeq.sorted
+    assert(out == Seq(("L1", "R1"), ("L1", "R2"), ("L2", "R4")))
+  }
+
   test("salted join equals plain join") {
     val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
     val r = Seq((1L, 10), (1L, 11), (2L, 20)).toDF("rk", "rv")
