@@ -61,7 +61,8 @@ object Stress {
       "fuzzy_decon" -> (c => fuzzyDecon(spark, sfDir, c)),
       "asof" -> (c => asof(spark, sfDir, c)),
       "range" -> (c => range(spark, sfDir, c)),
-      "decode_bucket" -> (c => decodeBucket(spark, c)))
+      "decode_bucket" -> (c => decodeBucket(spark, c)),
+      "dup_spans" -> (c => dupSpans(spark, sfDir, c)))
 
     val results = families.map { case (name, run) =>
       val base = time(spark, run(1))
@@ -112,6 +113,14 @@ object Stress {
     try noop(Dedup.connectedComponents(pairs))
     finally { pairs.unpersist(); () }
   }
+
+  /** Worst case for span detection: identical copies make EVERY position
+    * a duplicated position, so the islands pass runs over the whole
+    * corpus, one giant span per doc.
+    */
+  private def dupSpans(spark: SparkSession, dir: String, copies: Int): Unit =
+    noop(graft.ops.Dedup.duplicatedSpans(
+      docCopies(spark, dir, copies), "doc_id", col("text")))
 
   private def fuzzyDecon(spark: SparkSession, dir: String, copies: Int): Unit = {
     val r = Dedup.fuzzyDecontaminate(docCopies(spark, dir, copies),

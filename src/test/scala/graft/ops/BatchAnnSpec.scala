@@ -180,6 +180,37 @@ class BatchAnnSpec extends AnyFunSuite {
     } finally truth.unpersist()
   }
 
+  /** All joins through AQE wrappers. */
+  private def joinsOf(plan: org.apache.spark.sql.execution.SparkPlan)
+      : (Int, Int) = {
+    var bhj = 0; var smj = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => bhj += 1
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => smj += 1
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case _ =>
+    }
+    walk(plan)
+    (bhj, smj)
+  }
+
+  test("small query sets broadcast the probe side: no sort-merge join " +
+      "touches the corpus in the batch plans") {
+    Seq(
+      Similarity.lshTopKBatch(emb, queries, K),
+      Similarity.ivfTopKBatch(emb, queries, K)
+    ).foreach { df =>
+      df.collect()
+      val (bhj, smj) = joinsOf(df.queryExecution.executedPlan)
+      assert(bhj >= 1 && smj == 0,
+        s"expected broadcast-only joins, got bhj=$bhj smj=$smj:\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
   test("broadcast guard: demoting the probe side to a shuffle join does not " +
       "change results") {
     val guarded = Similarity.lshTopKBatch(emb, queries, K,
