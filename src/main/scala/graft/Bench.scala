@@ -163,16 +163,36 @@ object Bench {
     * graft/Bench.class — i.e. a child launched with `-cp cp` can load us.
     */
   private[graft] def classpathResolvesBench(cp: String): Boolean = {
+    import scala.jdk.CollectionConverters._
     val rel = "graft/Bench.class"
+    def jarHas(p: java.nio.file.Path): Boolean =
+      try {
+        val jar = new java.util.jar.JarFile(p.toFile)
+        try jar.getEntry(rel) != null finally jar.close()
+      } catch { case _: Throwable => false }
     cp.split(java.io.File.pathSeparator).exists { entry =>
-      val p = Paths.get(entry)
-      if (Files.isDirectory(p)) Files.exists(p.resolve(rel))
-      else if (entry.endsWith(".jar") && Files.isRegularFile(p)) {
-        try {
-          val jar = new java.util.jar.JarFile(p.toFile)
-          try jar.getEntry(rel) != null finally jar.close()
-        } catch { case _: Throwable => false }
-      } else false
+      // the JVM expands trailing-* entries to every jar in the directory —
+      // mirror that, or a working `-cp libs/*` launch would false-negative
+      // and the fail-fast would kill a runnable bench
+      if (entry.endsWith("*")) {
+        val dir = Paths.get(entry.dropRight(1) match {
+          case "" => "."
+          case d => d
+        })
+        Files.isDirectory(dir) && {
+          val s = Files.list(dir)
+          try s.iterator().asScala.exists(p =>
+            p.toString.toLowerCase(java.util.Locale.ROOT).endsWith(".jar") &&
+              jarHas(p))
+          finally s.close()
+        }
+      } else {
+        val p = Paths.get(entry)
+        if (Files.isDirectory(p)) Files.exists(p.resolve(rel))
+        else if (entry.toLowerCase(java.util.Locale.ROOT).endsWith(".jar") &&
+          Files.isRegularFile(p)) jarHas(p)
+        else false
+      }
     }
   }
 

@@ -1362,6 +1362,10 @@ object SparkEntry {
           w => size(split(Bpe.segment(w, merges), "\\|\\|")).cast("long")),
         lit(0L), (acc, x) => acc + x)
       d.select(col("lang"), toksF.as("_w"))
+        // drop zero-word docs BEFORE grouping: the oracle's per-word CTE
+        // never sees them, so a lang whose docs have no alphabetic tokens
+        // must be absent here too, not an (lang, 0, 0) row
+        .filter(size(col("_w")) > 0)
         .select(col("lang"), nSyms.as("_nsym"),
           size(col("_w")).cast("long").as("_nw"))
         .groupBy("lang")

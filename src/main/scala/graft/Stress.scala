@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.ops.{AsOfJoin, Dedup, RangeJoin, TextAnalysis}
 
 /** Standing 10× scale-stress harness (the tagged-copy protocol the round
-  * notes ran ad-hoc, promoted to a tool): the five heaviest operator
+  * notes ran ad-hoc, promoted to a tool): the six heaviest operator
   * families each run at base scale and at 10× input, and the wall-clock
   * ratio is the scale-safety evidence — a candidate-bounded operator
   * should grow SUBLINEARLY in wall time (shared scan/shuffle constants

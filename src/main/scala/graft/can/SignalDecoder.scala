@@ -174,28 +174,6 @@ object SignalDecoder {
     */
   val OutlineSignalThreshold = 64
 
-  /** frames(ts_ms, can_id, data) → wide per-frame table:
-    * `(ts_ms, sig1, sig2, ...)` — one row per frame, nulls for signals not
-    * carried by that frame's message. The known-id filter (F1) is applied
-    * here and pushes down to the scan.
-    *
-    * `nativeExtract = true` (default) assembles the two shared u64 views
-    * with [[graft.plans.PayloadU64]] (one codegen byte loop per endianness
-    * per frame, no string materialization) and extracts each signal with
-    * constant shift/mask; `false` uses the pure-built-in assembly
-    * (`conv(rpad(hex(...)))` + expression-level reverseBytes) as the
-    * differential baseline. Per-signal [[graft.plans.CanSignalExtract]]
-    * ([[rawNative]]) exists for single-signal use and SQL, but repeats the
-    * assembly per signal — shared views win once messages carry several
-    * signals.
-    *
-    * At and above `outlineThreshold` signals ([[OutlineSignalThreshold]])
-    * each signal's decode tree is outlined into its own generated method —
-    * see the threshold's scaladoc for the measured regimes on both sides.
-    *
-    * `carryCols` are passed through unchanged (e.g. `iface` as an exact-
-    * bucketing key).
-    */
   /** Attach `VAL_` enum labels to a decoded wide frame: for every signal
     * with a value table (and a column present in `df`), adds
     * `<name>_label` = the label of the column's integer value, null when
@@ -226,6 +204,28 @@ object SignalDecoder {
     }
   }
 
+  /** frames(ts_ms, can_id, data) → wide per-frame table:
+    * `(ts_ms, sig1, sig2, ...)` — one row per frame, nulls for signals not
+    * carried by that frame's message. The known-id filter (F1) is applied
+    * here and pushes down to the scan.
+    *
+    * `nativeExtract = true` (default) assembles the two shared u64 views
+    * with [[graft.plans.PayloadU64]] (one codegen byte loop per endianness
+    * per frame, no string materialization) and extracts each signal with
+    * constant shift/mask; `false` uses the pure-built-in assembly
+    * (`conv(rpad(hex(...)))` + expression-level reverseBytes) as the
+    * differential baseline. Per-signal [[graft.plans.CanSignalExtract]]
+    * ([[rawNative]]) exists for single-signal use and SQL, but repeats the
+    * assembly per signal — shared views win once messages carry several
+    * signals.
+    *
+    * At and above `outlineThreshold` signals ([[OutlineSignalThreshold]])
+    * each signal's decode tree is outlined into its own generated method —
+    * see the threshold's scaladoc for the measured regimes on both sides.
+    *
+    * `carryCols` are passed through unchanged (e.g. `iface` as an exact-
+    * bucketing key).
+    */
   def wideFrame(net: Network, frames: DataFrame,
       mode: TypingMode = TypingMode.Intended,
       nativeExtract: Boolean = true,

@@ -54,28 +54,36 @@ object Bpe {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var w = words.persist(lvl)
-    w.count()
-    val out = Seq.newBuilder[Merge]
-    for (r <- 1 to merges) {
-      val top = topPair(w)
-      top match {
-        case None => // vocabulary exhausted (no adjacent pairs left)
-        case Some((a, b, c)) =>
-          require(!(a + b).contains("|"),
-            s"BPE symbols must not contain '|': merge ($a, $b)")
-          out += Merge(r, a, b, c)
-          val merged = w
-            .select(regexp_replace(col("seg"),
-              lit(java.util.regex.Pattern.quote(s"|$a||$b|")),
-              lit(java.util.regex.Matcher.quoteReplacement(s"|$a$b|"))).as("seg"),
-              col("cnt"))
-            .persist(lvl)
-          merged.count()
-          w.unpersist()
-          w = merged
+    // on any failure the caller never receives the handle it is
+    // contractually required to unpersist — release the current round's
+    // caches before propagating (the CorpusSelect.prefixCore contract)
+    var ok = false
+    try {
+      w.count()
+      val out = Seq.newBuilder[Merge]
+      var exhausted = false
+      for (r <- 1 to merges if !exhausted) {
+        topPair(w) match {
+          case None => exhausted = true // no adjacent pairs left anywhere
+          case Some((a, b, c)) =>
+            require(!(a + b).contains("|"),
+              s"BPE symbols must not contain '|': merge ($a, $b)")
+            out += Merge(r, a, b, c)
+            val merged = w
+              .select(regexp_replace(col("seg"),
+                lit(java.util.regex.Pattern.quote(s"|$a||$b|")),
+                lit(java.util.regex.Matcher.quoteReplacement(s"|$a$b|"))).as("seg"),
+                col("cnt"))
+              .persist(lvl)
+            try merged.count()
+            catch { case e: Throwable => merged.unpersist(); throw e }
+            w.unpersist()
+            w = merged
+        }
       }
-    }
-    (out.result(), w)
+      ok = true
+      (out.result(), w)
+    } finally if (!ok) w.unpersist()
   }
 
   /** Highest-count adjacent pair over the word table, weighted by word

@@ -316,23 +316,36 @@ object Dedup {
 
   /** Precompute + persist the eval side of fuzzy decontamination: band
     * keys (candidacy), shingle hashes (exact verify), and shingle counts
-    * (Jaccard denominator). One pass over the eval set; all three
+    * (Jaccard denominator). Two passes over the eval set — one through
+    * the signature pipeline (shared by bands AND sizes via a persisted
+    * intermediate; unshared they would each recompute the minhash
+    * pipeline — the multi-consumer hazard [[fuzzyDecontaminate]]'s cache
+    * comment documents) and one through the shingle pipeline. All three
     * relations are eval-sized (the 100 TB asymmetry — small by contract).
     */
   def prepareEvalSignatures(evalDocs: DataFrame, idCol: String, text: Column,
       n: Int = 3): EvalSignatures = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val base = evalDocs.select(col(idCol), text.as("_text"))
-    val sigs = withMinhashCols(base, col("_text"), n).drop("_text")
-    val bands = bandKeys(sigs, idCol)
-      .withColumnRenamed(idCol, "_eval_id").persist(lvl)
-    val shingles = shingleHashes(base, idCol, col("_text"), n)
-      .withColumnRenamed(idCol, "_eval_id").persist(lvl)
-    val sizes = sigs.select(col(idCol).as("_eval_id"), col("nsh").as("_nb"))
-      .persist(lvl)
-    val cnt = sizes.count() // one row per eval doc — materializes the guard input
-    bands.count(); shingles.count()
-    EvalSignatures(bands, shingles, sizes, cnt)
+    val sigs = withMinhashCols(base, col("_text"), n).drop("_text").persist(lvl)
+    try {
+      val bands = bandKeys(sigs, idCol)
+        .withColumnRenamed(idCol, "_eval_id").persist(lvl)
+      val shingles = shingleHashes(base, idCol, col("_text"), n)
+        .withColumnRenamed(idCol, "_eval_id").persist(lvl)
+      val sizes = sigs.select(col(idCol).as("_eval_id"), col("nsh").as("_nb"))
+        .persist(lvl)
+      var ok = false
+      try {
+        val cnt = sizes.count() // one row per eval doc — the guard input
+        bands.count(); shingles.count()
+        ok = true
+        EvalSignatures(bands, shingles, sizes, cnt)
+      } finally if (!ok) {
+        // the caller never receives the handle it must unpersist
+        bands.unpersist(); shingles.unpersist(); sizes.unpersist(); ()
+      }
+    } finally sigs.unpersist()
   }
 
   /** Fuzzy decontamination of a train relation against PREPARED eval
@@ -442,9 +455,15 @@ object Dedup {
           val contam = fuzzyDecontaminateAgainst(cached, idCol, text, eval,
             threshold, n, maxBroadcastEvalDocs)
           try {
-            // contam is candidate-bounded — broadcast the exclusion list
-            val clean = cached.join(
-              broadcast(contam.select(col(idCol))), Seq(idCol), "left_anti")
+            // contam is candidate-bounded, but the bound is eval fan-out —
+            // a mis-specified eval set makes it batch-scale, so the hint
+            // carries the same guard as every eval-derived relation
+            // (contam is persisted+materialized, the count is free)
+            val exclusion =
+              if (contam.count() <= maxBroadcastEvalDocs)
+                broadcast(contam.select(col(idCol)))
+              else contam.select(col(idCol))
+            val clean = cached.join(exclusion, Seq(idCol), "left_anti")
             clean.write.mode("overwrite")
               .parquet(s"$outPath/clean/batch=$batchId")
             contam.write.mode("overwrite")

@@ -317,6 +317,17 @@ object Similarity {
   private def bjIf(small: Boolean)(df: DataFrame): DataFrame =
     if (small) broadcast(df) else df
 
+  /** Materialize the query relation ONCE (eager localCheckpoint): the
+    * guard count, the probe-union collect, and the candidate join would
+    * otherwise each re-evaluate the caller's query expression — commonly
+    * a corpus filter, so one extra full scan per consumer. Query sets
+    * are small by contract, so the checkpointed blocks are negligible,
+    * and lineage truncation keeps the downstream plans flat; the blocks
+    * release when the relation is garbage-collected.
+    */
+  private def materializedQueries(queries: DataFrame): DataFrame =
+    queries.select(col("query_id"), col("qv")).localCheckpoint(true)
+
   /** Batch multi-probe LSH top-k: score a whole query SET in ONE job —
     * the at-scale retrieval shape for matching millions of eval/dedup
     * probes against a corpus, where the single-query entry points
@@ -339,11 +350,12 @@ object Similarity {
   def lshTopKBatch(emb: DataFrame, queries: DataFrame, k: Int,
       maxHamming: Int = 1, numPlanes: Int = NumPlanes,
       maxBroadcastQueries: Long = 100000L): DataFrame = {
+    val q0 = materializedQueries(queries)
     val withBucket = emb
       .withColumn("qv", quantize(col("embedding")))
       .withColumn("bucket", lshBucket(col("qv"), numPlanes = numPlanes))
-    val small = queries.count() <= maxBroadcastQueries
-    val probes = lshProbes(queries, maxHamming, numPlanes)
+    val small = q0.count() <= maxBroadcastQueries
+    val probes = lshProbes(q0, maxHamming, numPlanes)
     val cand = withBucket
       .join(bjIf(small)(probes), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
@@ -384,9 +396,10 @@ object Similarity {
       path: String, queries: DataFrame, k: Int, maxHamming: Int = 1,
       numPlanes: Int = NumPlanes, maxBroadcastQueries: Long = 100000L,
       maxProbeLiterals: Int = 4096): DataFrame = {
+    val q0 = materializedQueries(queries)
     val layout = spark.read.parquet(path)
-    val small = queries.count() <= maxBroadcastQueries
-    val probes = lshProbes(queries, maxHamming, numPlanes)
+    val small = q0.count() <= maxBroadcastQueries
+    val probes = lshProbes(q0, maxHamming, numPlanes)
     val probedBuckets =
       probes.select("bucket").distinct().limit(maxProbeLiterals + 1).collect()
         .map(_.getLong(0)).toSeq
@@ -413,8 +426,9 @@ object Similarity {
     */
   def bruteForceTopKBatch(emb: DataFrame, queries: DataFrame, k: Int,
       maxBroadcastQueries: Long = 100000L): DataFrame = {
-    val small = queries.count() <= maxBroadcastQueries
-    val q = bjIf(small)(queries.select(col("query_id"), col("qv").as("query_v")))
+    val q0 = materializedQueries(queries)
+    val small = q0.count() <= maxBroadcastQueries
+    val q = bjIf(small)(q0.select(col("query_id"), col("qv").as("query_v")))
     val cand = emb
       .withColumn("qv", quantize(col("embedding")))
       .crossJoin(q)
@@ -463,6 +477,7 @@ object Similarity {
       centroids: Int = 16, nprobe: Int = 2,
       maxBroadcastQueries: Long = 100000L,
       codebook: Option[DataFrame] = None): DataFrame = {
+    val q0 = materializedQueries(queries)
     val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
     // default codebook = deterministic first-k ([[ivfMultiProbeTopK]]
     // parity); pass a trained [[kmeansCodebook]] for the k-means path —
@@ -474,8 +489,8 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
     val assigned = assignToCentroidsLit(q, cb)
-    val small = queries.count() <= maxBroadcastQueries
-    val probes = ivfProbes(queries, cb, nprobe)
+    val small = q0.count() <= maxBroadcastQueries
+    val probes = ivfProbes(q0, cb, nprobe)
     val cand = assigned
       .join(bjIf(small)(probes), "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
@@ -517,12 +532,13 @@ object Similarity {
   def ivfTopKBatchPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int, nprobe: Int = 2,
       maxBroadcastQueries: Long = 100000L): DataFrame = {
+    val q0 = materializedQueries(queries)
     val cb = spark.read.parquet(s"$path/codebook").collect()
       .map(r => (r.getLong(r.fieldIndex("cent_id")),
         r.getSeq[Long](r.fieldIndex("cv")))).toSeq.sortBy(_._1)
     val layout = spark.read.parquet(s"$path/data")
-    val small = queries.count() <= maxBroadcastQueries
-    val probes = ivfProbes(queries, cb, nprobe)
+    val small = q0.count() <= maxBroadcastQueries
+    val probes = ivfProbes(q0, cb, nprobe)
     // the probe union is bounded by the codebook size — always literal-safe
     val probedCents = probes.select("cent_id").distinct().collect()
       .map(_.getLong(0)).toSeq

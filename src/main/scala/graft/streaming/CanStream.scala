@@ -471,35 +471,60 @@ object CanStream {
   private def manifestPath(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_compact_manifest")
 
+  /** Manifest write is itself staged through a rename: a crash mid-write
+    * leaves only `_compact_manifest.tmp`, which recovery ignores — so a
+    * VISIBLE manifest is always complete. (A torn manifest would
+    * otherwise throw inside every later recovery call, bricking
+    * compaction until hand-repair.)
+    */
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, target: Long,
       folded: Seq[String]): Unit = {
-    val out = fs.create(manifestPath(root), true)
+    val tmp = new org.apache.hadoop.fs.Path(root, "_compact_manifest.tmp")
+    val out = fs.create(tmp, true)
     try out.write((target.toString +: folded).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(manifestPath(root), false)
+    fs.rename(tmp, manifestPath(root))
+    ()
   }
 
   /** Converge an interrupted compaction: forward if the new base was
     * already renamed into place (delete the manifest's fold set), back
-    * out otherwise (drop temp + manifest). Idempotent.
+    * out otherwise (drop temp + manifest). Idempotent. A manifest that
+    * does not parse (possible only under a filesystem without atomic
+    * rename) is treated as before-rename: roll back every temp dir and
+    * drop the manifest — never throw, never delete a live partition.
     */
   private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
+    // a leftover .tmp manifest is by construction pre-rename garbage
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_compact_manifest.tmp"), false)
     val mf = manifestPath(root)
     if (fs.exists(mf)) {
       val in = fs.open(mf)
       val lines =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
-      val target = lines.head.toLong
-      val basePath = new org.apache.hadoop.fs.Path(root, s"out_batch=$target")
-      if (fs.exists(basePath))
-        lines.tail.foreach { name =>
-          fs.delete(new org.apache.hadoop.fs.Path(root, name), true)
-        }
-      else
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"_compact_tmp_$target"), true)
+      val parsed = lines.headOption.flatMap(_.toLongOption)
+      parsed match {
+        case Some(target) =>
+          val basePath = new org.apache.hadoop.fs.Path(root, s"out_batch=$target")
+          if (fs.exists(basePath))
+            lines.tail.filter(_.startsWith("out_batch=")).foreach { name =>
+              fs.delete(new org.apache.hadoop.fs.Path(root, name), true)
+            }
+          else
+            fs.delete(
+              new org.apache.hadoop.fs.Path(root, s"_compact_tmp_$target"), true)
+        case None =>
+          // torn manifest: the data rename cannot have happened (the
+          // manifest rename precedes it) — roll back any temp dirs
+          fs.listStatus(root).toIndexedSeq
+            .filter(_.getPath.getName.startsWith("_compact_tmp_"))
+            .foreach(s => fs.delete(s.getPath, true))
+      }
       fs.delete(mf, false)
       ()
     }
