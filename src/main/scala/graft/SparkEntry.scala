@@ -863,6 +863,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qd_segment_dedup" -> ((s, dir) => {
+      // C4-shape segment-level dedup: 10-token segments, global
+      // keep-first occurrence per distinct segment, documents rebuilt
+      // from their surviving segments in order (losers keep an empty
+      // row so the drop policy stays the caller's filter)
+      Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "qd_keep_best" -> ((s, dir) => {
       // quality-aware keeper selection: per near-dup component keep the
       // highest-quality member (ties -> lowest id), singletons keep
@@ -1171,6 +1180,17 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "qt_source_cap" -> ((s, dir) =>
+      // per-source document cap ("best 3 pages per domain"): bounded
+      // top-n Aggregator, NOT a row_number window — partial aggregation
+      // ships at most n rows per source per task, so a skewed source
+      // never funnels its members through one sort
+      graft.ops.CorpusSelect.topPerGroup(
+          t(s, dir, "documents").filter(length(trim(col("text"))) > 0),
+          "source", TextAnalysis.qualityScore(col("text")), "doc_id",
+          n = 3, scoreName = "quality")
+        .orderBy("source", "doc_id")),
+
     "qt_pii" -> ((s, dir) => {
       // PII scrub (C4/Dolma-style): the synthetic corpus is digit-free,
       // so the gate injects deterministic PII (email, phone, dotted-quad
@@ -1425,6 +1445,12 @@ object SparkEntry {
 
     "qs_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+
+    "qs_quantized_topk" -> ((s, dir) =>
+      // int8 scalar-quantized brute scan (FAISS-SQ8 shape): ranked by
+      // the code-space approximate cosine, exact cosine carried for
+      // the shortlist rerank
+      Similarity.quantizedTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
 
     "qs_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5)),
@@ -2468,6 +2494,14 @@ object SparkEntry {
            |  sum(CAST(round(quality*1000000) AS BIGINT))/1000000.0 AS quality_sum
            |FROM r WHERE rnk <= ceil(n / 10.0) GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      "qt_source_cap" ->
+        s"""SELECT source, doc_id, quality FROM (
+           |  SELECT source, doc_id, $qualitySql AS quality,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY $qualitySql DESC, doc_id) AS rn
+           |  FROM documents WHERE length(trim(text)) > 0)
+           |WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin,
+
       "qt_pii" -> {
         val Seq(email, phone, ip) = TextAnalysis.PiiPatterns.map(_._2)
         val redacted = TextAnalysis.PiiPatterns.foldLeft("t") {
@@ -2647,6 +2681,27 @@ object SparkEntry {
            |  CAST(coalesce(dup, 0) AS BIGINT) AS dup_tokens,
            |  CAST(len(w) AS BIGINT) AS n_tokens
            |FROM tk t LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      "qd_segment_dedup" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |sg AS (SELECT doc_id, unnest(range((len(w)+9)//10)) AS seg_id, w FROM tk),
+           |sg2 AS (SELECT doc_id, seg_id,
+           |  list_aggregate(w[seg_id*10+1 : seg_id*10+10], 'string_agg', ' ') AS seg
+           |  FROM sg),
+           |wn AS (SELECT doc_id, seg_id, seg, ${h("seg")} AS gh FROM sg2),
+           |kp AS (SELECT doc_id, seg_id, seg FROM (
+           |  SELECT doc_id, seg_id, seg,
+           |      row_number() OVER (PARTITION BY gh ORDER BY doc_id, seg_id) AS rn
+           |    FROM wn) WHERE rn = 1),
+           |rec AS (SELECT doc_id, count(*) AS n_kept,
+           |    string_agg(seg, ' ' ORDER BY seg_id) AS clean_text
+           |  FROM kp GROUP BY doc_id),
+           |tot AS (SELECT doc_id, (len(w)+9)//10 AS n_total FROM tk)
+           |SELECT t.doc_id, coalesce(clean_text, '') AS clean_text,
+           |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+           |  CAST(n_total AS BIGINT) AS n_total
+           |FROM tot t LEFT JOIN rec USING (doc_id) ORDER BY doc_id""".stripMargin,
 
       "qd_keep_best" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
         s""",
@@ -2945,6 +3000,25 @@ object SparkEntry {
            |    / (sqrt(a.nrm)*sqrt(qq.nrm)) AS score
            |FROM n a, qq WHERE a.vec_id <> 0
            |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin),
+
+      "qs_quantized_topk" -> (quantCte +
+        s""",
+           |cd AS (SELECT vec_id, qe, nrm,
+           |  list_aggregate(list_transform(qe, x -> abs(x)), 'max') AS m FROM n),
+           |c8 AS (SELECT vec_id, qe, nrm, m,
+           |  list_transform(qe, x -> CASE WHEN m = 0 THEN 0
+           |    ELSE CAST(sign(x) AS BIGINT) * ((abs(x)*254 + m) // (m*2)) END) AS code
+           |  FROM cd),
+           |qq AS (SELECT qe, nrm, m, code FROM c8 WHERE vec_id = 0)
+           |SELECT a.vec_id,
+           |  CASE WHEN a.m = 0 OR qq.m = 0 THEN 0.0 ELSE
+           |    CAST(list_reduce(list_transform(list_zip(a.code, qq.code), t -> t[1]*t[2]), (x,y) -> x+y) AS DOUBLE)
+           |      * a.m * qq.m / (16129.0 * sqrt(a.nrm) * sqrt(qq.nrm)) END AS approx_score,
+           |  CASE WHEN a.m = 0 OR qq.m = 0 THEN 0.0 ELSE
+           |    list_reduce(list_transform(list_zip(a.qe, qq.qe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(a.nrm)*sqrt(qq.nrm)) END AS score
+           |FROM c8 a, qq WHERE a.vec_id <> 0
+           |ORDER BY approx_score DESC, a.vec_id LIMIT 10""".stripMargin),
 
       "qs_lsh_topk" -> (quantCte +
         s""",

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, functions => F}
 import org.apache.spark.sql.types.LongType
 
 /** Token-budget corpus selection: keep the maximal prefix of a totally-
@@ -64,6 +64,69 @@ object CorpusSelect {
       s"fraction must be in (0, 1]: $fractionNum/$fractionDen")
     prefixCore(df, weightCol, order, cumCol, numPartitions, total =>
       ((BigInt(total) * fractionNum + fractionDen - 1) / fractionDen).toLong)
+  }
+
+  /** Bounded top-`n`-per-group selection — the per-domain document cap
+    * every curation pipeline runs ("keep the best N pages per source").
+    *
+    * The naive form is `row_number() OVER (PARTITION BY group ORDER BY
+    * score DESC, id)` ≤ n, which shuffles and SORTS every row of every
+    * group — a group holding 1% of a 100 TB corpus funnels 1 TB through
+    * one task's sort. This form is a typed
+    * [[org.apache.spark.sql.expressions.Aggregator]] whose state is the
+    * bounded top-n list itself: partial aggregation runs map-side, so
+    * each task ships AT MOST n rows per group it saw — the shuffle
+    * volume is `n · groups · tasks` regardless of skew, and no sort of
+    * group members ever happens. (`collect_list`+`slice` has the same
+    * API shape but collects UNBOUNDED per-group state before slicing —
+    * the bound inside the buffer is the whole point.)
+    *
+    * Determinism: rank by (`score` DESC, `id` ASC), exact double
+    * comparison. `score` must be non-NaN (NaN would break the strict
+    * weak ordering) — token counts, quality scores, and the other repo
+    * scoring functions never produce one.
+    *
+    * Output: (`groupCol`, `idCol`, `scoreName`), ≤ n rows per group.
+    */
+  def topPerGroup(df: DataFrame, groupCol: String, score: Column,
+      idCol: String, n: Int, scoreName: String = "score"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val top = F.udaf(new TopNAgg(n))
+    df.select(F.col(groupCol), score.as("_s"),
+        F.col(idCol).cast("long").as("_id"))
+      .groupBy(F.col(groupCol))
+      .agg(top(F.col("_s"), F.col("_id")).as("_top"))
+      .select(F.col(groupCol), F.explode(F.col("_top")).as("_t"))
+      .select(F.col(groupCol), F.col("_t._2").as(idCol),
+        F.col("_t._1").as(scoreName))
+  }
+
+  /** Aggregation state for [[topPerGroup]]: a list kept sorted by
+    * (score DESC, id ASC) and truncated to `n` — constant-bounded
+    * buffer, mergeable map-side. Insertion is an O(n) merge into the
+    * sorted list (n is a cap like 3–100, not a data-sized structure).
+    */
+  private final class TopNAgg(n: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+    private def before(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    override def zero: List[(Double, Long)] = Nil
+    override def reduce(buf: List[(Double, Long)],
+        x: (Double, Long)): List[(Double, Long)] =
+      if (buf.lengthCompare(n) >= 0 && !before(x, buf.last)) buf
+      else {
+        val (ahead, behind) = buf.span(before(_, x))
+        (ahead ::: x :: behind).take(n)
+      }
+    override def merge(b1: List[(Double, Long)],
+        b2: List[(Double, Long)]): List[(Double, Long)] =
+      b2.foldLeft(b1)(reduce)
+    override def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
   private def prefixCore(df: DataFrame, weightCol: String,

@@ -674,6 +674,79 @@ object Dedup {
     grouped.unionByName(singles)
   }
 
+  /** Segment-level exact dedup with document reconstruction — the
+    * C4/RefinedWeb boilerplate-removal shape: documents split into
+    * fixed-size token segments, ONE global occurrence of each distinct
+    * segment survives (first by `(doc, seg position)`), and every
+    * document is rebuilt from its surviving segments in order. Unlike
+    * [[dupGroups]] (whole-document identity) or [[duplicatedSpans]]
+    * (span statistics only), this REWRITES the corpus: repeated
+    * boilerplate disappears from every copy but the first, which is
+    * exactly what line/paragraph dedup does to web text before
+    * training.
+    *
+    * Segmentation is the repo-wide tokenization convention
+    * ([[graft.ops.TextAnalysis.tokens]]) cut into non-overlapping
+    * `segTokens`-token windows — [[Chunker.chunk]] with
+    * `stride = chunkSize`, inlined here so the per-document segment
+    * count rides the same projection (one scan of the corpus, not two).
+    *
+    * Scale shape: three shuffles, each irreducible for the semantics —
+    * (1) a hash aggregation on the 60-bit segment hash picking
+    * `min(struct(doc, seg))` per distinct segment. Duplicate-heavy
+    * corpora (the whole point of the operator) collapse BEFORE the
+    * wire: partial aggregation emits one row per distinct segment per
+    * map task, so a boilerplate segment repeated 100M× costs one row
+    * per task, not 100M shuffled rows — this is why the winner is an
+    * aggregation and not a `row_number` window, which would move and
+    * sort every occurrence of the hottest key into one task. (2) The
+    * winner relation (distinct-segment-sized) joins back on the hash;
+    * Catalyst reuses the aggregation's exchange for the probe side
+    * where plans align, and AQE picks the join flavor. (3) One
+    * aggregation on the doc id rebuilds documents; per-group state is
+    * bounded by each document's own segment count. No UDFs; the
+    * rebuild is `array_sort` + `filter` + `transform` over a
+    * collected struct array.
+    *
+    * Output: (idCol, clean_text, n_kept, n_total), one row per
+    * non-empty input document; a document whose every segment lost
+    * keeps its row with `clean_text = ""` and `n_kept = 0` (the
+    * caller's drop policy stays a trivial filter).
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val segs = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), tokens(col(textCol)).as("_w"))
+      .select(col(idCol), col("_w"),
+        posexplode(sequence(lit(0), size(col("_w")) - 1, lit(segTokens))))
+      .select(col(idCol), col("pos").cast("long").as("seg_id"),
+        array_join(slice(col("_w"), col("col") + 1, lit(segTokens)), " ")
+          .as("_seg"))
+      .withColumn("gh", md5Long(col("_seg")))
+    val winners = segs
+      .groupBy("gh")
+      .agg(min(struct(col(idCol), col("seg_id"))).as("_win"))
+      .select(col("gh"), col("_win")(idCol).as("_wdoc"),
+        col("_win")("seg_id").as("_wseg"))
+    segs.join(winners, "gh")
+      .withColumn("_keep",
+        col(idCol) === col("_wdoc") && col("seg_id") === col("_wseg"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n_total"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("seg_id"), col("_seg"),
+                col("_keep")))),
+              s => s("_keep")),
+            s => s("_seg")),
+          " ").as("clean_text"))
+      .select(col(idCol), col("clean_text"), col("n_kept"), col("n_total"))
+  }
+
   /** SimHash bits (default 48 to stay in positive long territory). */
   val SimHashBits = 48
 

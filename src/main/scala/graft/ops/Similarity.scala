@@ -66,6 +66,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-vector symmetric int8 codes of a quantized vector: each
+    * component maps to `round(|x|*127/maxabs) * sign(x)` with the
+    * vector's own `maxabs` as the scale — the FAISS-`SQ8` storage
+    * layout that cuts the ANN scan's bytes ~4× (one signed byte per
+    * dimension plus one scale per vector) at a recall cost measured in
+    * `AnnRecallSpec`, not guessed. The rounding is integer-exact
+    * (`(|x|*254 + m) div 2m` is round-half-up without ever leaving
+    * integer arithmetic), so codes are bit-identical in every engine —
+    * the property the DuckDB oracle parity hangs on. A zero vector
+    * (`m = 0`) codes to all zeros.
+    */
+  def int8Codes(qv: Column, m: Column): Column =
+    transform(qv, x =>
+      when(m === 0, lit(0L)).otherwise(
+        signum(x).cast("long") *
+          ((abs(x) * 254 + m) / (m * 2)).cast("long")))
+
+  /** Quantized top-k: brute scan over int8 codes (asymmetric-style —
+    * the approximate cosine rescales the code dot product by both
+    * vectors' scales against their TRUE norms), with the exact cosine
+    * carried alongside for the rerank the real pipeline would do on
+    * the shortlist. Ranking (and the gate's hash) is by the
+    * APPROXIMATE score — that is what a code-only 100 TB scan can
+    * order by; at 100 TB the codes are precomputed once into the
+    * stored layout (like [[writeLshPartitioned]]'s bucket dirs) so the scan
+    * reads ~n_dims bytes + one scale per vector instead of 4×n_dims.
+    * All operands reaching the final double expression are exact
+    * integers (code dot ≤ dims·127², times two scales ≤ ~2^53), so the
+    * score is the same IEEE double everywhere.
+    */
+  def quantizedTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val coded = emb
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("m", array_max(transform(col("qv"), x => abs(x))))
+      .withColumn("code", int8Codes(col("qv"), col("m")))
+    val q = coded.filter(col("vec_id") === queryId)
+      .select(col("qv").as("q_qv"), col("m").as("q_m"),
+        col("code").as("q_code"))
+    // a zero vector on either side makes both cosines 0/0; NaN sorts
+    // ABOVE every real score in a DESC order, so guard to 0 instead of
+    // letting a degenerate vector capture the top of every shortlist
+    // (the oracle SQL carries the same CASE)
+    val zero = col("m") === 0 || col("q_m") === 0
+    coded.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        when(zero, lit(0.0)).otherwise(
+          qdot(col("code"), col("q_code")).cast("double") * col("m") * col("q_m") /
+            (lit(16129.0) * sqrt(qnorm2(col("qv")).cast("double")) *
+              sqrt(qnorm2(col("q_qv")).cast("double")))).as("approx_score"),
+        when(zero, lit(0.0))
+          .otherwise(cosine(col("qv"), col("q_qv"))).as("score"))
+      .orderBy(col("approx_score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Deterministic hyperplane weights (shared with the oracle SQL). */
   val NumPlanes = 6
   def planeWeight(plane: Int, dim: Int): Long =

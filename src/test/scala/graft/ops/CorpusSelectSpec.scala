@@ -108,4 +108,55 @@ class CorpusSelectSpec extends AnyFunSuite {
       s"fraction mode ran $frac jobs vs $fixed for a fixed budget — " +
         "budget resolution must not add a scan")
   }
+
+  // deterministic multi-group corpus with duplicate scores inside groups
+  private def groupedCorpus: Seq[(String, Long, Double)] =
+    (1L to 300L).map { i =>
+      val g = s"g${i % 7}"
+      val score = ((i * 2654435761L % 97) % 11).toDouble / 10.0
+      (g, i, score)
+    }
+
+  private def windowOracle(n: Int): Seq[(String, Long, Double)] = {
+    val df = groupedCorpus.toDF("grp", "id", "s")
+    val rn = row_number().over(
+      Window.partitionBy("grp").orderBy(col("s").desc, col("id").asc))
+    df.withColumn("rn", rn).filter(col("rn") <= n)
+      .orderBy("grp", "id").select("grp", "id", "s")
+      .as[(String, Long, Double)].collect().toSeq
+  }
+
+  test("topPerGroup matches the row_number window oracle, including " +
+      "score ties broken by id") {
+    val df = groupedCorpus.toDF("grp", "id", "s")
+    for (n <- Seq(1, 3, 10)) {
+      val got = CorpusSelect.topPerGroup(df, "grp", col("s"), "id", n, "s")
+        .orderBy("grp", "id").as[(String, Long, Double)].collect().toSeq
+      assert(got == windowOracle(n), s"n=$n")
+    }
+  }
+
+  test("topPerGroup: n larger than every group returns all rows; " +
+      "repartitioning never changes the result") {
+    val base = groupedCorpus.toDF("grp", "id", "s")
+    val all = CorpusSelect.topPerGroup(base, "grp", col("s"), "id", 1000, "s")
+    assert(all.count() == 300)
+    for (parts <- Seq(1, 13)) {
+      val got = CorpusSelect.topPerGroup(
+          base.repartition(parts), "grp", col("s"), "id", 3, "s")
+        .orderBy("grp", "id").as[(String, Long, Double)].collect().toSeq
+      assert(got == windowOracle(3), s"parts=$parts")
+    }
+  }
+
+  test("topPerGroup aggregates with partial (map-side) combine, not a " +
+      "window sort: the plan has two aggregate stages and no Window") {
+    val df = groupedCorpus.toDF("grp", "id", "s")
+    val plan = CorpusSelect.topPerGroup(df, "grp", col("s"), "id", 3, "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort leaked into the plan:\n$plan")
+    val aggs = "ObjectHashAggregate|SortAggregate|HashAggregate".r
+      .findAllIn(plan).length
+    assert(aggs >= 2, s"expected partial+final aggregation stages:\n$plan")
+  }
 }

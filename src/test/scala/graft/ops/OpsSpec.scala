@@ -512,6 +512,75 @@ class OpsSpec extends AnyFunSuite {
       (4L, 2L, 5L, 10L, 11L)))
   }
 
+  test("segmentDedup: repeated segments survive once, docs rebuild in order") {
+    // seg size 3: doc 1 = [a b c][d e f], doc 2 repeats doc 1's first
+    // segment then adds its own, doc 3 repeats BOTH of its own segments
+    // within itself, doc 4 is entirely a copy of doc 1
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "p q r p q r"),
+      (4L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(d, "doc_id", "text", segTokens = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "a b c d e f", 2L, 2L)))  // first owner keeps all
+    assert(out(1) == ((2L, "x y z", 1L, 2L)))        // shared boilerplate gone
+    assert(out(2) == ((3L, "p q r", 1L, 2L)))        // within-doc repeat gone
+    assert(out(3) == ((4L, "", 0L, 2L)))             // full copy loses everything
+  }
+
+  test("segmentDedup: short tail segment dedups like any other; " +
+      "reconstruction preserves segment order") {
+    val d = Seq(
+      (10L, "w1 w2 w3 w4"),   // segments [w1 w2 w3], [w4]
+      (11L, "w4 a b w1 w2 w3") // [w4 a b] unique; [w1 w2 w3] loses to doc 10
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(d, "doc_id", "text", segTokens = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((10L, "w1 w2 w3 w4", 2L, 2L)))
+    assert(out(1) == ((11L, "w4 a b", 1L, 2L)))
+  }
+
+  test("quantizedTopK: int8 codes rank like exact cosine on separated " +
+      "vectors; zero vector codes to zeros") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f), 0),
+      (1L, Array(0.9f, 0.2f, 0.0f), 0),   // near the query
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),   // orthogonal-ish
+      (3L, Array(-1.0f, -0.1f, 0.0f), 0), // opposite
+      (4L, Array(0.0f, 0.0f, 0.0f), 0)    // zero vector
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.quantizedTopK(e, 0L, 4).collect()
+    // zero vector guards to score 0.0 (NOT NaN, which would sort first
+    // in a DESC order) — it ranks between the orthogonal and opposite
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 3L))
+    top.foreach { r =>
+      val approx = r.getDouble(1)
+      val exact = r.getDouble(2)
+      // 8-bit codes keep cosine within quantization error of exact
+      assert(!approx.isNaN && math.abs(approx - exact) < 0.02,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("quantizedTopK recall@10 vs brute force on the clustered corpus") {
+    val vecs = (0L until 200L).map { i =>
+      val emb = Array.tabulate(64)(j =>
+        (((i * 31 + j * 17) % 101) - 50).toFloat / 50.0f)
+      (i, emb, (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.bruteForceTopK(vecs, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val quant = Similarity.quantizedTopK(vecs, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & quant).size.toDouble / 10.0
+    info(f"quantizedTopK recall@10: $recall%.2f")
+    assert(recall >= 0.9, s"int8 quantization recall too low: $recall")
+  }
+
   test("keepBestInGroups: highest score wins, ties go to lowest id, " +
       "singletons keep themselves") {
     import org.apache.spark.sql.functions.col
