@@ -1452,6 +1452,12 @@ object SparkEntry {
       // the shortlist rerank
       Similarity.quantizedTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
 
+    "qs_pq_topk" -> ((s, dir) =>
+      // product quantization with ADC: 8 subspaces x 16 first-k
+      // centroids (~4 bytes/vector), approximate cosine from m table
+      // lookups per vector, exact cosine carried for the rerank
+      Similarity.pqTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+
     "qs_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5)),
 
@@ -3018,6 +3024,39 @@ object SparkEntry {
            |    list_reduce(list_transform(list_zip(a.qe, qq.qe), t -> t[1]*t[2]), (x,y) -> x+y)
            |      / (sqrt(a.nrm)*sqrt(qq.nrm)) END AS score
            |FROM c8 a, qq WHERE a.vec_id <> 0
+           |ORDER BY approx_score DESC, a.vec_id LIMIT 10""".stripMargin),
+
+      "qs_pq_topk" -> (quantCte +
+        s""",
+           |rng AS (SELECT unnest(range(8)) AS s),
+           |cents AS (SELECT c.vec_id AS cent_id, r.s,
+           |  c.qe[r.s*8+1 : r.s*8+8] AS cv FROM n c, rng r WHERE c.vec_id < 16),
+           |asub AS (SELECT a.vec_id, r.s, a.qe[r.s*8+1 : r.s*8+8] AS sv FROM n a, rng r),
+           |dist AS (SELECT asub.vec_id, asub.s, cents.cent_id,
+           |    list_reduce(list_transform(list_zip(asub.sv, cents.cv),
+           |      t -> (t[1]-t[2])*(t[1]-t[2])), (x,y) -> x+y) AS d
+           |  FROM asub JOIN cents ON asub.s = cents.s),
+           |codes AS (SELECT vec_id, s, cent_id FROM (
+           |  SELECT vec_id, s, cent_id,
+           |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cent_id) AS rn
+           |    FROM dist) WHERE rn = 1),
+           |qq AS (SELECT qe, nrm FROM n WHERE vec_id = 0),
+           |qsub AS (SELECT r.s, qq.qe[r.s*8+1 : r.s*8+8] AS qs FROM qq, rng r),
+           |adc AS (SELECT codes.vec_id, CAST(sum(
+           |    list_reduce(list_transform(list_zip(qsub.qs, cents.cv), t -> t[1]*t[2]), (x,y) -> x+y)
+           |  ) AS BIGINT) AS ad
+           |  FROM codes
+           |  JOIN cents ON codes.s = cents.s AND codes.cent_id = cents.cent_id
+           |  JOIN qsub ON qsub.s = codes.s
+           |  GROUP BY codes.vec_id)
+           |SELECT a.vec_id,
+           |  CASE WHEN a.nrm = 0 THEN 0.0
+           |    ELSE adc.ad / (sqrt(a.nrm) * sqrt(qq.nrm)) END AS approx_score,
+           |  CASE WHEN a.nrm = 0 THEN 0.0 ELSE
+           |    list_reduce(list_transform(list_zip(a.qe, qq.qe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(a.nrm)*sqrt(qq.nrm)) END AS score
+           |FROM n a JOIN adc ON adc.vec_id = a.vec_id CROSS JOIN qq
+           |WHERE a.vec_id <> 0
            |ORDER BY approx_score DESC, a.vec_id LIMIT 10""".stripMargin),
 
       "qs_lsh_topk" -> (quantCte +

@@ -691,22 +691,33 @@ object Dedup {
     * `stride = chunkSize`, inlined here so the per-document segment
     * count rides the same projection (one scan of the corpus, not two).
     *
-    * Scale shape: three shuffles, each irreducible for the semantics —
-    * (1) a hash aggregation on the 60-bit segment hash picking
-    * `min(struct(doc, seg))` per distinct segment. Duplicate-heavy
-    * corpora (the whole point of the operator) collapse BEFORE the
-    * wire: partial aggregation emits one row per distinct segment per
-    * map task, so a boilerplate segment repeated 100M× costs one row
-    * per task, not 100M shuffled rows — this is why the winner is an
-    * aggregation and not a `row_number` window, which would move and
-    * sort every occurrence of the hottest key into one task. (2) The
-    * winner relation (distinct-segment-sized) joins back on the hash;
-    * Catalyst reuses the aggregation's exchange for the probe side
-    * where plans align, and AQE picks the join flavor. (3) One
+    * Scale shape: the segment relation (id, position, segment, hash) is
+    * computed ONCE and persisted — it feeds both the winner aggregation
+    * and the rebuild, and without the cache Catalyst re-scans and
+    * re-tokenizes the whole corpus for the second consumer (the two
+    * exchanges don't align for reuse; verified on the physical plan).
+    * Then three shuffles, each irreducible for the semantics — (1) an
+    * aggregation on the 60-bit segment hash picking `min(struct(doc,
+    * seg))` per distinct segment (sort-based partials: a struct-typed
+    * min buffer is not hash-aggregable, the price of lexicographic
+    * winners). Duplicate-heavy corpora (the whole point of the
+    * operator) collapse BEFORE the wire: partial aggregation emits one
+    * row per distinct segment per map task, so a boilerplate segment
+    * repeated 100M× costs one row per task, not 100M shuffled rows —
+    * this is why the winner is an aggregation and not a `row_number`
+    * window, which would move and sort every occurrence of the hottest
+    * key into one task. (2) The winner relation (distinct-segment-
+    * sized) joins back on the hash; AQE picks the join flavor. (3) One
     * aggregation on the doc id rebuilds documents; per-group state is
     * bounded by each document's own segment count. No UDFs; the
     * rebuild is `array_sort` + `filter` + `transform` over a
     * collected struct array.
+    *
+    * CONTRACT (same as [[CorpusSelect.budgetPrefix]]): the returned
+    * DataFrame is persisted (MEMORY_AND_DISK) and already materialized
+    * — the caller owns the blocks and must `unpersist()` when done (or
+    * clearCache in a harness). The corpus-sized segment intermediate is
+    * released before returning.
     *
     * Output: (idCol, clean_text, n_kept, n_total), one row per
     * non-empty input document; a document whose every segment lost
@@ -724,27 +735,39 @@ object Dedup {
         array_join(slice(col("_w"), col("col") + 1, lit(segTokens)), " ")
           .as("_seg"))
       .withColumn("gh", md5Long(col("_seg")))
-    val winners = segs
-      .groupBy("gh")
-      .agg(min(struct(col(idCol), col("seg_id"))).as("_win"))
-      .select(col("gh"), col("_win")(idCol).as("_wdoc"),
-        col("_win")("seg_id").as("_wseg"))
-    segs.join(winners, "gh")
-      .withColumn("_keep",
-        col(idCol) === col("_wdoc") && col("seg_id") === col("_wseg"))
-      .groupBy(col(idCol))
-      .agg(
-        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
-        count(lit(1)).as("n_total"),
-        array_join(
-          transform(
-            filter(
-              array_sort(collect_list(struct(col("seg_id"), col("_seg"),
-                col("_keep")))),
-              s => s("_keep")),
-            s => s("_seg")),
-          " ").as("clean_text"))
-      .select(col(idCol), col("clean_text"), col("n_kept"), col("n_total"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val winners = segs
+        .groupBy("gh")
+        .agg(min(struct(col(idCol), col("seg_id"))).as("_win"))
+        .select(col("gh"), col("_win")(idCol).as("_wdoc"),
+          col("_win")("seg_id").as("_wseg"))
+      val result = segs.join(winners, "gh")
+        .withColumn("_keep",
+          col(idCol) === col("_wdoc") && col("seg_id") === col("_wseg"))
+        .groupBy(col(idCol))
+        .agg(
+          sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+          count(lit(1)).as("n_total"),
+          array_join(
+            transform(
+              filter(
+                array_sort(collect_list(struct(col("seg_id"), col("_seg"),
+                  col("_keep")))),
+                s => s("_keep")),
+              s => s("_seg")),
+            " ").as("clean_text"))
+        .select(col(idCol), col("clean_text"), col("n_kept"), col("n_total"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try result.count() // materialize while `segs` is still cached
+      catch { case e: Throwable =>
+        // on failure the caller never receives a handle to unpersist —
+        // release the half-materialized cache before propagating
+        result.unpersist()
+        throw e
+      }
+      result
+    } finally { segs.unpersist(); () }
   }
 
   /** SimHash bits (default 48 to stay in positive long territory). */

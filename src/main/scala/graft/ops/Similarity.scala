@@ -122,6 +122,100 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization codebook (first-k, SQL-replayable like
+    * [[ivfTopK]]'s): subspace `s`'s centroids are the first `kCent`
+    * vectors' `s`-th subvectors. Returns `cb(s)(c)` = quantized
+    * subvector — `m × kCent` arrays of `dims/m` longs, driver-sized by
+    * construction (e.g. 8×16×8 longs). A trained variant would run
+    * [[kmeansCodebook]] per subspace; the first-k form keeps the
+    * codebook bit-replayable in the DuckDB oracle, which is what makes
+    * the gate hash-exact rather than rows-only.
+    */
+  def pqCodebook(emb: DataFrame, m: Int = 8, kCent: Int = 16,
+      dims: Int = 64): Array[Array[Array[Long]]] = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    val first = emb.filter(col("vec_id") < kCent)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Long](1).toArray)
+    require(first.length == kCent,
+      s"need vec_ids 0..${kCent - 1} for the first-k codebook, found ${first.length}")
+    Array.tabulate(m)(s => first.map(_.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** PQ top-k with asymmetric distance computation (ADC) — the standard
+    * 100 TB ANN compression: each vector is stored as `m` small codes
+    * (here 8 codes of 4 bits each ≈ 4 bytes/vector vs 256 for floats),
+    * and a query scores a vector WITHOUT reconstructing it, by summing
+    * `m` precomputed table lookups.
+    *
+    * Scale shape: the codebook and the single query vector are driver
+    * collects (both tiny by construction — the batch entry points keep
+    * query SETS distributed; this is the single-probe form). Encoding
+    * is a one-time map-only pass whose inner loop is `m × kCent`
+    * codegen [[qdot]]s per row against literal centroids — at 100 TB
+    * codes are written once into the stored layout and every later
+    * query reads codes + one norm per vector. The ADC tables
+    * (`m × kCent` longs) fold into the scan as literal `element_at`
+    * lookups, so the per-row query cost is `m` array indexings and one
+    * divide — no vector arithmetic at all.
+    *
+    * Parity: codes pick `argmin_c ‖v_s − C_sc‖²` with ties to the
+    * lowest code; the Spark side ranks by the equivalent integer key
+    * `‖C_sc‖² − 2·⟨v_s, C_sc⟩` (the `‖v_s‖²` term is constant within
+    * the argmin), while the oracle computes the full squared distance —
+    * same argmin, cheaper codegen. The approximate cosine divides the
+    * exact-integer ADC dot by both TRUE norms (stored alongside codes,
+    * as real PQ layouts do); zero-norm vectors guard to 0 like
+    * [[quantizedTopK]]. The exact cosine rides along for the shortlist
+    * rerank.
+    */
+  def pqTopK(emb: DataFrame, queryId: Long, k: Int, m: Int = 8,
+      kCent: Int = 16, dims: Int = 64): DataFrame = {
+    val sub = dims / m
+    val cb = pqCodebook(emb, m, kCent, dims)
+    def ldot(a: Array[Long], b: Array[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val cc2 = cb.map(_.map(c => ldot(c, c)))
+
+    val qRow = emb.filter(col("vec_id") === queryId)
+      .select(quantize(col("embedding")).as("qv")).collect()
+    require(qRow.nonEmpty, s"query vector $queryId not found")
+    val qv = qRow.head.getSeq[Long](0).toArray
+    require(qv.length == dims, s"query has ${qv.length} dims, expected $dims")
+    val qn = ldot(qv, qv)
+    require(qn != 0L, "zero-norm query vector")
+    // ADC tables: tab(s)(c) = <query subvector s, centroid C_sc>
+    val tab = Array.tabulate(m, kCent) { (s, c) =>
+      ldot(qv.slice(s * sub, (s + 1) * sub), cb(s)(c))
+    }
+
+    val coded = emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("codes", array((0 until m).map { s =>
+        val vsub = slice(col("qv"), s * sub + 1, sub)
+        val cands = array((0 until kCent).map { c =>
+          struct((lit(cc2(s)(c)) - qdot(vsub, typedLit(cb(s)(c).toSeq)) * 2)
+            .as("d"), lit(c).as("c"))
+        }: _*)
+        array_min(cands)("c")
+      }: _*))
+    val approxDot = (0 until m).map { s =>
+      element_at(typedLit(tab(s).toSeq), col("codes")(s) + 1)
+    }.reduce(_ + _)
+    coded
+      .select(col("vec_id"),
+        when(qnorm2(col("qv")) === 0, lit(0.0)).otherwise(
+          approxDot.cast("double") /
+            (sqrt(qnorm2(col("qv")).cast("double")) * sqrt(lit(qn).cast("double"))))
+          .as("approx_score"),
+        when(qnorm2(col("qv")) === 0, lit(0.0))
+          .otherwise(cosine(col("qv"), typedLit(qv.toSeq))).as("score"))
+      .orderBy(col("approx_score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Deterministic hyperplane weights (shared with the oracle SQL). */
   val NumPlanes = 6
   def planeWeight(plane: Int, dim: Int): Long =
