@@ -1456,7 +1456,8 @@ object SparkEntry {
       // product quantization with ADC: 8 subspaces x 16 first-k
       // centroids (~4 bytes/vector), approximate cosine from m table
       // lookups per vector, exact cosine carried for the rerank
-      Similarity.pqTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+      Similarity.pqTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10,
+        stride = 31L)),
 
     "qs_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5)),
@@ -1547,6 +1548,17 @@ object SparkEntry {
       Similarity.ivfTopKBatch(emb,
         Similarity.batchQueries(emb, col("vec_id") < 8),
         k = 5, centroids = 8, nprobe = 2, codebook = Some(cb))
+    }),
+
+    "qs_batch_pq" -> ((s, dir) => {
+      // batch PQ with ADC: per-query dot tables computed distributed
+      // from the literal codebook, m element_at lookups per (vector,
+      // query) pair — completes the batch matrix with the compressed-
+      // storage scoring shape
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopKBatch(emb,
+        Similarity.batchQueries(emb, col("vec_id") < 8), k = 5,
+        stride = 31L)
     }),
 
     "qs_batch_brute" -> ((s, dir) => {
@@ -3029,8 +3041,9 @@ object SparkEntry {
       "qs_pq_topk" -> (quantCte +
         s""",
            |rng AS (SELECT unnest(range(8)) AS s),
-           |cents AS (SELECT c.vec_id AS cent_id, r.s,
-           |  c.qe[r.s*8+1 : r.s*8+8] AS cv FROM n c, rng r WHERE c.vec_id < 16),
+           |cents AS (SELECT c.vec_id // 31 AS cent_id, r.s,
+           |  c.qe[r.s*8+1 : r.s*8+8] AS cv FROM n c, rng r
+           |  WHERE c.vec_id % 31 = 0 AND c.vec_id < 496),
            |asub AS (SELECT a.vec_id, r.s, a.qe[r.s*8+1 : r.s*8+8] AS sv FROM n a, rng r),
            |dist AS (SELECT asub.vec_id, asub.s, cents.cent_id,
            |    list_reduce(list_transform(list_zip(asub.sv, cents.cv),
@@ -3058,6 +3071,41 @@ object SparkEntry {
            |FROM n a JOIN adc ON adc.vec_id = a.vec_id CROSS JOIN qq
            |WHERE a.vec_id <> 0
            |ORDER BY approx_score DESC, a.vec_id LIMIT 10""".stripMargin),
+
+      "qs_batch_pq" -> (quantCte +
+        s""",
+           |rng AS (SELECT unnest(range(8)) AS s),
+           |cents AS (SELECT c.vec_id // 31 AS cent_id, r.s,
+           |  c.qe[r.s*8+1 : r.s*8+8] AS cv FROM n c, rng r
+           |  WHERE c.vec_id % 31 = 0 AND c.vec_id < 496),
+           |asub AS (SELECT a.vec_id, r.s, a.qe[r.s*8+1 : r.s*8+8] AS sv FROM n a, rng r),
+           |dist AS (SELECT asub.vec_id, asub.s, cents.cent_id,
+           |    list_reduce(list_transform(list_zip(asub.sv, cents.cv),
+           |      t -> (t[1]-t[2])*(t[1]-t[2])), (x,y) -> x+y) AS d
+           |  FROM asub JOIN cents ON asub.s = cents.s),
+           |codes AS (SELECT vec_id, s, cent_id FROM (
+           |  SELECT vec_id, s, cent_id,
+           |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cent_id) AS rn
+           |    FROM dist) WHERE rn = 1),
+           |qq AS (SELECT vec_id AS query_id, qe, nrm FROM n WHERE vec_id < 8),
+           |qsub AS (SELECT qq.query_id, r.s, qq.qe[r.s*8+1 : r.s*8+8] AS qs FROM qq, rng r),
+           |adc AS (SELECT codes.vec_id, qsub.query_id, CAST(sum(
+           |    list_reduce(list_transform(list_zip(qsub.qs, cents.cv), t -> t[1]*t[2]), (x,y) -> x+y)
+           |  ) AS BIGINT) AS ad
+           |  FROM codes
+           |  JOIN cents ON codes.s = cents.s AND codes.cent_id = cents.cent_id
+           |  JOIN qsub ON qsub.s = codes.s
+           |  GROUP BY codes.vec_id, qsub.query_id),
+           |scored AS (SELECT adc.query_id, a.vec_id,
+           |    CASE WHEN a.nrm = 0 OR qq.nrm = 0 THEN 0.0
+           |      ELSE adc.ad / (sqrt(a.nrm) * sqrt(qq.nrm)) END AS score
+           |  FROM adc JOIN n a ON a.vec_id = adc.vec_id
+           |  JOIN qq ON qq.query_id = adc.query_id
+           |  WHERE a.vec_id <> adc.query_id),
+           |r AS (SELECT query_id, vec_id, score,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+           |  FROM scored)
+           |SELECT query_id, vec_id, score FROM r WHERE rn <= 5""".stripMargin),
 
       "qs_lsh_topk" -> (quantCte +
         s""",

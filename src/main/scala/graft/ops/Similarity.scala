@@ -122,25 +122,39 @@ object Similarity {
       .limit(k)
   }
 
-  /** Product-quantization codebook (first-k, SQL-replayable like
-    * [[ivfTopK]]'s): subspace `s`'s centroids are the first `kCent`
-    * vectors' `s`-th subvectors. Returns `cb(s)(c)` = quantized
-    * subvector — `m × kCent` arrays of `dims/m` longs, driver-sized by
-    * construction (e.g. 8×16×8 longs). A trained variant would run
-    * [[kmeansCodebook]] per subspace; the first-k form keeps the
-    * codebook bit-replayable in the DuckDB oracle, which is what makes
-    * the gate hash-exact rather than rows-only.
+  /** Product-quantization codebook (stride-sampled, SQL-replayable like
+    * [[ivfTopK]]'s first-k): subspace `s`'s centroid `c` is the `s`-th
+    * subvector of the vector with `vec_id = c·stride`. Returns
+    * `cb(s)(c)` = quantized subvector — `m × kCent` arrays of `dims/m`
+    * longs, driver-sized by construction (e.g. 8×16×8 longs).
+    *
+    * `stride = 1` is the plain first-k codebook; a stride spreads the
+    * sample across the id range, which matters when ids are clustered.
+    * Measured on `BatchAnnSpec`'s random clustered corpus: 16 sample
+    * centroids per 8-dim subspace CANNOT rank a top-10 directly
+    * (recall@10 ≈ 0.37 — code-space cosine is coarse on random data),
+    * but the true top-10 is fully contained in the PQ top-50 shortlist
+    * (containment 1.00 strided, 0.90 when the first-16 sample saw only
+    * one cluster) — so the operating shape is shortlist → exact rerank,
+    * which is what the carried exact-score column in [[pqTopK]] is
+    * for. A trained variant would run [[kmeansCodebook]] per subspace;
+    * the sampled form keeps the codebook bit-replayable in the DuckDB
+    * oracle, which is what makes the gates hash-exact rather than
+    * rows-only.
     */
   def pqCodebook(emb: DataFrame, m: Int = 8, kCent: Int = 16,
-      dims: Int = 64): Array[Array[Array[Long]]] = {
+      dims: Int = 64, stride: Long = 1L): Array[Array[Array[Long]]] = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     val sub = dims / m
-    val first = emb.filter(col("vec_id") < kCent)
+    val first = emb
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < kCent * stride)
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .collect().sortBy(_.getLong(0))
       .map(_.getSeq[Long](1).toArray)
     require(first.length == kCent,
-      s"need vec_ids 0..${kCent - 1} for the first-k codebook, found ${first.length}")
+      s"need vec_ids {0, $stride, …, ${(kCent - 1) * stride}} for the " +
+        s"stride-$stride codebook, found ${first.length}")
     Array.tabulate(m)(s => first.map(_.slice(s * sub, (s + 1) * sub)))
   }
 
@@ -171,12 +185,29 @@ object Similarity {
     * [[quantizedTopK]]. The exact cosine rides along for the shortlist
     * rerank.
     */
+  /** PQ encode as a pure expression: `codes(s) = argmin_c ‖v_s − C_sc‖²`
+    * ranked by the integer key `‖C_sc‖² − 2·⟨v_s, C_sc⟩` (the `‖v_s‖²`
+    * term is constant within each argmin), ties to the lowest code via
+    * lexicographic `array_min` over (key, code) structs.
+    */
+  private def pqCodes(qv: Column, cb: Array[Array[Array[Long]]],
+      cc2: Array[Array[Long]], m: Int, kCent: Int, sub: Int): Column =
+    array((0 until m).map { s =>
+      val vsub = slice(qv, s * sub + 1, sub)
+      val cands = array((0 until kCent).map { c =>
+        struct((lit(cc2(s)(c)) - qdot(vsub, typedLit(cb(s)(c).toSeq)) * 2)
+          .as("d"), lit(c).as("c"))
+      }: _*)
+      array_min(cands)("c")
+    }: _*)
+
+  private def ldot(a: Array[Long], b: Array[Long]): Long =
+    a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+
   def pqTopK(emb: DataFrame, queryId: Long, k: Int, m: Int = 8,
-      kCent: Int = 16, dims: Int = 64): DataFrame = {
+      kCent: Int = 16, dims: Int = 64, stride: Long = 1L): DataFrame = {
     val sub = dims / m
-    val cb = pqCodebook(emb, m, kCent, dims)
-    def ldot(a: Array[Long], b: Array[Long]): Long =
-      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val cb = pqCodebook(emb, m, kCent, dims, stride)
     val cc2 = cb.map(_.map(c => ldot(c, c)))
 
     val qRow = emb.filter(col("vec_id") === queryId)
@@ -193,14 +224,7 @@ object Similarity {
 
     val coded = emb.filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-      .withColumn("codes", array((0 until m).map { s =>
-        val vsub = slice(col("qv"), s * sub + 1, sub)
-        val cands = array((0 until kCent).map { c =>
-          struct((lit(cc2(s)(c)) - qdot(vsub, typedLit(cb(s)(c).toSeq)) * 2)
-            .as("d"), lit(c).as("c"))
-        }: _*)
-        array_min(cands)("c")
-      }: _*))
+      .withColumn("codes", pqCodes(col("qv"), cb, cc2, m, kCent, sub))
     val approxDot = (0 until m).map { s =>
       element_at(typedLit(tab(s).toSeq), col("codes")(s) + 1)
     }.reduce(_ + _)
@@ -585,6 +609,55 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("qv"), col("query_v")).as("score"))
+    rankPerQuery(cand, k)
+  }
+
+  /** Batch PQ top-k: the whole query set scores in ONE job, like
+    * [[lshTopKBatch]] — no driver collect of queries, no per-query
+    * jobs. Each query's ADC tables (`m × kCent` dot products against
+    * the literal codebook) are computed DISTRIBUTED as a projection of
+    * the query relation itself, then ride the (size-guarded) broadcast
+    * into the scan; per (vector, query) pair the score costs `m`
+    * `element_at` lookups into the query's table array and one divide
+    * — the corpus-side vector arithmetic happened once, at encode.
+    *
+    * Like [[bruteForceTopKBatch]] this scans corpus × |Q| pairs — PQ's
+    * win is bytes per vector (codes + one norm instead of the float
+    * array), not candidate pruning; at 100 TB it composes with the
+    * LSH/IVF partitioned layouts, which cut the candidate set BEFORE
+    * this scoring shape is applied to it.
+    *
+    * Output: (query_id, vec_id, score) with `score` the APPROXIMATE
+    * cosine (rank-defining, like the other batch entry points —
+    * [[recallAtK]] against [[bruteForceTopKBatch]] measures the
+    * accuracy); zero-norm pairs guard to 0 like [[quantizedTopK]].
+    */
+  def pqTopKBatch(emb: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      kCent: Int = 16, dims: Int = 64, stride: Long = 1L,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    val sub = dims / m
+    val cb = pqCodebook(emb, m, kCent, dims, stride)
+    val cc2 = cb.map(_.map(c => ldot(c, c)))
+    val q0 = materializedQueries(queries)
+    val small = q0.count() <= maxBroadcastQueries
+    val tabs = array((for (s <- 0 until m; c <- 0 until kCent)
+      yield qdot(slice(col("qv"), s * sub + 1, sub),
+        typedLit(cb(s)(c).toSeq))): _*)
+    val q = bjIf(small)(q0.select(col("query_id"), tabs.as("_tabs"),
+      qnorm2(col("qv")).as("_qn")))
+    val coded = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("codes", pqCodes(col("qv"), cb, cc2, m, kCent, sub))
+      .withColumn("_vn", qnorm2(col("qv")))
+    val approxDot = (0 until m).map { s =>
+      element_at(col("_tabs"), lit(s * kCent) + col("codes")(s) + 1)
+    }.reduce(_ + _)
+    val cand = coded.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        when(col("_vn") === 0 || col("_qn") === 0, lit(0.0)).otherwise(
+          approxDot.cast("double") /
+            (sqrt(col("_vn").cast("double")) * sqrt(col("_qn").cast("double"))))
+          .as("score"))
     rankPerQuery(cand, k)
   }
 
