@@ -863,6 +863,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qd_edit_verify" -> ((s, dir) =>
+      // the minhash pipeline's exact last stage: bands propose, jaccard
+      // screens, levenshtein CONFIRMS on the pair-bounded shortlist —
+      // the order-sensitive check that separates true near-copies from
+      // same-vocabulary reshuffles
+      Dedup.editVerifiedNearDups(t(s, dir, "documents"), "doc_id",
+          col("text"))
+        .orderBy("doc_a", "doc_b")),
+
     "qd_segment_dedup" -> ((s, dir) => {
       // C4-shape segment-level dedup: 10-token segments, global
       // keep-first occurrence per distinct segment, documents rebuilt
@@ -1325,6 +1334,29 @@ object SparkEntry {
       s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
     }),
 
+    "qd_stream_segdedup" -> ((s, dir) => {
+      // STREAMING segment dedup (Dedup.streamingSegmentDedup): the
+      // boilerplate rewrite as an ingest stage with a persisted
+      // segment-claim store. A single AvailableNow pass reproduces the
+      // batch rewrite exactly (shares qd_segment_dedup's oracle);
+      // multi-batch order, replay idempotence, and store claims are
+      // spec'd in StreamingSegmentDedupSpec
+      val tmp = scratchDir("graft_qssd")
+      val src = stagedInput("qsn", dir) { p =>
+        t(s, dir, "documents").select("doc_id", "text")
+          .write.mode("overwrite").parquet(p)
+      }
+      val stream = s.readStream.schema(
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string")).parquet(src)
+      val q = Dedup.streamingSegmentDedup(stream, "doc_id", "text",
+        s"$tmp/claims", s"$tmp/out", s"$tmp/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select("doc_id", "clean_text", "n_kept", "n_total")
+        .orderBy("doc_id")
+    }),
+
     "qd_stream_decontam" -> ((s, dir) => {
       // STREAMING fuzzy decontamination (Dedup.streamingDecontaminate):
       // train docs arrive as micro-batches; eval signatures are prepared
@@ -1493,6 +1525,21 @@ object SparkEntry {
       val lsh = stagedInput("qlp", dir)(p =>
         Similarity.writeLshPartitioned(t(s, dir, "embeddings"), p))
       Similarity.lshTopKPartitioned(s, lsh, queryId = 0L, k = 5)
+    }),
+
+    "qs_quantized_pruned" -> ((s, dir) => {
+      // the full compressed at-scale ANN shape: int8 codes + norms
+      // partitioned by LSH sign-bucket; the probe ball prunes to
+      // directories AND the scan reads one byte per dimension instead
+      // of the float vectors (which stay in the primary store for the
+      // shortlist rerank). Ranked by the code-space cosine.
+      val emb = t(s, dir, "embeddings")
+      val lay = stagedInput("qqp", dir)(p =>
+        Similarity.writeLshQuantized(emb, p))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(Similarity.quantize(col("embedding")).as("qv"))
+        .collect().head.getSeq[Long](0)
+      Similarity.quantizedTopKPruned(s, lay, qv, excludeId = 0L, k = 5)
     }),
 
     "qs_ivf_pruned" -> ((s, dir) => {
@@ -2373,6 +2420,27 @@ object SparkEntry {
     val qualitySql =
       s"""(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)) * 0.4 + least(CAST(${profCount(TextAnalysis.StopwordProfiles.head._2)} AS DOUBLE) / len($toks) * 4.0, 1.0) * 0.3 + least(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($toks) / 8.0, 1.0) * 0.3"""
 
+    val segmentDedupSql =
+      s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents
+         |  WHERE length(trim(text)) > 0),
+         |sg AS (SELECT doc_id, unnest(range((len(w)+9)//10)) AS seg_id, w FROM tk),
+         |sg2 AS (SELECT doc_id, seg_id,
+         |  list_aggregate(w[seg_id*10+1 : seg_id*10+10], 'string_agg', ' ') AS seg
+         |  FROM sg),
+         |wn AS (SELECT doc_id, seg_id, seg, ${h("seg")} AS gh FROM sg2),
+         |kp AS (SELECT doc_id, seg_id, seg FROM (
+         |  SELECT doc_id, seg_id, seg,
+         |      row_number() OVER (PARTITION BY gh ORDER BY doc_id, seg_id) AS rn
+         |    FROM wn) WHERE rn = 1),
+         |rec AS (SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(seg, ' ' ORDER BY seg_id) AS clean_text
+         |  FROM kp GROUP BY doc_id),
+         |tot AS (SELECT doc_id, (len(w)+9)//10 AS n_total FROM tk)
+         |SELECT t.doc_id, coalesce(clean_text, '') AS clean_text,
+         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(n_total AS BIGINT) AS n_total
+         |FROM tot t LEFT JOIN rec USING (doc_id) ORDER BY doc_id""".stripMargin
+
     val profiles = TextAnalysis.StopwordProfiles.filter(_._2.nonEmpty)
     val profCols = profiles.map { case (l, ws) => s"${profCount(ws)} AS c_$l" }.mkString(", ")
     val mx = s"greatest(${profiles.map(p => s"c_${p._1}").mkString(",")})"
@@ -2700,26 +2768,22 @@ object SparkEntry {
            |  CAST(len(w) AS BIGINT) AS n_tokens
            |FROM tk t LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-      "qd_segment_dedup" ->
-        s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents
-           |  WHERE length(trim(text)) > 0),
-           |sg AS (SELECT doc_id, unnest(range((len(w)+9)//10)) AS seg_id, w FROM tk),
-           |sg2 AS (SELECT doc_id, seg_id,
-           |  list_aggregate(w[seg_id*10+1 : seg_id*10+10], 'string_agg', ' ') AS seg
-           |  FROM sg),
-           |wn AS (SELECT doc_id, seg_id, seg, ${h("seg")} AS gh FROM sg2),
-           |kp AS (SELECT doc_id, seg_id, seg FROM (
-           |  SELECT doc_id, seg_id, seg,
-           |      row_number() OVER (PARTITION BY gh ORDER BY doc_id, seg_id) AS rn
-           |    FROM wn) WHERE rn = 1),
-           |rec AS (SELECT doc_id, count(*) AS n_kept,
-           |    string_agg(seg, ' ' ORDER BY seg_id) AS clean_text
-           |  FROM kp GROUP BY doc_id),
-           |tot AS (SELECT doc_id, (len(w)+9)//10 AS n_total FROM tk)
-           |SELECT t.doc_id, coalesce(clean_text, '') AS clean_text,
-           |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
-           |  CAST(n_total AS BIGINT) AS n_total
-           |FROM tot t LEFT JOIN rec USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "qd_edit_verify" -> (minhashPairsCtes +
+        s"""
+           |SELECT mp.doc_a, mp.doc_b, mp.jaccard,
+           |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+           |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+           |    / greatest(length(a.text), length(b.text)) AS sim
+           |FROM mp
+           |JOIN documents a ON a.doc_id = mp.doc_a
+           |JOIN documents b ON b.doc_id = mp.doc_b
+           |WHERE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+           |    / greatest(length(a.text), length(b.text)) >= 0.3
+           |ORDER BY doc_a, doc_b""".stripMargin),
+
+      "qd_segment_dedup" -> segmentDedupSql,
+
+      "qd_stream_segdedup" -> segmentDedupSql,
 
       "qd_keep_best" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
         s""",
@@ -3071,6 +3135,24 @@ object SparkEntry {
            |FROM n a JOIN adc ON adc.vec_id = a.vec_id CROSS JOIN qq
            |WHERE a.vec_id <> 0
            |ORDER BY approx_score DESC, a.vec_id LIMIT 10""".stripMargin),
+
+      "qs_quantized_pruned" -> (quantCte +
+        s""",
+           |cd AS (SELECT vec_id, qe, nrm,
+           |  list_aggregate(list_transform(qe, x -> abs(x)), 'max') AS m FROM n),
+           |c8 AS (SELECT vec_id, qe, nrm, m,
+           |  list_transform(qe, x -> CASE WHEN m = 0 THEN 0
+           |    ELSE CAST(sign(x) AS BIGINT) * ((abs(x)*254 + m) // (m*2)) END) AS code
+           |  FROM cd),
+           |bkt AS (SELECT vec_id, nrm, m, code, $bucketExpr AS bucket FROM c8),
+           |qq AS (SELECT nrm, m, code, bucket FROM bkt WHERE vec_id = 0)
+           |SELECT a.vec_id,
+           |  CASE WHEN a.m = 0 OR qq.m = 0 THEN 0.0 ELSE
+           |    CAST(list_reduce(list_transform(list_zip(a.code, qq.code), t -> t[1]*t[2]), (x,y) -> x+y) AS DOUBLE)
+           |      * a.m * qq.m / (16129.0 * sqrt(a.nrm) * sqrt(qq.nrm)) END AS score
+           |FROM bkt a, qq
+           |WHERE bit_count(xor(a.bucket, qq.bucket)) <= 1 AND a.vec_id <> 0
+           |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin),
 
       "qs_batch_pq" -> (quantCte +
         s""",

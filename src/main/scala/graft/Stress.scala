@@ -62,7 +62,8 @@ object Stress {
       "asof" -> (c => asof(spark, sfDir, c)),
       "range" -> (c => range(spark, sfDir, c)),
       "decode_bucket" -> (c => decodeBucket(spark, c)),
-      "dup_spans" -> (c => dupSpans(spark, sfDir, c)))
+      "dup_spans" -> (c => dupSpans(spark, sfDir, c)),
+      "segment_dedup" -> (c => segDedup(spark, sfDir, c)))
 
     val results = families.map { case (name, run) =>
       val base = time(spark, run(1))
@@ -121,6 +122,17 @@ object Stress {
   private def dupSpans(spark: SparkSession, dir: String, copies: Int): Unit =
     noop(graft.ops.Dedup.duplicatedSpans(
       docCopies(spark, dir, copies), "doc_id", col("text")))
+
+  /** Design point for segment dedup: identical copies make EVERY segment
+    * a corpus-wide duplicate, so the winner aggregation's map-side
+    * partials must collapse ~10 occurrences per distinct segment before
+    * the wire, and the rebuild still touches all 10× docs.
+    */
+  private def segDedup(spark: SparkSession, dir: String, copies: Int): Unit = {
+    val r = Dedup.segmentDedup(docCopies(spark, dir, copies), "doc_id", "text")
+    r.unpersist()
+    ()
+  }
 
   private def fuzzyDecon(spark: SparkSession, dir: String, copies: Int): Unit = {
     val r = Dedup.fuzzyDecontaminate(docCopies(spark, dir, copies),

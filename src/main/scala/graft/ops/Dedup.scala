@@ -210,6 +210,54 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** Edit-distance verification of near-dup candidate pairs — the exact
+    * final stage of the production minhash pipeline: bands propose,
+    * jaccard screens, and an O(len·len) edit distance CONFIRMS, run only
+    * on the surviving shortlist (never corpus×corpus — the whole point
+    * of the banding is that the quadratic verifier touches a
+    * pair-bounded relation). Shingle-bag jaccard is order-blind;
+    * `levenshtein` is order-sensitive, so this is the stage that
+    * separates true near-copies from same-vocabulary reshuffles.
+    *
+    * Scale shape: the corpus reduces to pair MEMBERS via one left-semi
+    * join on the id (members are pair-bounded); both text fetches then
+    * join bounded relations. Similarity = `1 − lev / max(len_a,
+    * len_b)`; pairs below `minSim` drop.
+    *
+    * CONTRACT (same as [[minhashNearDups]]): the result is persisted and
+    * materialized; the caller owns the blocks. The intermediate pair
+    * relation is released before returning.
+    *
+    * Output: (doc_a, doc_b, jaccard, lev, sim).
+    */
+  def editVerifiedNearDups(docs: DataFrame, idCol: String, text: Column,
+      minSim: Double = 0.3, threshold: Double = 0.4): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, text, threshold)
+    try {
+      val base = docs.select(col(idCol), text.as("_t"), length(text).as("_len"))
+      val members = pairs.select(col("doc_a").as(idCol))
+        .unionByName(pairs.select(col("doc_b").as(idCol))).distinct()
+      val texts = base.join(members, Seq(idCol), "left_semi")
+      val result = pairs
+        .join(texts.select(col(idCol).as("doc_a"), col("_t").as("_ta"),
+          col("_len").as("_la")), "doc_a")
+        .join(texts.select(col(idCol).as("doc_b"), col("_t").as("_tb"),
+          col("_len").as("_lb")), "doc_b")
+        .withColumn("lev", levenshtein(col("_ta"), col("_tb")).cast("long"))
+        .withColumn("sim",
+          lit(1.0) - col("lev").cast("double") / greatest(col("_la"), col("_lb")))
+        .filter(col("sim") >= minSim)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("lev"), col("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try result.count() // materialize while `pairs` is still cached
+      catch { case e: Throwable =>
+        result.unpersist()
+        throw e
+      }
+      result
+    } finally { pairs.unpersist(); () }
+  }
+
   /** Map-side MinHash signature: appends m0..m{k-1} + `nsh` to each row
     * with NO shuffle — the per-doc minimum is an `array_min` over the
     * materialized shingle-hash array instead of a groupBy over exploded
@@ -727,37 +775,14 @@ object Dedup {
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
       segTokens: Int = 10): DataFrame = {
     require(segTokens > 0, s"segTokens must be positive, got $segTokens")
-    val segs = docs.filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol), tokens(col(textCol)).as("_w"))
-      .select(col(idCol), col("_w"),
-        posexplode(sequence(lit(0), size(col("_w")) - 1, lit(segTokens))))
-      .select(col(idCol), col("pos").cast("long").as("seg_id"),
-        array_join(slice(col("_w"), col("col") + 1, lit(segTokens)), " ")
-          .as("_seg"))
-      .withColumn("gh", md5Long(col("_seg")))
+    val segs = segmentRelation(docs, idCol, textCol, segTokens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val winners = segs
-        .groupBy("gh")
-        .agg(min(struct(col(idCol), col("seg_id"))).as("_win"))
-        .select(col("gh"), col("_win")(idCol).as("_wdoc"),
-          col("_win")("seg_id").as("_wseg"))
-      val result = segs.join(winners, "gh")
+      val winners = segmentWinners(segs, idCol)
+      val marked = segs.join(winners, "gh")
         .withColumn("_keep",
           col(idCol) === col("_wdoc") && col("seg_id") === col("_wseg"))
-        .groupBy(col(idCol))
-        .agg(
-          sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
-          count(lit(1)).as("n_total"),
-          array_join(
-            transform(
-              filter(
-                array_sort(collect_list(struct(col("seg_id"), col("_seg"),
-                  col("_keep")))),
-                s => s("_keep")),
-              s => s("_seg")),
-            " ").as("clean_text"))
-        .select(col(idCol), col("clean_text"), col("n_kept"), col("n_total"))
+      val result = rebuildFromFlag(marked, idCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try result.count() // materialize while `segs` is still cached
       catch { case e: Throwable =>
@@ -769,6 +794,111 @@ object Dedup {
       result
     } finally { segs.unpersist(); () }
   }
+
+  /** The segment relation both dedup forms share: one row per
+    * non-overlapping `segTokens`-token window, with its 60-bit hash.
+    */
+  private def segmentRelation(docs: DataFrame, idCol: String,
+      textCol: String, segTokens: Int): DataFrame =
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), tokens(col(textCol)).as("_w"))
+      .select(col(idCol), col("_w"),
+        posexplode(sequence(lit(0), size(col("_w")) - 1, lit(segTokens))))
+      .select(col(idCol), col("pos").cast("long").as("seg_id"),
+        array_join(slice(col("_w"), col("col") + 1, lit(segTokens)), " ")
+          .as("_seg"))
+      .withColumn("gh", md5Long(col("_seg")))
+
+  /** Keep-first winner per distinct segment hash: min(struct(doc, pos))
+    * as an AGGREGATION (map-side partials collapse duplicate-heavy keys
+    * before the wire — see [[segmentDedup]]'s scale notes).
+    */
+  private def segmentWinners(segs: DataFrame, idCol: String): DataFrame =
+    segs.groupBy("gh")
+      .agg(min(struct(col(idCol), col("seg_id"))).as("_win"))
+      .select(col("gh"), col("_win")(idCol).as("_wdoc"),
+        col("_win")("seg_id").as("_wseg"))
+
+  /** Rebuild documents from keep-flagged segment rows: one aggregation
+    * on the doc id, per-group state bounded by the doc's own segments.
+    */
+  private def rebuildFromFlag(marked: DataFrame, idCol: String): DataFrame =
+    marked.groupBy(col(idCol))
+      .agg(
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n_total"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("seg_id"), col("_seg"),
+                col("_keep")))),
+              s => s("_keep")),
+            s => s("_seg")),
+          " ").as("clean_text"))
+      .select(col(idCol), col("clean_text"), col("n_kept"), col("n_total"))
+
+  /** Streaming segment-level dedup: [[segmentDedup]]'s corpus rewrite as
+    * a `foreachBatch` ingest stage with a persisted segment-claim store
+    * — the same store layout (and therefore the same
+    * [[compactClaims]] compaction and idempotent-replay reasoning) as
+    * [[streamingNearDup]], with `band = 0` and the segment hash as the
+    * claim key.
+    *
+    * Per micro-batch: segment the batch once (persisted across the
+    * three consumers), mark segments whose hash was claimed by a PRIOR
+    * batch, pick keep-first winners among the fresh ones (the same
+    * min-struct aggregation), rebuild the batch's documents, and write
+    * docs to `out_batch=N` + this batch's newly claimed hashes to
+    * `claim_batch=N` — both partition overwrites, so replaying a batch
+    * after a crash converges instead of duplicating. In-order arrival
+    * (ascending doc ids) reproduces the batch operator's output
+    * exactly: a hash's first batch holds its global (doc, pos) minimum.
+    *
+    * Scale: prior claims are distinct-segment-sized and the mark is one
+    * equi-join on the hash — never broadcast (the store GROWS with the
+    * corpus; this is the documented opposite of the eval-side
+    * broadcasts in [[streamingDecontaminate]]).
+    */
+  def streamingSegmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      storePath: String, outPath: String, checkpoint: String,
+      segTokens: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val prior =
+          if (claimPartitions(s, storePath).isEmpty) None
+          else Some(
+            s.read.option("basePath", storePath).schema(ClaimStoreSchema)
+              .parquet(storePath)
+              .filter(col("claim_batch") < batchId)
+              .select("bkey"))
+        val segs = segmentRelation(batch, idCol, textCol, segTokens)
+          .withColumn("bkey", col("gh").cast("string"))
+          .persist()
+        try {
+          // each batch claims only hashes unseen before it, so the store
+          // is distinct on bkey by construction — no dedup pass here
+          val marked0 = prior match {
+            case Some(p) =>
+              segs.join(p.select(col("bkey"), lit(true).as("_prior")),
+                  Seq("bkey"), "left_outer")
+                .withColumn("_claimed", coalesce(col("_prior"), lit(false)))
+            case None => segs.withColumn("_claimed", lit(false))
+          }
+          val winners = segmentWinners(marked0.filter(!col("_claimed")), idCol)
+          val marked = marked0.join(winners, Seq("gh"), "left_outer")
+            .withColumn("_keep", !col("_claimed") &&
+              col(idCol) === col("_wdoc") && col("seg_id") === col("_wseg"))
+          rebuildFromFlag(marked, idCol)
+            .write.mode("overwrite").parquet(s"$outPath/out_batch=$batchId")
+          marked0.filter(!col("_claimed"))
+            .select(lit(0).as("band"), col("bkey")).distinct()
+            .write.mode("overwrite").parquet(s"$storePath/claim_batch=$batchId")
+        } finally { segs.unpersist(); () }
+      }
+      .start()
 
   /** SimHash bits (default 48 to stay in positive long territory). */
   val SimHashBits = 48

@@ -393,6 +393,71 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialize the COMPRESSED partitioned ANN layout — the shape a
+    * 100 TB index actually stores: int8 codes (`array<tinyint>`, one
+    * byte per dimension), the per-vector scale and true squared norm,
+    * partitioned on disk by LSH sign-bucket. A probe reads only the
+    * probed directories AND only ~dims bytes + two longs per vector —
+    * the full float embeddings stay in the primary store, touched only
+    * for the shortlist rerank. No `qv` column on purpose: storing it
+    * would silently quadruple the scan the layout exists to shrink.
+    */
+  def writeLshQuantized(emb: DataFrame, path: String,
+      numPlanes: Int = NumPlanes): Unit =
+    emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("m", array_max(transform(col("qv"), x => abs(x))))
+      .select(col("vec_id"),
+        transform(int8Codes(col("qv"), col("m")), x => x.cast("byte"))
+          .as("code"),
+        col("m"), qnorm2(col("qv")).as("nrm2"),
+        lshBucket(col("qv"), numPlanes = numPlanes).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Driver-side int8 codes of a quantized vector — the same integer
+    * round-half-up as the [[int8Codes]] Column expression, so external
+    * query codes and stored codes always agree.
+    */
+  def int8CodesOf(qv: Seq[Long]): (Array[Byte], Long) = {
+    val m = if (qv.isEmpty) 0L else qv.iterator.map(math.abs).max
+    val codes = qv.iterator.map { x =>
+      if (m == 0L) 0L else math.signum(x) * ((math.abs(x) * 254 + m) / (m * 2))
+    }.map(_.toByte).toArray
+    (codes, m)
+  }
+
+  /** Multi-probe top-k over a [[writeLshQuantized]] layout: the probe
+    * ball prunes to the probed bucket directories (like
+    * [[lshTopKPartitioned]]) and the scan scores CODES — [[qdot]] over
+    * `array<tinyint>` stays a codegen byte loop — rescaled by both
+    * scales against the stored true norms, exactly [[quantizedTopK]]'s
+    * approximate cosine. The query must arrive as its quantized vector
+    * (`queryVec`): the layout deliberately has no float vectors to look
+    * it up from, which is also why there is no exact-score column here
+    * — the rerank fetches the shortlist's full vectors from the primary
+    * store. Zero-norm vectors guard to 0 like [[quantizedTopK]].
+    */
+  def quantizedTopKPruned(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryVec: Seq[Long], excludeId: Long, k: Int,
+      maxHamming: Int = 1, numPlanes: Int = NumPlanes): DataFrame = {
+    val (qCodes, qm) = int8CodesOf(queryVec)
+    val qn = queryVec.iterator.map(x => x * x).sum
+    require(qn != 0L, "zero-norm query vector")
+    val qbucket = lshBucketOf(queryVec, numPlanes = numPlanes)
+    val probes = (0 to maxHamming).flatMap(h =>
+      (0 until numPlanes).combinations(h).map(
+        _.foldLeft(qbucket)((b, i) => b ^ (1L << i))))
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= excludeId)
+      .select(col("vec_id"),
+        when(col("m") === 0, lit(0.0)).otherwise(
+          qdot(col("code"), typedLit(qCodes.toSeq)).cast("double") *
+            col("m") * lit(qm) /
+            (lit(16129.0) * sqrt(col("nrm2").cast("double")) *
+              sqrt(lit(qn).cast("double")))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Materialize the IVF layout: quantized vectors partitioned by inverted
     * list (`.../data/cent_id=N/`) plus the codebook at `<path>/codebook`
     * (k × dims longs — driver-sized by definition). Default codebook is

@@ -146,6 +146,57 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.8)
   }
 
+  test("quantized LSH layout: tinyint codes on disk, pruned probe, scores " +
+      "match an independent driver replay bit-for-bit") {
+    val path = java.nio.file.Files.createTempDirectory("ann_q8_part").toString
+    Similarity.writeLshQuantized(emb, path)
+    // the layout stores BYTES, not vectors: code is array<tinyint> and no
+    // float/long vector column exists to accidentally scan
+    val layoutSchema = spark.read.parquet(path).schema
+    assert(layoutSchema("code").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      layoutSchema("code").dataType.simpleString == "array<tinyint>",
+      s"code column is not byte-typed: ${layoutSchema("code").dataType}")
+    assert(!layoutSchema.fieldNames.contains("qv"),
+      "the compressed layout must not carry the full vectors")
+
+    // independent driver replay of the whole pipeline (quantize via the
+    // same Column expression; codes/bucket/score in plain Scala with the
+    // operator's exact arithmetic shape)
+    val all = emb.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      .as[(Long, Seq[Long])].collect().toMap
+    queries.take(5).foreach { q =>
+      val qv = all(q)
+      val (qCodes, qm) = Similarity.int8CodesOf(qv)
+      val qn = qv.map(x => x * x).sum
+      val qb = Similarity.lshBucketOf(qv)
+      val expected = all.toSeq.filter { case (id, v) =>
+        id != q &&
+          java.lang.Long.bitCount(Similarity.lshBucketOf(v) ^ qb) <= 1
+      }.map { case (id, v) =>
+        val (c, m) = Similarity.int8CodesOf(v)
+        val nrm2 = v.map(x => x * x).sum
+        val score =
+          if (m == 0L) 0.0
+          else c.zip(qCodes).map { case (a, b) => a.toLong * b.toLong }.sum
+            .toDouble * m * qm /
+            (16129.0 * math.sqrt(nrm2.toDouble) * math.sqrt(qn.toDouble))
+        (id, score)
+      }.sortBy { case (id, sc) => (-sc, id) }.take(K)
+      val pr = Similarity.quantizedTopKPruned(spark, path, qv, q, K)
+      assert(pr.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        expected, s"pruned quantized scan diverges from replay for query $q")
+      assertPruned(pr, "bucket", maxParts = 7)
+    }
+    val r = recallOf(q =>
+      topkIds(Similarity.quantizedTopKPruned(spark, path, all(q), q, K)),
+      queries)
+    info(f"quantizedTopKPruned recall@$K: $r%.4f")
+    assert(r >= 0.8, f"quantized pruned recall $r%.3f below floor 0.8")
+  }
+
   test("partitioned IVF layout: identical results to multi-probe, scan pruned " +
       "to the probed inverted lists") {
     val path = java.nio.file.Files.createTempDirectory("ann_ivf_part").toString

@@ -581,6 +581,42 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"int8 quantization recall too low: $recall")
   }
 
+  test("editVerifiedNearDups: jaccard proposes, levenshtein disposes — " +
+      "exact copy confirmed at sim 1.0, half-length repetition dropped") {
+    // shingle-SET jaccard is blind to repetition count: a document and
+    // its half-length repetition have IDENTICAL shingle sets (jaccard
+    // 1.0, same signature, every band collides — fully deterministic
+    // proposal), but the edit distance between them is half the text
+    val unit = "alpha bravo charlie delta"
+    val long10 = Seq.fill(10)(unit).mkString(" ")
+    val short5 = Seq.fill(5)(unit).mkString(" ")
+    val d = Seq(
+      (1L, long10), (2L, long10), // exact copies: lev 0, sim 1.0
+      (3L, short5)                // same shingle SET, half the length
+    ).toDF("doc_id", "text")
+    val r = Dedup.editVerifiedNearDups(d, "doc_id", col("text"),
+      minSim = 0.9)
+    try {
+      val rows = r.collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getLong(3), x.getDouble(4))).toSeq
+      assert(rows.map(t => (t._1, t._2)) == Seq((1L, 2L)),
+        s"only the exact copy should survive minSim=0.9: $rows")
+      assert(rows.head._3 == 0L && rows.head._4 == 1.0)
+      // the repetition pair WAS proposed (jaccard 1.0) — prove the edit
+      // verifier is the stage that dropped it, and its sim is ~0.5
+      val loose = Dedup.editVerifiedNearDups(d, "doc_id", col("text"),
+        minSim = 0.0)
+      try {
+        val all = loose.collect()
+          .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(4)).toMap
+        assert(all.contains((1L, 3L)) && all.contains((2L, 3L)),
+          s"fixture broken: repetition pair never proposed (${all.keySet})")
+        assert(all((1L, 3L)) < 0.55 && all((1L, 3L)) > 0.4,
+          s"repetition pair sim should be ~0.5: ${all((1L, 3L))}")
+      } finally { loose.unpersist(); () }
+    } finally { r.unpersist(); () }
+  }
+
   test("pqTopK: ADC recall@10 vs brute force; approx within PQ error") {
     val vecs = (0L until 200L).map { i =>
       val emb = Array.tabulate(64)(j =>

@@ -322,4 +322,27 @@ class PlanSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS plan_bkt_li")
     }
   }
+
+  test("ArrayDotProduct: byte arrays (the compressed-code scan) and mixed " +
+      "byte x long, codegen and interpreted agree") {
+    val df = spark.range(2).select(
+      typedLit(Seq[Byte](1, -2, 3)).as("b"),
+      typedLit(Seq(10L, 20L, 30L)).as("l"))
+    val rows = df.select(
+      graft.plans.ArrayDotProduct(col("b"), col("b")).as("bb"),
+      graft.plans.ArrayDotProduct(col("b"), col("l")).as("bl"),
+      graft.plans.ArrayDotProduct(col("l"), col("l")).as("ll"))
+    rows.collect().foreach { r =>
+      assert(r.getLong(0) == 1 + 4 + 9)
+      assert(r.getLong(1) == 10 - 40 + 90)
+      assert(r.getLong(2) == 100 + 400 + 900)
+    }
+    // interpreted path (eval) must match codegen: force it through a
+    // literal-only projection evaluated without wholestage
+    val saved = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try rows.collect().foreach { r =>
+      assert(r.getLong(0) == 14 && r.getLong(1) == 60 && r.getLong(2) == 1400)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", saved)
+  }
 }
