@@ -1011,6 +1011,25 @@ object SparkEntry {
         .orderBy("lang", "lang_id")
     }),
 
+    "qp_corpus_diff" -> ((s, dir) => {
+      // snapshot diff between two corpus versions (pipeline monitoring):
+      // the new version drops every 10th doc, edits every 7th-residue
+      // text, and adds a shifted-id derivative of every 13th-residue doc;
+      // the diff aligns by id and compares content signatures — map-side
+      // hashing, one shuffle, no text ever moves
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val newV = d.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 1, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new "), col("text")).as("text")))
+      graft.ops.CorpusSelect.corpusDiff(d, newV, "doc_id", md5(col("text")))
+        .groupBy("change").agg(count(lit(1)).as("n_docs"))
+        .orderBy("change")
+    }),
+
     "qp_jsonl_ingest" -> ((s, dir) => {
       // JSONL round-trip — the corpus interchange format of every LLM data
       // pipeline: stage documents as JSON-lines once per JVM, re-ingest
@@ -2912,6 +2931,23 @@ object SparkEntry {
            |  sum(CAST(round(quality*1000000) AS BIGINT))/1000000.0 AS quality_sum
            |FROM k WHERE n_tokens >= 5 AND quality >= 0.45
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "qp_corpus_diff" ->
+        """WITH old AS (SELECT doc_id, md5(text) AS sig FROM documents),
+          |newv AS (
+          |  SELECT doc_id,
+          |    md5(CASE WHEN doc_id % 7 = 1 THEN text || ' edited' ELSE text END) AS sig
+          |  FROM documents WHERE doc_id % 10 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, md5('new ' || text)
+          |  FROM documents WHERE doc_id % 13 = 2),
+          |j AS (SELECT
+          |    CASE WHEN o.sig IS NULL THEN 'added'
+          |         WHEN n.sig IS NULL THEN 'removed'
+          |         WHEN o.sig <> n.sig THEN 'changed'
+          |         ELSE 'unchanged' END AS change
+          |  FROM old o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+          |SELECT change, count(*) AS n_docs FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "qp_jsonl_ingest" ->
         """SELECT lang, source, count(*) AS n_docs,

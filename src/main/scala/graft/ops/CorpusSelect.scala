@@ -129,6 +129,27 @@ object CorpusSelect {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** Corpus snapshot diff — the monitoring step between two versions of
+    * a dataset: classify every id as `added` / `removed` / `changed` /
+    * `unchanged` by a full outer join on the id comparing a content
+    * signature. Signatures are computed map-side on each snapshot, so
+    * the diff shuffles (id, signature) pairs, never text; one shuffle
+    * on the id is the irreducible cost of the alignment.
+    *
+    * Output: (idCol, change).
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      sig: Column): DataFrame = {
+    val o = oldDf.select(F.col(idCol), sig.as("_sig_old"))
+    val n = newDf.select(F.col(idCol), sig.as("_sig_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(F.col(idCol),
+        F.when(F.col("_sig_old").isNull, "added")
+          .when(F.col("_sig_new").isNull, "removed")
+          .when(F.col("_sig_old") =!= F.col("_sig_new"), "changed")
+          .otherwise("unchanged").as("change"))
+  }
+
   private def prefixCore(df: DataFrame, weightCol: String,
       order: Seq[Column], cumCol: String, numPartitions: Int,
       resolveBudget: Long => Long): DataFrame = {

@@ -185,21 +185,18 @@ object Similarity {
     * [[quantizedTopK]]. The exact cosine rides along for the shortlist
     * rerank.
     */
-  /** PQ encode as a pure expression: `codes(s) = argmin_c ‖v_s − C_sc‖²`
-    * ranked by the integer key `‖C_sc‖² − 2·⟨v_s, C_sc⟩` (the `‖v_s‖²`
-    * term is constant within each argmin), ties to the lowest code via
-    * lexicographic `array_min` over (key, code) structs.
+  /** PQ encode: `codes(s) = argmin_c ‖v_s − C_sc‖²` ranked by the
+    * integer key `‖C_sc‖² − 2·⟨v_s, C_sc⟩` (the `‖v_s‖²` term is
+    * constant within each argmin), ties to the lowest code — one
+    * native [[graft.plans.PqEncode]] expression. The expression-TREE
+    * formulations measured hundreds of µs/row on the bench board (the
+    * struct-`array_min` and packed-`least` autopsies live on that
+    * expression's scaladoc); the opaque codegen loop is ~m·kCent·sub
+    * long multiplies with zero allocation.
     */
   private def pqCodes(qv: Column, cb: Array[Array[Array[Long]]],
       cc2: Array[Array[Long]], m: Int, kCent: Int, sub: Int): Column =
-    array((0 until m).map { s =>
-      val vsub = slice(qv, s * sub + 1, sub)
-      val cands = array((0 until kCent).map { c =>
-        struct((lit(cc2(s)(c)) - qdot(vsub, typedLit(cb(s)(c).toSeq)) * 2)
-          .as("d"), lit(c).as("c"))
-      }: _*)
-      array_min(cands)("c")
-    }: _*)
+    graft.plans.PqEncode(qv, cb, cc2)
 
   private def ldot(a: Array[Long], b: Array[Long]): Long =
     a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
