@@ -1497,6 +1497,12 @@ object SparkEntry {
     "qs_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
 
+    "qs_rand_proj" -> ((s, dir) =>
+      // JL random projection prefilter: rank 16 scaled-integer
+      // components per vector (cheaper than int8 codes, far cheaper
+      // than floats), exact cosine carried for the rerank
+      Similarity.projectedTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+
     "qs_quantized_topk" -> ((s, dir) =>
       // int8 scalar-quantized brute scan (FAISS-SQ8 shape): ranked by
       // the code-space approximate cosine, exact cosine carried for
@@ -2481,6 +2487,13 @@ object SparkEntry {
     val planeLits = (0 until Similarity.NumPlanes).map { p =>
       "[" + (0 until 64).map(j => Similarity.planeWeight(p, j)).mkString(",") + "]"
     }
+    // 16 projection rows for qs_rand_proj (same planeWeight family)
+    val projLits = (0 until 16).map { p =>
+      "[" + (0 until 64).map(j => Similarity.planeWeight(p, j)).mkString(",") + "]"
+    }
+    val projExpr = "[" + (0 until 16).map { i =>
+      s"CAST(floor(list_reduce(list_transform(list_zip(qe, ${projLits(i)}), t -> t[1]*t[2]), (x,y) -> x+y) / 1048576.0) AS BIGINT)"
+    }.mkString(", ") + "]"
     val bucketExpr = (0 until Similarity.NumPlanes).map { p =>
       s"(CASE WHEN list_reduce(list_transform(list_zip(qe, ${planeLits(p)}), t -> t[1]*t[2]), (x,y) -> x+y) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
@@ -3118,6 +3131,21 @@ object SparkEntry {
            |    / (sqrt(a.nrm)*sqrt(qq.nrm)) AS score
            |FROM n a, qq WHERE a.vec_id <> 0
            |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin),
+
+      "qs_rand_proj" -> (quantCte +
+        s""",
+           |pp AS (SELECT vec_id, qe, nrm, $projExpr AS pv FROM n),
+           |pn AS (SELECT vec_id, qe, nrm, pv, ${listNorm("pv")} AS pn2 FROM pp),
+           |qq AS (SELECT qe, nrm, pv, pn2 FROM pn WHERE vec_id = 0)
+           |SELECT a.vec_id,
+           |  CASE WHEN a.pn2 = 0 OR qq.pn2 = 0 THEN 0.0 ELSE
+           |    list_reduce(list_transform(list_zip(a.pv, qq.pv), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(a.pn2)*sqrt(qq.pn2)) END AS proj_score,
+           |  CASE WHEN a.pn2 = 0 OR qq.pn2 = 0 THEN 0.0 ELSE
+           |    list_reduce(list_transform(list_zip(a.qe, qq.qe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(a.nrm)*sqrt(qq.nrm)) END AS score
+           |FROM pn a, qq WHERE a.vec_id <> 0
+           |ORDER BY proj_score DESC, a.vec_id LIMIT 10""".stripMargin),
 
       "qs_quantized_topk" -> (quantCte +
         s""",

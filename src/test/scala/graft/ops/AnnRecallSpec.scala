@@ -146,6 +146,24 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.8)
   }
 
+  test("JL random projection: 16-dim integer prefilter recall vs brute " +
+      "force; projected self-similarity stays near 1") {
+    val r = recallOf(q => topkIds(Similarity.projectedTopK(emb, q, K)), queries)
+    info(f"projectedTopK recall@$K at outDims=16: $r%.4f")
+    // measured 0.47: a 16-dim projection is the COARSEST tier (recall
+    // ladder: JL-16 0.47 < int8-pruned 0.82 < float multiprobe 0.84) —
+    // its role is shortlist generation ahead of the exact rerank
+    assert(r >= 0.4, f"JL projection recall $r%.3f below floor 0.4")
+    // an exact duplicate must rank first with projected cosine == 1
+    val dup = emb.unionByName(
+      emb.filter(col("vec_id") === 7L)
+        .select(lit(9999L).as("vec_id"), col("embedding")))
+    val top = Similarity.projectedTopK(dup, 7L, 1).collect().head
+    // sqrt(n)*sqrt(n) need not round-trip exactly, so ~1 not == 1
+    assert(top.getLong(0) == 9999L && math.abs(top.getDouble(1) - 1.0) < 1e-12,
+      s"duplicate should be the projected NN at cosine ~1: $top")
+  }
+
   test("quantized LSH layout: tinyint codes on disk, pruned probe, scores " +
       "match an independent driver replay bit-for-bit") {
     val path = java.nio.file.Files.createTempDirectory("ann_q8_part").toString
