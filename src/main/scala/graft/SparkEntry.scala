@@ -1208,6 +1208,22 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "qt_lang_budget" -> ((s, dir) => {
+      // per-language token budget, best documents first — the mixture-
+      // construction primitive as a grouped two-pass prefix: no
+      // per-group window sort, skippable partitions, driver state
+      // O(partitions + groups)
+      val d = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.ops.CorpusSelect.groupedBudgetPrefix(d, "lang", "n_tokens",
+          budgetPerGroup = 5000L,
+          Seq(col("quality").desc, col("doc_id").asc), cumCol = "cum_tokens")
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("lang", "doc_id")
+    }),
+
     "qt_source_cap" -> ((s, dir) =>
       // per-source document cap ("best 3 pages per domain"): bounded
       // top-n Aggregator, NOT a row_number window — partial aggregation
@@ -2611,6 +2627,17 @@ object SparkEntry {
            |SELECT lang, count(*) AS n_docs,
            |  sum(CAST(round(quality*1000000) AS BIGINT))/1000000.0 AS quality_sum
            |FROM r WHERE rnk <= ceil(n / 10.0) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "qt_lang_budget" ->
+        s"""WITH d AS (SELECT doc_id, lang, $qualitySql AS quality,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |c AS (SELECT doc_id, lang, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           |  FROM d)
+           |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+           |WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""".stripMargin,
 
       "qt_source_cap" ->
         s"""SELECT source, doc_id, quality FROM (

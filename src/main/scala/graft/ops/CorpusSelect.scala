@@ -129,6 +129,110 @@ object CorpusSelect {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** Per-group budget prefix — the mixture-construction primitive
+    * ("spend at most B tokens per language, best documents first"):
+    * within every group, keep the maximal prefix of the group's
+    * selection order whose running weight stays ≤ `budgetPerGroup`.
+    *
+    * The naive form is `sum(w) OVER (PARTITION BY group ORDER BY …)`,
+    * which funnels every hot group through one sorting task. This is
+    * the [[budgetPrefix]] two-pass machinery generalized: range-
+    * partition on (group, order) — a group larger than one partition
+    * spreads over several CONSECUTIVE partitions — then per-(partition,
+    * group) weight subtotals (driver-sized: range partitioning keeps
+    * distinct groups per partition small, so the collect is
+    * O(partitions + groups)) prefix-combine into per-(partition, group)
+    * carry-ins. Pass 2 folds each partition once, resetting the running
+    * sum at group boundaries; partitions whose EVERY group is already
+    * past budget are skipped wholesale.
+    *
+    * `groupCol` must be a string column (languages, sources — the
+    * grouped-budget use cases); weights are non-negative longs, like
+    * [[budgetPrefix]]. Result carries every input column plus `cumCol`
+    * (the inclusive within-group running sum).
+    *
+    * CONTRACT (same as [[budgetPrefix]]): the result is persisted and
+    * materialized; the caller owns the blocks.
+    */
+  def groupedBudgetPrefix(df: DataFrame, groupCol: String,
+      weightCol: String, budgetPerGroup: Long, order: Seq[Column],
+      cumCol: String = "cum_weight", numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toIntOption
+        .getOrElse(spark.sparkContext.defaultParallelism)
+    require(df.schema(weightCol).dataType == LongType,
+      s"$weightCol must be LongType (exact token counts); cast upstream")
+    require(df.schema(groupCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"$groupCol must be a string column")
+    require(!df.columns.contains(cumCol),
+      s"output column '$cumCol' already exists in the input")
+    val gIdx = df.schema.fieldIndex(groupCol)
+    val wIdx = df.schema.fieldIndex(weightCol)
+
+    val sorted = df.repartitionByRange(parts, F.col(groupCol) +: order: _*)
+      .sortWithinPartitions(F.col(groupCol) +: order: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Pass 1: per-(partition, group) subtotals. LinkedHashMap keeps
+      // group-arrival order, but correctness only needs the sums.
+      val subtotals: Array[(Int, String, Long)] =
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { r =>
+            val w = r.getLong(wIdx)
+            require(w >= 0, s"negative weight $w breaks prefix monotonicity")
+            val g = r.getString(gIdx)
+            m.update(g, m.getOrElse(g, 0L) + w)
+          }
+          m.iterator.map { case (g, s) => (pid, g, s) }.toList.iterator
+        }.collect()
+
+      // Prefix-combine per group across partitions (partitions ascend).
+      val acc = scala.collection.mutable.Map.empty[String, Long]
+      val offsets: Map[(Int, String), Long] =
+        subtotals.sortBy(_._1).map { case (pid, g, s) =>
+          val o = acc.getOrElse(g, 0L)
+          acc.update(g, o + s)
+          ((pid, g), o)
+        }.toMap
+      // a partition is skippable iff every group it holds is already
+      // strictly past the budget on entry (== still admits zero-weight
+      // rows, matching budgetPrefix)
+      val skip: Set[Int] = subtotals.groupBy(_._1).collect {
+        case (pid, gs) if gs.forall { case (p, g, _) =>
+          offsets((p, g)) > budgetPerGroup } => pid
+      }.toSet
+      val bcOff = spark.sparkContext.broadcast(offsets)
+      val bcSkip = spark.sparkContext.broadcast(skip)
+
+      val schema = df.schema.add(cumCol, LongType, nullable = false)
+      val selected = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (bcSkip.value.contains(pid)) Iterator.empty[Row]
+        else {
+          var curG: String = null
+          var run = 0L
+          it.flatMap { r =>
+            val g = r.getString(gIdx)
+            if (g != curG) { curG = g; run = bcOff.value.getOrElse((pid, g), 0L) }
+            run += r.getLong(wIdx)
+            if (run <= budgetPerGroup) Some(Row.fromSeq(r.toSeq :+ run))
+            else None
+          }
+        }
+      }
+      val result = spark.createDataFrame(selected, schema)
+      result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try result.count() // materialize while `sorted` is still cached
+      catch { case e: Throwable =>
+        result.unpersist()
+        throw e
+      }
+      result
+    } finally sorted.unpersist()
+  }
+
   /** Corpus snapshot diff — the monitoring step between two versions of
     * a dataset: classify every id as `added` / `removed` / `changed` /
     * `unchanged` by a full outer join on the id comparing a content

@@ -149,6 +149,57 @@ class CorpusSelectSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedBudgetPrefix matches the per-group window oracle on every " +
+      "partitioning, including group boundaries mid-partition") {
+    // deterministic weights; 5 groups of very different sizes so group
+    // boundaries land inside partitions and groups span partitions
+    val rows = (1L to 400L).map { i =>
+      val g = s"g${(i * i) % 5}"
+      (g, i, (i * 2654435761L % 97) % 9)
+    }
+    val df = rows.toDF("grp", "id", "w")
+    def oracle(budget: Long): Seq[(String, Long, Long)] = {
+      val cum = sum(col("w")).over(Window.partitionBy("grp").orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      df.withColumn("cum", cum).filter(col("cum") <= budget)
+        .orderBy("grp", "id").select("grp", "id", "cum")
+        .as[(String, Long, Long)].collect().toSeq
+    }
+    for (budget <- Seq(0L, 7L, 50L, 10000L); parts <- Seq(1, 3, 8)) {
+      val r = CorpusSelect.groupedBudgetPrefix(df, "grp", "w", budget,
+        Seq(col("id").asc), cumCol = "cum", numPartitions = parts)
+      try {
+        val got = r.orderBy("grp", "id").select("grp", "id", "cum")
+          .as[(String, Long, Long)].collect().toSeq
+        assert(got == oracle(budget), s"budget=$budget parts=$parts")
+      } finally { r.unpersist(); () }
+    }
+  }
+
+  test("groupedBudgetPrefix: zero-weight rows at a group's boundary are " +
+      "kept; rejects non-string group and non-long weight") {
+    val df = Seq(("a", 1L, 5L), ("a", 2L, 0L), ("a", 3L, 1L),
+      ("b", 4L, 5L), ("b", 5L, 5L)).toDF("grp", "id", "w")
+    val r = CorpusSelect.groupedBudgetPrefix(df, "grp", "w", 5L,
+      Seq(col("id").asc), cumCol = "cum", numPartitions = 2)
+    try {
+      // a: 5,5,6 -> ids 1,2 (zero-weight at the boundary stays)
+      // b: 5,10 -> id 4
+      assert(r.orderBy("id").select("id").as[Long].collect().toSeq ==
+        Seq(1L, 2L, 4L))
+    } finally { r.unpersist(); () }
+    assertThrows[IllegalArgumentException] {
+      CorpusSelect.groupedBudgetPrefix(
+        Seq((1, 1L, 1L)).toDF("grp", "id", "w"), "grp", "w", 5L,
+        Seq(col("id")))
+    }
+    assertThrows[IllegalArgumentException] {
+      CorpusSelect.groupedBudgetPrefix(
+        Seq(("a", 1L, 1.5)).toDF("grp", "id", "w"), "grp", "w", 5L,
+        Seq(col("id")))
+    }
+  }
+
   test("topPerGroup aggregates with partial (map-side) combine, not a " +
       "window sort: the plan has two aggregate stages and no Window") {
     val df = groupedCorpus.toDF("grp", "id", "s")
