@@ -91,6 +91,16 @@ object CorpusSelect {
   def topPerGroup(df: DataFrame, groupCol: String, score: Column,
       idCol: String, n: Int, scoreName: String = "score"): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    // the id rides through the aggregator as a long — a silent cast of
+    // a string/UUID id column would null every id AND break the
+    // documented (score DESC, id ASC) tie determinism
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(df.schema(idCol).dataType),
+      s"$idCol must be an integral column, got ${df.schema(idCol).dataType}")
     val top = F.udaf(new TopNAgg(n))
     df.select(F.col(groupCol), score.as("_s"),
         F.col(idCol).cast("long").as("_id"))
@@ -211,11 +221,20 @@ object CorpusSelect {
       val selected = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
         if (bcSkip.value.contains(pid)) Iterator.empty[Row]
         else {
+          // explicit first-row flag: a null GROUP VALUE is legal (null
+          // lang/source), so null cannot double as the "no group yet"
+          // sentinel — it would skip the carry-in for the null group at
+          // every partition start and reset its budget per partition
+          var started = false
           var curG: String = null
           var run = 0L
           it.flatMap { r =>
             val g = r.getString(gIdx)
-            if (g != curG) { curG = g; run = bcOff.value.getOrElse((pid, g), 0L) }
+            if (!started || g != curG) {
+              started = true
+              curG = g
+              run = bcOff.value.getOrElse((pid, g), 0L)
+            }
             run += r.getLong(wIdx)
             if (run <= budgetPerGroup) Some(Row.fromSeq(r.toSeq :+ run))
             else None
@@ -244,13 +263,19 @@ object CorpusSelect {
     */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       sig: Column): DataFrame = {
-    val o = oldDf.select(F.col(idCol), sig.as("_sig_old"))
-    val n = newDf.select(F.col(idCol), sig.as("_sig_new"))
+    // presence flags, not signature nullness: a NULL signature (md5 of a
+    // null text) must not masquerade as an absent row — and signature
+    // comparison is null-safe so (null, null) reads unchanged, not
+    // dropped from the CASE
+    val o = oldDf.select(F.col(idCol), sig.as("_sig_old"),
+      F.lit(true).as("_in_old"))
+    val n = newDf.select(F.col(idCol), sig.as("_sig_new"),
+      F.lit(true).as("_in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(F.col(idCol),
-        F.when(F.col("_sig_old").isNull, "added")
-          .when(F.col("_sig_new").isNull, "removed")
-          .when(F.col("_sig_old") =!= F.col("_sig_new"), "changed")
+        F.when(F.col("_in_old").isNull, "added")
+          .when(F.col("_in_new").isNull, "removed")
+          .when(!(F.col("_sig_old") <=> F.col("_sig_new")), "changed")
           .otherwise("unchanged").as("change"))
   }
 

@@ -37,6 +37,11 @@ case class PqEncode(child: Expression, cb: Array[Array[Array[Long]]],
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    // loud, not garbage: UnsafeArrayData.getLong does NOT bounds-check,
+    // so a ragged vector would silently encode nonsense
+    if (v.numElements() < m * sub)
+      throw new IllegalArgumentException(
+        s"PqEncode: vector has ${v.numElements()} elements, needs ${m * sub}")
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -77,6 +82,11 @@ case class PqEncode(child: Expression, cb: Array[Array[Array[Long]]],
       val bestC = ctx.freshName("bestC")
       val cent = ctx.freshName("cent")
       s"""
+         |if ($v.numElements() < ${m * sub}) {
+         |  throw new IllegalArgumentException(
+         |    "PqEncode: vector has " + $v.numElements() +
+         |    " elements, needs ${m * sub}");
+         |}
          |int[] $out = new int[$m];
          |for (int $s = 0; $s < $m; $s++) {
          |  long $bestKey = Long.MAX_VALUE;

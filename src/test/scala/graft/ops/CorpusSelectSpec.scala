@@ -200,6 +200,44 @@ class CorpusSelectSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedBudgetPrefix: a NULL group value is a real group — carry-in " +
+      "applies across partitions, no per-partition budget reset") {
+    // the null group is big enough to span partitions when range-
+    // partitioned; a sentinel-based group tracker would reset its
+    // running sum at every partition start
+    val rows: Seq[(String, Long, Long)] =
+      (1L to 60L).map(i => (null.asInstanceOf[String], i, 2L)) ++
+        (61L to 70L).map(i => ("a", i, 2L))
+    val df = rows.toDF("grp", "id", "w")
+    val r = CorpusSelect.groupedBudgetPrefix(df, "grp", "w", 20L,
+      Seq(col("id").asc), cumCol = "cum", numPartitions = 6)
+    try {
+      val byGroup = r.select("grp", "id").as[(Option[String], Long)]
+        .collect().toSeq.groupBy(_._1)
+      // budget 20 / weight 2 -> exactly 10 ids per group, the FIRST 10
+      assert(byGroup(None).map(_._2).sorted == (1L to 10L),
+        s"null group overspent or reset: ${byGroup(None).map(_._2).sorted}")
+      assert(byGroup(Some("a")).map(_._2).sorted == (61L to 70L))
+    } finally { r.unpersist(); () }
+  }
+
+  test("corpusDiff: null signatures are values, not absence — (null,null) " +
+      "is unchanged, (null,x) is changed; string ids rejected by topPerGroup") {
+    val oldV = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "same")).toDF("id", "text")
+    val newV = Seq((1L, null.asInstanceOf[String]), (2L, "now present"),
+      (3L, "same")).toDF("id", "text")
+    val got = CorpusSelect.corpusDiff(oldV, newV, "id", md5(col("text")))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "unchanged"), (2L, "changed"), (3L, "unchanged")),
+      s"null-signature rows misclassified: $got")
+    assertThrows[IllegalArgumentException] {
+      CorpusSelect.topPerGroup(
+        Seq(("g", "uuid-1", 1.0)).toDF("grp", "id", "s"),
+        "grp", col("s"), "id", 1)
+    }
+  }
+
   test("topPerGroup aggregates with partial (map-side) combine, not a " +
       "window sort: the plan has two aggregate stages and no Window") {
     val df = groupedCorpus.toDF("grp", "id", "s")

@@ -345,4 +345,23 @@ class PlanSpec extends AnyFunSuite {
       assert(r.getLong(0) == 14 && r.getLong(1) == 60 && r.getLong(2) == 1400)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", saved)
   }
+
+  test("PqEncode: a ragged (short) vector fails loudly instead of reading " +
+      "past the array") {
+    val cb = Array.tabulate(2, 2, 4)((s, c, j) => (s + c + j + 1).toLong)
+    val cc2 = cb.map(_.map(v => v.map(x => x * x).sum))
+    val short = spark.range(1)
+      .select(typedLit(Seq(1L, 2L, 3L)).as("v")) // needs 2*4 = 8 elements
+    val e = intercept[Exception] {
+      short.select(graft.plans.PqEncode(col("v"), cb, cc2)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("PqEncode"),
+      s"expected a loud PqEncode length error, got: ${e.getMessage}")
+    // a correctly-sized vector encodes: member subvectors pick themselves
+    val ok = spark.range(1)
+      .select(typedLit((1L to 8L).toSeq).as("v"))
+      .select(graft.plans.PqEncode(col("v"), cb, cc2).as("codes"))
+      .collect().head.getSeq[Int](0)
+    assert(ok.length == 2)
+  }
 }
