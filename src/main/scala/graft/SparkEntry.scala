@@ -863,6 +863,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qd_jaccard_est" -> ((s, dir) =>
+      // estimator audit: per verified pair, the map-only signature
+      // estimate next to the true shingle jaccard — the at-scale
+      // pipeline thresholds on the estimate, this measures what that
+      // costs
+      Dedup.jaccardEstimates(t(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy("doc_a", "doc_b")),
+
     "qd_edit_verify" -> ((s, dir) =>
       // the minhash pipeline's exact last stage: bands propose, jaccard
       // screens, levenshtein CONFIRMS on the pair-bounded shortlist —
@@ -2826,6 +2834,18 @@ object SparkEntry {
            |  CAST(coalesce(dup, 0) AS BIGINT) AS dup_tokens,
            |  CAST(len(w) AS BIGINT) AS n_tokens
            |FROM tk t LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      "qd_jaccard_est" -> (minhashPairsCtes +
+        s"""
+           |SELECT mp.doc_a, mp.doc_b, mp.jaccard,
+           |  CAST((${(0 until Dedup.NumHashes).map(i =>
+                  s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+                  .mkString(" + ")}) AS DOUBLE) / ${Dedup.NumHashes}
+           |    AS est_jaccard
+           |FROM mp
+           |JOIN sig sa ON sa.doc_id = mp.doc_a
+           |JOIN sig sb ON sb.doc_id = mp.doc_b
+           |ORDER BY doc_a, doc_b""".stripMargin),
 
       "qd_edit_verify" -> (minhashPairsCtes +
         s"""

@@ -258,6 +258,52 @@ object Dedup {
     } finally { pairs.unpersist(); () }
   }
 
+  /** MinHash estimation quality as a first-class measurement: for every
+    * verified near-dup pair, the signature-agreement estimate
+    * `|{i : mᵃᵢ = mᵇᵢ}| / k` next to the TRUE shingle jaccard — the
+    * number a 100 TB pipeline needs because at full volume it ranks and
+    * thresholds on the ESTIMATE (map-only from stored signatures) and
+    * only ever computes the true value on audit samples like this one.
+    * Same candidate-bounded shape as [[editVerifiedNearDups]]: corpus →
+    * pair members via one semi-join, then joins among bounded
+    * relations; signatures ride [[withMinhashCols]] (map-only, no
+    * shuffle).
+    *
+    * CONTRACT (same as [[minhashNearDups]]): result persisted +
+    * materialized, caller owns the blocks.
+    *
+    * Output: (doc_a, doc_b, jaccard, est_jaccard).
+    */
+  def jaccardEstimates(docs: DataFrame, idCol: String,
+      text: Column): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, text)
+    try {
+      val sigs = withMinhashCols(docs.select(col(idCol), text.as("_t")),
+        col("_t")).drop("_t", "nsh")
+      val members = pairs.select(col("doc_a").as(idCol))
+        .unionByName(pairs.select(col("doc_b").as(idCol))).distinct()
+      val mSigs = sigs.join(members, Seq(idCol), "left_semi")
+      def side(tag: String) = mSigs.select(
+        col(idCol).as(s"doc_$tag") +:
+          (0 until NumHashes).map(i => col(s"m$i").as(s"_${tag}_m$i")): _*)
+      val est = (0 until NumHashes).map { i =>
+        when(col(s"_a_m$i") === col(s"_b_m$i"), 1).otherwise(0)
+      }.reduce(_ + _).cast("double") / NumHashes
+      val result = pairs
+        .join(side("a"), "doc_a")
+        .join(side("b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          est.as("est_jaccard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try result.count()
+      catch { case e: Throwable =>
+        result.unpersist()
+        throw e
+      }
+      result
+    } finally { pairs.unpersist(); () }
+  }
+
   /** Map-side MinHash signature: appends m0..m{k-1} + `nsh` to each row
     * with NO shuffle — the per-doc minimum is an `array_min` over the
     * materialized shingle-hash array instead of a groupBy over exploded

@@ -617,6 +617,26 @@ class OpsSpec extends AnyFunSuite {
     } finally { r.unpersist(); () }
   }
 
+  test("jaccardEstimates: identical docs estimate 1.0; estimates are " +
+      "k-agree fractions in [0,1]") {
+    val d = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "one two three four nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val r = Dedup.jaccardEstimates(d, "doc_id", col("text"))
+    try {
+      val m = r.collect().map(x =>
+        (x.getLong(0), x.getLong(1)) -> (x.getDouble(2), x.getDouble(3))).toMap
+      assert(m((1L, 2L)) == ((1.0, 1.0)),
+        s"identical docs must read true=est=1: ${m((1L, 2L))}")
+      m.values.foreach { case (_, e) =>
+        assert(e >= 0.0 && e <= 1.0 && (e * Dedup.NumHashes).isWhole,
+          s"estimate $e is not a k-agree fraction")
+      }
+    } finally { r.unpersist(); () }
+  }
+
   test("pqTopK: ADC recall@10 vs brute force; approx within PQ error") {
     val vecs = (0L until 200L).map { i =>
       val emb = Array.tabulate(64)(j =>
