@@ -992,6 +992,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qp_bloom_decontam" -> ((s, dir) => {
+      // same semantics as qp_decontaminate, computed through the bloom
+      // runtime-filter shape: the train shingle stream is screened by a
+      // map-side might_contain literal BEFORE the confirm join, so the
+      // exchange under the join carries ~fpp of the corpus instead of all
+      // of it. Identical result (no false negatives; confirm join kills
+      // false positives) — the gate shares qp_decontaminate's oracle.
+      val d = t(s, dir, "documents")
+      val isEval = TextAnalysis.md5Long(col("text")) % 20 === 1
+      val evalSh = Dedup.shingleHashes(d.filter(isEval), "doc_id", col("text"))
+        .select("sh")
+      val trainSh = Dedup.shingleHashes(d.filter(!isEval), "doc_id", col("text"))
+      Dedup.bloomDecontaminate(trainSh, evalSh, "doc_id",
+          expectedEvalKeys = 1L << 18, numBits = 1L << 21)
+        .orderBy("doc_id")
+    }),
+
     "qp_curation" -> ((s, dir) => {
       // flagship composition — the end-to-end training-set curation pass a
       // 100 TB pipeline runs: BOW-dedup keeper selection, language ID,
@@ -1132,6 +1149,22 @@ object SparkEntry {
         .filter(TextAnalysis.md5Long(col("text")) % 10 === 0)
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")
+    }),
+
+    "qt_weighted_sample" -> ((s, dir) => {
+      // weighted sampling without replacement (sequential Poisson): 5 docs
+      // per language with inclusion probability ∝ token count — the
+      // "prefer longer/heavier documents" sampling knob. Deterministic
+      // across runs AND engines: priority = integer hash ÷ integer weight,
+      // both < 2^53, and IEEE division is correctly rounded, so the 64
+      // priority bits match DuckDB's exactly. Bounded aggregator underneath
+      // (topPerGroup) — no per-group sort, skew-immune.
+      val d = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+      graft.ops.CorpusSelect.weightedSamplePerGroup(d, "lang", "doc_id",
+          weight = TextAnalysis.tokenCount(col("text")).cast("long"),
+          uniformHash = TextAnalysis.md5Long(col("text")) % (1L << 40),
+          n = 5)
+        .orderBy("lang", "doc_id")
     }),
 
     "qt_mixture" -> ((s, dir) => {
@@ -2395,7 +2428,11 @@ object SparkEntry {
         // decontamination is stateless per batch, so its unioned reports
         // must equal the batch operator's
         ("qs_batch_pruned" -> all2("qs_batch_topk")) +
-        ("qd_stream_decontam" -> all2("qp_decontaminate_fuzzy"))
+        ("qd_stream_decontam" -> all2("qp_decontaminate_fuzzy")) +
+        // the bloom prefilter has no false negatives and the confirm join
+        // removes its false positives, so the result must be EXACTLY the
+        // plain exact-join decontamination — shared oracle
+        ("qp_bloom_decontam" -> all2("qp_decontaminate"))
   }
 
   /** DuckDB equivalents of the ops queries. Repetitive hash SQL is
@@ -2654,6 +2691,16 @@ object SparkEntry {
            |      ORDER BY $qualitySql DESC, doc_id) AS rn
            |  FROM documents WHERE length(trim(text)) > 0)
            |WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin,
+
+      "qt_weighted_sample" ->
+        s"""WITH d AS (SELECT lang, doc_id,
+           |    CAST(${h("text")} % 1099511627776 AS DOUBLE) /
+           |      CAST(len($toks) AS DOUBLE) AS priority
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+           |    ORDER BY priority, doc_id) AS rn FROM d)
+           |SELECT lang, doc_id, priority FROM r
+           |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
 
       "qt_pii" -> {
         val Seq(email, phone, ip) = TextAnalysis.PiiPatterns.map(_._2)

@@ -111,6 +111,42 @@ object CorpusSelect {
         F.col("_t._1").as(scoreName))
   }
 
+  /** Weighted sampling without replacement, per group — sequential
+    * Poisson sampling (Ohlsson '98): each row draws priority `u / w`
+    * where `u` is a deterministic uniform integer hash and `w` its
+    * positive integer weight, and the `n` SMALLEST priorities per group
+    * win. P(priority < x) = min(1, x·w), so inclusion probability is
+    * ∝ weight — the standard "sample long/high-quality docs more often"
+    * knob — while staying a plain top-n selection that rides
+    * [[topPerGroup]]'s bounded aggregator: map-side partials ship ≤ n
+    * rows per group per task, no per-group sort, no rand() (replayable
+    * across runs AND engines).
+    *
+    * Cross-engine determinism is exact, not approximate: `u` and `w` are
+    * integers below 2^53, so both cast to double losslessly, and IEEE
+    * 754 requires division to be correctly rounded — Spark and DuckDB
+    * produce the same 64 bits for every priority. No ln()/pow() variant
+    * of weighted sampling (Efraimidis–Spirakis) can promise that:
+    * transcendental functions are NOT correctly rounded and differ
+    * between libm implementations.
+    *
+    * `weight` must be a positive integer expression (NaN/zero/negative
+    * would break ranking — enforce upstream); `uniformHash` an integral
+    * hash like `md5Long(text) % 2^40`. Output: (groupCol, idCol,
+    * `priority`), ≤ n rows per group, smallest priorities first by
+    * construction of the rank (ties broken by id ASC).
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, uniformHash: Column, n: Int): DataFrame = {
+    val pri = uniformHash.cast("double") / weight.cast("double")
+    // topPerGroup keeps LARGEST score; negate so smallest priority wins.
+    // -(-x) is exact for doubles, so the surfaced priority is bit-equal
+    // to the oracle's u/w.
+    topPerGroup(df, groupCol, -pri, idCol, n, "_neg_pri")
+      .select(F.col(groupCol), F.col(idCol),
+        (-F.col("_neg_pri")).as("priority"))
+  }
+
   /** Aggregation state for [[topPerGroup]]: a list kept sorted by
     * (score DESC, id ASC) and truncated to `n` — constant-bounded
     * buffer, mergeable map-side. Insertion is an O(n) merge into the

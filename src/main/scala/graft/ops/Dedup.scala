@@ -1147,6 +1147,59 @@ object Dedup {
     }
   }
 
+  /** Bloom-prefiltered exact decontamination: train docs sharing any key
+    * (shingle hash) with the eval set, computed as
+    * bloom-prefilter → exact confirm join.
+    *
+    * This is Spark's runtime-filter shape made explicit as an operator:
+    * the full-volume train relation is screened by a map-side
+    * `might_contain` test (a broadcast-free, shuffle-free Filter sitting
+    * directly on the scan — the bloom rides the plan as a binary
+    * LITERAL), and only the surviving sliver reaches the confirm join
+    * that removes the bloom's false positives. The result is therefore
+    * IDENTICAL to the plain `train ⋈ eval` — blooms have no false
+    * negatives — but the join input shrinks from 100 TB of shingles to
+    * (true hits + fp·|train|) rows. At fpp≈1% the exchange under the
+    * join carries ~1% of the corpus instead of all of it, and unlike
+    * the broadcast-join-only form this also thins the aggregation above.
+    *
+    * The bloom itself is built in one aggregation over the eval keys and
+    * collected to the driver — it is `numBits/8` bytes by construction
+    * (independent of eval cardinality), so the collect is driver-sized by
+    * parameter, not by data. Eval keys are hashed with `xxhash64` on both
+    * the build and probe side; the confirm join uses the raw key, so a
+    * 64-bit hash collision cannot create a false hit either.
+    *
+    * Inputs are exploded key relations shaped like [[shingleHashes]]
+    * output: `train` = (idCol, keyCol), `eval` = (keyCol) [deduped here].
+    * Output: (idCol, n_hits) — one row per contaminated train doc.
+    */
+  def bloomDecontaminate(trainKeys: DataFrame, evalKeys: DataFrame,
+      idCol: String, keyCol: String = "sh",
+      expectedEvalKeys: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.Shims
+    val ev = evalKeys.select(col(keyCol)).distinct()
+    val bloomAgg = Shims.column(new BloomFilterAggregate(
+      Shims.expression(xxhash64(col(keyCol))),
+      Literal(expectedEvalKeys), Literal(numBits), 0, 0)
+      .toAggregateExpression())
+    // one row, numBits/8 bytes — driver-sized by parameter
+    val bloomBytes = ev.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    if (bloomBytes == null)
+      // empty eval set: no contamination, keep the output schema
+      return trainKeys.select(col(idCol)).limit(0)
+        .withColumn("n_hits", lit(0L))
+    val mightContain = Shims.column(BloomFilterMightContain(
+      Literal.create(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      Shims.expression(xxhash64(col(keyCol)))))
+    trainKeys.filter(mightContain)
+      .join(broadcast(ev), keyCol)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Streaming greedy near-dedup: `docs` (a streaming DataFrame) →
     * surviving rows under `outPath`, claimed buckets under `storePath`,
     * both partitioned by micro-batch id so a replayed batch OVERWRITES its

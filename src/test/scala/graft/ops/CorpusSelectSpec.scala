@@ -238,6 +238,53 @@ class CorpusSelectSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSamplePerGroup matches the priority-window oracle and is " +
+      "partition-invariant") {
+    // deterministic "hash" and integer weights; two groups
+    val rows = (1L to 120L).map { i =>
+      (if (i % 2 == 0) "a" else "b", i, (i * 2654435761L) % 10007L, 1L + i % 7)
+    }
+    val df = rows.toDF("grp", "id", "u", "w")
+    val oracle = {
+      val pri = col("u").cast("double") / col("w").cast("double")
+      val rn = row_number().over(
+        Window.partitionBy("grp").orderBy(pri.asc, col("id").asc))
+      df.withColumn("priority", pri).withColumn("rn", rn)
+        .filter(col("rn") <= 4).orderBy("grp", "id")
+        .select("grp", "id", "priority").as[(String, Long, Double)]
+        .collect().toSeq
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = CorpusSelect.weightedSamplePerGroup(
+          df.repartition(parts), "grp", "id", col("w"), col("u"), 4)
+        .orderBy("grp", "id").as[(String, Long, Double)].collect().toSeq
+      assert(got == oracle, s"parts=$parts")
+    }
+  }
+
+  test("weightedSamplePerGroup: inclusion frequency tracks weight") {
+    // 400 trials (groups); in each, one heavy row (w=9) vs nine light
+    // (w=1) rows compete for a single slot. P(heavy wins) ≈ 9/(9+9·1)=0.5
+    // vs 1/18 per light row — the heavy row must win FAR more often than
+    // any light one, and the sample must be deterministic.
+    val rows = for (g <- 1L to 400L; r <- 0L to 9L) yield {
+      val id = g * 100 + r
+      val u = (id * 1103515245L + 12345L) % 131071L // deterministic LCG residue
+      (g, id, u, if (r == 0) 9L else 1L)
+    }
+    val df = rows.toDF("grp", "id", "u", "w")
+    val won = CorpusSelect.weightedSamplePerGroup(df, "grp", "id",
+        col("w"), col("u"), 1)
+      .select("id").as[Long].collect().toSeq
+    val heavyWins = won.count(_ % 100 == 0)
+    assert(heavyWins > 120 && heavyWins < 280,
+      s"heavy row should win ≈50% of 400 groups, got $heavyWins")
+    // ... and a light row individually wins ≈1/18 of the time
+    val perLight = (won.length - heavyWins) / 9.0
+    assert(perLight < heavyWins / 2.0,
+      s"each light row must win far less often: $perLight vs $heavyWins")
+  }
+
   test("topPerGroup aggregates with partial (map-side) combine, not a " +
       "window sort: the plan has two aggregate stages and no Window") {
     val df = groupedCorpus.toDF("grp", "id", "s")
