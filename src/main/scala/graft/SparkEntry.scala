@@ -1055,6 +1055,28 @@ object SparkEntry {
         .orderBy("change")
     }),
 
+    "qp_incremental" -> ((s, dir) => {
+      // incremental snapshot re-scoring — the recurring-pipeline shape:
+      // the new corpus version (same synthesis as qp_corpus_diff) re-runs
+      // the quality scorer ONLY over added/changed docs; unchanged docs
+      // carry their prior score rows (narrow: id + double, no text). The
+      // result is row-identical to scoring the new snapshot directly,
+      // which is exactly what the oracle does.
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val newV = d.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 1, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new "), col("text")).as("text")))
+      val scorer = (df: DataFrame) => df.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.ops.CorpusSelect.incrementalScores(
+          scorer(d), d, newV, "doc_id", md5(col("text")), scorer)
+        .orderBy("doc_id")
+    }),
+
     "qp_jsonl_ingest" -> ((s, dir) => {
       // JSONL round-trip — the corpus interchange format of every LLM data
       // pipeline: stage documents as JSON-lines once per JVM, re-ingest
@@ -1149,6 +1171,26 @@ object SparkEntry {
         .filter(TextAnalysis.md5Long(col("text")) % 10 === 0)
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")
+    }),
+
+    "qt_normalize" -> ((s, dir) => {
+      // unicode canonicalization (NFC) — the dedup-prep step: visually
+      // identical strings with different codepoint sequences must hash
+      // alike. Deterministic injection of a DECOMPOSED suffix
+      // (e + combining acute U+0301) on every 3rd doc; the native codegen
+      // expression composes it back to the precomposed form. DuckDB's
+      // nfc_normalize replays NFC exactly (both implement the Unicode
+      // canonical-composition standard).
+      val d = t(s, dir, "documents")
+      val inj = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" café")).otherwise(lit("")))
+      val norm = graft.plans.UnicodeNormalize.nfc(col("t"))
+      d.select(col("doc_id"), inj.as("t"))
+        .select(col("doc_id"),
+          (norm =!= col("t")).as("changed"),
+          (length(col("t")) - length(norm)).cast("long").as("len_delta"),
+          md5(norm).as("norm_md5"))
+        .orderBy("doc_id")
     }),
 
     "qt_weighted_sample" -> ((s, dir) => {
@@ -2691,6 +2733,26 @@ object SparkEntry {
            |      ORDER BY $qualitySql DESC, doc_id) AS rn
            |  FROM documents WHERE length(trim(text)) > 0)
            |WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin,
+
+      "qp_incremental" ->
+        s"""WITH newv AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 1 THEN text || ' edited' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 10 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+           |  FROM documents WHERE doc_id % 13 = 2)
+           |SELECT doc_id, $qualitySql AS quality
+           |FROM newv ORDER BY doc_id""".stripMargin,
+
+      "qt_normalize" ->
+        """WITH inj AS (SELECT doc_id,
+          |    text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END AS t
+          |  FROM documents)
+          |SELECT doc_id, nfc_normalize(t) <> t AS changed,
+          |  CAST(length(t) - length(nfc_normalize(t)) AS BIGINT) AS len_delta,
+          |  md5(nfc_normalize(t)) AS norm_md5
+          |FROM inj ORDER BY doc_id""".stripMargin,
 
       "qt_weighted_sample" ->
         s"""WITH d AS (SELECT lang, doc_id,

@@ -315,6 +315,42 @@ object CorpusSelect {
           .otherwise("unchanged").as("change"))
   }
 
+  /** Incremental per-doc re-scoring across corpus snapshots: run the
+    * EXPENSIVE scorer only over docs that [[corpusDiff]] marks
+    * added/changed, and carry unchanged docs' rows forward from the
+    * prior snapshot's score table. Removed docs drop out on both paths.
+    *
+    * This is the shape that makes a recurring 100 TB pipeline viable:
+    * day-over-day crawls change a few percent of documents, and the
+    * costly stages (quality scoring, language ID, PII scan, token
+    * counting) are pure per-doc functions — so recomputing them for the
+    * unchanged 97% is pure waste. The diff costs one map-side signature
+    * per side plus the id-aligned join (narrow rows: id + hash, no
+    * text), the scorer sees only the delta, and the carry join moves
+    * prior SCORES (narrow) rather than re-reading prior text.
+    *
+    * `score` must be a deterministic per-doc transform of `newDf` rows
+    * that keeps `idCol` in its output (this is asserted) — given that,
+    * the result is row-identical to `score(newDf)` by construction.
+    *
+    * Output: score(delta rows) ∪ prior scores of unchanged rows.
+    */
+  def incrementalScores(oldScores: DataFrame, oldDf: DataFrame,
+      newDf: DataFrame, idCol: String, sig: Column,
+      score: DataFrame => DataFrame): DataFrame = {
+    val diff = corpusDiff(oldDf, newDf, idCol, sig)
+    val delta = newDf.join(
+      diff.filter(F.col("change").isin("added", "changed")).select(idCol),
+      Seq(idCol), "left_semi")
+    val rescored = score(delta)
+    require(rescored.columns.contains(idCol),
+      s"scorer output must keep the id column $idCol")
+    val carried = oldScores.join(
+      diff.filter(F.col("change") === "unchanged").select(idCol),
+      Seq(idCol), "left_semi")
+    rescored.unionByName(carried)
+  }
+
   private def prefixCore(df: DataFrame, weightCol: String,
       order: Seq[Column], cumCol: String, numPartitions: Int,
       resolveBudget: Long => Long): DataFrame = {

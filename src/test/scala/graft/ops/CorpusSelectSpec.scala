@@ -285,6 +285,35 @@ class CorpusSelectSpec extends AnyFunSuite {
       s"each light row must win far less often: $perLight vs $heavyWins")
   }
 
+  test("incrementalScores equals direct scoring of the new snapshot and " +
+      "runs the scorer only over the delta") {
+    val oldDf = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"))
+      .toDF("id", "t")
+    // 1 unchanged, 2 changed, 3 removed, 5 added
+    val newDf = Seq((1L, "aa"), (2L, "BB"), (4L, "dd"), (5L, "ee"))
+      .toDF("id", "t")
+    var scorerInput: org.apache.spark.sql.DataFrame = null
+    val scorer = (df: org.apache.spark.sql.DataFrame) => {
+      scorerInput = df
+      df.select(col("id"), length(col("t")).cast("long").as("score"))
+    }
+    val out = CorpusSelect.incrementalScores(
+        scorer(oldDf), oldDf, newDf, "id", md5(col("t")), scorer)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val direct = newDf
+      .select(col("id"), length(col("t")).cast("long").as("score"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == direct)
+    // the expensive scorer saw exactly the added+changed docs
+    assert(scorerInput.select("id").as[Long].collect().toSet == Set(2L, 5L))
+    // scorer output without the id column is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      CorpusSelect.incrementalScores(scorer(oldDf), oldDf, newDf, "id",
+        md5(col("t")), df => df.select(length(col("t")).as("score")))
+    }
+    assert(e.getMessage.contains("id column"))
+  }
+
   test("topPerGroup aggregates with partial (map-side) combine, not a " +
       "window sort: the plan has two aggregate stages and no Window") {
     val df = groupedCorpus.toDF("grp", "id", "s")
