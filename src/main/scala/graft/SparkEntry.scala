@@ -992,6 +992,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qp_leakage_report" -> ((s, dir) => {
+      // contamination audit from the eval side: per eval doc, the fraction
+      // of its distinct trigram shingles found anywhere in train — the
+      // "which benchmark items are compromised" report. Train streams
+      // map-only past a broadcast of the eval shingle set; everything that
+      // shuffles is eval-bounded.
+      val d = t(s, dir, "documents")
+      val isEval = TextAnalysis.md5Long(col("text")) % 20 === 1
+      val evalSh = Dedup.shingleHashes(d.filter(isEval), "doc_id", col("text"))
+      val trainSh = Dedup.shingleHashes(d.filter(!isEval), "doc_id", col("text"))
+      Dedup.leakageReport(trainSh, evalSh, "doc_id").orderBy("doc_id")
+    }),
+
     "qp_bloom_decontam" -> ((s, dir) => {
       // same semantics as qp_decontaminate, computed through the bloom
       // runtime-filter shape: the train shingle stream is screened by a
@@ -3080,6 +3093,20 @@ object SparkEntry {
            |tr AS (SELECT doc_id, sh FROM sh WHERE NOT is_eval)
            |SELECT doc_id, count(*) AS n_hits
            |FROM tr JOIN ev USING (sh)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "qp_leakage_report" ->
+        s"""WITH tk AS (SELECT doc_id, ${h("text")} % 20 = 1 AS is_eval, $toks w FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, is_eval, ${h("s")} AS sh FROM (
+           |  SELECT doc_id, is_eval, unnest(list_transform(range(len(w)-2),
+           |    i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
+           |  FROM tk WHERE len(w) >= 3) x),
+           |ev AS (SELECT doc_id, sh FROM sh WHERE is_eval),
+           |leaked AS (SELECT DISTINCT sh FROM sh
+           |  WHERE NOT is_eval AND sh IN (SELECT sh FROM ev))
+           |SELECT e.doc_id, count(*) AS n_shingles, count(l.sh) AS n_leaked,
+           |  CAST(count(l.sh) AS DOUBLE)/count(*) AS leak_frac
+           |FROM ev e LEFT JOIN leaked l USING (sh)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "qp_curation" ->

@@ -1200,6 +1200,38 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Eval-side leakage report — the reverse view of decontamination:
+    * for each EVAL doc, the fraction of its distinct n-gram shingles
+    * that appear anywhere in the train corpus ("how compromised is this
+    * benchmark item"). Decontamination asks which TRAIN docs to drop;
+    * this asks which EVAL items can no longer be trusted even after
+    * dropping them — the report every contamination audit publishes.
+    *
+    * Scale shape: the full-volume train shingle stream is reduced
+    * map-only by a broadcast semi-join against the (small by
+    * construction) eval shingle set, and only the SURVIVORS — bounded
+    * by |eval shingles|, not by train — are distinct-aggregated and
+    * joined back. Every shuffled relation is eval-bounded; train text
+    * never moves.
+    *
+    * Output: (idCol, n_shingles, n_leaked, leak_frac) per eval doc with
+    * ≥1 shingle; leak_frac = n_leaked/n_shingles exact-double.
+    */
+  def leakageReport(trainKeys: DataFrame, evalKeys: DataFrame,
+      idCol: String, keyCol: String = "sh"): DataFrame = {
+    val evalDistinctKeys = evalKeys.select(col(keyCol)).distinct()
+    val leaked = trainKeys.select(col(keyCol))
+      .join(broadcast(evalDistinctKeys), keyCol, "left_semi")
+      .distinct() // eval-bounded: at most |eval shingle set| rows survive
+      .withColumn("_leaked", lit(1L))
+    evalKeys.join(broadcast(leaked), Seq(keyCol), "left_outer")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("_leaked")).as("n_leaked"))
+      .withColumn("leak_frac",
+        col("n_leaked").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Streaming greedy near-dedup: `docs` (a streaming DataFrame) →
     * surviving rows under `outPath`, claimed buckets under `storePath`,
     * both partitioned by micro-batch id so a replayed batch OVERWRITES its

@@ -57,6 +57,45 @@ class BloomDecontaminateSpec extends AnyFunSuite {
     assert(out.count() == 0L)
   }
 
+  private def splitWithIds(evalIds: Long*) = {
+    val isEval = col("doc_id").isin(evalIds.map(Long.box): _*)
+    (Dedup.shingleHashes(docs.filter(!isEval), "doc_id", col("text")),
+      Dedup.shingleHashes(docs.filter(isEval), "doc_id", col("text")))
+  }
+
+  test("leakageReport: fractions match a per-doc shingle-set computation") {
+    val (tr, ev) = splitWithIds(1L, 3L)
+    val got = Dedup.leakageReport(tr, ev, "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_leaked", "leak_frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // independent reference: distinct shingle sets per doc, computed on
+    // the driver from the same tokenization
+    def shingles(s: String): Set[String] = {
+      val t = s.trim.split("\\s+").toSeq
+      t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }
+    val texts = docs.as[(Long, String)].collect().toMap
+    val trainSh = (texts.keySet -- Set(1L, 3L)).flatMap(i => shingles(texts(i)))
+    val expected = Seq(1L, 3L).map { id =>
+      val sh = shingles(texts(id))
+      val leaked = sh.count(trainSh.contains)
+      (id, sh.size.toLong, leaked.toLong, leaked.toDouble / sh.size)
+    }
+    assert(got == expected)
+    assert(got.exists(r => r._4 > 0.0 && r._4 < 1.0) || got.exists(_._4 == 1.0),
+      "fixture must exercise a nontrivial leak fraction")
+  }
+
+  test("leakageReport plan: train relation never hash-shuffles for a join") {
+    val (tr, ev) = splitWithIds(1L)
+    val plan = Dedup.leakageReport(tr, ev, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"train side must only meet broadcast joins:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("plan: might_contain literal filter below a broadcast confirm join") {
     val (tr, ev) = split(1L)
     val out = Dedup.bloomDecontaminate(tr, ev, "doc_id")
