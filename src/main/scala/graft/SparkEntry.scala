@@ -1693,6 +1693,31 @@ object SparkEntry {
       Similarity.ivfTopKPartitioned(s, ivf, queryId = 0L, k = 5)
     }),
 
+    "qs_stream_index" -> ((s, dir) => {
+      // STREAMING index maintenance: embeddings arrive as micro-batches
+      // (4 files, one per trigger) and APPEND to the compressed LSH
+      // layout under out_batch=N/bucket=M; the drain is followed by a
+      // bucket-preserving compaction, and the index is served by the SAME
+      // pruned reader as the batch layout — identical result, shared
+      // oracle. Multi-batch equality, replay, and compaction invariants
+      // are spec'd in StreamingAnnIndexSpec.
+      val tmp = scratchDir("graft_qsix")
+      val emb = t(s, dir, "embeddings")
+      val src = stagedInput("qemb4", dir) { p =>
+        emb.repartition(4).write.mode("overwrite").parquet(p)
+      }
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = Similarity.streamingLshQuantized(stream,
+        s"$tmp/idx", s"$tmp/ckpt")
+      q.awaitTermination()
+      Similarity.compactLshIndex(s, s"$tmp/idx")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(Similarity.quantize(col("embedding")).as("qv"))
+        .collect().head.getSeq[Long](0)
+      Similarity.quantizedTopKPruned(s, s"$tmp/idx", qv, excludeId = 0L, k = 5)
+    }),
+
     "qs_batch_topk" -> ((s, dir) => {
       // batch multi-query ANN: a whole query SET (8 probes) scored in ONE
       // job — one corpus scan, one candidate join, one window — where the
@@ -2487,7 +2512,10 @@ object SparkEntry {
         // the bloom prefilter has no false negatives and the confirm join
         // removes its false positives, so the result must be EXACTLY the
         // plain exact-join decontamination — shared oracle
-        ("qp_bloom_decontam" -> all2("qp_decontaminate"))
+        ("qp_bloom_decontam" -> all2("qp_decontaminate")) +
+        // a streamed-then-compacted index serves the same pruned reads as
+        // the batch-written layout — shared oracle
+        ("qs_stream_index" -> all2("qs_quantized_pruned"))
   }
 
   /** DuckDB equivalents of the ops queries. Repetitive hash SQL is

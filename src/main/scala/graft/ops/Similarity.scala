@@ -449,8 +449,11 @@ object Similarity {
     * for the shortlist rerank. No `qv` column on purpose: storing it
     * would silently quadruple the scan the layout exists to shrink.
     */
-  def writeLshQuantized(emb: DataFrame, path: String,
-      numPlanes: Int = NumPlanes): Unit =
+  /** The quantized-layout projection shared by the batch writer and the
+    * streaming index maintainer: (vec_id, code `array<tinyint>`, scale m,
+    * true norm², LSH sign-bucket).
+    */
+  private def quantizedLayoutRows(emb: DataFrame, numPlanes: Int): DataFrame =
     emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("m", array_max(transform(col("qv"), x => abs(x))))
       .select(col("vec_id"),
@@ -458,7 +461,50 @@ object Similarity {
           .as("code"),
         col("m"), qnorm2(col("qv")).as("nrm2"),
         lshBucket(col("qv"), numPlanes = numPlanes).as("bucket"))
+
+  def writeLshQuantized(emb: DataFrame, path: String,
+      numPlanes: Int = NumPlanes): Unit =
+    quantizedLayoutRows(emb, numPlanes)
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** STREAMING maintenance of the [[writeLshQuantized]] layout — the
+    * "index freshness" story at 100 TB: new embeddings append to the
+    * compressed partitioned index as they arrive instead of rebuilding
+    * it. Each micro-batch lands under `out_batch=N/bucket=M` (its OWN
+    * out_batch partition, overwritten on replay — the same idempotence-
+    * by-overwrite contract as [[graft.streaming.CanStream
+    * .partitionedParquetSink]]), so the directory tree stays
+    * hive-discoverable and [[quantizedTopKPruned]] works UNCHANGED on a
+    * live index: `bucket` is still a partition column at every nesting
+    * level, so probe pruning survives; the extra `out_batch` column is
+    * dropped by the reader's projection.
+    *
+    * Long-running streams accumulate O(batches) file sets — fold them
+    * with [[compactLshIndex]] between drains.
+    */
+  def streamingLshQuantized(emb: DataFrame, path: String, checkpoint: String,
+      numPlanes: Int = NumPlanes)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        quantizedLayoutRows(batch, numPlanes)
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$path/out_batch=$batchId")
+      }
+      .start()
+
+  /** Fold a [[streamingLshQuantized]] index's finalized batches into a
+    * compacted base WITHOUT losing the `bucket=N` partition dirs (the
+    * pruning the layout exists for) — delegates to the staged-manifest
+    * compaction of [[graft.streaming.CanStream.compactParquetSink]]
+    * with `bucket` as a preserved partition column. Run between drains.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytesPerFile: Long = 128L << 20): Unit =
+    graft.streaming.CanStream.compactParquetSink(spark, path,
+      targetBytesPerFile, partitionCols = Seq("bucket"))
 
   /** Driver-side int8 codes of a quantized vector — the same integer
     * round-half-up as the [[int8Codes]] Column expression, so external

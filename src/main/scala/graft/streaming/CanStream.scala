@@ -440,7 +440,8 @@ object CanStream {
     * stopped contract already excludes.
     */
   def compactParquetSink(spark: SparkSession, path: String,
-      targetBytesPerFile: Long = 128L << 20): Unit = {
+      targetBytesPerFile: Long = 128L << 20,
+      partitionCols: Seq[String] = Nil): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, root)
@@ -455,11 +456,19 @@ object CanStream {
       val nFiles = math.max(1L,
         (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
       val tmp = new org.apache.hadoop.fs.Path(root, s"_compact_tmp_$target")
-      spark.read.option("basePath", path)
+      val folded = spark.read.option("basePath", path)
         .parquet(fold.map(_.toString): _*)
         .drop("out_batch")
-        .repartition(nFiles)
-        .write.mode("overwrite").parquet(tmp.toString)
+      // a sub-partitioned sink (e.g. an LSH index's bucket=N dirs) must
+      // keep its partition layout through the fold — repartition ON the
+      // partition columns so each value's rows land in few tasks (close
+      // to one file per value) instead of nFiles files per value
+      val sized =
+        if (partitionCols.isEmpty) folded.repartition(nFiles)
+        else folded.repartition(nFiles, partitionCols.map(col): _*)
+      val w = sized.write.mode("overwrite")
+      (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+        .parquet(tmp.toString)
       writeManifest(fs, root, target, fold.map(_.getName))
       fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"out_batch=$target"))
       fold.foreach(p => fs.delete(p, true))
