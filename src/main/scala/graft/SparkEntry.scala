@@ -1700,22 +1700,27 @@ object SparkEntry {
       // bucket-preserving compaction, and the index is served by the SAME
       // pruned reader as the batch layout — identical result, shared
       // oracle. Multi-batch equality, replay, and compaction invariants
-      // are spec'd in StreamingAnnIndexSpec.
-      val tmp = scratchDir("graft_qsix")
+      // are spec'd in StreamingAnnIndexSpec. The build is STAGED like the
+      // sibling layout gates (qs_quantized_pruned/qs_ivf_pruned): bench
+      // reps measure serving the streamed index, not rebuilding it.
       val emb = t(s, dir, "embeddings")
-      val src = stagedInput("qemb4", dir) { p =>
-        emb.repartition(4).write.mode("overwrite").parquet(p)
+      val idx = stagedInput("qsix", dir) { p =>
+        val src = stagedInput("qemb4", dir) { sp =>
+          emb.repartition(4).write.mode("overwrite").parquet(sp)
+        }
+        val q = Similarity.streamingLshQuantized(
+          s.readStream.schema(emb.schema).option("maxFilesPerTrigger", "1")
+            .parquet(src),
+          s"$p/idx", s"$p/ckpt")
+        q.awaitTermination()
+        Similarity.compactLshIndex(s, s"$p/idx")
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+        ()
       }
-      val stream = s.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", "1").parquet(src)
-      val q = Similarity.streamingLshQuantized(stream,
-        s"$tmp/idx", s"$tmp/ckpt")
-      q.awaitTermination()
-      Similarity.compactLshIndex(s, s"$tmp/idx")
       val qv = emb.filter(col("vec_id") === 0)
         .select(Similarity.quantize(col("embedding")).as("qv"))
         .collect().head.getSeq[Long](0)
-      Similarity.quantizedTopKPruned(s, s"$tmp/idx", qv, excludeId = 0L, k = 5)
+      Similarity.quantizedTopKPruned(s, s"$idx/idx", qv, excludeId = 0L, k = 5)
     }),
 
     "qs_batch_topk" -> ((s, dir) => {
