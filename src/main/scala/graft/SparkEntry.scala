@@ -902,6 +902,16 @@ object SparkEntry {
       } finally r.pairs.unpersist()
     }),
 
+    "qd_drop_ledger" -> ((s, dir) => {
+      // dedup provenance ledger: one row per REMOVED doc with the tier
+      // that dropped it (exact > bow > neardup, each tier sees only the
+      // previous tier's survivors) and the keeper it collapsed into —
+      // the audit trail a production pipeline publishes next to the
+      // curated corpus.
+      Dedup.dropLedger(t(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy("doc_id")
+    }),
+
     "qd_components" -> ((s, dir) => {
       // transitive closure of the verified near-dup pairs: min-label
       // propagation collapses chains (A~B, B~C ⇒ one group) the pairwise
@@ -3060,6 +3070,45 @@ object SparkEntry {
 
       "qd_minhash_pairs" -> (minhashPairsCtes +
         "\nSELECT doc_a, doc_b, jaccard FROM mp ORDER BY doc_a, doc_b"),
+
+      // the provenance ledger: exact and bow tiers as min-per-signature
+      // keeper joins; the near-dup tier is the SAME minhash chain as
+      // qd_minhash_pairs but sourced from tier-2 survivors (s2), plus
+      // the qd_components recursive closure
+      "qd_drop_ledger" -> {
+        val bowSig =
+          """md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text),'\s+'))),'string_agg','|'))"""
+        val mhOverS2 = minhashPairsCtes.replaceFirst("WITH ", "")
+          .replace("FROM documents)", "FROM s2)")
+        s"""WITH RECURSIVE
+           |t1 AS (SELECT doc_id, md5(text) AS esig, text FROM documents),
+           |ek AS (SELECT esig, min(doc_id) AS keeper FROM t1 GROUP BY 1),
+           |exact_drop AS (SELECT t1.doc_id, 'exact' AS reason, ek.keeper
+           |  FROM t1 JOIN ek USING (esig) WHERE t1.doc_id <> ek.keeper),
+           |s1 AS (SELECT doc_id, text FROM t1
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),
+           |b1 AS (SELECT doc_id, $bowSig AS bsig FROM s1),
+           |bk AS (SELECT bsig, min(doc_id) AS keeper FROM b1 GROUP BY 1),
+           |bow_drop AS (SELECT b1.doc_id, 'bow' AS reason, bk.keeper
+           |  FROM b1 JOIN bk USING (bsig) WHERE b1.doc_id <> bk.keeper),
+           |s2 AS (SELECT doc_id, text FROM s1
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM bow_drop)),
+           |$mhOverS2,
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mp
+           |  UNION SELECT doc_b, doc_a FROM mp),
+           |reach(id, comp) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, r2.comp FROM edges e JOIN reach r2 ON e.dst = r2.id),
+           |comps AS (SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY 1),
+           |ck AS (SELECT comp, min(doc_id) AS keeper FROM comps GROUP BY 1),
+           |near_drop AS (SELECT c.doc_id, 'neardup' AS reason, ck.keeper
+           |  FROM comps c JOIN ck USING (comp) WHERE c.doc_id <> ck.keeper)
+           |SELECT doc_id, reason, keeper FROM exact_drop
+           |UNION ALL SELECT doc_id, reason, keeper FROM bow_drop
+           |UNION ALL SELECT doc_id, reason, keeper FROM near_drop
+           |ORDER BY doc_id""".stripMargin
+      },
 
       // transitive closure over the SAME verified pair set: every vertex
       // gathers all labels reachable through the (undirected) edges via

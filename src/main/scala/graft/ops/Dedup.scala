@@ -1200,6 +1200,57 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Dedup provenance ledger — the audit trail a production curation
+    * pipeline keeps for every REMOVED document: which tier dropped it
+    * (`exact` > `bow` > `neardup`, strongest-evidence-first) and which
+    * keeper it collapsed into. Tier priority is by construction, not by
+    * post-hoc ranking: each tier only sees the SURVIVORS of the previous
+    * one, so a doc appears at most once and always under the cheapest
+    * tier that caught it.
+    *
+    * Scale shape: three passes over progressively smaller survivor
+    * sets. The exact and BOW tiers are each one hash aggregation (keeper
+    * = min id per signature) plus one equi-join back on the signature —
+    * the irreducible exact-dedup cost, fully parallel, no windows. The
+    * near-dup tier reuses [[minhashNearDups]] (banded, capped, never
+    * all-pairs) and [[connectedComponents]] (pointer-jump O(log d)) over
+    * tier-2 survivors only.
+    *
+    * Output: (idCol, reason, keeper) — one row per dropped doc.
+    */
+  def dropLedger(docs: DataFrame, idCol: String, text: Column,
+      threshold: Double = 0.4): DataFrame = {
+    val e = docs.select(col(idCol), text.as("_text"))
+      .withColumn("_esig", md5(col("_text")))
+    val ek = e.groupBy("_esig").agg(min(col(idCol)).as("_keeper"))
+    val ej = e.join(ek, "_esig")
+    val exactDrop = ej.filter(col(idCol) =!= col("_keeper"))
+      .select(col(idCol), lit("exact").as("reason"),
+        col("_keeper").as("keeper"))
+    val s1 = ej.filter(col(idCol) === col("_keeper"))
+      .select(col(idCol), col("_text"))
+
+    val b = s1.withColumn("_bsig", bowSignature(col("_text")))
+    val bk = b.groupBy("_bsig").agg(min(col(idCol)).as("_keeper"))
+    val bj = b.join(bk, "_bsig")
+    val bowDrop = bj.filter(col(idCol) =!= col("_keeper"))
+      .select(col(idCol), lit("bow").as("reason"),
+        col("_keeper").as("keeper"))
+    val s2 = bj.filter(col(idCol) === col("_keeper"))
+      .select(col(idCol), col("_text"))
+
+    val pairs = minhashNearDups(s2, idCol, col("_text"), threshold)
+    val comps = connectedComponents(pairs) // (id, comp), checkpointed
+    pairs.unpersist()
+    val ck = comps.groupBy("comp").agg(min(col("id")).as("keeper"))
+    val nearDrop = comps.join(ck, "comp")
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id").as(idCol), lit("neardup").as("reason"),
+        col("keeper"))
+
+    exactDrop.unionByName(bowDrop).unionByName(nearDrop)
+  }
+
   /** Eval-side leakage report — the reverse view of decontamination:
     * for each EVAL doc, the fraction of its distinct n-gram shingles
     * that appear anywhere in the train corpus ("how compromised is this
