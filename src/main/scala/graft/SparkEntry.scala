@@ -814,6 +814,32 @@ object SparkEntry {
         (TextAnalysis.langId(col("text")) === col("lang")).as("is_match"))
     }),
 
+    "qt_lang_confusion" -> ((s, dir) =>
+      // language-ID audit: the confusion matrix of predicted vs labeled
+      // language — the observability aggregation published with every
+      // langid run; one codegen'd pass + one driver-sized aggregation
+      t(s, dir, "documents")
+        .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "lang_pred")),
+
+    "qt_hash_embed" -> ((s, dir) => {
+      // feature-hashed BOW embedding (HashingTF): 8 token-hash buckets
+      // per doc — the vocabulary-free text→vector bridge into the
+      // similarity tier. Residues hash ONCE into a materialized column;
+      // the per-dim counts are integer filters over it. Map-only: no
+      // vocab aggregation, no shuffle at any corpus size.
+      val dims = 8
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          TextAnalysis.hashResidues(col("_toks"), dims).as("_res"),
+          size(col("_toks")).cast("long").as("n_tokens"))
+        .select(col("doc_id") +: col("n_tokens") +:
+          TextAnalysis.hashEmbed(col("_res"), dims): _*)
+        .orderBy("doc_id")
+    }),
+
     "qt_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2709,6 +2735,26 @@ object SparkEntry {
            |  FROM documents),
            |m AS (SELECT *, $mx AS mx FROM c)
            |SELECT doc_id, $langPred AS lang_pred, ($langPred) = lang AS is_match FROM m""".stripMargin,
+
+      "qt_lang_confusion" ->
+        s"""WITH c AS (SELECT doc_id, lang, length(text) AS len,
+           |    len(regexp_extract_all(text, '[一-鿿]')) AS cjk, $profCols
+           |  FROM documents),
+           |m AS (SELECT *, $mx AS mx FROM c)
+           |SELECT lang, $langPred AS lang_pred, count(*) AS n_docs
+           |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "qt_hash_embed" -> {
+        val res = s"""list_transform(w, t -> ${h("t")} % 8)"""
+        val fs = (0 until 8).map(j =>
+          s"CAST(len(list_filter(r, x -> x = $j)) AS BIGINT) AS f$j").mkString(",\n  ")
+        s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents),
+           |rs AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           |    $res AS r FROM tk)
+           |SELECT doc_id, n_tokens,
+           |  $fs
+           |FROM rs ORDER BY doc_id""".stripMargin
+      },
 
       "qt_fingerprint" ->
         s"""SELECT doc_id, md5(text) AS fp, ${h("text")} AS fp60,

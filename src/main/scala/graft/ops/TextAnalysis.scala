@@ -222,6 +222,26 @@ object TextAnalysis {
     * exactly-counted integers (oracle-identical). Blank docs are dropped;
     * single-token docs have no bigrams → `dup_bigram_frac` 0.0.
     */
+  /** Feature-hashed bag-of-words embedding (the HashingTF shape): token
+    * hash residues bucket into `dims` counts — the cheap, vocabulary-free
+    * text→vector bridge that feeds the similarity tier when no learned
+    * embeddings exist. Map-only at any corpus size: no vocabulary
+    * aggregation, no shuffle, no driver state.
+    *
+    * Pass a MATERIALIZED residue column from [[hashResidues]] (lambda
+    * bodies re-evaluate embedded subexpressions per element — computing
+    * md5 inside each of the `dims` count lambdas would hash every token
+    * `dims` times; residues are hashed once and the per-dim counts are
+    * cheap integer filters).
+    */
+  def hashResidues(toks: Column, dims: Int): Column =
+    transform(toks, t => md5Long(t) % dims)
+
+  /** Per-dimension counts over [[hashResidues]] output: `f0..f{dims-1}`. */
+  def hashEmbed(residues: Column, dims: Int): Seq[Column] =
+    (0 until dims).map(j =>
+      size(filter(residues, r => r === j)).cast("long").as(s"f$j"))
+
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       text: Column): org.apache.spark.sql.DataFrame = {
     val base = df.filter(length(trim(text)) > 0)

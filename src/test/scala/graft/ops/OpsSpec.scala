@@ -691,6 +691,30 @@ class OpsSpec extends AnyFunSuite {
       (5L, 5L, 5L, true), (6L, 5L, 5L, false),
       (9L, 9L, 9L, true)))
   }
+  test("hashEmbed: dim counts partition the token list; map-only plan") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a a a"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val dims = 8
+    val out = df
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"),
+        TextAnalysis.hashResidues(col("_toks"), dims).as("_res"),
+        size(col("_toks")).cast("long").as("n_tokens"))
+      .select(col("doc_id") +: col("n_tokens") +:
+        TextAnalysis.hashEmbed(col("_res"), dims): _*)
+    val rows = out.collect()
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val total = (0 until dims).map(j => r.getLong(2 + j)).sum
+      assert(total == n, s"dim counts must sum to n_tokens: $r")
+    }
+    // identical tokens land in one bucket
+    val doc2 = rows.find(_.getLong(0) == 2L).get
+    assert((0 until dims).map(j => doc2.getLong(2 + j)).count(_ > 0) == 1)
+    // vocabulary-free: the whole embedding is map-side, no exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hash embedding must not shuffle:\n$plan")
+  }
 }
 
 class JoinOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
