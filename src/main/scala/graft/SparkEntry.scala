@@ -1865,6 +1865,21 @@ object SparkEntry {
         Multimodal.imagePayload(t(s, dir, "documents").select("doc_id")))
     }),
 
+    "qm_image_dedup" -> ((s, dir) => {
+      // multimodal dedup tier 1: average-hash over REAL decoded pixels
+      // (8×8 integer block means vs global mean, exact cross-multiplied
+      // compare), then exact-hash dup groups — what an image corpus runs
+      // before any learned-embedding pass. The oracle exploits the
+      // synthetic gradient's x-invariance to reproduce the hash
+      // closed-form in SQL; the Spark side computes it from the pixels.
+      Multimodal.imageAHash(
+          Multimodal.imagePayload(t(s, dir, "documents").select("doc_id")))
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_imgs"), min("doc_id").as("keep_id"))
+        .filter(col("n_imgs") > 1)
+        .orderBy("ahash")
+    }),
+
     "qm_video_frames" -> ((s, dir) => {
       // REAL video-frame path: "video" = a length-prefixed chunk container
       // of deterministic gradient PNGs (the JDK ships no video codec, so
@@ -3770,6 +3785,25 @@ object SparkEntry {
           |SELECT doc_id, w AS img_w, h AS img_h, w*h AS n_pixels,
           |  s AS sum_luma, s*1000 // (w*h) AS mean_mluma
           |FROM luma""".stripMargin,
+
+      // aHash closed-form: the gradient is x-constant, so for every block
+      // row the cross-multiplied compare reduces (divide both sides by
+      // the positive bw·w) to rowBandSum·h ≥ totalRowSum·bh — each of the
+      // 8 bits in a block row is identical, hence repeat(bit, 8)
+      "qm_image_dedup" ->
+        """WITH g AS (SELECT doc_id, doc_id % 95 + 32 AS w,
+          |    (doc_id*7) % 95 + 32 AS h FROM documents),
+          |l AS (SELECT doc_id, w, h,
+          |    list_transform(range(h), y -> (doc_id + y) % 256) AS gr FROM g),
+          |t AS (SELECT doc_id, w, h, gr, list_sum(gr) AS ty FROM l),
+          |b AS (SELECT doc_id, list_aggregate(list_transform(range(8), by ->
+          |      repeat(CASE WHEN
+          |          list_sum(gr[by*h//8 + 1 : (by+1)*h//8]) * h >=
+          |          ty * ((by+1)*h//8 - by*h//8)
+          |        THEN '1' ELSE '0' END, 8)), 'string_agg', '') AS ahash
+          |  FROM t)
+          |SELECT ahash, count(*) AS n_imgs, min(doc_id) AS keep_id
+          |FROM b GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
 
       "qm_video_frames" ->
         """WITH dims AS (

@@ -142,6 +142,77 @@ object Multimodal {
     }(Encoders.row(ImageDecodedSchema))
   }
 
+  /** Average-hash (aHash) over REAL decoded pixels — the standard first
+    * tier of image deduplication: luma is block-summed into an 8×8 grid
+    * and each block compares against the global mean. The comparison is
+    * EXACT integer cross-multiplication (`blockSum·w·h ≥ total·bw·bh`,
+    * all operands < 2^35 — no float averaging, so two engines can never
+    * disagree on a boundary block), and the hash is surfaced as a
+    * 64-char bit string (a 64-bit long would go negative at bit 63 and
+    * overflow DuckDB's BIGINT power).
+    *
+    * Block edges are `floor(k·dim/8)` — ragged blocks at non-multiple
+    * sizes get the remainder rows/columns, matching the oracle's integer
+    * division. Per-partition real ImageIO decode like [[decodeImages]];
+    * grouping the output by `ahash` is exact perceptual dedup, the shape
+    * a 100 TB image corpus runs before any learned-embedding pass.
+    */
+  def imageAHash(payloads: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val idIdx = payloads.schema.fieldIndex(idCol)
+    val pIdx = payloads.schema.fieldIndex("payload")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ahash", org.apache.spark.sql.types.StringType,
+        nullable = false)))
+    payloads.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable image payload for $idCol=$id")
+        val w = img.getWidth; val h = img.getHeight
+        val pixels = img.getRGB(0, 0, w, h, null, 0, w)
+        // 8×8 integer block sums of luma ((r+g+b)/3, like decodeImages)
+        val block = Array.ofDim[Long](8, 8)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          // inverse of the floor(k·dim/8) edges: y sits in band
+          // floor((8y+7)/h) — NOT floor(8y/h), which drifts off the
+          // edge sequence whenever dim is not a multiple of 8
+          val by = (y * 8 + 7) / h
+          var x = 0
+          while (x < w) {
+            val p = pixels(y * w + x)
+            val l = ((p >> 16 & 0xFF) + (p >> 8 & 0xFF) + (p & 0xFF)) / 3
+            block(by)((x * 8 + 7) / w) += l
+            total += l
+            x += 1
+          }
+          y += 1
+        }
+        val sb = new java.lang.StringBuilder(64)
+        var by = 0
+        while (by < 8) {
+          val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+          var bx = 0
+          while (bx < 8) {
+            val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+            // blockMean >= globalMean, cross-multiplied exactly
+            val set = block(by)(bx) * w * h >=
+              total * (x1 - x0).toLong * (y1 - y0)
+            sb.append(if (set) '1' else '0')
+            bx += 1
+          }
+          by += 1
+        }
+        Row(id, sb.toString)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Output schema of the real audio decode. All BIGINT for oracle parity. */
   val AudioDecodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
