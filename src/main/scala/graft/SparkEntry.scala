@@ -1880,6 +1880,20 @@ object SparkEntry {
         .orderBy("ahash")
     }),
 
+    "qm_video_dedup" -> ((s, dir) => {
+      // multimodal video dedup: per-video perceptual fingerprint = md5
+      // over the aHashes of every 3rd REAL-decoded frame (skipped frames
+      // never touch the codec); fingerprint groups are exact perceptual
+      // dups. Map-only decode + one hash aggregation.
+      Multimodal.videoFingerprint(
+          Multimodal.videoPayload(t(s, dir, "documents").select("doc_id")),
+          every = 3)
+        .groupBy("vhash")
+        .agg(count(lit(1)).as("n_videos"), min("doc_id").as("keep_id"))
+        .filter(col("n_videos") > 1)
+        .orderBy("vhash")
+    }),
+
     "qm_video_frames" -> ((s, dir) => {
       // REAL video-frame path: "video" = a length-prefixed chunk container
       // of deterministic gradient PNGs (the JDK ships no video codec, so
@@ -3804,6 +3818,26 @@ object SparkEntry {
           |  FROM t)
           |SELECT ahash, count(*) AS n_imgs, min(doc_id) AS keep_id
           |FROM b GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+      // same x-invariance reduction as qm_image_dedup, per sampled frame;
+      // the video hash is md5 over the frame bit strings in frame order
+      "qm_video_dedup" ->
+        """WITH g AS (SELECT doc_id, doc_id % 8 + 2 AS nf,
+          |    doc_id % 31 + 16 AS w, (doc_id*3) % 31 + 16 AS h FROM documents),
+          |fr AS (SELECT doc_id, h, unnest(range(0, nf, 3)) AS f FROM g),
+          |fg AS (SELECT doc_id, f, h,
+          |    list_transform(range(h), y -> (doc_id + f*17 + y) % 256) AS gr
+          |  FROM fr),
+          |fb AS (SELECT doc_id, f, list_aggregate(list_transform(range(8), by ->
+          |      repeat(CASE WHEN
+          |          list_sum(gr[by*h//8 + 1 : (by+1)*h//8]) * h >=
+          |          list_sum(gr) * ((by+1)*h//8 - by*h//8)
+          |        THEN '1' ELSE '0' END, 8)), 'string_agg', '') AS bits
+          |  FROM fg),
+          |v AS (SELECT doc_id, md5(string_agg(bits, '' ORDER BY f)) AS vhash
+          |  FROM fb GROUP BY 1)
+          |SELECT vhash, count(*) AS n_videos, min(doc_id) AS keep_id
+          |FROM v GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
 
       "qm_video_frames" ->
         """WITH dims AS (

@@ -157,6 +157,49 @@ object Multimodal {
     * grouping the output by `ahash` is exact perceptual dedup, the shape
     * a 100 TB image corpus runs before any learned-embedding pass.
     */
+  /** 8×8 average-hash bits of one decoded image — shared by the image
+    * and video dedup paths. 64-char bit string, row-major.
+    */
+  private def aHashBits(img: java.awt.image.BufferedImage): String = {
+    val w = img.getWidth; val h = img.getHeight
+    val pixels = img.getRGB(0, 0, w, h, null, 0, w)
+    // 8×8 integer block sums of luma ((r+g+b)/3, like decodeImages)
+    val block = Array.ofDim[Long](8, 8)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      // inverse of the floor(k·dim/8) edges: y sits in band
+      // floor((8y+7)/h) — NOT floor(8y/h), which drifts off the
+      // edge sequence whenever dim is not a multiple of 8
+      val by = (y * 8 + 7) / h
+      var x = 0
+      while (x < w) {
+        val p = pixels(y * w + x)
+        val l = ((p >> 16 & 0xFF) + (p >> 8 & 0xFF) + (p & 0xFF)) / 3
+        block(by)((x * 8 + 7) / w) += l
+        total += l
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var by = 0
+    while (by < 8) {
+      val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+      var bx = 0
+      while (bx < 8) {
+        val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+        // blockMean >= globalMean, cross-multiplied exactly
+        val set = block(by)(bx) * w * h >=
+          total * (x1 - x0).toLong * (y1 - y0)
+        sb.append(if (set) '1' else '0')
+        bx += 1
+      }
+      by += 1
+    }
+    sb.toString
+  }
+
   def imageAHash(payloads: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val idIdx = payloads.schema.fieldIndex(idCol)
     val pIdx = payloads.schema.fieldIndex("payload")
@@ -172,43 +215,57 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
         require(img != null, s"undecodable image payload for $idCol=$id")
-        val w = img.getWidth; val h = img.getHeight
-        val pixels = img.getRGB(0, 0, w, h, null, 0, w)
-        // 8×8 integer block sums of luma ((r+g+b)/3, like decodeImages)
-        val block = Array.ofDim[Long](8, 8)
-        var total = 0L
-        var y = 0
-        while (y < h) {
-          // inverse of the floor(k·dim/8) edges: y sits in band
-          // floor((8y+7)/h) — NOT floor(8y/h), which drifts off the
-          // edge sequence whenever dim is not a multiple of 8
-          val by = (y * 8 + 7) / h
-          var x = 0
-          while (x < w) {
-            val p = pixels(y * w + x)
-            val l = ((p >> 16 & 0xFF) + (p >> 8 & 0xFF) + (p & 0xFF)) / 3
-            block(by)((x * 8 + 7) / w) += l
-            total += l
-            x += 1
-          }
-          y += 1
+        Row(id, aHashBits(img))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Video-level perceptual fingerprint: md5 over the concatenated
+    * [[aHashBits]] of every `every`-th frame (same k-th-frame walk as
+    * [[decodeVideoFrames]] — skipped frames are never decoded). Grouping
+    * by the fingerprint is exact perceptual video dedup: two videos
+    * collapse iff every sampled frame pair shares its aHash. Real codec
+    * work per sampled frame, map-only at any corpus size.
+    */
+  def videoFingerprint(payloads: DataFrame, idCol: String = "doc_id",
+      every: Int = 3): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val idIdx = payloads.schema.fieldIndex(idCol)
+    val pIdx = payloads.schema.fieldIndex("payload")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_sampled", LongType, nullable = false),
+      StructField("vhash", org.apache.spark.sql.types.StringType,
+        nullable = false)))
+    payloads.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        val sb = new java.lang.StringBuilder()
+        var f = 0L
+        var sampled = 0L
+        while (buf.remaining() >= 4) {
+          val len = buf.getInt
+          require(len >= 0 && len <= buf.remaining(),
+            s"corrupt frame chunk for $idCol=$id at frame $f (len=$len)")
+          if (f % every == 0) {
+            val frame = new Array[Byte](len)
+            buf.get(frame)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frame))
+            require(img != null, s"undecodable frame $f for $idCol=$id")
+            sb.append(aHashBits(img))
+            sampled += 1
+          } else buf.position(buf.position() + len)
+          f += 1
         }
-        val sb = new java.lang.StringBuilder(64)
-        var by = 0
-        while (by < 8) {
-          val y0 = by * h / 8; val y1 = (by + 1) * h / 8
-          var bx = 0
-          while (bx < 8) {
-            val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
-            // blockMean >= globalMean, cross-multiplied exactly
-            val set = block(by)(bx) * w * h >=
-              total * (x1 - x0).toLong * (y1 - y0)
-            sb.append(if (set) '1' else '0')
-            bx += 1
-          }
-          by += 1
-        }
-        Row(id, sb.toString)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(sb.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"${b & 0xFF}%02x").mkString
+        Row(id, sampled, hex)
       }
     }(Encoders.row(schema))
   }

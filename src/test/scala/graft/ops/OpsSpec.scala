@@ -337,6 +337,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.toSeq.groupBy(identity).exists(_._2.length > 1))
   }
 
+  test("multimodal: video fingerprint samples every 3rd frame and " +
+      "collapses identical frame sequences") {
+    val ids = spark.range(0, 80, 1, 4).select($"id".as("doc_id"))
+    val got = Multimodal.videoFingerprint(Multimodal.videoPayload(ids))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    got.foreach { case (id, sampled, vhash) =>
+      val nf = id % 8 + 2
+      assert(sampled == (nf + 2) / 3, s"id=$id: expected ceil($nf/3) samples")
+      assert(vhash.length == 32, "md5 hex")
+    }
+    // determinism: a second run reproduces every fingerprint
+    val again = Multimodal.videoFingerprint(Multimodal.videoPayload(ids))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // dup groups exist: wrap-free gradient videos with equal (nf, h
+    // band structure) collapse
+    assert(got.groupBy(_._3).exists(_._2.length > 1))
+  }
+
   test("multimodal: real WAV round trip through javax.sound.sampled") {
     val ids = spark.range(0, 50, 1, 4).select($"id".as("doc_id"))
     val p = Multimodal.audioPayload(ids)
