@@ -1880,6 +1880,22 @@ object SparkEntry {
         .orderBy("ahash")
     }),
 
+    "qm_audio_dedup" -> ((s, dir) => {
+      // multimodal audio dedup (coarse tier): 8-band energy-profile
+      // fingerprint from REAL-decoded WAV samples (integer
+      // cross-multiplied compare, the aHash analogue in time), then
+      // fingerprint buckets — the candidate generator an audio corpus
+      // runs before any expensive alignment. Clips are the band-MARKED
+      // synthesis (plain LCG noise has a flat profile and fingerprints
+      // identically — spec-pinned); the real WAV codec runs both ways.
+      Multimodal.audioFingerprint(
+          Multimodal.audioPayloadMarked(t(s, dir, "documents").select("doc_id")))
+        .groupBy("afp")
+        .agg(count(lit(1)).as("n_clips"), min("doc_id").as("keep_id"))
+        .filter(col("n_clips") > 1)
+        .orderBy("afp")
+    }),
+
     "qm_video_dedup" -> ((s, dir) => {
       // multimodal video dedup: per-video perceptual fingerprint = md5
       // over the aHashes of every 3rd REAL-decoded frame (skipped frames
@@ -3818,6 +3834,25 @@ object SparkEntry {
           |  FROM t)
           |SELECT ahash, count(*) AS n_imgs, min(doc_id) AS keep_id
           |FROM b GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+      // energy bands replayed closed-form from the band-marked synthesis:
+      // sample i = ((id*31 + i*7) % 16384 - 8192) · (3 if bit (8i+7)//n of
+      // id else 1), n = id%800+100
+      "qm_audio_dedup" ->
+        """WITH g AS (SELECT doc_id, doc_id % 800 + 100 AS n FROM documents),
+          |e AS (SELECT doc_id, n, list_transform(range(n), i ->
+          |      ((doc_id*31 + i*7) % 16384 - 8192) *
+          |      ((doc_id*31 + i*7) % 16384 - 8192) *
+          |      (CASE WHEN (doc_id >> ((i*8+7)//n)) & 1 = 1 THEN 9 ELSE 1 END)) AS en
+          |  FROM g),
+          |fp AS (SELECT doc_id, list_aggregate(list_transform(range(8), b ->
+          |      CASE WHEN
+          |        list_sum(en[b*n//8 + 1 : (b+1)*n//8]) * n >=
+          |        list_sum(en) * ((b+1)*n//8 - b*n//8)
+          |      THEN '1' ELSE '0' END), 'string_agg', '') AS afp
+          |  FROM e)
+          |SELECT afp, count(*) AS n_clips, min(doc_id) AS keep_id
+          |FROM fp GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
 
       // same x-invariance reduction as qm_image_dedup, per sampled frame;
       // the video hash is md5 over the frame bit strings in frame order

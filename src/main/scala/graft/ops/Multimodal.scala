@@ -351,6 +351,100 @@ object Multimodal {
     }(Encoders.row(AudioDecodedSchema))
   }
 
+  /** Band-marked audio synthesis for the fingerprint gate: sample i is
+    * the LCG base tone (±8192 here, so a ×3 burst stays within 16-bit)
+    * AMPLIFIED ×3 whenever the clip's time band `(8i+7)/n` has the
+    * corresponding bit of `doc_id` set. The plain [[audioPayload]] LCG
+    * noise has a flat energy profile — every clip fingerprints
+    * identically — so this marks each clip with a genuine 8-band energy
+    * signature ([[audioFingerprint]] recovers `doc_id & 0xFF` for
+    * non-zero masks: a 9× band always clears the mean, a 1× band never
+    * does once any burst exists).
+    */
+  def audioPayloadMarked(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    df.mapPartitions { it =>
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(AudioRate.toFloat, 16, 1, true, false)
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val n = (id % 800 + 100).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val base = (((id * 31 + i.toLong * 7) % 16384) - 8192).toInt
+          val mult = if (((id >> ((i * 8 + 7) / n)) & 1L) == 1L) 3 else 1
+          val s = base * mult
+          pcm(2 * i) = (s & 0xFF).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Audio perceptual fingerprint from REAL-decoded samples — the
+    * energy-profile analogue of [[aHashBits]]: the decoded PCM stream is
+    * split into 8 time bands (same `floor(k·n/8)` edges / inverse-index
+    * math as the image blocks), per-band ENERGY (sum of squares) compares
+    * against the global mean by exact integer cross-multiplication
+    * (`bandEnergy·n ≥ total·bandLen`, operands < 2^63 for 16-bit samples
+    * at any realistic clip length), giving an 8-char bit string. Grouping
+    * by it is the coarse audio dedup tier. Map-only decode per clip.
+    */
+  def audioFingerprint(payloads: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val idIdx = payloads.schema.fieldIndex(idCol)
+    val pIdx = payloads.schema.fieldIndex("payload")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("afp", org.apache.spark.sql.types.StringType,
+        nullable = false)))
+    payloads.mapPartitions { it =>
+      import javax.sound.sampled._
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"unexpected WAV format for $idCol=$id: $fmt")
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          val band = new Array[Long](8)
+          var total = 0L
+          var i = 0
+          while (i < n) {
+            val s = ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1).toInt << 8))
+              .toShort.toLong
+            val e = s * s
+            band((i * 8 + 7) / n) += e
+            total += e
+            i += 1
+          }
+          val sb = new java.lang.StringBuilder(8)
+          var b = 0
+          while (b < 8) {
+            val i0 = b * n / 8; val i1 = (b + 1) * n / 8
+            sb.append(if (band(b) * n >= total * (i1 - i0)) '1' else '0')
+            b += 1
+          }
+          Row(id, n.toLong, sb.toString)
+        } finally ais.close()
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Cheap expression-level "thumbnail": first n payload bytes (what a real
     * resize would replace); stays in codegen.
     */

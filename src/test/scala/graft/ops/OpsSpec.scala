@@ -356,6 +356,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got.groupBy(_._3).exists(_._2.length > 1))
   }
 
+  test("multimodal: audio fingerprint recovers the band mask from marked " +
+      "clips; flat LCG noise is pinned degenerate") {
+    val ids = spark.range(1, 100, 1, 4).select($"id".as("doc_id"))
+    val marked = Multimodal.audioFingerprint(
+        Multimodal.audioPayloadMarked(ids))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    (1L until 100L).foreach { id =>
+      // a 9x band always clears the mean; a 1x band never does once any
+      // burst exists — so the fingerprint IS the low byte of the id
+      val expected = (0 until 8).map(b =>
+        if (((id >> b) & 1L) == 1L) '1' else '0').mkString
+      assert(marked(id) == expected, s"id=$id")
+    }
+    // the unmarked synthesis has a flat energy profile: every clip lands
+    // in one bucket (why the gate uses the marked synthesis)
+    val flat = Multimodal.audioFingerprint(Multimodal.audioPayload(ids))
+      .select("afp").distinct().count()
+    assert(flat == 1L)
+  }
+
   test("multimodal: real WAV round trip through javax.sound.sampled") {
     val ids = spark.range(0, 50, 1, 4).select($"id".as("doc_id"))
     val p = Multimodal.audioPayload(ids)
