@@ -757,34 +757,44 @@ object SparkEntry {
     * the exact same values, per-term contributions quantized to micro-unit
     * BIGINTs before the (exact, integer) sum.
     */
-  private def bm25OracleSql: String = {
-    val k1 = Ranking.K1; val b = Ranking.B
-    val kp1 = k1 + 1.0; val omb = 1.0 - b
+  private def bm25OracleSql: String =
+    s"""WITH ${bm25CoreCtes("")}
+       |SELECT doc_id, dl,
+       |  ${bm25ContribsSql} AS bm25_micro
+       |FROM base, stats
+       |ORDER BY bm25_micro DESC, doc_id
+       |LIMIT 25""".stripMargin
+
+  /** The tok/base/stats CTE chain of the BM25 oracle (no leading WITH),
+    * with an optional doc filter — shared by qt_bm25 and the hybrid
+    * fusion oracle so the arithmetic can never drift between gates.
+    */
+  private def bm25CoreCtes(where: String): String = {
     val tfs = Bm25Terms.map(q =>
       s"len(list_filter(toks, x -> x = '$q')) AS tf_$q").mkString(",\n    ")
     val dfs = Bm25Terms.map(q =>
       s"sum(CASE WHEN tf_$q > 0 THEN 1 ELSE 0 END) AS df_$q").mkString(",\n    ")
-    val contribs = Bm25Terms.map { q =>
+    s"""tok AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+       |  FROM documents $where),
+       |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |    $tfs
+       |  FROM tok),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |    $dfs
+       |  FROM base)""".stripMargin
+  }
+
+  private def bm25ContribsSql: String = {
+    val k1 = Ranking.K1; val b = Ranking.B
+    val kp1 = k1 + 1.0; val omb = 1.0 - b
+    Bm25Terms.map { q =>
       s"CAST(round((ln((CAST(n_docs AS DOUBLE) - CAST(df_$q AS DOUBLE) + 0.5)" +
         s" / (CAST(df_$q AS DOUBLE) + 0.5) + 1.0)" +
         s" * (CAST(tf_$q AS DOUBLE) * $kp1 / (CAST(tf_$q AS DOUBLE)" +
         s" + $k1 * ($omb + $b * CAST(dl AS DOUBLE)" +
         s" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) * 1000000.0) AS BIGINT)"
     }.mkString("\n  + ")
-    s"""WITH tok AS (SELECT doc_id,
-       |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
-       |  FROM documents),
-       |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-       |    $tfs
-       |  FROM tok),
-       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
-       |    $dfs
-       |  FROM base)
-       |SELECT doc_id, dl,
-       |  $contribs AS bm25_micro
-       |FROM base, stats
-       |ORDER BY bm25_micro DESC, doc_id
-       |LIMIT 25""".stripMargin
   }
 
   private def opsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1644,6 +1654,15 @@ object SparkEntry {
 
     "qs_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+
+    "qs_hybrid_rrf" -> ((s, dir) =>
+      // hybrid lexical+vector retrieval by reciprocal-rank fusion: the
+      // BM25 top-50 and cosine top-50 lists fuse by Σ round(1e6/(60+rank))
+      // — rank-based (no cross-modality score calibration), exact-integer
+      // fused score in both engines. Fusion runs on 2n rows; each side's
+      // candidate scan is the respective operator's established cost.
+      Ranking.hybridRrfTopK(t(s, dir, "documents"), t(s, dir, "embeddings"),
+        Bm25Terms, queryId = 0L, k = 20)),
 
     "qs_rand_proj" -> ((s, dir) =>
       // JL random projection prefilter: rank 16 scaled-integer
@@ -2706,12 +2725,13 @@ object SparkEntry {
          |     ELSE 'unknown' END""".stripMargin
 
     // cosine plumbing over quantized embeddings
-    val quantCte =
-      """WITH q AS (SELECT vec_id, label,
+    val quantCteBody =
+      """q AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qe
         |  FROM embeddings),
         |n AS (SELECT vec_id, label, qe,
         |  list_reduce(list_transform(qe, x -> x*x), (a,b) -> a+b) AS nrm FROM q)""".stripMargin
+    val quantCte = "WITH " + quantCteBody
     val dotAB = "list_reduce(list_transform(list_zip(a.qe,b.qe), t -> t[1]*t[2]), (x,y) -> x+y)"
 
     val planeLits = (0 until Similarity.NumPlanes).map { p =>
@@ -3057,6 +3077,36 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin,
 
       "qt_bm25" -> bm25OracleSql,
+
+      // hybrid fusion: the bm25 core CTEs (query doc excluded) + the
+      // quantized-cosine CTEs, each ranked top-50, full-outer fused by
+      // integer micro-reciprocals (no .5 rounding hazard: a half would
+      // need a 2^7 factor in 60+rank, impossible at rank <= 50)
+      "qs_hybrid_rrf" -> {
+        val cos = "list_reduce(list_transform(list_zip(a.qe, qq.qe), " +
+          "t -> t[1]*t[2]), (x,y) -> x+y) / (sqrt(a.nrm)*sqrt(qq.nrm))"
+        s"""WITH ${bm25CoreCtes("WHERE doc_id <> 0")},
+           |sc AS (SELECT doc_id, $bm25ContribsSql AS bm25_micro FROM base, stats),
+           |tl AS (SELECT doc_id,
+           |    row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS text_rank
+           |  FROM sc ORDER BY bm25_micro DESC, doc_id LIMIT 50),
+           |${quantCteBody},
+           |qq AS (SELECT qe, nrm FROM n WHERE vec_id = 0),
+           |vsc AS (SELECT a.vec_id AS doc_id, $cos AS score
+           |  FROM n a, qq WHERE a.vec_id <> 0),
+           |vl AS (SELECT doc_id,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS vec_rank
+           |  FROM vsc ORDER BY score DESC, doc_id LIMIT 50),
+           |f AS (SELECT coalesce(tl.doc_id, vl.doc_id) AS doc_id,
+           |    tl.text_rank, vl.vec_rank
+           |  FROM tl FULL OUTER JOIN vl ON tl.doc_id = vl.doc_id)
+           |SELECT doc_id, CAST(text_rank AS BIGINT) AS text_rank,
+           |  CAST(vec_rank AS BIGINT) AS vec_rank,
+           |  coalesce(CAST(round(1000000.0/(60 + text_rank)) AS BIGINT), 0)
+           |    + coalesce(CAST(round(1000000.0/(60 + vec_rank)) AS BIGINT), 0)
+           |    AS rrf_micro
+           |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin
+      },
 
       "qd_dedup_keep" ->
         """SELECT min(doc_id) AS doc_id FROM documents

@@ -84,4 +84,51 @@ object Ranking {
     bm25Scores(docs, terms, idCol, textCol, k1, b)
       .orderBy(col("bm25_micro").desc, col(idCol))
       .limit(k)
+
+  /** Hybrid retrieval by reciprocal-rank fusion — the modern
+    * lexical+vector shape: the BM25 top-`n` list and the embedding-cosine
+    * top-`n` list fuse by `Σ round(10^6 / (kRrf + rank))`, so a doc
+    * strong in either modality surfaces and a doc present in both
+    * dominates. RRF is deliberately RANK-based: fusing raw scores would
+    * need cross-modality calibration, while ranks are integers and the
+    * per-rank reciprocal is one correctly-rounded division — the fused
+    * score is exact-integer in every engine.
+    *
+    * Scale shape: both candidate lists are top-`n` TakeOrdered results
+    * (each side's full-corpus scan is the respective operator's cost);
+    * ranking and fusion happen on 2n rows — the single-partition window
+    * is n-bounded by construction, never corpus-bounded. `docs` ids and
+    * `emb.vec_id` must share the id space (the fixture contract);
+    * `queryId` is excluded from both lists.
+    *
+    * Output: (idCol, text_rank, vec_rank, rrf_micro) — ranks null when
+    * the doc is absent from that list, ordered by fused score desc, id.
+    */
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryId: Long, k: Int, n: Int = 50, kRrf: Int = 60,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the fused union holds up to 2n docs (each list can contribute n
+    // disjoint members)
+    require(k <= 2 * n, s"k=$k exceeds the fused candidate bound 2n=${2 * n}")
+    val tList = bm25TopK(docs.filter(col(idCol) =!= queryId), terms, n,
+        idCol, textCol)
+      .withColumn("text_rank", row_number().over(
+        Window.orderBy(col("bm25_micro").desc, col(idCol))))
+      .select(col(idCol), col("text_rank"))
+    val vList = graft.ops.Similarity.bruteForceTopK(emb, queryId, n)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id"))))
+      .select(col("vec_id").as(idCol), col("vec_rank"))
+    def rrf(rank: Column) = round(lit(1e6) / (lit(kRrf) + rank.cast("double")))
+      .cast("long")
+    tList.join(vList, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        col("text_rank").cast("long").as("text_rank"),
+        col("vec_rank").cast("long").as("vec_rank"),
+        (coalesce(rrf(col("text_rank")), lit(0L)) +
+          coalesce(rrf(col("vec_rank")), lit(0L))).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -44,6 +44,44 @@ class RankingSpec extends AnyFunSuite {
     assert(top.tail == Seq(10L, 11L), s"tie broken by id: $top")
   }
 
+  test("hybridRrfTopK fuses rank lists; both-modality docs dominate; " +
+      "query id excluded") {
+    import spark.implicits._
+    // docs 1..6; query doc 0. Text relevance favors 1,2,3 (term hits);
+    // vectors put 2 and 4 nearest to doc 0 — doc 2 is strong in BOTH.
+    val docs = Seq(
+      (0L, "spark spark query"), (1L, "spark spark spark engine"),
+      (2L, "spark engine fast"), (3L, "spark code"),
+      (4L, "unrelated words here"), (5L, "more unrelated text"),
+      (6L, "nothing matching at all")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(-1.0f, 0.0f)), (4L, Seq(1.0f, 0.1f)), (5L, Seq(0.0f, -1.0f)),
+      (6L, Seq(-0.5f, -0.5f))).toDF("vec_id", "embedding")
+    val out = Ranking.hybridRrfTopK(docs, emb, Seq("spark"), queryId = 0L,
+        k = 6, n = 4)
+      .select("doc_id", "text_rank", "vec_rank", "rrf_micro")
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toSeq
+    assert(!out.exists(_._1 == 0L), "query doc never in the result")
+    val byId = out.map(r => r._1 -> r).toMap
+    // doc 2 is present in both lists, and the winner is always a
+    // both-modality doc (two reciprocals beat any single one at n=4)
+    assert(byId(2L)._2.nonEmpty && byId(2L)._3.nonEmpty)
+    assert(out.head._2.nonEmpty && out.head._3.nonEmpty,
+      s"a both-modality doc must rank first: $out")
+    // and every both-modality doc outranks every single-modality doc
+    val (both, single) = out.partition(r => r._2.nonEmpty && r._3.nonEmpty)
+    assert(both.map(_._4).min > single.map(_._4).max, s"$out")
+    // fused score is exactly the sum of the micro-reciprocals
+    out.foreach { case (_, tr, vr, s) =>
+      def r(o: Option[Long]) = o.map(x => math.round(1e6 / (60 + x))).getOrElse(0L)
+      assert(s == r(tr) + r(vr))
+    }
+    intercept[IllegalArgumentException] {
+      Ranking.hybridRrfTopK(docs, emb, Seq("spark"), 0L, k = 9, n = 4)
+    }
+  }
+
   test("plan: no explode, one stats shuffle, broadcast join, TakeOrdered") {
     import spark.implicits._
     val docs = Seq.tabulate(100)(i => (i.toLong, s"a b c d$i")).toDF("doc_id", "text")
