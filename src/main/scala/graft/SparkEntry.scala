@@ -1136,6 +1136,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qp_dataset_card" -> ((s, dir) => {
+      // the dataset card — the per-slice datasheet published with every
+      // corpus release: docs, tokens, exact-dup count, quality mass per
+      // (lang, source). ONE pass: codegen'd per-doc features into a
+      // single hash aggregation (exact-dup count via n_docs −
+      // approx-free distinct signatures, quality in exact integer
+      // micro-units so aggregation order can't move low bits).
+      t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("lang"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          md5(col("text")).as("sig"),
+          (round(TextAnalysis.qualityScore(col("text")) * 1e6))
+            .cast("long").as("q_micro"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          (count(lit(1)) - countDistinct(col("sig"))).as("n_exact_dups"),
+          sum(col("q_micro")).as("quality_micro"))
+        .orderBy("lang", "source")
+    }),
+
     "qp_jsonl_ingest" -> ((s, dir) => {
       // JSONL round-trip — the corpus interchange format of every LLM data
       // pipeline: stage documents as JSON-lines once per JVM, re-ingest
@@ -3317,6 +3339,15 @@ object SparkEntry {
            |SELECT doc_id, count(*) AS n_hits
            |FROM tr JOIN ev USING (sh)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "qp_dataset_card" ->
+        s"""SELECT lang, source, count(*) AS n_docs,
+           |  CAST(sum(len($toks)) AS BIGINT) AS sum_tokens,
+           |  count(*) - count(DISTINCT md5(text)) AS n_exact_dups,
+           |  CAST(sum(CAST(round(($qualitySql) * 1000000.0) AS BIGINT)) AS BIGINT)
+           |    AS quality_micro
+           |FROM documents WHERE length(trim(text)) > 0
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "qp_leakage_report" ->
         s"""WITH tk AS (SELECT doc_id, ${h("text")} % 20 = 1 AS is_eval, $toks w FROM documents),
