@@ -1180,24 +1180,37 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftshim.Shims
-    val ev = evalKeys.select(col(keyCol)).distinct()
-    val bloomAgg = Shims.column(new BloomFilterAggregate(
-      Shims.expression(xxhash64(col(keyCol))),
-      Literal(expectedEvalKeys), Literal(numBits), 0, 0)
-      .toAggregateExpression())
-    // one row, numBits/8 bytes — driver-sized by parameter
-    val bloomBytes = ev.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
-    if (bloomBytes == null)
-      // empty eval set: no contamination, keep the output schema
-      return trainKeys.select(col(idCol)).limit(0)
-        .withColumn("n_hits", lit(0L))
-    val mightContain = Shims.column(BloomFilterMightContain(
-      Literal.create(bloomBytes,
-        org.apache.spark.sql.types.BinaryType),
-      Shims.expression(xxhash64(col(keyCol)))))
-    trainKeys.filter(mightContain)
-      .join(broadcast(ev), keyCol)
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    // the eval key set feeds TWO consumers (the bloom-build aggregation
+    // and the confirm join's broadcast side) — persist it so deriving it
+    // (at gate shape: a full-corpus hash filter + shingle explode) runs
+    // once, not twice; the bloom collect below materializes the cache.
+    // Caller contract mirrors fuzzyDecontaminate: the small persisted
+    // relation is released here once the RESULT is materialized.
+    val ev = evalKeys.select(col(keyCol)).distinct().persist()
+    try {
+      val bloomAgg = Shims.column(new BloomFilterAggregate(
+        Shims.expression(xxhash64(col(keyCol))),
+        Literal(expectedEvalKeys), Literal(numBits), 0, 0)
+        .toAggregateExpression())
+      // one row, numBits/8 bytes — driver-sized by parameter
+      val bloomBytes = ev.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+      if (bloomBytes == null)
+        // empty eval set: no contamination, keep the output schema
+        return trainKeys.select(col(idCol)).limit(0)
+          .withColumn("n_hits", lit(0L))
+      val mightContain = Shims.column(BloomFilterMightContain(
+        Literal.create(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        Shims.expression(xxhash64(col(keyCol)))))
+      val result = trainKeys.filter(mightContain)
+        .join(broadcast(ev), keyCol)
+        .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+        .persist()
+      // materialize before releasing ev (failure path releases result)
+      try result.count()
+      catch { case e: Throwable => result.unpersist(); throw e }
+      result
+    } finally { ev.unpersist(); () }
   }
 
   /** Dedup provenance ledger — the audit trail a production curation
@@ -1220,24 +1233,22 @@ object Dedup {
     */
   def dropLedger(docs: DataFrame, idCol: String, text: Column,
       threshold: Double = 0.4): DataFrame = {
-    val e = docs.select(col(idCol), text.as("_text"))
-      .withColumn("_esig", md5(col("_text")))
-    val ek = e.groupBy("_esig").agg(min(col(idCol)).as("_keeper"))
-    val ej = e.join(ek, "_esig")
-    val exactDrop = ej.filter(col(idCol) =!= col("_keeper"))
-      .select(col(idCol), lit("exact").as("reason"),
-        col("_keeper").as("keeper"))
-    val s1 = ej.filter(col(idCol) === col("_keeper"))
-      .select(col(idCol), col("_text"))
-
-    val b = s1.withColumn("_bsig", bowSignature(col("_text")))
-    val bk = b.groupBy("_bsig").agg(min(col(idCol)).as("_keeper"))
-    val bj = b.join(bk, "_bsig")
-    val bowDrop = bj.filter(col(idCol) =!= col("_keeper"))
-      .select(col(idCol), lit("bow").as("reason"),
-        col("_keeper").as("keeper"))
-    val s2 = bj.filter(col(idCol) === col("_keeper"))
-      .select(col(idCol), col("_text"))
+    // one signature tier: keeper = min id per sig; returns the ledger
+    // rows of this tier and its survivor set (the next tier's input)
+    def tier(in: DataFrame, sig: Column, reason: String)
+        : (DataFrame, DataFrame) = {
+      val signed = in.withColumn("_sig", sig)
+      val keepers = signed.groupBy("_sig").agg(min(col(idCol)).as("_keeper"))
+      val joined = signed.join(keepers, "_sig")
+      (joined.filter(col(idCol) =!= col("_keeper"))
+          .select(col(idCol), lit(reason).as("reason"),
+            col("_keeper").as("keeper")),
+        joined.filter(col(idCol) === col("_keeper"))
+          .select(col(idCol), col("_text")))
+    }
+    val base = docs.select(col(idCol), text.as("_text"))
+    val (exactDrop, s1) = tier(base, md5(col("_text")), "exact")
+    val (bowDrop, s2) = tier(s1, bowSignature(col("_text")), "bow")
 
     val pairs = minhashNearDups(s2, idCol, col("_text"), threshold)
     val comps = connectedComponents(pairs) // (id, comp), checkpointed

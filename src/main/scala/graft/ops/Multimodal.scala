@@ -142,26 +142,17 @@ object Multimodal {
     }(Encoders.row(ImageDecodedSchema))
   }
 
-  /** Average-hash (aHash) over REAL decoded pixels — the standard first
-    * tier of image deduplication: luma is block-summed into an 8×8 grid
-    * and each block compares against the global mean. The comparison is
-    * EXACT integer cross-multiplication (`blockSum·w·h ≥ total·bw·bh`,
-    * all operands < 2^35 — no float averaging, so two engines can never
-    * disagree on a boundary block), and the hash is surfaced as a
-    * 64-char bit string (a 64-bit long would go negative at bit 63 and
-    * overflow DuckDB's BIGINT power).
-    *
-    * Block edges are `floor(k·dim/8)` — ragged blocks at non-multiple
-    * sizes get the remainder rows/columns, matching the oracle's integer
-    * division. Per-partition real ImageIO decode like [[decodeImages]];
-    * grouping the output by `ahash` is exact perceptual dedup, the shape
-    * a 100 TB image corpus runs before any learned-embedding pass.
-    */
   /** 8×8 average-hash bits of one decoded image — shared by the image
     * and video dedup paths. 64-char bit string, row-major.
     */
   private def aHashBits(img: java.awt.image.BufferedImage): String = {
     val w = img.getWidth; val h = img.getHeight
+    // the exact cross-multiplied compare below needs blockSum·w·h < 2^63;
+    // blockSum ≤ 255·wh, so wh ≤ 2^27 (134 MP — beyond any real photo)
+    // keeps it safe. Larger inputs fail LOUDLY instead of silently
+    // wrapping negative and emitting a garbage hash.
+    require(w.toLong * h <= (1L << 27),
+      s"imageAHash: ${w}x$h exceeds 2^27 pixels; exact compare would overflow")
     val pixels = img.getRGB(0, 0, w, h, null, 0, w)
     // 8×8 integer block sums of luma ((r+g+b)/3, like decodeImages)
     val block = Array.ofDim[Long](8, 8)
@@ -200,6 +191,21 @@ object Multimodal {
     sb.toString
   }
 
+  /** Average-hash (aHash) over REAL decoded pixels — the standard first
+    * tier of image deduplication: luma is block-summed into an 8×8 grid
+    * and each block compares against the global mean. The comparison is
+    * EXACT integer cross-multiplication (`blockSum·w·h ≥ total·bw·bh`,
+    * all operands < 2^35 — no float averaging, so two engines can never
+    * disagree on a boundary block), and the hash is surfaced as a
+    * 64-char bit string (a 64-bit long would go negative at bit 63 and
+    * overflow DuckDB's BIGINT power).
+    *
+    * Block edges are `floor(k·dim/8)` — ragged blocks at non-multiple
+    * sizes get the remainder rows/columns, matching the oracle's integer
+    * division. Per-partition real ImageIO decode like [[decodeImages]];
+    * grouping the output by `ahash` is exact perceptual dedup, the shape
+    * a 100 TB image corpus runs before any learned-embedding pass.
+    */
   def imageAHash(payloads: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val idIdx = payloads.schema.fieldIndex(idCol)
     val pIdx = payloads.schema.fieldIndex("payload")

@@ -440,15 +440,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** Materialize the COMPRESSED partitioned ANN layout — the shape a
-    * 100 TB index actually stores: int8 codes (`array<tinyint>`, one
-    * byte per dimension), the per-vector scale and true squared norm,
-    * partitioned on disk by LSH sign-bucket. A probe reads only the
-    * probed directories AND only ~dims bytes + two longs per vector —
-    * the full float embeddings stay in the primary store, touched only
-    * for the shortlist rerank. No `qv` column on purpose: storing it
-    * would silently quadruple the scan the layout exists to shrink.
-    */
   /** The quantized-layout projection shared by the batch writer and the
     * streaming index maintainer: (vec_id, code `array<tinyint>`, scale m,
     * true norm², LSH sign-bucket).
@@ -462,6 +453,15 @@ object Similarity {
         col("m"), qnorm2(col("qv")).as("nrm2"),
         lshBucket(col("qv"), numPlanes = numPlanes).as("bucket"))
 
+  /** Materialize the COMPRESSED partitioned ANN layout — the shape a
+    * 100 TB index actually stores: int8 codes (`array<tinyint>`, one
+    * byte per dimension), the per-vector scale and true squared norm,
+    * partitioned on disk by LSH sign-bucket. A probe reads only the
+    * probed directories AND only ~dims bytes + two longs per vector —
+    * the full float embeddings stay in the primary store, touched only
+    * for the shortlist rerank. No `qv` column on purpose: storing it
+    * would silently quadruple the scan the layout exists to shrink.
+    */
   def writeLshQuantized(emb: DataFrame, path: String,
       numPlanes: Int = NumPlanes): Unit =
     quantizedLayoutRows(emb, numPlanes)

@@ -222,6 +222,24 @@ object TextAnalysis {
     * exactly-counted integers (oracle-identical). Blank docs are dropped;
     * single-token docs have no bigrams → `dup_bigram_frac` 0.0.
     */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val base = df.filter(length(trim(text)) > 0)
+      .select(col(idCol), tokens(text).as("_toks"))
+    val uni = base.select(col(idCol), explode(col("_toks")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(sum("c").as("n_tokens"), max("c").as("top_c"))
+    val bg = base.filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(Dedup.shinglesOfTokens(col("_toks"), 2)).as("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bg"), countDistinct(col("b")).as("n_bg_d"))
+    uni.join(bg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("top_c").cast("double") / col("n_tokens")).as("top_unigram_frac"),
+        coalesce(lit(1.0) - col("n_bg_d").cast("double") / col("n_bg"), lit(0.0))
+          .as("dup_bigram_frac"))
+  }
+
   /** Feature-hashed bag-of-words embedding (the HashingTF shape): token
     * hash residues bucket into `dims` counts — the cheap, vocabulary-free
     * text→vector bridge that feeds the similarity tier when no learned
@@ -241,22 +259,4 @@ object TextAnalysis {
   def hashEmbed(residues: Column, dims: Int): Seq[Column] =
     (0 until dims).map(j =>
       size(filter(residues, r => r === j)).cast("long").as(s"f$j"))
-
-  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
-      text: Column): org.apache.spark.sql.DataFrame = {
-    val base = df.filter(length(trim(text)) > 0)
-      .select(col(idCol), tokens(text).as("_toks"))
-    val uni = base.select(col(idCol), explode(col("_toks")).as("w"))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(sum("c").as("n_tokens"), max("c").as("top_c"))
-    val bg = base.filter(size(col("_toks")) >= 2)
-      .select(col(idCol), explode(Dedup.shinglesOfTokens(col("_toks"), 2)).as("b"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bg"), countDistinct(col("b")).as("n_bg_d"))
-    uni.join(bg, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        (col("top_c").cast("double") / col("n_tokens")).as("top_unigram_frac"),
-        coalesce(lit(1.0) - col("n_bg_d").cast("double") / col("n_bg"), lit(0.0))
-          .as("dup_bigram_frac"))
-  }
 }

@@ -51,11 +51,22 @@ case class UnicodeNormalize(child: Expression, form: String)
 }
 
 object UnicodeNormalize {
-  /** Codegen/eval helper: normalize with an allocation-free fast path
-    * when the input is already in the requested form (all-ASCII text
-    * always is, for every form).
+  /** Codegen/eval helper. The dominant corpus path — pure-ASCII text,
+    * which is normalized under every form — is detected on the RAW UTF-8
+    * bytes (one branchy scan, no String copy, no enum lookup), so it is
+    * genuinely allocation-free. Only non-ASCII rows pay the
+    * String materialization + `isNormalized` check + (rarely) the
+    * normalization itself.
     */
   def normalize(s: UTF8String, form: String): UTF8String = {
+    var i = 0
+    val n = s.numBytes
+    var ascii = true
+    while (ascii && i < n) {
+      if (s.getByte(i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
     val f = Normalizer.Form.valueOf(form)
     val j = s.toString
     if (Normalizer.isNormalized(j, f)) s
