@@ -824,6 +824,23 @@ object SparkEntry {
         (TextAnalysis.langId(col("text")) === col("lang")).as("is_match"))
     }),
 
+    "qt_epoch_shuffle" -> ((s, dir) => {
+      // deterministic per-epoch training order: position key =
+      // md5(epoch || doc_id) — a seeded reshuffle that needs NO stored
+      // permutation and reorders every epoch. At 100 TB this is a range
+      // partition + within-partition sort on a uniform key (how Spark
+      // sorts any volume); rand() would not be replayable and a stored
+      // permutation is another full table. Gate takes each epoch's first
+      // 10 docs — the head of the global order, a TakeOrdered.
+      val d = t(s, dir, "documents").select("doc_id")
+      val epochs = Seq(0, 1, 2).map { ep =>
+        val key = md5(concat(lit(s"ep$ep:"), col("doc_id").cast("string")))
+        d.select(lit(ep.toLong).as("epoch"), col("doc_id"), key.as("pos_key"))
+          .orderBy("pos_key").limit(10)
+      }
+      epochs.reduce(_ unionByName _).orderBy("epoch", "pos_key")
+    }),
+
     "qt_lang_confusion" -> ((s, dir) =>
       // language-ID audit: the confusion matrix of predicted vs labeled
       // language — the observability aggregation published with every
@@ -2822,6 +2839,18 @@ object SparkEntry {
            |  FROM documents),
            |m AS (SELECT *, $mx AS mx FROM c)
            |SELECT doc_id, $langPred AS lang_pred, ($langPred) = lang AS is_match FROM m""".stripMargin,
+
+      "qt_epoch_shuffle" ->
+        """WITH e AS (SELECT unnest(range(3)) AS epoch),
+          |k AS (SELECT e.epoch, d.doc_id,
+          |    md5('ep' || CAST(e.epoch AS VARCHAR) || ':' ||
+          |        CAST(d.doc_id AS VARCHAR)) AS pos_key
+          |  FROM e, documents d),
+          |r AS (SELECT epoch, doc_id, pos_key,
+          |    row_number() OVER (PARTITION BY epoch ORDER BY pos_key) AS rn
+          |  FROM k)
+          |SELECT epoch, doc_id, pos_key FROM r WHERE rn <= 10
+          |ORDER BY epoch, pos_key""".stripMargin,
 
       "qt_lang_confusion" ->
         s"""WITH c AS (SELECT doc_id, lang, length(text) AS len,
