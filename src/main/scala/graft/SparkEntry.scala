@@ -1370,6 +1370,24 @@ object SparkEntry {
         .orderBy("fold")
     }),
 
+    "qt_split_safe" -> ((s, dir) => {
+      // contamination-safe split: fold = hash of the near-dup COMPONENT
+      // representative, so twin documents can never straddle train/eval —
+      // the leak a doc-level hash split has by construction. n_cross (the
+      // count of verified near-dup pairs whose ends disagree on fold)
+      // rides every row as the purity witness: 0 here by construction,
+      // recomputed independently by the oracle's recursive closure.
+      val r = Dedup.contaminationSafeSplit(
+        t(s, dir, "documents"), "doc_id", col("text"))
+      try {
+        val fa = r.folds.select(col("doc_id").as("doc_a"), col("fold").as("fold_a"))
+        val fb = r.folds.select(col("doc_id").as("doc_b"), col("fold").as("fold_b"))
+        val nCross = r.pairs.join(fa, "doc_a").join(fb, "doc_b")
+          .filter(col("fold_a") =!= col("fold_b")).count()
+        r.folds.withColumn("n_cross", lit(nCross)).orderBy("doc_id")
+      } finally r.pairs.unpersist()
+    }),
+
     "qt_quality_topk" -> ((s, dir) => {
       // top-decile quality filter as a COUNT-fraction prefix: weight 1 +
       // fraction 1/10 is a distributed top-k (no global window, partitions
@@ -2922,6 +2940,30 @@ object SparkEntry {
            |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // same reachability closure as qd_components; representative =
+      // component label where one exists, else the doc's own id; fold =
+      // the shared md5 hash of the representative's decimal rendering.
+      // The scalar subquery recomputes the purity witness from the
+      // verified pairs — it must be 0, and hash-compares against the
+      // Spark side's independently counted lit column.
+      "qt_split_safe" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mp
+           |  UNION SELECT doc_b, doc_a FROM mp),
+           |reach(id, comp) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, r2.comp FROM edges e JOIN reach r2 ON e.dst = r2.id),
+           |comps AS (SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY 1),
+           |ff AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS rep,
+           |    ${h("CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)")} % 10 AS fold
+           |  FROM documents d LEFT JOIN comps c USING (doc_id))
+           |SELECT doc_id, rep, fold,
+           |  (SELECT count(*) FROM mp JOIN ff a ON mp.doc_a = a.doc_id
+           |     JOIN ff b ON mp.doc_b = b.doc_id
+           |   WHERE a.fold <> b.fold) AS n_cross
+           |FROM ff ORDER BY doc_id""".stripMargin),
 
       "qt_quality_topk" ->
         s"""WITH f AS (SELECT doc_id, lang,

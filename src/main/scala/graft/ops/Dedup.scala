@@ -684,6 +684,56 @@ object Dedup {
     } finally if (!ok) pairs.unpersist()
   }
 
+  /** Contamination-safe K-fold split: assign every document a fold such
+    * that near-duplicate COMPONENTS land wholly on one side. A doc-level
+    * hash split leaks evaluation data exactly here — two near-identical
+    * docs hash to different folds, one trains while its twin evaluates.
+    * The fix is to hash the component REPRESENTATIVE (the component's
+    * min id from [[connectedComponents]]; a doc outside any component
+    * represents itself), so fold purity holds by construction:
+    * same component ⇒ same representative ⇒ same fold.
+    *
+    * Scale shape: the pair graph and its closure are the existing banded
+    * machinery (pair-bounded, never all-pairs); the representative join
+    * touches only the ID PROJECTION of the corpus (the text column never
+    * rides the shuffle), and fold assignment is one map-only hash. The
+    * component relation is pair-graph-bounded — usually ≪ corpus — but
+    * can approach corpus size in a duplicate-saturated crawl, so it
+    * joins as an ordinary equi-join, never an unconditional broadcast
+    * (the documented opposite of the eval-side decontamination
+    * broadcasts).
+    *
+    * Same ownership contract as [[NearDupResult]]: the caller unpersists
+    * `pairs` (kept so callers can audit purity — count pairs whose ends
+    * disagree on fold — without rebuilding the minhash pipeline);
+    * `folds` is (idCol, rep, fold) with lineage over the checkpointed
+    * component labels.
+    */
+  final case class SafeSplitResult(folds: DataFrame, pairs: DataFrame)
+
+  /** See [[SafeSplitResult]]. */
+  def contaminationSafeSplit(df: DataFrame, idCol: String, text: Column,
+      nFolds: Int = 10, threshold: Double = 0.4,
+      bandCap: Int = BandBucketCap, maxIter: Int = 20): SafeSplitResult = {
+    require(nFolds > 0, s"nFolds must be positive, got $nFolds")
+    val pairs = minhashNearDups(df, idCol, text, threshold, bandCap)
+    var ok = false
+    try {
+      val comps = connectedComponents(pairs, maxIter)
+      val rep = df.select(col(idCol))
+        .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+        .withColumn("rep", coalesce(col("comp"), col(idCol)))
+        .drop("comp")
+      // md5Long is nonnegative (15 hex chars < 2^60), so plain % matches
+      // the oracle's %; the rep hashes via its DECIMAL STRING rendering,
+      // identical across engines (same qt_split_grouped reasoning)
+      val folds = rep.withColumn("fold",
+        TextAnalysis.md5Long(col("rep").cast("string")) % nFolds)
+      ok = true
+      SafeSplitResult(folds, pairs)
+    } finally if (!ok) pairs.unpersist()
+  }
+
   /** Duplicated-span detection — the exact-substring dedup shape
     * (dedup-train-data's "remove any substring appearing more than once"
     * policy, reduced to word n-grams): every position whose n-token gram

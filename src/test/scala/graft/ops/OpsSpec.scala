@@ -97,6 +97,60 @@ class OpsSpec extends AnyFunSuite {
     assert(unbounded.nonEmpty && unbounded == capped)
   }
 
+  test("contamination-safe split: components share folds; witness is zero") {
+    val r = Dedup.contaminationSafeSplit(docs, "doc_id", col("text"), nFolds = 4)
+    try {
+      val folds = r.folds.collect()
+        .map(row => row.getAs[Long]("doc_id") ->
+          (row.getAs[Long]("rep"), row.getAs[Long]("fold"))).toMap
+      assert(folds.keySet == Set(1L, 2L, 3L, 4L, 5L)) // every doc, exactly once
+      val pairs = r.pairs.collect().map(p => (p.getLong(0), p.getLong(1)))
+      assert(pairs.nonEmpty)
+      pairs.foreach { case (a, b) =>
+        assert(folds(a) == folds(b), s"pair ($a,$b) straddles folds")
+      }
+      val inComp = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      folds.foreach { case (id, (rep, fold)) =>
+        if (!inComp(id)) assert(rep == id) // singletons represent themselves
+        assert(fold >= 0 && fold < 4)
+      }
+      // deterministic: an independent second run reproduces the assignment
+      val r2 = Dedup.contaminationSafeSplit(docs, "doc_id", col("text"), nFolds = 4)
+      try {
+        val again = r2.folds.collect()
+          .map(row => row.getAs[Long]("doc_id") ->
+            (row.getAs[Long]("rep"), row.getAs[Long]("fold"))).toMap
+        assert(again == folds)
+      } finally r2.pairs.unpersist()
+    } finally r.pairs.unpersist()
+  }
+
+  test("contamination-safe split: transitive chains land on one fold") {
+    // sliding 42-word windows shifted by 2: adjacent windows verify at
+    // trigram jaccard 38/42 ≈ 0.905, the endpoints only at 36/44 ≈ 0.818
+    // — threshold 0.85 keeps A~B and B~C but drops A~C, so the component
+    // (not any direct pair) is what co-assigns A and C
+    val w = (1 to 46).map(i => s"word$i")
+    val chain = Seq(
+      (1L, w.slice(0, 42).mkString(" ")),
+      (2L, w.slice(2, 44).mkString(" ")),
+      (3L, w.slice(4, 46).mkString(" ")),
+      (9L, "entirely unrelated content about something else altogether")
+    ).toDF("doc_id", "text")
+    val r = Dedup.contaminationSafeSplit(chain, "doc_id", col("text"),
+      nFolds = 7, threshold = 0.85)
+    try {
+      val pairSet = r.pairs.collect().map(p => (p.getLong(0), p.getLong(1))).toSet
+      assert(pairSet == Set((1L, 2L), (2L, 3L))) // no direct 1-3 edge
+      val folds = r.folds.collect()
+        .map(row => row.getAs[Long]("doc_id") ->
+          (row.getAs[Long]("rep"), row.getAs[Long]("fold"))).toMap
+      assert(folds(1L)._1 == 1L && folds(2L)._1 == 1L && folds(3L)._1 == 1L)
+      assert(folds(1L)._2 == folds(3L)._2) // transitively co-assigned
+      assert(folds(9L)._1 == 9L)
+    } finally r.pairs.unpersist()
+  }
+
   test("connected components: chains collapse to min label across iterations") {
     // 1-2-3-4-5 is a diameter-4 chain — label 1 must propagate hop by hop
     // (exercises the iteration loop, not just one join round)
