@@ -1038,6 +1038,22 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "qt_shard_pack" -> ((s, dir) => {
+      // token-budget output sharding in ONE deterministic global order
+      // (the epoch-shuffle key): shard = floor(preceding-cum / 2000),
+      // computed by the two-pass prefix — no global window (qt_packing's
+      // shape parallelizes per language; this is the final
+      // write-the-corpus-as-shards pass, one total order at any volume).
+      // Shard id is exact long arithmetic in the pass-2 fold.
+      val d = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("k"))
+      graft.ops.CorpusSelect.shardAssign(d, "n_tokens", 2000L,
+          Seq(col("k"), col("doc_id")), cumCol = "cum_tokens")
+        .drop("k").orderBy("doc_id")
+    }),
+
     "qp_decontaminate" -> ((s, dir) => {
       // eval-set decontamination — the standard pre-training pass: find
       // train docs sharing any word-trigram shingle with a held-out eval
@@ -2940,6 +2956,18 @@ object SparkEntry {
            |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "qt_shard_pack" ->
+        s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+           |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS k
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |c AS (SELECT doc_id, n_tokens,
+           |    sum(n_tokens) OVER (ORDER BY k, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           |  FROM d)
+           |SELECT doc_id, n_tokens, cum_tokens,
+           |  (cum_tokens - n_tokens) // 2000 AS shard
+           |FROM c ORDER BY doc_id""".stripMargin,
 
       // same reachability closure as qd_components; representative =
       // component label where one exists, else the doc's own id; fold =

@@ -351,9 +351,37 @@ object CorpusSelect {
     rescored.unionByName(carried)
   }
 
+  /** Token-budget shard assignment — the "write the corpus as ~B-token
+    * shards in one deterministic global order" output shape. Every row
+    * gets `shardCol` = floor(preceding-cum / shardBudget): boundaries
+    * fall where the PRECEDING cumulative weight crosses a budget
+    * multiple, so a document never splits across shards, shard ids are
+    * contiguous from 0, and each shard holds at most `shardBudget` plus
+    * one straddling document's weight.
+    *
+    * Same two-pass prefix machinery as [[budgetPrefix]] with the budget
+    * resolved to the grand total (nothing filtered): a global total
+    * order WITHOUT a global window — `sum(w) OVER (ORDER BY …)` funnels
+    * every row through one running-sum task at 100 TB, and qt_packing's
+    * per-group window parallelizes only across groups. The shard id is
+    * exact long arithmetic inside the pass-2 fold (no double division
+    * anywhere), emitted alongside `cumCol`.
+    *
+    * Persisted + materialized per the object contract (caller
+    * unpersists).
+    */
+  def shardAssign(df: DataFrame, weightCol: String, shardBudget: Long,
+      order: Seq[Column], cumCol: String = "cum_weight",
+      shardCol: String = "shard", numPartitions: Int = 0): DataFrame = {
+    require(shardBudget > 0, s"shardBudget must be positive, got $shardBudget")
+    prefixCore(df, weightCol, order, cumCol, numPartitions, identity,
+      Seq(shardCol -> ((cum: Long, w: Long) => (cum - w) / shardBudget)))
+  }
+
   private def prefixCore(df: DataFrame, weightCol: String,
       order: Seq[Column], cumCol: String, numPartitions: Int,
-      resolveBudget: Long => Long): DataFrame = {
+      resolveBudget: Long => Long,
+      extras: Seq[(String, (Long, Long) => Long)] = Nil): DataFrame = {
     val spark = df.sparkSession
     // "spark.sql.shuffle.partitions" may legitimately be non-numeric
     // ("auto" under some AQE distributions) — fall back to cluster
@@ -363,8 +391,10 @@ object CorpusSelect {
         .getOrElse(spark.sparkContext.defaultParallelism)
     require(df.schema(weightCol).dataType == LongType,
       s"$weightCol must be LongType (exact token counts); cast upstream")
-    require(!df.columns.contains(cumCol),
-      s"output column '$cumCol' already exists in the input")
+    (cumCol +: extras.map(_._1)).foreach { n =>
+      require(!df.columns.contains(n),
+        s"output column '$n' already exists in the input")
+    }
     val wIdx = df.schema.fieldIndex(weightCol)
 
     // persist, NOT localCheckpoint: both passes must see identical range
@@ -402,7 +432,10 @@ object CorpusSelect {
     // Pass 2: skip partitions already past the budget (strictly past —
     // carry-in == budget still admits zero-weight rows); fold the rest
     // locally, stopping at the first row over budget.
-    val schema = df.schema.add(cumCol, LongType, nullable = false)
+    val schema = extras.foldLeft(df.schema.add(cumCol, LongType, nullable = false)) {
+      case (s, (n, _)) => s.add(n, LongType, nullable = false)
+    }
+    val extraFns = extras.map(_._2)
     val selected = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (bc.value(pid) > budget) Iterator.empty[Row]
       else {
@@ -411,7 +444,7 @@ object CorpusSelect {
           run += r.getLong(wIdx)
           (run, r)
         }.takeWhile(_._1 <= budget).map { case (cum, r) =>
-          Row.fromSeq(r.toSeq :+ cum)
+          Row.fromSeq(r.toSeq ++ (cum +: extraFns.map(_(cum, r.getLong(wIdx)))))
         }
       }
     }

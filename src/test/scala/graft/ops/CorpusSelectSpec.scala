@@ -50,6 +50,44 @@ class CorpusSelectSpec extends AnyFunSuite {
     assert(run(rows, 10L, 3).map(_._1) == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("shardAssign matches the window oracle and is partition-invariant") {
+    val budget = 20L
+    val expected = {
+      // reference: global running sum, shard = preceding-cum / budget
+      var cum = 0L
+      corpus.sortBy(_._1).map { case (id, w) =>
+        val before = cum; cum += w
+        (id, w, cum, before / budget)
+      }
+    }
+    for (p <- Seq(1, 3, 8)) {
+      val got = CorpusSelect.shardAssign(corpus.toDF("id", "w"), "w", budget,
+          Seq(col("id").asc), cumCol = "cum", numPartitions = p)
+        .orderBy("id").select("id", "w", "cum", "shard")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == expected, s"parts=$p")
+    }
+  }
+
+  test("shardAssign: every row assigned, shards contiguous, fill bounded " +
+      "by budget + one straddler") {
+    val budget = 17L
+    val r = CorpusSelect.shardAssign(corpus.toDF("id", "w"), "w", budget,
+        Seq(col("id").asc), numPartitions = 5)
+      .select("id", "w", "shard").as[(Long, Long, Long)].collect().toSeq
+    assert(r.map(_._1).sorted == corpus.map(_._1).sorted) // nothing filtered
+    val shards = r.map(_._3).distinct.sorted
+    assert(shards == (0L until shards.length)) // contiguous from 0
+    val maxW = corpus.map(_._2).max
+    r.groupBy(_._3).foreach { case (sid, rows) =>
+      val fill = rows.map(_._2).sum
+      assert(fill <= budget + maxW, s"shard $sid overfilled: $fill")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusSelect.shardAssign(corpus.toDF("id", "w"), "w", 0L, Seq(col("id")))
+    }
+  }
+
   test("rejects non-long weight column") {
     val df = Seq((1L, 1.5)).toDF("id", "w")
     assertThrows[IllegalArgumentException] {
