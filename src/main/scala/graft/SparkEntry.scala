@@ -1807,6 +1807,25 @@ object SparkEntry {
       Similarity.quantizedTopKPruned(s, lay, qv, excludeId = 0L, k = 5)
     }),
 
+    "qs_ivf_pq" -> ((s, dir) => {
+      // the full FAISS-IVFPQ index shape: inverted lists as cent_id
+      // partition dirs, each vector stored as 8 RESIDUAL PQ codes + one
+      // norm (no vector column); the probe prunes to 2 lists and scores
+      // ⟨q,v⟩ ≈ ⟨q,c⟩ + residual-ADC — literal table lookups over ~8
+      // bytes of I/O per vector. Residual codebook stride-sampled
+      // (the pqCodebook first-k lesson).
+      val emb = t(s, dir, "embeddings")
+      val lay = stagedInput("qivfpq", dir) { p =>
+        Similarity.writeIvfPq(emb, p, stride = 31L)
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+        ()
+      }
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(Similarity.quantize(col("embedding")).as("qv"))
+        .collect().head.getSeq[Long](0)
+      Similarity.ivfPqTopKPruned(s, lay, qv, excludeId = 0L, k = 10)
+    }),
+
     "qs_ivf_pruned" -> ((s, dir) => {
       // IVF analogue: inverted lists as cent_id partitions + stored
       // codebook; driver-side probe pick (bit-identical cosine), pruned
@@ -3735,6 +3754,59 @@ object SparkEntry {
            |FROM n a JOIN adc ON adc.vec_id = a.vec_id CROSS JOIN qq
            |WHERE a.vec_id <> 0
            |ORDER BY approx_score DESC, a.vec_id LIMIT 10""".stripMargin),
+
+      // full IVFPQ replay: coarse assign (qs_ivf_topk's CTEs) →
+      // residuals → stride-31 residual codebook → per-subspace argmin
+      // codes → 2-list probe → score = (residual ADC + ⟨q,c⟩) over both
+      // true norms. Exact-integer until the final division, like the
+      // Spark side.
+      "qs_ivf_pq" -> (quantCte +
+        s""",
+           |cents AS (SELECT vec_id AS cent_id, qe AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+           |scored AS (SELECT n.vec_id, n.qe, n.nrm, cents.cent_id,
+           |    list_reduce(list_transform(list_zip(n.qe, cents.cv), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(n.nrm)*sqrt(cents.cnrm)) AS cc
+           |  FROM n CROSS JOIN cents),
+           |assigned AS (SELECT vec_id, qe, nrm, cent_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id) AS rn
+           |  FROM scored) WHERE rn = 1),
+           |resid AS (SELECT a.vec_id, a.nrm, a.cent_id,
+           |    list_transform(list_zip(a.qe, c.cv), t -> t[1]-t[2]) AS res
+           |  FROM assigned a JOIN cents c USING (cent_id)),
+           |rng AS (SELECT unnest(range(8)) AS s),
+           |pqc AS (SELECT r.vec_id // 31 AS c, g.s, r.res[g.s*8+1 : g.s*8+8] AS pv
+           |  FROM resid r, rng g WHERE r.vec_id % 31 = 0 AND r.vec_id < 496),
+           |rsub AS (SELECT r.vec_id, g.s, r.res[g.s*8+1 : g.s*8+8] AS sv FROM resid r, rng g),
+           |dist AS (SELECT rsub.vec_id, rsub.s, pqc.c,
+           |    list_reduce(list_transform(list_zip(rsub.sv, pqc.pv),
+           |      t -> (t[1]-t[2])*(t[1]-t[2])), (x,y) -> x+y) AS d
+           |  FROM rsub JOIN pqc ON rsub.s = pqc.s),
+           |codes AS (SELECT vec_id, s, c FROM (
+           |  SELECT vec_id, s, c,
+           |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+           |    FROM dist) WHERE rn = 1),
+           |qq AS (SELECT qe, nrm FROM n WHERE vec_id = 0),
+           |qsub AS (SELECT g.s, qq.qe[g.s*8+1 : g.s*8+8] AS qs FROM qq, rng g),
+           |probes AS (SELECT cent_id FROM (SELECT c.cent_id,
+           |    list_reduce(list_transform(list_zip(qq.qe, c.cv), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(qq.nrm)*sqrt(c.cnrm)) AS cc
+           |  FROM cents c, qq) ORDER BY cc DESC, cent_id LIMIT 2),
+           |adc AS (SELECT codes.vec_id, CAST(sum(
+           |    list_reduce(list_transform(list_zip(qsub.qs, pqc.pv), t -> t[1]*t[2]), (x,y) -> x+y)
+           |  ) AS BIGINT) AS ad
+           |  FROM codes JOIN pqc ON codes.s = pqc.s AND codes.c = pqc.c
+           |  JOIN qsub ON qsub.s = codes.s
+           |  GROUP BY 1),
+           |qcd AS (SELECT c.cent_id, CAST(
+           |    list_reduce(list_transform(list_zip(qq.qe, c.cv), t -> t[1]*t[2]), (x,y) -> x+y)
+           |  AS BIGINT) AS qc FROM cents c, qq)
+           |SELECT r.vec_id,
+           |  CASE WHEN r.nrm = 0 THEN 0.0
+           |    ELSE (adc.ad + qcd.qc) / (sqrt(r.nrm) * sqrt(qq.nrm)) END AS score
+           |FROM resid r JOIN adc USING (vec_id) JOIN qcd ON qcd.cent_id = r.cent_id
+           |CROSS JOIN qq
+           |WHERE r.cent_id IN (SELECT cent_id FROM probes) AND r.vec_id <> 0
+           |ORDER BY score DESC, r.vec_id LIMIT 10""".stripMargin),
 
       "qs_quantized_pruned" -> (quantCte +
         s""",

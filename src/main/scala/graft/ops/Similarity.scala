@@ -616,6 +616,118 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialize the IVF+PQ layout — the full FAISS-IVFPQ index shape:
+    * inverted lists as `cent_id` partition directories, each vector
+    * stored as `m` PQ codes over its RESIDUAL (vector − assigned
+    * centroid) plus its true squared norm — ~`m` bytes + one long per
+    * vector on disk, no vector column at all (the
+    * [[writeLshQuantized]] reasoning). Residual encoding is what makes
+    * IVFPQ beat flat PQ: within an inverted list the residuals are
+    * small and centered, so 16 centroids per subspace rank them far
+    * better than they rank raw corpus geometry.
+    *
+    * The PQ codebook trains on STRIDE-SAMPLED residuals (the
+    * [[pqCodebook]] lesson: a first-k sample sees one cluster's
+    * residual geometry); both codebooks persist with the layout
+    * (`<path>/codebook`, `<path>/pq` — k×dims and m×kCent×sub longs,
+    * driver-sized by definition). Encoding is one map-only pass whose
+    * inner loop is the native [[graft.plans.PqEncode]] codegen loop.
+    */
+  def writeIvfPq(emb: DataFrame, path: String, centroids: Int = 16,
+      m: Int = 8, kCent: Int = 16, dims: Int = 64, stride: Long = 1L,
+      codebook: Option[DataFrame] = None): Unit = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val sub = dims / m
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cents = codebook.getOrElse(
+      q.filter(col("vec_id") < centroids)
+        .select(col("vec_id").as("cent_id"), col("qv").as("cv")))
+    val cb = cents.select(col("cent_id"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    val cvMap = map_from_arrays(
+      typedLit(cb.map(_._1)), typedLit(cb.map(_._2)))
+    val assigned = assignToCentroidsLit(q, cb)
+      .withColumn("res",
+        zip_with(col("qv"), element_at(cvMap, col("cent_id")), (a, b) => a - b))
+    val sampled = assigned
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < kCent * stride)
+      .select(col("vec_id"), col("res")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Long](1).toArray)
+    require(sampled.length == kCent,
+      s"need vec_ids {0, $stride, …, ${(kCent - 1) * stride}} for the " +
+        s"stride-$stride residual codebook, found ${sampled.length}")
+    val cbRes = Array.tabulate(m)(s => sampled.map(_.slice(s * sub, (s + 1) * sub)))
+    val cc2 = cbRes.map(_.map(c => ldot(c, c)))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    (for (s <- 0 until m; c <- 0 until kCent) yield (s, c, cbRes(s)(c).toSeq))
+      .toDF("s", "c", "pv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/pq")
+    assigned.select(col("vec_id"),
+        transform(graft.plans.PqEncode(col("res"), cbRes, cc2),
+          x => x.cast("byte")).as("code"),
+        qnorm2(col("qv")).as("nrm2"), col("cent_id"))
+      .write.partitionBy("cent_id").mode("overwrite").parquet(s"$path/data")
+  }
+
+  /** Pruned ADC top-k over a [[writeIvfPq]] layout: probe centroids are
+    * picked driver-side against the stored coarse codebook (the
+    * bit-identical [[ivfTopKPartitioned]] ranking) and pushed as a
+    * `cent_id` partition IN filter; the scan then scores
+    * `⟨q, v⟩ ≈ ⟨q, c⟩ + Σ_s tab_s[code_s]` — the residual-ADC identity
+    * `v ≈ c + r̂` — where the `m × kCent` tables (`⟨q_s, C_sc⟩`) and the
+    * per-list `⟨q, c⟩` constants fold into the scan as literal
+    * `element_at` lookups. Per-row cost: `m` array indexings, one add,
+    * one divide — over `m` bytes + one long of I/O per vector.
+    * Zero-norm vectors guard to 0; the rerank fetches shortlist vectors
+    * from the primary store ([[quantizedTopKPruned]] contract).
+    */
+  def ivfPqTopKPruned(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryVec: Seq[Long], excludeId: Long, k: Int, nprobe: Int = 2,
+      m: Int = 8): DataFrame = {
+    val qv = queryVec.toArray
+    val qn = ldot(qv, qv)
+    require(qn != 0L, "zero-norm query vector")
+    require(qv.length % m == 0, s"dims=${qv.length} not divisible by m=$m")
+    val sub = qv.length / m
+    def lcos(a: Array[Long], b: Array[Long]): Double =
+      ldot(a, b).toDouble / (math.sqrt(ldot(a, a).toDouble) * math.sqrt(ldot(b, b).toDouble))
+    val cents = spark.read.parquet(s"$path/codebook").collect()
+      .map(r => (r.getLong(r.fieldIndex("cent_id")),
+        r.getSeq[Long](r.fieldIndex("cv")).toArray))
+    val probes = cents.map { case (cid, cv) =>
+        require(ldot(cv, cv) != 0L,
+          s"zero-norm centroid $cid in codebook $path/codebook")
+        (cid, lcos(qv, cv))
+      }
+      .sortBy { case (cid, cc) => (-cc, cid) }.take(nprobe)
+      .map(_._1).toSeq
+    val pq = spark.read.parquet(s"$path/pq").collect()
+      .map(r => ((r.getInt(r.fieldIndex("s")), r.getInt(r.fieldIndex("c"))),
+        r.getSeq[Long](r.fieldIndex("pv")).toArray)).toMap
+    val kCent = pq.keys.map(_._2).max + 1
+    val tab = Array.tabulate(m, kCent) { (s, c) =>
+      ldot(qv.slice(s * sub, (s + 1) * sub), pq((s, c)))
+    }
+    val qcDot = cents.map { case (cid, cv) => (cid, ldot(qv, cv)) }
+    val qcLit = map_from_arrays(
+      typedLit(qcDot.map(_._1).toSeq), typedLit(qcDot.map(_._2).toSeq))
+    val adc = (0 until m).map { s =>
+      element_at(typedLit(tab(s).toSeq), col("code")(s).cast("int") + 1)
+    }.reduce(_ + _)
+    spark.read.parquet(s"$path/data")
+      .filter(col("cent_id").isin(probes: _*) && col("vec_id") =!= excludeId)
+      .select(col("vec_id"),
+        when(col("nrm2") === 0, lit(0.0)).otherwise(
+          (adc + element_at(qcLit, col("cent_id").cast("long"))).cast("double") /
+            (sqrt(col("nrm2").cast("double")) * sqrt(lit(qn).cast("double"))))
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Build a batch-query relation from corpus members: (query_id, qv)
     * with the vector already quantized — the input contract of the
     * `*TopKBatch` entry points. External (non-corpus) queries just build
