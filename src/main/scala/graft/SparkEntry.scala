@@ -1038,6 +1038,33 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "qp_url_canon" -> ((s, dir) => {
+      // URL canonicalization + domain blocklist — the crawl-frontier
+      // dedup key: the corpus has no URL column, so the gate injects
+      // deterministically messy ones (cased scheme/host, default port,
+      // utm_* tracking params, fragments) from doc fields with the same
+      // concat in both engines, then canonicalizes, extracts the
+      // registered domain, and flags blocklisted domains. Entirely
+      // map-only regexp/concat — zero shuffle at any corpus size.
+      val d = col("doc_id")
+      val url = concat(
+        lit("HTTPS://WWW."), col("source"), (d % 4).cast("string"),
+        lit(".CoM"),
+        when(d % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), d.cast("string"),
+        when(d % 2 === 0,
+          concat(lit("?utm_source=feed&utm_campaign=c"), (d % 7).cast("string"),
+            lit("&ref=r"), (d % 5).cast("string")))
+          .otherwise(concat(lit("?ref=r"), (d % 5).cast("string"))),
+        when(d % 5 === 0, lit("#sec")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.canonicalUrl(url).as("url_canon"),
+          TextAnalysis.urlDomain(url).as("domain"))
+        .withColumn("blocked", col("domain").isin("src30.com", "src111.com"))
+        .orderBy("doc_id")
+    }),
+
     "qt_shard_pack" -> ((s, dir) => {
       // token-budget output sharding in ONE deterministic global order
       // (the epoch-shuffle key): shard = floor(preceding-cum / 2000),
@@ -2975,6 +3002,31 @@ object SparkEntry {
            |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "qp_url_canon" -> {
+        import TextAnalysis._
+        val host =
+          s"regexp_replace(regexp_replace(lower(regexp_extract(url, '$UrlHostRe', 1)), '$UrlDefaultPortRe', '', 'g'), '$UrlWwwRe', '', 'g')"
+        val rest =
+          s"regexp_replace(regexp_replace(regexp_extract(url, '$UrlRestRe', 1), '$UrlUtmMidRe', '', 'g'), '$UrlUtmTailRe', '', 'g')"
+        s"""WITH u AS (SELECT doc_id,
+           |  'HTTPS://WWW.' || source || CAST(doc_id % 4 AS VARCHAR) || '.CoM' ||
+           |  CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+           |  '/docs/' || CAST(doc_id AS VARCHAR) ||
+           |  CASE WHEN doc_id % 2 = 0
+           |    THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+           |      || '&ref=r' || CAST(doc_id % 5 AS VARCHAR)
+           |    ELSE '?ref=r' || CAST(doc_id % 5 AS VARCHAR) END ||
+           |  CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url
+           | FROM documents),
+           |c AS (SELECT doc_id,
+           |  lower(regexp_extract(url, '$UrlSchemeRe')) || $host || $rest AS url_canon,
+           |  regexp_extract(regexp_replace($host, '$UrlAnyPortRe', '', 'g'), '$UrlDomainRe') AS domain
+           | FROM u)
+           |SELECT doc_id, url_canon, domain,
+           |  domain IN ('src30.com', 'src111.com') AS blocked
+           |FROM c ORDER BY doc_id""".stripMargin
+      },
 
       "qt_shard_pack" ->
         s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,

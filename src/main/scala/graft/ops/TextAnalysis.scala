@@ -161,6 +161,49 @@ object TextAnalysis {
     ("&quot;", "\""),
     ("&#39;", "'"))
 
+  /** URL canonicalization regexes — crawl-frontier normalization shared
+    * with the oracle SQL. The canonical form lowercases ONLY scheme and
+    * host (paths/queries are case-significant), drops the fragment,
+    * strips the default ports and the `www.` prefix, and removes
+    * `utm_*` tracking params (mid-query first so the separator chain
+    * stays well-formed, then a trailing pass that also eats the
+    * dangling `?`/`&`). Every pattern sticks to syntax with identical
+    * Java-regex/RE2 semantics and no capture-group replacements — the
+    * `$1` vs `\1` dialect split never arises.
+    */
+  val UrlSchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*://"
+  val UrlHostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  val UrlRestRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+  val UrlUtmMidRe = "utm_[a-z]+=[^&]*&"
+  val UrlUtmTailRe = "[?&]utm_[a-z]+=[^&]*$"
+  val UrlDefaultPortRe = ":(443|80)$"
+  val UrlAnyPortRe = ":[0-9]+$"
+  val UrlWwwRe = "^www\\."
+  val UrlDomainRe = "[^.]+\\.[^.]+$"
+
+  private def canonHost(url: Column): Column =
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, UrlHostRe, 1)), UrlDefaultPortRe, ""),
+      UrlWwwRe, "")
+
+  /** Canonical URL: `lower(scheme) + canonical host + de-tracked rest`.
+    * Pure regexp Column chain — codegen, map-only at any scale; the
+    * dedup/frontier key a crawl pipeline groups on.
+    */
+  def canonicalUrl(url: Column): Column =
+    concat(lower(regexp_extract(url, UrlSchemeRe, 0)), canonHost(url),
+      regexp_replace(regexp_replace(
+        regexp_extract(url, UrlRestRe, 1), UrlUtmMidRe, ""), UrlUtmTailRe, ""))
+
+  /** Registered domain (last two labels) of the canonical host — the
+    * per-site aggregation/blocklist key. Any port is stripped first:
+    * `[^.]+` admits `:`, so extracting from `site.com:8443` directly
+    * would capture the port into the domain.
+    */
+  def urlDomain(url: Column): Column =
+    regexp_extract(regexp_replace(canonHost(url), UrlAnyPortRe, ""),
+      UrlDomainRe, 0)
+
   /** Number of markup tags in the raw text. */
   def tagCount(text: Column): Column =
     regexp_count(text, lit("<[^>]*>")).cast("long")

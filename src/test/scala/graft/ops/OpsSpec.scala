@@ -553,6 +553,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2).getString(2) == "<x double-escaped")
   }
 
+  test("url canonicalization: case, ports, www, utm params, fragments") {
+    val cases = Seq(
+      // scheme+host fold, default port drops, www strips, fragment drops
+      (1L, "HTTPS://WWW.Site.CoM:443/Docs/A?ref=x#frag",
+        "https://site.com/Docs/A?ref=x", "site.com"),
+      // utm mid-query: separator chain stays well-formed
+      (2L, "https://a.b.site.com/p?utm_source=f&id=2&utm_campaign=c&z=1",
+        "https://a.b.site.com/p?id=2&z=1", "site.com"),
+      // utm-only query: the dangling ? goes too
+      (3L, "http://site.com:80/p?utm_source=f", "http://site.com/p", "site.com"),
+      // non-default port survives; path case is significant
+      (4L, "https://site.com:8443/CaseSensitive",
+        "https://site.com:8443/CaseSensitive", "site.com"))
+    val out = cases.map(c => (c._1, c._2)).toDF("id", "url")
+      .select(col("id"), TextAnalysis.canonicalUrl(col("url")).as("c"),
+        TextAnalysis.urlDomain(col("url")).as("d"))
+      .orderBy("id").collect()
+    cases.zip(out).foreach { case ((id, _, canon, dom), row) =>
+      assert(row.getString(1) == canon, s"case $id canonical")
+      assert(row.getString(2) == dom, s"case $id domain")
+    }
+  }
+
   test("property: chunker windows match an independent slice reference") {
     val rnd = new scala.util.Random(20260813L)
     val docs = (1L to 50L).map { id =>
