@@ -302,4 +302,57 @@ object TextAnalysis {
   def hashEmbed(residues: Column, dims: Int): Seq[Column] =
     (0 until dims).map(j =>
       size(filter(residues, r => r === j)).cast("long").as(s"f$j"))
+
+  /** Deflate-compressibility quality signal — the RefinedWeb/Dolma
+    * heuristic: highly compressible text (boilerplate, repeated
+    * fragments, templated spam) is low-quality training data; the
+    * compressed/raw byte ratio prices it in one number. Appends
+    * `raw_bytes`, `comp_bytes`, and `ratioCol` (empty text → ratio 1.0;
+    * NULL text null-propagates per the F4 convention).
+    *
+    * Codec work is JVM-native (`java.util.zip.Deflater`, level 6, raw
+    * stream), so this runs in `mapPartitions` like the [[Multimodal]]
+    * decoders — the documented exception to the pure-Column rule: ONE
+    * Deflater per partition, reset per row, released on task completion.
+    * Map-only at any corpus size (no shuffle, no state, no driver
+    * collect). No SQL oracle can replay zlib byte counts, so this
+    * operator's evidence is its spec (ordering, bounds, determinism),
+    * not a DuckDB hash gate.
+    */
+  def withCompressionRatio(df: org.apache.spark.sql.DataFrame,
+      textCol: String, ratioCol: String = "compress_ratio")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val tIdx = df.schema.fieldIndex(textCol)
+    require(df.schema(tIdx).dataType ==
+      org.apache.spark.sql.types.StringType, s"$textCol must be string")
+    val out = df.schema
+      .add("raw_bytes", LongType, nullable = true)
+      .add("comp_bytes", LongType, nullable = true)
+      .add(ratioCol, DoubleType, nullable = true)
+    val rows = df.rdd.mapPartitions { it =>
+      val defl = new java.util.zip.Deflater(6, true)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => defl.end()))
+      val buf = new Array[Byte](64 * 1024)
+      it.map { r =>
+        if (r.isNullAt(tIdx))
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else {
+          val bytes = r.getString(tIdx)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset(); defl.setInput(bytes); defl.finish()
+          var total = 0L
+          while (!defl.finished()) total += defl.deflate(buf)
+          val ratio =
+            if (bytes.length == 0) 1.0 else total.toDouble / bytes.length
+          // Seq[Any], NOT Seq(...): Long/Long/Double would unify by
+          // numeric widening and box raw_bytes as a Double
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq ++ Seq[Any](bytes.length.toLong, total, ratio))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rows, out)
+  }
 }

@@ -576,6 +576,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compression ratio: repetition compresses, novelty doesn't; " +
+      "deterministic; null/empty conventions hold") {
+    val rnd = new scala.util.Random(7)
+    val novel = (1 to 200).map(_ =>
+      s"${rnd.nextLong()}${rnd.alphanumeric.take(8).mkString}").mkString(" ")
+    val d = Seq(
+      (1L, "spam " * 400),            // templated repetition
+      (2L, novel),                    // high-entropy text
+      (3L, ""),                       // empty → ratio 1.0 by contract
+      (4L, null.asInstanceOf[String]) // NULL propagates (F4)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withCompressionRatio(d, "text")
+      .orderBy("doc_id").collect()
+    val spamRatio = out(0).getAs[Double]("compress_ratio")
+    val novelRatio = out(1).getAs[Double]("compress_ratio")
+    assert(spamRatio < 0.05, s"repetition should crush: $spamRatio")
+    assert(novelRatio > 0.4, s"novel text should resist: $novelRatio")
+    assert(out(2).getAs[Double]("compress_ratio") == 1.0 &&
+      out(2).getAs[Long]("raw_bytes") == 0L)
+    assert(out(3).isNullAt(out(3).fieldIndex("compress_ratio")) &&
+      out(3).isNullAt(out(3).fieldIndex("raw_bytes")))
+    // deterministic: an independent run reproduces byte counts exactly
+    val again = TextAnalysis.withCompressionRatio(d, "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("property: chunker windows match an independent slice reference") {
     val rnd = new scala.util.Random(20260813L)
     val docs = (1L to 50L).map { id =>
