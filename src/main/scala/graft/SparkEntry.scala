@@ -1038,6 +1038,23 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "qp_domain_rank" -> ((s, dir) => {
+      // crawl-frontier authority: integer-exact PageRank (3 rounds) over
+      // a synthesized domain link graph — two deterministic edge rules
+      // per doc, mod-60 node space, self-loops dropped. All-long
+      // arithmetic makes the fixpoint bit-identical across engines and
+      // partitionings; per round: one equi-join + one hash agg, no
+      // windows, no driver state.
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = d.select((col("doc_id") % 60).as("src"),
+        ((col("doc_id") * 13 + 7) % 60).as("dst"))
+      val e2 = d.select((col("doc_id") % 60).as("src"),
+        ((col("doc_id") * 17 + 3) % 60).as("dst"))
+      Ranking.pageRankInt(
+          e1.unionByName(e2).filter(col("src") =!= col("dst")), iters = 3)
+        .orderBy("node")
+    }),
+
     "qp_url_canon" -> ((s, dir) => {
       // URL canonicalization + domain blocklist — the crawl-frontier
       // dedup key: the corpus has no URL column, so the gate injects
@@ -3002,6 +3019,35 @@ object SparkEntry {
            |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // integer PageRank unrolled: every round is
+      // base + floor(85 · Σ floor(pr/deg) / 100); all-long arithmetic
+      // (order-independent sums) is what makes three rounds replayable
+      // bit-for-bit. The two floor-divisions are exact — see
+      // Ranking.pageRankInt's scaladoc.
+      "qp_domain_rank" -> {
+        def round(prev: String, out: String) =
+          s"""c$out AS (SELECT ed.dst AS node,
+             |    CAST(sum(CAST(floor($prev.pr / ed.deg) AS BIGINT)) AS BIGINT) AS s
+             |  FROM ed JOIN $prev ON $prev.node = ed.src GROUP BY 1),
+             |$out AS (SELECT n.node,
+             |    150000 + CAST(floor(85 * coalesce(c$out.s, 0) / 100) AS BIGINT) AS pr
+             |  FROM nodes n LEFT JOIN c$out ON c$out.node = n.node)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT doc_id % 60 AS src, (doc_id*13+7) % 60 AS dst FROM documents
+           |    UNION ALL
+           |    SELECT doc_id % 60, (doc_id*17+3) % 60 FROM documents) u
+           |  WHERE src <> dst),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+           |ed AS (SELECT e.src, e.dst, od.deg FROM e JOIN od USING (src)),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")},
+           |${round("r2", "r3")}
+           |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
+      },
 
       "qp_url_canon" -> {
         import TextAnalysis._

@@ -131,4 +131,57 @@ object Ranking {
       .orderBy(col("rrf_micro").desc, col(idCol))
       .limit(k)
   }
+
+  /** Integer-exact PageRank — crawl-scheduling authority over the domain
+    * link graph (the Common Crawl frontier-prioritization shape). All
+    * arithmetic stays in longs: every node starts at `scale`, each round
+    * is `r' = base + floor(dampNum · Σ floor(r_j / deg_j) / dampDen)`
+    * with `base = scale/dampDen · (dampDen − dampNum)`. Integer sums are
+    * order-independent, so the result is bit-identical across engines
+    * and partitionings — which is what lets a SQL oracle replay the
+    * unrolled rounds exactly. The two floor-divisions are IEEE doubles
+    * under the hood but EXACT here: numerator/denominator both < 2^53
+    * and a non-exact quotient sits ≥ 1/deg (resp. 1/dampDen) from any
+    * integer, orders of magnitude beyond double error.
+    *
+    * Scale shape: per round ONE equi-join of the rank relation onto the
+    * (degree-annotated, persisted) edge list + one hash aggregation on
+    * `dst` + one left join back to the node set — the standard
+    * distributed PR round, no windows, no driver state beyond the loop
+    * counter. Per-round `localCheckpoint` truncates lineage like
+    * [[Dedup.connectedComponents]]. Dangling mass is dropped (nodes
+    * with no out-edges contribute nothing), the usual simplification —
+    * documented, and replayed identically by the oracle.
+    *
+    * Output: (`node`, `pr`), every node present.
+    */
+  def pageRankInt(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale % dampDen == 0,
+      s"scale=$scale must divide by dampDen=$dampDen for an exact base")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist(mem)
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .persist(mem)
+    try {
+      val base = scale / dampDen * (dampDen - dampNum)
+      var ranks = nodes.withColumn("pr", lit(scale)).localCheckpoint()
+      for (_ <- 1 to iters) {
+        val contrib = eDeg
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            floor(col("pr") / col("deg")).cast("long").as("c"))
+          .groupBy("node").agg(sum("c").as("s"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + floor(lit(dampNum) * coalesce(col("s"), lit(0L)) /
+              lit(dampDen)).cast("long")).as("pr"))
+          .localCheckpoint()
+      }
+      ranks
+    } finally { eDeg.unpersist(); nodes.unpersist() }
+  }
 }

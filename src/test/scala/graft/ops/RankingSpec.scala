@@ -95,4 +95,30 @@ class RankingSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must not global-sort:\n$plan")
   }
+
+  test("pageRankInt matches a hand-computed 3-round fixpoint; duplicate " +
+      "edges collapse; partition-invariant") {
+    import spark.implicits._
+    // cycle 1→2→3→1 plus feeder 4→1; node 4 has no in-edges → base only.
+    // Hand-rolled with scale 1e6, damp 85/100 (base 150000):
+    //   r1 = (1850000, 1000000, 1000000, 150000)
+    //   r2 = (1127500, 1722500, 1000000, 150000)
+    //   r3 = (1127500, 1108375, 1614125, 150000)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (1L, 2L))
+      .toDF("src", "dst") // (1,2) duplicated on purpose
+    val expected =
+      Map(1L -> 1127500L, 2L -> 1108375L, 3L -> 1614125L, 4L -> 150000L)
+    val got = Ranking.pageRankInt(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    val repart = Ranking.pageRankInt(edges.repartition(7), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repart == expected)
+    intercept[IllegalArgumentException] {
+      Ranking.pageRankInt(edges, iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Ranking.pageRankInt(edges, iters = 1, scale = 999999L) // 999999 % 100 != 0
+    }
+  }
 }
