@@ -1265,6 +1265,38 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    "qp_csv_ingest" -> ((s, dir) => {
+      // CSV round-trip — the other interchange format: stage once per
+      // JVM, re-ingest with an EXPLICIT schema (inference = a second full
+      // read at 100 TB) and multiLine+escape options, then aggregate.
+      // sum_chars recomputed from the round-tripped text gates quoting
+      // fidelity (commas, embedded quotes, newlines — exactly where CSV
+      // pipelines corrupt silently). Doc counts per group catch row
+      // splits from a mis-handled embedded newline.
+      val p = stagedInput("csv", dir) { path =>
+        t(s, dir, "documents").write.mode("overwrite")
+          .option("header", "true").option("escape", "\"").csv(path)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      s.read.schema(schema).option("header", "true")
+        .option("multiLine", "true").option("escape", "\"").csv(p)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          sum(col("n_chars")).as("sum_n_chars"))
+        .orderBy("lang", "source")
+    }),
+
     "qp_decontaminate_fuzzy" -> ((s, dir) => {
       // near-duplicate eval decontamination: MinHash band agreement picks
       // candidates, exact shingle Jaccard >= 0.5 confirms. Train side is
@@ -3616,6 +3648,14 @@ object SparkEntry {
           |SELECT change, count(*) AS n_docs FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "qp_jsonl_ingest" ->
+        """SELECT lang, source, count(*) AS n_docs,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // same direct aggregation as qp_jsonl_ingest: the Spark side must
+      // reproduce it THROUGH the CSV round-trip
+      "qp_csv_ingest" ->
         """SELECT lang, source, count(*) AS n_docs,
           |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
           |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
