@@ -1902,6 +1902,21 @@ object SparkEntry {
       Similarity.ivfPqTopKPruned(s, lay, qv, excludeId = 0L, k = 10)
     }),
 
+    "qs_batch_ivfpq" -> ((s, dir) => {
+      // batch ADC over the SAME staged IVFPQ layout as qs_ivf_pq: the
+      // probe union pushes as one cent_id partition filter, per-query
+      // ADC tables/norms/⟨q,c⟩ are computed distributed on the broadcast
+      // probe relation — one pruned scan for the whole query set.
+      val emb = t(s, dir, "embeddings")
+      val lay = stagedInput("qivfpq", dir) { p =>
+        Similarity.writeIvfPq(emb, p, stride = 31L)
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+        ()
+      }
+      Similarity.ivfPqTopKBatch(s, lay,
+        Similarity.batchQueries(emb, col("vec_id") < 8), k = 5)
+    }),
+
     "qs_ivf_pruned" -> ((s, dir) => {
       // IVF analogue: inverted lists as cent_id partitions + stored
       // codebook; driver-side probe pick (bit-identical cosine), pruned
@@ -2902,6 +2917,36 @@ object SparkEntry {
     val quantCte = "WITH " + quantCteBody
     val dotAB = "list_reduce(list_transform(list_zip(a.qe,b.qe), t -> t[1]*t[2]), (x,y) -> x+y)"
 
+    // IVFPQ corpus-side replay (coarse assign → residuals → stride-31
+    // residual codebook → argmin codes), shared by qs_ivf_pq and
+    // qs_batch_ivfpq — one definition so the single and batch gates
+    // replay the identical encode
+    val ivfPqCorpusCtes = quantCte +
+      s""",
+         |cents AS (SELECT vec_id AS cent_id, qe AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+         |scored AS (SELECT n.vec_id, n.qe, n.nrm, cents.cent_id,
+         |    list_reduce(list_transform(list_zip(n.qe, cents.cv), t -> t[1]*t[2]), (x,y) -> x+y)
+         |      / (sqrt(n.nrm)*sqrt(cents.cnrm)) AS cc
+         |  FROM n CROSS JOIN cents),
+         |assigned AS (SELECT vec_id, qe, nrm, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |resid AS (SELECT a.vec_id, a.nrm, a.cent_id,
+         |    list_transform(list_zip(a.qe, c.cv), t -> t[1]-t[2]) AS res
+         |  FROM assigned a JOIN cents c USING (cent_id)),
+         |rng AS (SELECT unnest(range(8)) AS s),
+         |pqc AS (SELECT r.vec_id // 31 AS c, g.s, r.res[g.s*8+1 : g.s*8+8] AS pv
+         |  FROM resid r, rng g WHERE r.vec_id % 31 = 0 AND r.vec_id < 496),
+         |rsub AS (SELECT r.vec_id, g.s, r.res[g.s*8+1 : g.s*8+8] AS sv FROM resid r, rng g),
+         |dist AS (SELECT rsub.vec_id, rsub.s, pqc.c,
+         |    list_reduce(list_transform(list_zip(rsub.sv, pqc.pv),
+         |      t -> (t[1]-t[2])*(t[1]-t[2])), (x,y) -> x+y) AS d
+         |  FROM rsub JOIN pqc ON rsub.s = pqc.s),
+         |codes AS (SELECT vec_id, s, c FROM (
+         |  SELECT vec_id, s, c,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+         |    FROM dist) WHERE rn = 1)""".stripMargin
+
     val planeLits = (0 until Similarity.NumPlanes).map { p =>
       "[" + (0 until 64).map(j => Similarity.planeWeight(p, j)).mkString(",") + "]"
     }
@@ -3897,32 +3942,10 @@ object SparkEntry {
       // residuals → stride-31 residual codebook → per-subspace argmin
       // codes → 2-list probe → score = (residual ADC + ⟨q,c⟩) over both
       // true norms. Exact-integer until the final division, like the
-      // Spark side.
-      "qs_ivf_pq" -> (quantCte +
+      // Spark side. Corpus-side CTEs shared with qs_batch_ivfpq via
+      // ivfPqCorpusCtes so the two gates cannot drift.
+      "qs_ivf_pq" -> (ivfPqCorpusCtes +
         s""",
-           |cents AS (SELECT vec_id AS cent_id, qe AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
-           |scored AS (SELECT n.vec_id, n.qe, n.nrm, cents.cent_id,
-           |    list_reduce(list_transform(list_zip(n.qe, cents.cv), t -> t[1]*t[2]), (x,y) -> x+y)
-           |      / (sqrt(n.nrm)*sqrt(cents.cnrm)) AS cc
-           |  FROM n CROSS JOIN cents),
-           |assigned AS (SELECT vec_id, qe, nrm, cent_id FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id) AS rn
-           |  FROM scored) WHERE rn = 1),
-           |resid AS (SELECT a.vec_id, a.nrm, a.cent_id,
-           |    list_transform(list_zip(a.qe, c.cv), t -> t[1]-t[2]) AS res
-           |  FROM assigned a JOIN cents c USING (cent_id)),
-           |rng AS (SELECT unnest(range(8)) AS s),
-           |pqc AS (SELECT r.vec_id // 31 AS c, g.s, r.res[g.s*8+1 : g.s*8+8] AS pv
-           |  FROM resid r, rng g WHERE r.vec_id % 31 = 0 AND r.vec_id < 496),
-           |rsub AS (SELECT r.vec_id, g.s, r.res[g.s*8+1 : g.s*8+8] AS sv FROM resid r, rng g),
-           |dist AS (SELECT rsub.vec_id, rsub.s, pqc.c,
-           |    list_reduce(list_transform(list_zip(rsub.sv, pqc.pv),
-           |      t -> (t[1]-t[2])*(t[1]-t[2])), (x,y) -> x+y) AS d
-           |  FROM rsub JOIN pqc ON rsub.s = pqc.s),
-           |codes AS (SELECT vec_id, s, c FROM (
-           |  SELECT vec_id, s, c,
-           |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
-           |    FROM dist) WHERE rn = 1),
            |qq AS (SELECT qe, nrm FROM n WHERE vec_id = 0),
            |qsub AS (SELECT g.s, qq.qe[g.s*8+1 : g.s*8+8] AS qs FROM qq, rng g),
            |probes AS (SELECT cent_id FROM (SELECT c.cent_id,
@@ -3945,6 +3968,42 @@ object SparkEntry {
            |CROSS JOIN qq
            |WHERE r.cent_id IN (SELECT cent_id FROM probes) AND r.vec_id <> 0
            |ORDER BY score DESC, r.vec_id LIMIT 10""".stripMargin),
+
+      // batch tail over the shared IVFPQ corpus CTEs: per-query probes
+      // (2 highest-cosine lists), residual ADC per (query, vector),
+      // per-query window rank — mirrors qs_batch_ivf's query-set shape
+      "qs_batch_ivfpq" -> (ivfPqCorpusCtes +
+        s""",
+           |qq AS (SELECT vec_id AS query_id, qe AS qqe, nrm AS qnrm FROM n WHERE vec_id < 8),
+           |qsub AS (SELECT qq.query_id, g.s, qq.qqe[g.s*8+1 : g.s*8+8] AS qs FROM qq, rng g),
+           |qprobes AS (SELECT query_id, cent_id FROM (
+           |  SELECT qq.query_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+           |        list_reduce(list_transform(list_zip(qq.qqe, c.cv), t -> t[1]*t[2]), (x,y) -> x+y)
+           |          / (sqrt(qq.qnrm)*sqrt(c.cnrm)) DESC, c.cent_id) AS rn
+           |    FROM qq CROSS JOIN cents c) WHERE rn <= 2),
+           |adc AS (SELECT qsub.query_id, codes.vec_id, CAST(sum(
+           |    list_reduce(list_transform(list_zip(qsub.qs, pqc.pv), t -> t[1]*t[2]), (x,y) -> x+y)
+           |  ) AS BIGINT) AS ad
+           |  FROM codes JOIN pqc ON codes.s = pqc.s AND codes.c = pqc.c
+           |  JOIN qsub ON qsub.s = codes.s
+           |  GROUP BY 1, 2),
+           |qcd AS (SELECT qq.query_id, c.cent_id, CAST(
+           |    list_reduce(list_transform(list_zip(qq.qqe, c.cv), t -> t[1]*t[2]), (x,y) -> x+y)
+           |  AS BIGINT) AS qc FROM qq CROSS JOIN cents c),
+           |cand AS (SELECT p.query_id, r.vec_id,
+           |    CASE WHEN r.nrm = 0 OR qq.qnrm = 0 THEN 0.0
+           |      ELSE (adc.ad + qcd.qc) / (sqrt(r.nrm) * sqrt(qq.qnrm)) END AS score
+           |  FROM resid r
+           |  JOIN qprobes p ON p.cent_id = r.cent_id
+           |  JOIN qq ON qq.query_id = p.query_id
+           |  JOIN adc ON adc.query_id = p.query_id AND adc.vec_id = r.vec_id
+           |  JOIN qcd ON qcd.query_id = p.query_id AND qcd.cent_id = r.cent_id
+           |  WHERE r.vec_id <> p.query_id),
+           |rk AS (SELECT query_id, vec_id, score,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+           |  FROM cand)
+           |SELECT query_id, vec_id, score FROM rk WHERE rn <= 5""".stripMargin),
 
       "qs_quantized_pruned" -> (quantCte +
         s""",

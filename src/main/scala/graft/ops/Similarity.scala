@@ -1043,6 +1043,62 @@ object Similarity {
     rankPerQuery(cand, k)
   }
 
+  /** Batch ADC retrieval over a [[writeIvfPq]] layout — the full
+    * 100 TB batch-serving shape: a query SET scores the compressed
+    * partitioned index in ONE job. Probe lists come from [[ivfProbes]]
+    * (distributed, bit-identical to the single-query pick); the probe
+    * UNION (codebook-bounded) pushes as a static `cent_id` partition IN
+    * filter; each query's `m × kCent` ADC tables, its norm, and its
+    * per-probed-list `⟨q, c⟩` constant are computed DISTRIBUTED as a
+    * projection of the probe relation riding the size-guarded broadcast
+    * (no driver collect of queries, no per-query jobs — the
+    * [[pqTopKBatch]] lesson); the scan then costs `m` array indexings +
+    * one add + one divide per (query, vector) over `m` bytes of I/O.
+    * Row-for-row identical to [[ivfPqTopKPruned]] per query
+    * (spec-pinned).
+    */
+  def ivfPqTopKBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 2, m: Int = 8,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    val q0 = materializedQueries(queries)
+    val cb = spark.read.parquet(s"$path/codebook").collect()
+      .map(r => (r.getLong(r.fieldIndex("cent_id")),
+        r.getSeq[Long](r.fieldIndex("cv")))).toSeq.sortBy(_._1)
+    val pqRows = spark.read.parquet(s"$path/pq").collect()
+      .map(r => ((r.getInt(r.fieldIndex("s")), r.getInt(r.fieldIndex("c"))),
+        r.getSeq[Long](r.fieldIndex("pv")))).toMap
+    val kCent = pqRows.keys.map(_._2).max + 1
+    val dims = cb.head._2.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val small = q0.count() <= maxBroadcastQueries
+    val probes = ivfProbes(q0, cb, nprobe)
+    // the probe union is bounded by the codebook size — always literal-safe
+    val probedCents = probes.select("cent_id").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val cvMap = map_from_arrays(
+      typedLit(cb.map(_._1)), typedLit(cb.map(_._2)))
+    val tabs = array((for (s <- 0 until m; c <- 0 until kCent)
+      yield qdot(slice(col("query_v"), s * sub + 1, sub),
+        typedLit(pqRows((s, c)).toSeq))): _*)
+    val enriched = probes.select(col("query_id"), col("cent_id"),
+      tabs.as("_tabs"), qnorm2(col("query_v")).as("_qn"),
+      qdot(col("query_v"), element_at(cvMap, col("cent_id"))).as("_qc"))
+    val adc = (0 until m).map { s =>
+      element_at(col("_tabs"), lit(s * kCent) + col("code")(s).cast("int") + 1)
+    }.reduce(_ + _)
+    val cand = spark.read.parquet(s"$path/data")
+      .filter(col("cent_id").isin(probedCents: _*))
+      .join(bjIf(small)(enriched), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        when(col("nrm2") === 0 || col("_qn") === 0, lit(0.0)).otherwise(
+          (adc + col("_qc")).cast("double") /
+            (sqrt(col("nrm2").cast("double")) * sqrt(col("_qn").cast("double"))))
+          .as("score"))
+    rankPerQuery(cand, k)
+  }
+
   /** IVF-style bucketing: the first `k` vectors (by vec_id) act as
     * deterministic "centroids"; every vector is assigned to its
     * highest-cosine centroid (ties → lowest centroid id). A query then

@@ -137,6 +137,29 @@ class BatchAnnSpec extends AnyFunSuite {
     assertOnePrunedScan(part, "cent_id", maxParts = 16)
   }
 
+  test("ivfPqTopKBatch == N x ivfPqTopKPruned, row for row; ONE pruned " +
+      "scan of the compressed layout for the whole set") {
+    val path = java.nio.file.Files.createTempDirectory("batch_ivfpq").toString
+    Similarity.writeIvfPq(emb, path, stride = 29L)
+    val batch = Similarity.ivfPqTopKBatch(spark, path, queries, K).cache()
+    try {
+      assert(batch.select("query_id").distinct().count() == queryIds.size)
+      val qvs = emb.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+        .as[(Long, Seq[Long])].collect().toMap
+      queryIds.foreach { q =>
+        val single = rows(Similarity.ivfPqTopKPruned(spark, path, qvs(q), q, K))
+        assert(batchSlice(batch, q) == single,
+          s"batch IVF+PQ diverges from single-query ADC for query $q")
+      }
+      // plan assertion on an UNCACHED build — InMemoryTableScan would
+      // hide the FileSourceScan the assertion looks for
+      assertOnePrunedScan(
+        Similarity.ivfPqTopKBatch(spark, path, queries, K),
+        "cent_id", maxParts = 16)
+    } finally { batch.unpersist(); () }
+  }
+
   test("trained-codebook batch IVF at nprobe=1 == N x ivfKmeansTopK") {
     // a query's assigned centroid IS its argmax-cosine centroid, so the
     // single-probe batch must reproduce the single-query trained path
