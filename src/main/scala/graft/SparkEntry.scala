@@ -1082,6 +1082,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qt_upsample" -> ((s, dir) => {
+      // the UPSAMPLING half of mixture construction (qt_mixture
+      // downsamples): low-resource languages get an integer repeat
+      // factor √(n_max/n) clamped to [1, 4] — the standard
+      // repeat-epochs flattening. floor∘sqrt∘division is portable: each
+      // step correctly rounded, and a non-square ratio of small
+      // integers sits far further from an integer than one ulp.
+      // Driver-sized relation (one row per language) end to end.
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_max", max("n_docs").over(Window.partitionBy()))
+      val factor = least(lit(4L), greatest(lit(1L),
+        floor(sqrt(col("n_max").cast("double") / col("n_docs"))).cast("long")))
+      c.select(col("lang"), col("n_docs"), factor.as("repeat_factor"),
+          (col("n_docs") * factor).as("n_docs_after"))
+        .orderBy("lang")
+    }),
+
     "qt_shard_pack" -> ((s, dir) => {
       // token-budget output sharding in ONE deterministic global order
       // (the epoch-shuffle key): shard = floor(preceding-cum / 2000),
@@ -3150,6 +3169,17 @@ object SparkEntry {
            |  domain IN ('src30.com', 'src111.com') AS blocked
            |FROM c ORDER BY doc_id""".stripMargin
       },
+
+      "qt_upsample" ->
+        """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+          |m AS (SELECT lang, n_docs, max(n_docs) OVER () AS n_max FROM c),
+          |f AS (SELECT lang, n_docs,
+          |    least(4, greatest(1,
+          |      CAST(floor(sqrt(CAST(n_max AS DOUBLE) / n_docs)) AS BIGINT))) AS repeat_factor
+          |  FROM m)
+          |SELECT lang, n_docs, repeat_factor,
+          |  n_docs * repeat_factor AS n_docs_after
+          |FROM f ORDER BY lang""".stripMargin,
 
       "qt_shard_pack" ->
         s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
