@@ -1921,6 +1921,17 @@ object SparkEntry {
       Similarity.ivfPqTopKPruned(s, lay, qv, excludeId = 0L, k = 10)
     }),
 
+    "qs_hard_negatives" -> ((s, dir) => {
+      // contrastive-retriever training data: the PQ retriever's top-10
+      // shortlist minus the exact top-5 positives, cut to 5 negatives
+      // per query by retriever score. Two one-job batch retrievals +
+      // top-k-bounded anti-join — nothing corpus-sized past retrieval.
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb,
+        Similarity.batchQueries(emb, col("vec_id") < 8),
+        kPos = 5, nNeg = 5, stride = 31L)
+    }),
+
     "qs_batch_ivfpq" -> ((s, dir) => {
       // batch ADC over the SAME staged IVFPQ layout as qs_ivf_pq: the
       // probe union pushes as one cent_id partition filter, per-query
@@ -2935,6 +2946,43 @@ object SparkEntry {
         |  list_reduce(list_transform(qe, x -> x*x), (a,b) -> a+b) AS nrm FROM q)""".stripMargin
     val quantCte = "WITH " + quantCteBody
     val dotAB = "list_reduce(list_transform(list_zip(a.qe,b.qe), t -> t[1]*t[2]), (x,y) -> x+y)"
+
+    // flat-PQ batch replay through the ranked CTE `r` (rn per query by
+    // approx score) — shared by qs_batch_pq and qs_hard_negatives; the
+    // hard-negative gate also reuses its qq for the exact tier
+    val pqBatchCtes = quantCte +
+      s""",
+         |rng AS (SELECT unnest(range(8)) AS s),
+         |cents AS (SELECT c.vec_id // 31 AS cent_id, r.s,
+         |  c.qe[r.s*8+1 : r.s*8+8] AS cv FROM n c, rng r
+         |  WHERE c.vec_id % 31 = 0 AND c.vec_id < 496),
+         |asub AS (SELECT a.vec_id, r.s, a.qe[r.s*8+1 : r.s*8+8] AS sv FROM n a, rng r),
+         |dist AS (SELECT asub.vec_id, asub.s, cents.cent_id,
+         |    list_reduce(list_transform(list_zip(asub.sv, cents.cv),
+         |      t -> (t[1]-t[2])*(t[1]-t[2])), (x,y) -> x+y) AS d
+         |  FROM asub JOIN cents ON asub.s = cents.s),
+         |codes AS (SELECT vec_id, s, cent_id FROM (
+         |  SELECT vec_id, s, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cent_id) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |qq AS (SELECT vec_id AS query_id, qe, nrm FROM n WHERE vec_id < 8),
+         |qsub AS (SELECT qq.query_id, r.s, qq.qe[r.s*8+1 : r.s*8+8] AS qs FROM qq, rng r),
+         |adc AS (SELECT codes.vec_id, qsub.query_id, CAST(sum(
+         |    list_reduce(list_transform(list_zip(qsub.qs, cents.cv), t -> t[1]*t[2]), (x,y) -> x+y)
+         |  ) AS BIGINT) AS ad
+         |  FROM codes
+         |  JOIN cents ON codes.s = cents.s AND codes.cent_id = cents.cent_id
+         |  JOIN qsub ON qsub.s = codes.s
+         |  GROUP BY codes.vec_id, qsub.query_id),
+         |scored AS (SELECT adc.query_id, a.vec_id,
+         |    CASE WHEN a.nrm = 0 OR qq.nrm = 0 THEN 0.0
+         |      ELSE adc.ad / (sqrt(a.nrm) * sqrt(qq.nrm)) END AS score
+         |  FROM adc JOIN n a ON a.vec_id = adc.vec_id
+         |  JOIN qq ON qq.query_id = adc.query_id
+         |  WHERE a.vec_id <> adc.query_id),
+         |r AS (SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+         |  FROM scored)""".stripMargin
 
     // IVFPQ corpus-side replay (coarse assign → residuals → stride-31
     // residual codebook → argmin codes), shared by qs_ivf_pq and
@@ -4053,40 +4101,30 @@ object SparkEntry {
            |WHERE bit_count(xor(a.bucket, qq.bucket)) <= 1 AND a.vec_id <> 0
            |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin),
 
-      "qs_batch_pq" -> (quantCte +
+      "qs_batch_pq" -> (pqBatchCtes +
+        "\nSELECT query_id, vec_id, score FROM r WHERE rn <= 5"),
+
+      // hard-negative mining: the PQ retriever's top-10 shortlist (the
+      // shared pqBatchCtes ranking) minus the exact-cosine top-5
+      // positives, re-ranked by retriever score and cut to 5 — the
+      // contrastive-training export, replayed end to end
+      "qs_hard_negatives" -> (pqBatchCtes +
         s""",
-           |rng AS (SELECT unnest(range(8)) AS s),
-           |cents AS (SELECT c.vec_id // 31 AS cent_id, r.s,
-           |  c.qe[r.s*8+1 : r.s*8+8] AS cv FROM n c, rng r
-           |  WHERE c.vec_id % 31 = 0 AND c.vec_id < 496),
-           |asub AS (SELECT a.vec_id, r.s, a.qe[r.s*8+1 : r.s*8+8] AS sv FROM n a, rng r),
-           |dist AS (SELECT asub.vec_id, asub.s, cents.cent_id,
-           |    list_reduce(list_transform(list_zip(asub.sv, cents.cv),
-           |      t -> (t[1]-t[2])*(t[1]-t[2])), (x,y) -> x+y) AS d
-           |  FROM asub JOIN cents ON asub.s = cents.s),
-           |codes AS (SELECT vec_id, s, cent_id FROM (
-           |  SELECT vec_id, s, cent_id,
-           |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cent_id) AS rn
-           |    FROM dist) WHERE rn = 1),
-           |qq AS (SELECT vec_id AS query_id, qe, nrm FROM n WHERE vec_id < 8),
-           |qsub AS (SELECT qq.query_id, r.s, qq.qe[r.s*8+1 : r.s*8+8] AS qs FROM qq, rng r),
-           |adc AS (SELECT codes.vec_id, qsub.query_id, CAST(sum(
-           |    list_reduce(list_transform(list_zip(qsub.qs, cents.cv), t -> t[1]*t[2]), (x,y) -> x+y)
-           |  ) AS BIGINT) AS ad
-           |  FROM codes
-           |  JOIN cents ON codes.s = cents.s AND codes.cent_id = cents.cent_id
-           |  JOIN qsub ON qsub.s = codes.s
-           |  GROUP BY codes.vec_id, qsub.query_id),
-           |scored AS (SELECT adc.query_id, a.vec_id,
-           |    CASE WHEN a.nrm = 0 OR qq.nrm = 0 THEN 0.0
-           |      ELSE adc.ad / (sqrt(a.nrm) * sqrt(qq.nrm)) END AS score
-           |  FROM adc JOIN n a ON a.vec_id = adc.vec_id
-           |  JOIN qq ON qq.query_id = adc.query_id
-           |  WHERE a.vec_id <> adc.query_id),
-           |r AS (SELECT query_id, vec_id, score,
+           |exact AS (SELECT qq.query_id, a.vec_id,
+           |    list_reduce(list_transform(list_zip(a.qe, qq.qe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(a.nrm)*sqrt(qq.nrm)) AS escore
+           |  FROM n a CROSS JOIN qq WHERE a.vec_id <> qq.query_id),
+           |truth AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY escore DESC, vec_id) AS rn
+           |    FROM exact) WHERE rn <= 5),
+           |negs AS (SELECT s.query_id, s.vec_id, s.score FROM r s
+           |  WHERE s.rn <= 10 AND NOT EXISTS (SELECT 1 FROM truth t
+           |    WHERE t.query_id = s.query_id AND t.vec_id = s.vec_id)),
+           |rk2 AS (SELECT query_id, vec_id, score,
            |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
-           |  FROM scored)
-           |SELECT query_id, vec_id, score FROM r WHERE rn <= 5""".stripMargin),
+           |  FROM negs)
+           |SELECT query_id, vec_id, score FROM rk2 WHERE rn <= 5""".stripMargin),
 
       "qs_lsh_topk" -> (quantCte +
         s""",

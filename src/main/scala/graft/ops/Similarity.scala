@@ -931,6 +931,38 @@ object Similarity {
     rankPerQuery(cand, k)
   }
 
+  /** Hard-negative mining — the training-data op for contrastive
+    * retrievers: per query, the documents the PRODUCTION retriever
+    * ranks highest that are NOT true neighbors. Shortlist = PQ-ADC
+    * batch top-(kPos + nNeg) (the cheap tier a 100 TB serving stack
+    * actually runs); positives = exact-cosine batch top-kPos; negatives
+    * = shortlist ∖ positives, re-ranked by retriever score and cut to
+    * nNeg. Both inputs are top-k-bounded relations, so the anti-join
+    * and the final window cost nothing at corpus scale — the expensive
+    * parts are the two batch retrievals, each ONE job for the whole
+    * query set.
+    *
+    * A query whose shortlist is fully swallowed by the positives yields
+    * fewer than nNeg rows (never padded — padding would fabricate
+    * negatives).
+    *
+    * Output: (query_id, vec_id, score) — `score` is the RETRIEVER's
+    * approximate score, the quantity hard-negative training calibrates
+    * against.
+    */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, kPos: Int,
+      nNeg: Int, m: Int = 8, kCent: Int = 16, dims: Int = 64,
+      stride: Long = 1L, maxBroadcastQueries: Long = 100000L): DataFrame = {
+    require(kPos >= 1 && nNeg >= 1, s"kPos=$kPos and nNeg=$nNeg must be >= 1")
+    val shortlist = pqTopKBatch(emb, queries, kPos + nNeg, m, kCent, dims,
+      stride, maxBroadcastQueries)
+    val truth = bruteForceTopKBatch(emb, queries, kPos, maxBroadcastQueries)
+    rankPerQuery(
+      shortlist.join(truth.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_anti"),
+      nNeg)
+  }
+
   /** Recall@k of an approximate batch top-k against an exact one — the
     * measurement operator that closes the ANN loop (the AnnRecallSpec
     * methodology as a first-class DataFrame op): per query,

@@ -160,6 +160,24 @@ class BatchAnnSpec extends AnyFunSuite {
     } finally { batch.unpersist(); () }
   }
 
+  test("hardNegatives: disjoint from exact positives, subset of the PQ " +
+      "shortlist, bounded per query") {
+    val negs = Similarity.hardNegatives(emb, queries, kPos = 5, nNeg = 5,
+      stride = 29L)
+    val truth = Similarity.bruteForceTopKBatch(emb, queries, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val shortlist = Similarity.pqTopKBatch(emb, queries, 10, stride = 29L)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val n = negs.select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(n.nonEmpty)
+    assert(n.toSet.intersect(truth).isEmpty, "a positive leaked into negatives")
+    assert(n.toSet.subsetOf(shortlist), "negative outside retriever shortlist")
+    assert(n.groupBy(_._1).values.forall(_.length <= 5))
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb, queries, kPos = 0, nNeg = 5)
+    }
+  }
+
   test("trained-codebook batch IVF at nprobe=1 == N x ivfKmeansTopK") {
     // a query's assigned centroid IS its argmax-cosine centroid, so the
     // single-probe batch must reproduce the single-query trained path
