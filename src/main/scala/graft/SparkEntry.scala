@@ -1921,6 +1921,19 @@ object SparkEntry {
       Similarity.ivfPqTopKPruned(s, lay, qv, excludeId = 0L, k = 10)
     }),
 
+    "qs_batch_mrr" -> ((s, dir) => {
+      // retrieval-quality audit: MRR of the PQ retriever's top-10
+      // against the exact top-5, in exact integer micro-units — the
+      // per-query metric relation a serving stack publishes next to
+      // recall. Top-k-bounded everywhere past the two batch retrievals.
+      val emb = t(s, dir, "embeddings")
+      val qset = Similarity.batchQueries(emb, col("vec_id") < 8)
+      Similarity.mrrAtK(
+          Similarity.pqTopKBatch(emb, qset, k = 10, stride = 31L),
+          Similarity.bruteForceTopKBatch(emb, qset, k = 5))
+        .orderBy("query_id")
+    }),
+
     "qs_hard_negatives" -> ((s, dir) => {
       // contrastive-retriever training data: the PQ retriever's top-10
       // shortlist minus the exact top-5 positives, cut to 5 negatives
@@ -4103,6 +4116,28 @@ object SparkEntry {
 
       "qs_batch_pq" -> (pqBatchCtes +
         "\nSELECT query_id, vec_id, score FROM r WHERE rn <= 5"),
+
+      // MRR over the shared PQ chain: first true-neighbor rank in the
+      // retriever's top-10, reciprocal in integer micro-units; no-hit
+      // queries surface with rank NULL / rr 0
+      "qs_batch_mrr" -> (pqBatchCtes +
+        s""",
+           |exact AS (SELECT qq.query_id, a.vec_id,
+           |    list_reduce(list_transform(list_zip(a.qe, qq.qe), t -> t[1]*t[2]), (x,y) -> x+y)
+           |      / (sqrt(a.nrm)*sqrt(qq.nrm)) AS escore
+           |  FROM n a CROSS JOIN qq WHERE a.vec_id <> qq.query_id),
+           |truth AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY escore DESC, vec_id) AS rn
+           |    FROM exact) WHERE rn <= 5),
+           |hit AS (SELECT s.query_id, min(s.rn) AS first_hit_rank
+           |  FROM r s JOIN truth t ON t.query_id = s.query_id AND t.vec_id = s.vec_id
+           |  WHERE s.rn <= 10 GROUP BY 1)
+           |SELECT q.query_id, CAST(h.first_hit_rank AS BIGINT) AS first_hit_rank,
+           |  coalesce(CAST(round(1e6 / h.first_hit_rank) AS BIGINT), 0) AS rr_micro
+           |FROM (SELECT DISTINCT query_id FROM truth) q
+           |LEFT JOIN hit h ON h.query_id = q.query_id
+           |ORDER BY q.query_id""".stripMargin),
 
       // hard-negative mining: the PQ retriever's top-10 shortlist (the
       // shared pqBatchCtes ranking) minus the exact-cosine top-5

@@ -984,6 +984,30 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Mean-reciprocal-rank companion to [[recallAtK]]: per query, the
+    * rank of the FIRST true neighbor in the approximate list and its
+    * reciprocal in exact integer micro-units (`round(1e6/rank)` — one
+    * correctly-rounded division per row, the qs_hybrid_rrf reasoning,
+    * so the metric is bit-identical across engines; averaging is left
+    * to the caller as an exact integer sum). Queries with no hit get
+    * rank NULL and rr 0 — absent hits must not silently vanish from a
+    * quality report. Both inputs are top-k-bounded `(query_id, vec_id,
+    * …)` relations; everything here is top-k-sized.
+    */
+  def mrrAtK(approx: DataFrame, truth: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    val first = approx.withColumn("rnk", row_number().over(w))
+      .join(truth.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(min("rnk").cast("long").as("first_hit_rank"))
+    truth.select("query_id").distinct()
+      .join(first, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_hit_rank"),
+        coalesce(round(lit(1e6) / col("first_hit_rank")).cast("long"), lit(0L))
+          .as("rr_micro"))
+  }
+
   /** Batch multi-probe IVF top-k: the IVF analogue of [[lshTopKBatch]].
     * The codebook (k × dims longs — driver-sized by contract, same as
     * [[assignToCentroids]]) is collected once; each query's `nprobe`

@@ -160,6 +160,21 @@ class BatchAnnSpec extends AnyFunSuite {
     } finally { batch.unpersist(); () }
   }
 
+  test("mrrAtK: first-hit reciprocal in micro-units; no-hit queries " +
+      "surface with rank NULL / rr 0") {
+    val approx = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7), // truth at rank 2
+      (2L, 20L, 0.9), (2L, 21L, 0.8), // no hit
+      (3L, 30L, 0.5), (3L, 31L, 0.4), (3L, 32L, 0.3) // hits at ranks 1, 3
+    ).toDF("query_id", "vec_id", "score")
+    val truth = Seq((1L, 11L), (1L, 99L), (2L, 98L), (3L, 30L), (3L, 32L))
+      .toDF("query_id", "vec_id")
+    val got = Similarity.mrrAtK(approx, truth).orderBy("query_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 500000L), (2L, -1L, 0L), (3L, 1L, 1000000L)))
+  }
+
   test("hardNegatives: disjoint from exact positives, subset of the PQ " +
       "shortlist, bounded per query") {
     val negs = Similarity.hardNegatives(emb, queries, kPos = 5, nNeg = 5,
