@@ -1117,6 +1117,38 @@ object SparkEntry {
         .drop("k").orderBy("doc_id")
     }),
 
+    "qp_pipeline_e2e" -> ((s, dir) => {
+      // the WHOLE preprocessing recipe as ONE Spark plan — the front-door
+      // composition a reference user runs end to end: exact-dedup keepers
+      // (one window shuffle on the signature, qp_curation's gated shape),
+      // eval-shingle decontamination (broadcast eval set, train streams
+      // map-only; contaminated ids drop via anti-join), quality + length
+      // filter (codegen projections), leakage-free fold by source hash
+      // (map-only), per-(fold, lang) accounting in integer micro-units.
+      // Every stage is individually oracle-gated elsewhere; this gates
+      // their COMPOSITION — plan reuse, filter ordering, null paths.
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+      val isEval = TextAnalysis.md5Long(col("text")) % 20 === 1
+      val keep = base
+        .withColumn("keep_id",
+          min("doc_id").over(Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("keep_id")).drop("keep_id")
+      val evalSh = Dedup.shingleHashes(base.filter(isEval), "doc_id", col("text"))
+        .select("sh").distinct()
+      val contam = Dedup.shingleHashes(base.filter(!isEval), "doc_id", col("text"))
+        .join(broadcast(evalSh), "sh").select("doc_id").distinct()
+      keep.filter(!isEval)
+        .join(contam, Seq("doc_id"), "left_anti")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .filter(col("quality") >= 0.45 && col("n_tokens") >= 5)
+        .groupBy((TextAnalysis.md5Long(col("source")) % 10).as("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          sum(round(col("quality") * 1000000).cast("long")).as("quality_micro"))
+        .orderBy("fold", "lang")
+    }),
+
     "qp_decontaminate" -> ((s, dir) => {
       // eval-set decontamination — the standard pre-training pass: find
       // train docs sharing any word-trigram shingle with a held-out eval
@@ -3711,6 +3743,34 @@ object SparkEntry {
            |SELECT lang, CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
            |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the composed recipe, each stage its gated fragment: exact-dedup
+      // keepers, shingle decontamination over the non-empty base, quality
+      // + length filter, fold by source hash, micro-unit accounting
+      "qp_pipeline_e2e" ->
+        s"""WITH base AS (SELECT * FROM documents WHERE length(trim(text)) > 0),
+           |ek AS (SELECT md5(text) AS sig, min(doc_id) AS keeper FROM base GROUP BY 1),
+           |k AS (SELECT b.* FROM base b
+           |  JOIN ek ON md5(b.text) = ek.sig AND b.doc_id = ek.keeper),
+           |tk AS (SELECT doc_id, ${h("text")} % 20 = 1 AS is_eval, $toks w FROM base),
+           |sh AS (SELECT DISTINCT doc_id, is_eval, ${h("s")} AS sh FROM (
+           |  SELECT doc_id, is_eval, unnest(list_transform(range(len(w)-2),
+           |    i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
+           |  FROM tk WHERE len(w) >= 3) x),
+           |ev AS (SELECT DISTINCT sh FROM sh WHERE is_eval),
+           |contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)
+           |  WHERE NOT s.is_eval),
+           |clean AS (SELECT k.* FROM k
+           |  WHERE ${h("k.text")} % 20 <> 1
+           |    AND k.doc_id NOT IN (SELECT doc_id FROM contam)),
+           |q AS (SELECT lang, source, $qualitySql AS quality,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens FROM clean),
+           |f AS (SELECT ${h("source")} % 10 AS fold, lang, n_tokens, quality
+           |  FROM q WHERE quality >= 0.45 AND n_tokens >= 5)
+           |SELECT fold, lang, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           |  CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT) AS quality_micro
+           |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "qp_decontaminate" ->
         s"""WITH tk AS (SELECT doc_id, ${h("text")} % 20 = 1 AS is_eval, $toks w FROM documents),
