@@ -1324,21 +1324,19 @@ object SparkEntry {
       // fidelity (commas, embedded quotes, newlines — exactly where CSV
       // pipelines corrupt silently). Doc counts per group catch row
       // splits from a mis-handled embedded newline.
+      // Spark's CSV WRITER trims cell whitespace by default
+      // (ignoreLeading/TrailingWhiteSpace=true on write, unlike read) —
+      // whitespace-edged text would silently shrink through the
+      // round-trip; pin both off. Schema comes from the parquet table
+      // itself so the explicit-read schema can never drift from it.
       val p = stagedInput("csv", dir) { path =>
         t(s, dir, "documents").write.mode("overwrite")
-          .option("header", "true").option("escape", "\"").csv(path)
+          .option("header", "true").option("escape", "\"")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .csv(path)
       }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("lang",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("source",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n_chars",
-          org.apache.spark.sql.types.LongType)))
+      val schema = t(s, dir, "documents").schema
       s.read.schema(schema).option("header", "true")
         .option("multiLine", "true").option("escape", "\"").csv(p)
         .groupBy("lang", "source")
@@ -3243,7 +3241,7 @@ object SparkEntry {
         val host =
           s"regexp_replace(regexp_replace(lower(regexp_extract(url, '$UrlHostRe', 1)), '$UrlDefaultPortRe', '', 'g'), '$UrlWwwRe', '', 'g')"
         val rest =
-          s"regexp_replace(regexp_replace(regexp_extract(url, '$UrlRestRe', 1), '$UrlUtmMidRe', '', 'g'), '$UrlUtmTailRe', '', 'g')"
+          s"regexp_replace(regexp_replace(regexp_replace(regexp_extract(url, '$UrlRestRe', 1), '$UrlUtmAmpRe', '', 'g'), '$UrlUtmLeadRe', '?', 'g'), '$UrlUtmTailRe', '', 'g')"
         s"""WITH u AS (SELECT doc_id,
            |  'HTTPS://WWW.' || source || CAST(doc_id % 4 AS VARCHAR) || '.CoM' ||
            |  CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||

@@ -355,9 +355,13 @@ object CorpusSelect {
     * shards in one deterministic global order" output shape. Every row
     * gets `shardCol` = floor(preceding-cum / shardBudget): boundaries
     * fall where the PRECEDING cumulative weight crosses a budget
-    * multiple, so a document never splits across shards, shard ids are
-    * contiguous from 0, and each shard holds at most `shardBudget` plus
-    * one straddling document's weight.
+    * multiple, so a document never splits across shards and each shard
+    * holds at most `shardBudget` plus one straddling document's weight.
+    * Shard ids start at 0 and are contiguous as long as no single
+    * document outweighs the budget; an over-budget document advances
+    * the next shard index by floor(weight/budget) — a deliberate gap,
+    * not a bug (renumbering would need a second global pass for purely
+    * cosmetic ids).
     *
     * Same two-pass prefix machinery as [[budgetPrefix]] with the budget
     * resolved to the grand total (nothing filtered): a global total

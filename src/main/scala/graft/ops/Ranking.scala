@@ -161,7 +161,10 @@ object Ranking {
     require(scale % dampDen == 0,
       s"scale=$scale must divide by dampDen=$dampDen for an exact base")
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // e feeds THREE consumers (node union, eDeg's probe side, its degree
+    // aggregation) — unpersisted, each would re-run the edge-dedup
+    // shuffle over the raw input during setup
+    val e = edges.select(col("src"), col("dst")).distinct().persist(mem)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist(mem)
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
@@ -182,6 +185,6 @@ object Ranking {
           .localCheckpoint()
       }
       ranks
-    } finally { eDeg.unpersist(); nodes.unpersist() }
+    } finally { eDeg.unpersist(); nodes.unpersist(); e.unpersist() }
   }
 }

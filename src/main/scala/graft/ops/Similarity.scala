@@ -639,37 +639,46 @@ object Similarity {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val sub = dims / m
+    val spark = emb.sparkSession
+    import spark.implicits._
     val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val cents = codebook.getOrElse(
       q.filter(col("vec_id") < centroids)
         .select(col("vec_id").as("cent_id"), col("qv").as("cv")))
     val cb = cents.select(col("cent_id"), col("cv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    // the codebook was JUST collected — write the driver rows back out
+    // instead of re-running the corpus scan that derived them
+    cb.toDF("cent_id", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebook")
     val cvMap = map_from_arrays(
       typedLit(cb.map(_._1)), typedLit(cb.map(_._2)))
+    // assigned feeds TWO consumers (the stride-sample collect and the
+    // encode write) — persist, or the quantize+assign pass over the
+    // whole corpus runs twice
     val assigned = assignToCentroidsLit(q, cb)
       .withColumn("res",
         zip_with(col("qv"), element_at(cvMap, col("cent_id")), (a, b) => a - b))
-    val sampled = assigned
-      .filter(col("vec_id") % stride === 0 && col("vec_id") < kCent * stride)
-      .select(col("vec_id"), col("res")).collect().sortBy(_.getLong(0))
-      .map(_.getSeq[Long](1).toArray)
-    require(sampled.length == kCent,
-      s"need vec_ids {0, $stride, …, ${(kCent - 1) * stride}} for the " +
-        s"stride-$stride residual codebook, found ${sampled.length}")
-    val cbRes = Array.tabulate(m)(s => sampled.map(_.slice(s * sub, (s + 1) * sub)))
-    val cc2 = cbRes.map(_.map(c => ldot(c, c)))
-    val spark = emb.sparkSession
-    import spark.implicits._
-    (for (s <- 0 until m; c <- 0 until kCent) yield (s, c, cbRes(s)(c).toSeq))
-      .toDF("s", "c", "pv").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/pq")
-    assigned.select(col("vec_id"),
-        transform(graft.plans.PqEncode(col("res"), cbRes, cc2),
-          x => x.cast("byte")).as("code"),
-        qnorm2(col("qv")).as("nrm2"), col("cent_id"))
-      .write.partitionBy("cent_id").mode("overwrite").parquet(s"$path/data")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sampled = assigned
+        .filter(col("vec_id") % stride === 0 && col("vec_id") < kCent * stride)
+        .select(col("vec_id"), col("res")).collect().sortBy(_.getLong(0))
+        .map(_.getSeq[Long](1).toArray)
+      require(sampled.length == kCent,
+        s"need vec_ids {0, $stride, …, ${(kCent - 1) * stride}} for the " +
+          s"stride-$stride residual codebook, found ${sampled.length}")
+      val cbRes = Array.tabulate(m)(s => sampled.map(_.slice(s * sub, (s + 1) * sub)))
+      val cc2 = cbRes.map(_.map(c => ldot(c, c)))
+      (for (s <- 0 until m; c <- 0 until kCent) yield (s, c, cbRes(s)(c).toSeq))
+        .toDF("s", "c", "pv").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/pq")
+      assigned.select(col("vec_id"),
+          transform(graft.plans.PqEncode(col("res"), cbRes, cc2),
+            x => x.cast("byte")).as("code"),
+          qnorm2(col("qv")).as("nrm2"), col("cent_id"))
+        .write.partitionBy("cent_id").mode("overwrite").parquet(s"$path/data")
+    } finally { assigned.unpersist(); () }
   }
 
   /** Pruned ADC top-k over a [[writeIvfPq]] layout: probe centroids are
@@ -1134,12 +1143,18 @@ object Similarity {
       .map(_.getLong(0)).toSeq
     val cvMap = map_from_arrays(
       typedLit(cb.map(_._1)), typedLit(cb.map(_._2)))
+    // the m·kCent ADC table computes ONCE per query on the query
+    // relation (q0: one row per query), not on the exploded probe rows —
+    // on probes it would run nprobe× per query; the per-probe ⟨q,c⟩ is
+    // one dot and stays on the probe rows
     val tabs = array((for (s <- 0 until m; c <- 0 until kCent)
-      yield qdot(slice(col("query_v"), s * sub + 1, sub),
+      yield qdot(slice(col("qv"), s * sub + 1, sub),
         typedLit(pqRows((s, c)).toSeq))): _*)
+    val perQuery = q0.select(col("query_id"),
+      tabs.as("_tabs"), qnorm2(col("qv")).as("_qn"))
     val enriched = probes.select(col("query_id"), col("cent_id"),
-      tabs.as("_tabs"), qnorm2(col("query_v")).as("_qn"),
-      qdot(col("query_v"), element_at(cvMap, col("cent_id"))).as("_qc"))
+        qdot(col("query_v"), element_at(cvMap, col("cent_id"))).as("_qc"))
+      .join(perQuery, "query_id")
     val adc = (0 until m).map { s =>
       element_at(col("_tabs"), lit(s * kCent) + col("code")(s).cast("int") + 1)
     }.reduce(_ + _)

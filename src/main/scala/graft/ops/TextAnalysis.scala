@@ -165,16 +165,22 @@ object TextAnalysis {
     * with the oracle SQL. The canonical form lowercases ONLY scheme and
     * host (paths/queries are case-significant), drops the fragment,
     * strips the default ports and the `www.` prefix, and removes
-    * `utm_*` tracking params (mid-query first so the separator chain
-    * stays well-formed, then a trailing pass that also eats the
-    * dangling `?`/`&`). Every pattern sticks to syntax with identical
+    * `utm_*` tracking params via three separator-anchored passes (see
+    * the constants below). Every pattern sticks to syntax with identical
     * Java-regex/RE2 semantics and no capture-group replacements — the
     * `$1` vs `\1` dialect split never arises.
     */
   val UrlSchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*://"
   val UrlHostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
   val UrlRestRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
-  val UrlUtmMidRe = "utm_[a-z]+=[^&]*&"
+  // every utm pattern is SEPARATOR-ANCHORED — an unanchored
+  // "utm_…=…&" would also match inside a non-utm name or value
+  // ("?xutm_source=f&id=2" must keep its parameter). Three passes:
+  // &-led params drop outright; a leading "?utm_…=…&" collapses to the
+  // literal "?" (no capture groups, per the dialect contract); a
+  // trailing "[?&]utm_…=…$" takes its separator with it.
+  val UrlUtmAmpRe = "&utm_[a-z]+=[^&]*"
+  val UrlUtmLeadRe = "\\?utm_[a-z]+=[^&]*&"
   val UrlUtmTailRe = "[?&]utm_[a-z]+=[^&]*$"
   val UrlDefaultPortRe = ":(443|80)$"
   val UrlAnyPortRe = ":[0-9]+$"
@@ -192,8 +198,9 @@ object TextAnalysis {
     */
   def canonicalUrl(url: Column): Column =
     concat(lower(regexp_extract(url, UrlSchemeRe, 0)), canonHost(url),
-      regexp_replace(regexp_replace(
-        regexp_extract(url, UrlRestRe, 1), UrlUtmMidRe, ""), UrlUtmTailRe, ""))
+      regexp_replace(regexp_replace(regexp_replace(
+        regexp_extract(url, UrlRestRe, 1),
+        UrlUtmAmpRe, ""), UrlUtmLeadRe, "?"), UrlUtmTailRe, ""))
 
   /** Registered domain (last two labels) of the canonical host — the
     * per-site aggregation/blocklist key. Any port is stripped first:

@@ -88,6 +88,16 @@ class CorpusSelectSpec extends AnyFunSuite {
     }
   }
 
+  test("shardAssign: an over-budget document leaves a documented id gap, " +
+      "never splits") {
+    val rows = Seq((1L, 3L), (2L, 50L), (3L, 4L)) // doc 2 outweighs budget 10
+    val r = CorpusSelect.shardAssign(rows.toDF("id", "w"), "w", 10L,
+        Seq(col("id").asc), numPartitions = 2)
+      .orderBy("id").select("id", "shard").as[(Long, Long)].collect().toSeq
+    // doc2 starts at cum-before 3 → shard 0; doc3 at cum-before 53 → shard 5
+    assert(r == Seq((1L, 0L), (2L, 0L), (3L, 5L)))
+  }
+
   test("rejects non-long weight column") {
     val df = Seq((1L, 1.5)).toDF("id", "w")
     assertThrows[IllegalArgumentException] {

@@ -565,7 +565,15 @@ class OpsSpec extends AnyFunSuite {
       (3L, "http://site.com:80/p?utm_source=f", "http://site.com/p", "site.com"),
       // non-default port survives; path case is significant
       (4L, "https://site.com:8443/CaseSensitive",
-        "https://site.com:8443/CaseSensitive", "site.com"))
+        "https://site.com:8443/CaseSensitive", "site.com"),
+      // anchoring: utm_ INSIDE a param name or value must survive
+      (5L, "https://site.com/p?xutm_source=f&id=2",
+        "https://site.com/p?xutm_source=f&id=2", "site.com"),
+      (6L, "https://site.com/p?redirect=page_utm_x=1&id=2",
+        "https://site.com/p?redirect=page_utm_x=1&id=2", "site.com"),
+      // leading utm followed by a real param keeps a well-formed query
+      (7L, "https://site.com/p?utm_a=1&utm_b=2&id=3",
+        "https://site.com/p?id=3", "site.com"))
     val out = cases.map(c => (c._1, c._2)).toDF("id", "url")
       .select(col("id"), TextAnalysis.canonicalUrl(col("url")).as("c"),
         TextAnalysis.urlDomain(col("url")).as("d"))
