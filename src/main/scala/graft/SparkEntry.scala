@@ -2155,6 +2155,17 @@ object SparkEntry {
         .orderBy("ahash")
     }),
 
+    "qm_image_neardup" -> ((s, dir) => {
+      // the hamming tier above qm_image_dedup's exact grouping: byte-band
+      // the 64 aHash bits, pair via the capped band join, verify exact
+      // hamming <= 6 — guaranteed-recall banding (pigeonhole over 8
+      // bands), never all-pairs.
+      Multimodal.imageNearDups(
+          Multimodal.imageAHash(
+            Multimodal.imagePayload(t(s, dir, "documents").select("doc_id"))))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "qm_audio_dedup" -> ((s, dir) => {
       // multimodal audio dedup (coarse tier): 8-band energy-profile
       // fingerprint from REAL-decoded WAV samples (integer
@@ -2989,6 +3000,22 @@ object SparkEntry {
         |  list_reduce(list_transform(qe, x -> x*x), (a,b) -> a+b) AS nrm FROM q)""".stripMargin
     val quantCte = "WITH " + quantCteBody
     val dotAB = "list_reduce(list_transform(list_zip(a.qe,b.qe), t -> t[1]*t[2]), (x,y) -> x+y)"
+
+    // closed-form aHash replay (the synthetic gradient is x-invariant,
+    // so the 8x8 hash reduces to row-band sums) — shared by
+    // qm_image_dedup and qm_image_neardup
+    val imageHashCtes =
+      """WITH g AS (SELECT doc_id, doc_id % 95 + 32 AS w,
+        |    (doc_id*7) % 95 + 32 AS h FROM documents),
+        |l AS (SELECT doc_id, w, h,
+        |    list_transform(range(h), y -> (doc_id + y) % 256) AS gr FROM g),
+        |t AS (SELECT doc_id, w, h, gr, list_sum(gr) AS ty FROM l),
+        |b AS (SELECT doc_id, list_aggregate(list_transform(range(8), by ->
+        |      repeat(CASE WHEN
+        |          list_sum(gr[by*h//8 + 1 : (by+1)*h//8]) * h >=
+        |          ty * ((by+1)*h//8 - by*h//8)
+        |        THEN '1' ELSE '0' END, 8)), 'string_agg', '') AS ahash
+        |  FROM t)""".stripMargin
 
     // flat-PQ batch replay through the ranked CTE `r` (rn per query by
     // approx score) — shared by qs_batch_pq and qs_hard_negatives; the
@@ -4430,20 +4457,39 @@ object SparkEntry {
       // row the cross-multiplied compare reduces (divide both sides by
       // the positive bw·w) to rowBandSum·h ≥ totalRowSum·bh — each of the
       // 8 bits in a block row is identical, hence repeat(bit, 8)
-      "qm_image_dedup" ->
-        """WITH g AS (SELECT doc_id, doc_id % 95 + 32 AS w,
-          |    (doc_id*7) % 95 + 32 AS h FROM documents),
-          |l AS (SELECT doc_id, w, h,
-          |    list_transform(range(h), y -> (doc_id + y) % 256) AS gr FROM g),
-          |t AS (SELECT doc_id, w, h, gr, list_sum(gr) AS ty FROM l),
-          |b AS (SELECT doc_id, list_aggregate(list_transform(range(8), by ->
-          |      repeat(CASE WHEN
-          |          list_sum(gr[by*h//8 + 1 : (by+1)*h//8]) * h >=
-          |          ty * ((by+1)*h//8 - by*h//8)
-          |        THEN '1' ELSE '0' END, 8)), 'string_agg', '') AS ahash
-          |  FROM t)
+      "qm_image_dedup" -> (imageHashCtes +
+        """
           |SELECT ahash, count(*) AS n_imgs, min(doc_id) AS keep_id
-          |FROM b GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+          |FROM b GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin),
+
+      // banded hamming over the same closed-form hashes: byte-bands with
+      // the minhash cap machinery (cap 32 + star edges), exact
+      // bit-position hamming on candidates
+      "qm_image_neardup" -> (imageHashCtes +
+        s""",
+           |bands AS (SELECT b.doc_id, g2.bb AS band,
+           |    substr(b.ahash, g2.bb*8 + 1, 8) AS bkey
+           |  FROM b, (SELECT unnest(range(8)) AS bb) g2),
+           |r AS (SELECT doc_id, band, bkey,
+           |    row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn,
+           |    first_value(doc_id) OVER (PARTITION BY band, bkey ORDER BY doc_id) AS mn
+           |  FROM bands),
+           |cb AS (SELECT doc_id, band, bkey FROM r WHERE rn <= ${Dedup.BandBucketCap}),
+           |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+           |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+           |  FROM cb a JOIN cb b2 ON a.band = b2.band AND a.bkey = b2.bkey
+           |    AND a.doc_id < b2.doc_id
+           |  UNION ALL
+           |  SELECT mn, doc_id FROM r WHERE rn > ${Dedup.BandBucketCap}) u),
+           |hm AS (SELECT c.doc_a, c.doc_b,
+           |    CAST(len(list_filter(range(64), i ->
+           |      substr(ha.ahash, i+1, 1) <> substr(hb.ahash, i+1, 1))) AS BIGINT)
+           |      AS hamming
+           |  FROM cand c
+           |  JOIN b ha ON ha.doc_id = c.doc_a
+           |  JOIN b hb ON hb.doc_id = c.doc_b)
+           |SELECT doc_a, doc_b, hamming FROM hm
+           |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin),
 
       // energy bands replayed closed-form from the band-marked synthesis:
       // sample i = ((id*31 + i*7) % 16384 - 8192) · (3 if bit (8i+7)//n of

@@ -226,6 +226,35 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Perceptual image NEAR-dup pairing over [[imageAHash]] output — the
+    * hamming tier above exact-hash grouping (a re-encoded or slightly
+    * resized copy flips a few aHash bits; exact grouping misses it).
+    * The 64 hash bits split into 8 byte-bands; documents sharing ANY
+    * band become candidates through [[Dedup.bandedCandidates]]' capped
+    * machinery, and candidates verify by exact bit-position hamming on
+    * the carried hashes. With `maxHamming < 8` the banding is EXACT by
+    * pigeonhole — ≤7 differing bits cannot touch all 8 bands, so every
+    * qualifying pair is proposed (the [[Dedup.simhashNearDups]]
+    * guarantee, not LSH probability). Verification is pair-bounded;
+    * banding is one capped self-join — never all-pairs.
+    */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 6,
+      bandCap: Int = Dedup.BandBucketCap): DataFrame = {
+    require(maxHamming < 8,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) < 8 bands")
+    val banded = hashes.select(col("doc_id"), col("ahash"),
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            substring(col("ahash"), b * 8 + 1, 8).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"), col("bk.band"), col("bk.bkey"))
+    val ham = (0 until 64).map(i =>
+      when(substring(col("ahash_a"), i + 1, 1) =!=
+        substring(col("ahash_b"), i + 1, 1), 1).otherwise(0)).reduce(_ + _)
+    Dedup.bandedCandidates(banded, "doc_id", bandCap, carry = Seq("ahash"))
+      .select(col("doc_a"), col("doc_b"), ham.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Video-level perceptual fingerprint: md5 over the concatenated
     * [[aHashBits]] of every `every`-th frame (same k-th-frame walk as
     * [[decodeVideoFrames]] — skipped frames are never decoded). Grouping

@@ -391,6 +391,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.toSeq.groupBy(identity).exists(_._2.length > 1))
   }
 
+  test("imageNearDups: pigeonhole banding proposes every pair within " +
+      "hamming<=6; over-threshold candidates verified out") {
+    def flip(s: String, idxs: Int*) =
+      idxs.foldLeft(s)((a, i) => a.updated(i, if (a(i) == '1') '0' else '1'))
+    val base = "1" * 64
+    val hashes = Seq(
+      (1L, base),
+      (2L, flip(base, 0)), // hamming 1 from base
+      (3L, flip(base, 0, 8, 16, 24, 32, 40)), // 6 bits across 6 bands
+      (4L, flip(base, 0, 8, 16, 24, 32, 40, 48, 56)), // one bit EVERY band
+      (5L, "0" * 64) // far from everything
+    ).toDF("doc_id", "ahash")
+    val pairs = Multimodal.imageNearDups(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // guaranteed recall at hamming <= 6 (2 of 8 bands must stay intact)
+    assert(pairs == Map(
+      (1L, 2L) -> 1L, (1L, 3L) -> 6L, (2L, 3L) -> 5L, (3L, 4L) -> 2L))
+    // (2,4) shares band 0 → PROPOSED, but hamming 7 > 6 → verified out;
+    // (1,4) differs in every band → never even a candidate; 5 pairs with
+    // nothing. The requirement guard:
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDups(hashes, maxHamming = 8)
+    }
+  }
+
   test("multimodal: video fingerprint samples every 3rd frame and " +
       "collapses identical frame sequences") {
     val ids = spark.range(0, 80, 1, 4).select($"id".as("doc_id"))
