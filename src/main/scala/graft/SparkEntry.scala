@@ -1082,6 +1082,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qt_pack_manifest" -> ((s, dir) => {
+      // the pack MANIFEST a training loader consumes: per (lang, pack)
+      // the member count, token fill, and an order-faithful fingerprint
+      // of the membership — md5 over doc_ids joined in the packing order
+      // (tokens desc, doc_id; encoded as sort_array over struct(-n, id),
+      // so the fingerprint is engine-portable without array-column
+      // compare hazards). Same per-lang window shape as qt_packing.
+      import org.apache.spark.sql.expressions.Window
+      val budget = 4096L
+      val nTok = TextAnalysis.tokenCount(col("text")).cast("long")
+      val d = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("lang"), nTok.as("n"))
+        .filter(col("n") <= budget)
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum", sum(col("n")).over(w))
+        .withColumn("pack_id", floor((col("cum") - col("n")) / budget).cast("long"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("fill_tokens"),
+          md5(concat_ws(",",
+            transform(
+              sort_array(collect_list(struct((-col("n")).as("a"),
+                col("doc_id").as("b")))),
+              x => x("b").cast("string")))).as("manifest_md5"))
+        .orderBy("lang", "pack_id")
+    }),
+
     "qt_upsample" -> ((s, dir) => {
       // the UPSAMPLING half of mixture construction (qt_mixture
       // downsamples): low-resource languages get an integer repeat
@@ -3287,6 +3315,22 @@ object SparkEntry {
            |  domain IN ('src30.com', 'src111.com') AS blocked
            |FROM c ORDER BY doc_id""".stripMargin
       },
+
+      "qt_pack_manifest" ->
+        s"""WITH d AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n
+           |  FROM documents WHERE length(trim(text)) > 0
+           |    AND CAST(len($toks) AS BIGINT) <= 4096),
+           |c AS (SELECT doc_id, lang, n,
+           |    sum(n) OVER (PARTITION BY lang ORDER BY n DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM d),
+           |p AS (SELECT lang, doc_id, n, CAST(floor((cum - n) / 4096) AS BIGINT) AS pack_id
+           |  FROM c)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n) AS BIGINT) AS fill_tokens,
+           |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY n DESC, doc_id))
+           |    AS manifest_md5
+           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "qt_upsample" ->
         """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
