@@ -1110,6 +1110,33 @@ object SparkEntry {
         .orderBy("lang", "pack_id")
     }),
 
+    "qt_stream_shards" -> ((s, dir) => {
+      // STREAMING shard assignment (CorpusSelect.streamingShardAssign):
+      // the continuous corpus-builder output stage. One AvailableNow
+      // pass reproduces the batch shardAssign exactly — shares
+      // qt_shard_pack's oracle; multi-batch carry, restart continuation,
+      // and replay idempotence are spec'd in StreamingShardAssignSpec.
+      val tmp = scratchDir("graft_qtss")
+      val src = stagedInput("qtsp", dir) { p =>
+        t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+            md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("k"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val stream = s.readStream.schema(
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("n_tokens", "long").add("k", "string"))
+        .parquet(src)
+      val q = graft.ops.CorpusSelect.streamingShardAssign(stream, "n_tokens",
+        2000L, Seq(col("k"), col("doc_id")), s"$tmp/out", s"$tmp/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("n_tokens"),
+          col("cum_weight").as("cum_tokens"), col("shard"))
+        .orderBy("doc_id")
+    }),
+
     "qt_upsample" -> ((s, dir) => {
       // the UPSAMPLING half of mixture construction (qt_mixture
       // downsamples): low-resource languages get an integer repeat
@@ -3029,6 +3056,20 @@ object SparkEntry {
     val quantCte = "WITH " + quantCteBody
     val dotAB = "list_reduce(list_transform(list_zip(a.qe,b.qe), t -> t[1]*t[2]), (x,y) -> x+y)"
 
+    // token-budget shard assignment replay — shared by qt_shard_pack and
+    // its single-pass streaming twin qt_stream_shards
+    val shardPackSql =
+      s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS k
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |c AS (SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY k, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM d)
+         |SELECT doc_id, n_tokens, cum_tokens,
+         |  (cum_tokens - n_tokens) // 2000 AS shard
+         |FROM c ORDER BY doc_id""".stripMargin
+
     // closed-form aHash replay (the synthetic gradient is x-invariant,
     // so the 8x8 hash reduces to row-band sums) — shared by
     // qm_image_dedup and qm_image_neardup
@@ -3343,17 +3384,9 @@ object SparkEntry {
           |  n_docs * repeat_factor AS n_docs_after
           |FROM f ORDER BY lang""".stripMargin,
 
-      "qt_shard_pack" ->
-        s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
-           |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS k
-           |  FROM documents WHERE length(trim(text)) > 0),
-           |c AS (SELECT doc_id, n_tokens,
-           |    sum(n_tokens) OVER (ORDER BY k, doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
-           |  FROM d)
-           |SELECT doc_id, n_tokens, cum_tokens,
-           |  (cum_tokens - n_tokens) // 2000 AS shard
-           |FROM c ORDER BY doc_id""".stripMargin,
+      "qt_shard_pack" -> shardPackSql,
+      // single-pass streaming form reproduces the batch assignment
+      "qt_stream_shards" -> shardPackSql,
 
       // same reachability closure as qd_components; representative =
       // component label where one exists, else the doc's own id; fold =

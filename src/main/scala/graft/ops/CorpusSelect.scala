@@ -376,11 +376,70 @@ object CorpusSelect {
     */
   def shardAssign(df: DataFrame, weightCol: String, shardBudget: Long,
       order: Seq[Column], cumCol: String = "cum_weight",
-      shardCol: String = "shard", numPartitions: Int = 0): DataFrame = {
+      shardCol: String = "shard", numPartitions: Int = 0,
+      startAt: Long = 0L): DataFrame = {
     require(shardBudget > 0, s"shardBudget must be positive, got $shardBudget")
+    require(startAt >= 0, s"startAt must be non-negative, got $startAt")
+    // startAt: resume a GLOBAL shard sequence from a prior cumulative
+    // total (the streaming carry) — shard ids are global, cumCol stays
+    // local to this call's input
     prefixCore(df, weightCol, order, cumCol, numPartitions, identity,
-      Seq(shardCol -> ((cum: Long, w: Long) => (cum - w) / shardBudget)))
+      Seq(shardCol -> ((cum: Long, w: Long) => (startAt + cum - w) / shardBudget)))
   }
+
+  /** STREAMING shard assignment — the continuous corpus-builder output
+    * stage: micro-batches append to ~budget-token shards whose running
+    * token total carries ACROSS batches through a one-long-per-batch
+    * state ledger under `<outPath>/_state` (the `_` prefix hides it
+    * from parquet discovery, so reading `outPath` sees only data).
+    * Batch N reads `total_after` from the highest `state_batch` below N
+    * (0 when none), assigns GLOBAL shard ids via [[shardAssign]]'s
+    * `startAt`, and overwrites BOTH `out_batch=N` and `state_batch=N` —
+    * replay after a crash is idempotent by partition overwrite, the
+    * [[graft.streaming.CanStream.partitionedParquetSink]] contract.
+    * In-order arrival reproduces the batch [[shardAssign]] over the
+    * concatenated input exactly (each batch's carry-in IS the preceding
+    * batches' total) — gate-shared oracle; multi-batch equality,
+    * restart continuation, and replay are spec'd in
+    * StreamingShardAssignSpec.
+    */
+  def streamingShardAssign(docs: DataFrame, weightCol: String,
+      shardBudget: Long, order: Seq[Column], outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val stateBase = s"$outPath/_state"
+        val root = new org.apache.hadoop.fs.Path(stateBase)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prior =
+          if (!fs.exists(root)) Seq.empty[Long]
+          else fs.listStatus(root).toSeq
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("state_batch="))
+            .map(_.getPath.getName.stripPrefix("state_batch=").toLong)
+            .filter(_ < batchId)
+        val carry =
+          if (prior.isEmpty) 0L
+          else s.read.parquet(s"$stateBase/state_batch=${prior.max}")
+            .head().getLong(0)
+        val assigned = shardAssign(batch, weightCol, shardBudget, order,
+          startAt = carry)
+        try {
+          val localTotal = assigned
+            .agg(F.coalesce(F.sum(F.col(weightCol)), F.lit(0L)))
+            .head().getLong(0)
+          assigned.write.mode("overwrite")
+            .parquet(s"$outPath/out_batch=$batchId")
+          import s.implicits._
+          Seq(carry + localTotal).toDF("total_after").coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$stateBase/state_batch=$batchId")
+        } finally { assigned.unpersist(); () }
+      }
+      .start()
 
   private def prefixCore(df: DataFrame, weightCol: String,
       order: Seq[Column], cumCol: String, numPartitions: Int,
