@@ -1137,6 +1137,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qt_filter_report" -> ((s, dir) => {
+      // the Gopher-rules filter REPORT a curation run publishes next to
+      // its output: each rule's (non-exclusive) hit count plus the
+      // surviving count, one wide row. Rules compose the proven signal
+      // fragments — length bounds, alpha fraction, top-unigram
+      // repetition, composite quality — so thresholds compare IDENTICAL
+      // doubles in both engines. Cost = qt_repetition's two gram
+      // aggregations + one codegen projection + one global agg.
+      val base = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+      val rep = TextAnalysis.repetitionStats(base, "doc_id", col("text"))
+      val d = base.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          (regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
+            length(col("text"))).as("alpha_frac"))
+        .join(rep.select(col("doc_id"), col("top_unigram_frac")), "doc_id")
+      def hits(c: Column) = sum(when(c, 1L).otherwise(0L))
+      d.agg(count(lit(1)).as("n_total"),
+        hits(col("n_tokens") < 5).as("n_short"),
+        hits(col("n_tokens") > 5000).as("n_long"),
+        hits(col("alpha_frac") < 0.2).as("n_low_alpha"),
+        hits(col("top_unigram_frac") > 0.2).as("n_repetitive"),
+        hits(col("quality") < 0.45).as("n_low_quality"),
+        hits(col("n_tokens") >= 5 && col("n_tokens") <= 5000 &&
+          col("alpha_frac") >= 0.2 && col("top_unigram_frac") <= 0.2 &&
+          col("quality") >= 0.45).as("n_kept"))
+    }),
+
     "qt_upsample" -> ((s, dir) => {
       // the UPSAMPLING half of mixture construction (qt_mixture
       // downsamples): low-resource languages get an integer repeat
@@ -3372,6 +3400,31 @@ object SparkEntry {
            |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY n DESC, doc_id))
            |    AS manifest_md5
            |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "qt_filter_report" ->
+        s"""WITH base AS (SELECT doc_id, text, $toks AS w FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |u1 AS (SELECT doc_id, t, count(*) AS c FROM (
+           |    SELECT doc_id, unnest(w) AS t FROM base) x GROUP BY 1, 2),
+           |uni AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c,
+           |    CAST(sum(c) AS BIGINT) AS tok_sum FROM u1 GROUP BY 1),
+           |d AS (SELECT b.doc_id,
+           |    $qualitySql AS quality,
+           |    CAST(len(w) AS BIGINT) AS n_tokens,
+           |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+           |      / length(text) AS alpha_frac,
+           |    CAST(u.top_c AS DOUBLE) / u.tok_sum AS top_unigram_frac
+           |  FROM base b JOIN uni u USING (doc_id))
+           |SELECT count(*) AS n_total,
+           |  CAST(sum(CASE WHEN n_tokens < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           |  CAST(sum(CASE WHEN n_tokens > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+           |  CAST(sum(CASE WHEN alpha_frac < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_alpha,
+           |  CAST(sum(CASE WHEN top_unigram_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+           |  CAST(sum(CASE WHEN quality < 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+           |  CAST(sum(CASE WHEN n_tokens >= 5 AND n_tokens <= 5000
+           |    AND alpha_frac >= 0.2 AND top_unigram_frac <= 0.2
+           |    AND quality >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM d""".stripMargin,
 
       "qt_upsample" ->
         """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
