@@ -1137,6 +1137,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qt_stream_cap" -> ((s, dir) => {
+      // STREAMING per-group cap (CorpusSelect.streamingTopPerGroup): the
+      // continuous leaderboard. Bounded top-n is batch-split-insensitive,
+      // so the final winners ledger equals the batch topPerGroup — shares
+      // qt_source_cap's oracle; arrival-order invariance, restart, and
+      // replay are spec'd in StreamingTopPerGroupSpec.
+      val tmp = scratchDir("graft_qtsc")
+      val src = stagedInput("qtcap", dir) { p =>
+        t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("q"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val stream = s.readStream.schema(
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("source", "string").add("q", "double"))
+        .parquet(src)
+      val q = graft.ops.CorpusSelect.streamingTopPerGroup(stream, "source",
+        col("q"), "doc_id", n = 3, s"$tmp/out", s"$tmp/ckpt",
+        scoreName = "quality")
+      q.awaitTermination()
+      val last = graft.ops.CorpusSelect.winnersBatches(s, s"$tmp/out").max
+      s.read.parquet(s"$tmp/out/winners_batch=$last")
+        .orderBy("source", "doc_id")
+    }),
+
     "qt_filter_report" -> ((s, dir) => {
       // the Gopher-rules filter REPORT a curation run publishes next to
       // its output: each rule's (non-exclusive) hit count plus the
@@ -3084,6 +3110,16 @@ object SparkEntry {
     val quantCte = "WITH " + quantCteBody
     val dotAB = "list_reduce(list_transform(list_zip(a.qe,b.qe), t -> t[1]*t[2]), (x,y) -> x+y)"
 
+    // per-source cap replay — shared by qt_source_cap and its streaming
+    // leaderboard twin qt_stream_cap
+    val sourceCapSql =
+      s"""SELECT source, doc_id, quality FROM (
+         |  SELECT source, doc_id, $qualitySql AS quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY $qualitySql DESC, doc_id) AS rn
+         |  FROM documents WHERE length(trim(text)) > 0)
+         |WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin
+
     // token-budget shard assignment replay — shared by qt_shard_pack and
     // its single-pass streaming twin qt_stream_shards
     val shardPackSql =
@@ -3486,13 +3522,10 @@ object SparkEntry {
            |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
            |WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""".stripMargin,
 
-      "qt_source_cap" ->
-        s"""SELECT source, doc_id, quality FROM (
-           |  SELECT source, doc_id, $qualitySql AS quality,
-           |    row_number() OVER (PARTITION BY source
-           |      ORDER BY $qualitySql DESC, doc_id) AS rn
-           |  FROM documents WHERE length(trim(text)) > 0)
-           |WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin,
+      "qt_source_cap" -> sourceCapSql,
+      // the final winners ledger of the streamed fold equals the batch
+      // per-group cap (bounded top-n is batch-split-insensitive)
+      "qt_stream_cap" -> sourceCapSql,
 
       "qp_incremental" ->
         s"""WITH newv AS (

@@ -111,6 +111,54 @@ object CorpusSelect {
         F.col("_t._1").as(scoreName))
   }
 
+  /** STREAMING per-group cap — the continuous leaderboard: each
+    * micro-batch folds into a winners ledger holding the best `n` rows
+    * per group over EVERYTHING seen so far. Bounded top-n is
+    * associative, commutative, and insensitive to how the input splits
+    * into batches (`top(top(A) ∪ B) = top(A ∪ B)`), so the final ledger
+    * equals the batch [[topPerGroup]] over the concatenated input under
+    * ANY arrival order — strictly stronger than the in-order-only
+    * contract of [[streamingShardAssign]]. Batch N writes
+    * `winners_batch=N` computed from the highest ledger below N plus
+    * batch N (overwrite ⇒ idempotent crash replay); the ledger is
+    * `n × groups`-bounded, so each fold's non-batch input is tiny.
+    * Ids must be unique across batches (exactly-once source) — a doc
+    * re-arriving in two different batches would occupy two slots.
+    */
+  def streamingTopPerGroup(docs: DataFrame, groupCol: String, score: Column,
+      idCol: String, n: Int, outPath: String, checkpoint: String,
+      scoreName: String = "score")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val prior = winnersBatches(s, outPath).filter(_ < batchId)
+        val current = topPerGroup(batch, groupCol, score, idCol, n, scoreName)
+        val combined =
+          if (prior.isEmpty) current
+          else topPerGroup(
+            s.read.parquet(s"$outPath/winners_batch=${prior.max}")
+              .unionByName(current),
+            groupCol, F.col(scoreName), idCol, n, scoreName)
+        combined.write.mode("overwrite")
+          .parquet(s"$outPath/winners_batch=$batchId")
+      }
+      .start()
+
+  /** Ledger partitions of a [[streamingTopPerGroup]] output dir. */
+  def winnersBatches(spark: org.apache.spark.sql.SparkSession,
+      outPath: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("winners_batch="))
+      .map(_.getPath.getName.stripPrefix("winners_batch=").toLong)
+  }
+
   /** Weighted sampling without replacement, per group — sequential
     * Poisson sampling (Ohlsson '98): each row draws priority `u / w`
     * where `u` is a deterministic uniform integer hash and `w` its
