@@ -1163,6 +1163,24 @@ object SparkEntry {
         .orderBy("source", "doc_id")
     }),
 
+    "qp_quality_hist" -> ((s, dir) => {
+      // quality-threshold calibration: 20-bin histogram of the composite
+      // score with a cumulative at-or-above count — the curve a filter
+      // threshold is read off. Binning is floor(q·20) on doubles both
+      // engines compute bit-identically; the cumulative window runs over
+      // a ≤20-row relation (driver-sized by construction).
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+        .select(least(
+          floor(TextAnalysis.qualityScore(col("text")) * 20).cast("long"),
+          lit(19L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_at_or_above", sum("n_docs").over(
+          Window.orderBy(col("bin").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("bin")
+    }),
+
     "qt_filter_report" -> ((s, dir) => {
       // the Gopher-rules filter REPORT a curation run publishes next to
       // its output: each rule's (non-exclusive) hit count plus the
@@ -3436,6 +3454,16 @@ object SparkEntry {
            |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY n DESC, doc_id))
            |    AS manifest_md5
            |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "qp_quality_hist" ->
+        s"""WITH q AS (SELECT least(CAST(floor(($qualitySql) * 20) AS BIGINT), 19) AS bin
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |h AS (SELECT bin, count(*) AS n_docs FROM q GROUP BY 1)
+           |SELECT bin, n_docs,
+           |  CAST(sum(n_docs) OVER (ORDER BY bin DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS n_at_or_above
+           |FROM h ORDER BY bin""".stripMargin,
 
       "qt_filter_report" ->
         s"""WITH base AS (SELECT doc_id, text, $toks AS w FROM documents
