@@ -124,6 +124,14 @@ object CorpusSelect {
     * `n × groups`-bounded, so each fold's non-batch input is tiny.
     * Ids must be unique across batches (exactly-once source) — a doc
     * re-arriving in two different batches would occupy two slots.
+    *
+    * Retention: after committing ledger N the writer deletes
+    * generations ABOVE N (stale leftovers of a previous, differently
+    * batched run under a fresh checkpoint — `winnersBatches(...).max`
+    * would silently serve them) and below N−1 (history; N−1 stays
+    * because a crash-replay of batch N reads it). The out dir is a
+    * LEDGER, not a plain-readable corpus — read via
+    * [[winnersBatches]].max, never `spark.read.parquet(outPath)`.
     */
   def streamingTopPerGroup(docs: DataFrame, groupCol: String, score: Column,
       idCol: String, n: Int, outPath: String, checkpoint: String,
@@ -144,20 +152,17 @@ object CorpusSelect {
             groupCol, F.col(scoreName), idCol, n, scoreName)
         combined.write.mode("overwrite")
           .parquet(s"$outPath/winners_batch=$batchId")
+        // retention sweep (see scaladoc): stale generations above this
+        // commit, history below the crash-replay window
+        BatchDirs.deleteWhere(s, outPath, "winners_batch=")(
+          id => id > batchId || id < batchId - 1)
       }
       .start()
 
   /** Ledger partitions of a [[streamingTopPerGroup]] output dir. */
   def winnersBatches(spark: org.apache.spark.sql.SparkSession,
-      outPath: String): Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(outPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("winners_batch="))
-      .map(_.getPath.getName.stripPrefix("winners_batch=").toLong)
-  }
+      outPath: String): Seq[Long] =
+    BatchDirs.ids(spark, outPath, "winners_batch=")
 
   /** Weighted sampling without replacement, per group — sequential
     * Poisson sampling (Ohlsson '98): each row draws priority `u / w`
@@ -431,7 +436,21 @@ object CorpusSelect {
     // startAt: resume a GLOBAL shard sequence from a prior cumulative
     // total (the streaming carry) — shard ids are global, cumCol stays
     // local to this call's input
-    prefixCore(df, weightCol, order, cumCol, numPartitions, identity,
+    shardAssignWithTotal(df, weightCol, shardBudget, order, cumCol,
+      shardCol, numPartitions, startAt)._1
+  }
+
+  /** [[shardAssign]] plus this input's total weight — pass 1 already
+    * folded it on the driver, so a streaming caller's carry update
+    * costs no extra job.
+    */
+  def shardAssignWithTotal(df: DataFrame, weightCol: String,
+      shardBudget: Long, order: Seq[Column], cumCol: String = "cum_weight",
+      shardCol: String = "shard", numPartitions: Int = 0,
+      startAt: Long = 0L): (DataFrame, Long) = {
+    require(shardBudget > 0, s"shardBudget must be positive, got $shardBudget")
+    require(startAt >= 0, s"startAt must be non-negative, got $startAt")
+    prefixCoreWithTotal(df, weightCol, order, cumCol, numPartitions, identity,
       Seq(shardCol -> ((cum: Long, w: Long) => (startAt + cum - w) / shardBudget)))
   }
 
@@ -460,31 +479,32 @@ object CorpusSelect {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val stateBase = s"$outPath/_state"
-        val root = new org.apache.hadoop.fs.Path(stateBase)
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val prior =
-          if (!fs.exists(root)) Seq.empty[Long]
-          else fs.listStatus(root).toSeq
-            .filter(st => st.isDirectory &&
-              st.getPath.getName.startsWith("state_batch="))
-            .map(_.getPath.getName.stripPrefix("state_batch=").toLong)
-            .filter(_ < batchId)
+        val prior = BatchDirs.ids(s, stateBase, "state_batch=")
+          .filter(_ < batchId)
         val carry =
           if (prior.isEmpty) 0L
           else s.read.parquet(s"$stateBase/state_batch=${prior.max}")
             .head().getLong(0)
-        val assigned = shardAssign(batch, weightCol, shardBudget, order,
-          startAt = carry)
+        // the total comes from pass 1's driver fold — no re-aggregation
+        // job per micro-batch
+        val (assigned, localTotal) = shardAssignWithTotal(batch, weightCol,
+          shardBudget, order, startAt = carry)
         try {
-          val localTotal = assigned
-            .agg(F.coalesce(F.sum(F.col(weightCol)), F.lit(0L)))
-            .head().getLong(0)
           assigned.write.mode("overwrite")
             .parquet(s"$outPath/out_batch=$batchId")
           import s.implicits._
           Seq(carry + localTotal).toDF("total_after").coalesce(1)
             .write.mode("overwrite")
             .parquet(s"$stateBase/state_batch=$batchId")
+          // stale-generation sweep: a fresh-checkpoint re-drive that
+          // batches the source more coarsely would otherwise leave
+          // higher out_batch/state partitions from the previous run —
+          // a plain read would return those rows TWICE. Ids above the
+          // one just committed cannot belong to this run (batch ids are
+          // monotone under a checkpoint), so they are stale by
+          // construction.
+          BatchDirs.deleteWhere(s, outPath, "out_batch=")(_ > batchId)
+          BatchDirs.deleteWhere(s, stateBase, "state_batch=")(_ > batchId)
         } finally { assigned.unpersist(); () }
       }
       .start()
@@ -492,7 +512,18 @@ object CorpusSelect {
   private def prefixCore(df: DataFrame, weightCol: String,
       order: Seq[Column], cumCol: String, numPartitions: Int,
       resolveBudget: Long => Long,
-      extras: Seq[(String, (Long, Long) => Long)] = Nil): DataFrame = {
+      extras: Seq[(String, (Long, Long) => Long)] = Nil): DataFrame =
+    prefixCoreWithTotal(df, weightCol, order, cumCol, numPartitions,
+      resolveBudget, extras)._1
+
+  /** [[prefixCore]] plus pass 1's grand total — already computed from
+    * the per-partition subtotals on the driver; exposing it saves
+    * callers (the streaming shard carry) a whole re-aggregation job.
+    */
+  private def prefixCoreWithTotal(df: DataFrame, weightCol: String,
+      order: Seq[Column], cumCol: String, numPartitions: Int,
+      resolveBudget: Long => Long,
+      extras: Seq[(String, (Long, Long) => Long)] = Nil): (DataFrame, Long) = {
     val spark = df.sparkSession
     // "spark.sql.shuffle.partitions" may legitimately be non-numeric
     // ("auto" under some AQE distributions) — fall back to cluster
@@ -568,7 +599,7 @@ object CorpusSelect {
       result.unpersist()
       throw e
     }
-    result
+    (result, acc)
     } finally sorted.unpersist()
   }
 }

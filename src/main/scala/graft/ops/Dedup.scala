@@ -1148,14 +1148,8 @@ object Dedup {
       org.apache.spark.sql.types.LongType)))
 
   private def claimPartitions(spark: org.apache.spark.sql.SparkSession,
-      storePath: String): Array[org.apache.hadoop.fs.Path] = {
-    val root = new org.apache.hadoop.fs.Path(storePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Array.empty
-    else fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("claim_batch="))
-      .map(_.getPath)
-  }
+      storePath: String): Seq[org.apache.hadoop.fs.Path] =
+    BatchDirs.paths(spark, storePath, "claim_batch=")
 
   /** Offline compaction of a [[streamingNearDup]] claim store: fold the
     * compacted base and every FINALIZED batch partition into one distinct

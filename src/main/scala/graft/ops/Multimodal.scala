@@ -232,11 +232,16 @@ object Multimodal {
     * The 64 hash bits split into 8 byte-bands; documents sharing ANY
     * band become candidates through [[Dedup.bandedCandidates]]' capped
     * machinery, and candidates verify by exact bit-position hamming on
-    * the carried hashes. With `maxHamming < 8` the banding is EXACT by
-    * pigeonhole — ≤7 differing bits cannot touch all 8 bands, so every
-    * qualifying pair is proposed (the [[Dedup.simhashNearDups]]
-    * guarantee, not LSH probability). Verification is pair-bounded;
-    * banding is one capped self-join — never all-pairs.
+    * the carried hashes. With `maxHamming < 8`, pigeonhole (≤7
+    * differing bits cannot touch all 8 bands) guarantees a shared band
+    * for every qualifying pair — so recall is EXACT while the shared
+    * buckets stay within `bandCap`. Over-cap buckets degrade to star
+    * edges like every banded operator here: both members stay reachable
+    * from the bucket minimum (keep-min dedup still collapses the
+    * cluster), but the direct pair itself may go unproposed — the
+    * deliberate price of bounding a quadratic bucket join, NOT the
+    * simhash-style unconditional guarantee. Verification is
+    * pair-bounded; banding is one capped self-join — never all-pairs.
     */
   def imageNearDups(hashes: DataFrame, maxHamming: Int = 6,
       bandCap: Int = Dedup.BandBucketCap): DataFrame = {

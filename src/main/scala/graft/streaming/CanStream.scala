@@ -405,14 +405,8 @@ object CanStream {
     }
 
   private def sinkPartitions(spark: SparkSession, root: String)
-      : Seq[org.apache.hadoop.fs.Path] = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toIndexedSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("out_batch="))
-      .map(_.getPath)
-  }
+      : Seq[org.apache.hadoop.fs.Path] =
+    graft.ops.BatchDirs.paths(spark, root, "out_batch=")
 
   /** Offline compaction of a [[partitionedParquetSink]] output: fold the
     * compacted base and every FINALIZED batch partition into one new base

@@ -12,9 +12,11 @@ import graft.SparkTestSession
   *  2. a later run continues the sequence from the stored total
   *     (restart with new data does not restart shard numbering);
   *  3. replaying from a fresh checkpoint against the existing
-  *     output/state is idempotent (partition overwrite, no duplicates).
+  *     output/state is idempotent — including when the re-drive batches
+  *     the source MORE COARSELY, which must sweep the previous run's
+  *     higher out_batch/state partitions instead of double-counting.
   */
-class StreamingShardAssignSpec extends AnyFunSuite {
+class StreamingShardAssignSpec extends AnyFunSuite with StreamingFixture {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
@@ -28,26 +30,15 @@ class StreamingShardAssignSpec extends AnyFunSuite {
   private val batchB = Seq((4L, 5L), (5L, 9L), (6L, 2L))
 
   private def writeRows(dir: String, name: String, rows: Seq[(Long, Long)],
-      mtime: Long): Unit = {
-    val p = s"$dir/$name"
-    rows.toDF("id", "w").coalesce(1).write.mode("overwrite").parquet(p)
-    java.nio.file.Files.walk(java.nio.file.Paths.get(p)).forEach { f =>
-      java.nio.file.Files.setLastModifiedTime(f,
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
-  }
-
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+      mtime: Long): Unit =
+    writeBatchFile(dir, name, rows.toDF("id", "w"), mtime)
 
   private def runStream(src: String, base: String, ckpt: String,
       maxFilesPerTrigger: Option[Int] = None): Unit = {
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val q = CorpusSelect.streamingShardAssign(reader.parquet(s"$src/*"),
-      "w", 10L, Seq(col("id").asc), s"$base/out", s"$base/$ckpt")
-    try assert(q.awaitTermination(120000), "stream did not drain")
-    finally q.stop()
+    drain(CorpusSelect.streamingShardAssign(reader.parquet(s"$src/*"),
+      "w", 10L, Seq(col("id").asc), s"$base/out", s"$base/$ckpt"))
   }
 
   private def outShards(base: String): Seq[(Long, Long, Long)] =
@@ -65,7 +56,7 @@ class StreamingShardAssignSpec extends AnyFunSuite {
 
   test("in-order multi-batch equals batch shardAssign; shard ids are " +
       "global across the batch boundary") {
-    val src = tmp("ssa_src"); val base = tmp("ssa")
+    val src = tmpDir("ssa_src"); val base = tmpDir("ssa")
     writeRows(src, "b0", batchA, 1000000L)
     writeRows(src, "b1", batchB, 2000000L)
     runStream(src, base, "ckpt", maxFilesPerTrigger = Some(1))
@@ -80,7 +71,7 @@ class StreamingShardAssignSpec extends AnyFunSuite {
 
   test("a later run continues the stored sequence instead of restarting " +
       "at zero") {
-    val src = tmp("ssa_src2"); val base = tmp("ssa2")
+    val src = tmpDir("ssa_src2"); val base = tmpDir("ssa2")
     writeRows(src, "b0", batchA, 1000000L)
     runStream(src, base, "ckpt")
     writeRows(src, "b1", batchB, 3000000L)
@@ -89,11 +80,26 @@ class StreamingShardAssignSpec extends AnyFunSuite {
   }
 
   test("fresh-checkpoint replay is idempotent: overwrite, not append") {
-    val src = tmp("ssa_src3"); val base = tmp("ssa3")
+    val src = tmpDir("ssa_src3"); val base = tmpDir("ssa3")
     writeRows(src, "b0", batchA, 1000000L)
     runStream(src, base, "ckpt")
     val first = outShards(base)
     runStream(src, base, "ckpt_replay")
     assert(outShards(base) == first, "replay changed or duplicated output")
+  }
+
+  test("fresh-checkpoint re-drive with COARSER batching sweeps the " +
+      "previous run's higher partitions — no double-counted rows") {
+    val src = tmpDir("ssa_src4"); val base = tmpDir("ssa4")
+    writeRows(src, "b0", batchA, 1000000L)
+    writeRows(src, "b1", batchB, 2000000L)
+    // first run: two batches → out_batch=0 and out_batch=1
+    runStream(src, base, "ckpt", maxFilesPerTrigger = Some(1))
+    // re-drive from scratch: BOTH files land in batch 0; without the
+    // stale sweep, out_batch=1 would still hold batch B's rows and the
+    // plain read would return them twice with conflicting shard ids
+    runStream(src, base, "ckpt2")
+    assert(outShards(base) == batchShards(batchA ++ batchB),
+      "stale out_batch partitions survived the coarser re-drive")
   }
 }

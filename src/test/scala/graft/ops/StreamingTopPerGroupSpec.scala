@@ -12,9 +12,12 @@ import graft.SparkTestSession
   *     commutative, so reversing the batch order produces the identical
   *     final ledger (the property in-order-only streaming ops lack);
   *  3. restart continues the ledger; fresh-checkpoint replay is
-  *     idempotent (partition overwrite).
+  *     idempotent (partition overwrite);
+  *  4. retention — at most the committed ledger and its crash-replay
+  *     predecessor survive, and a coarser fresh-checkpoint re-drive
+  *     sweeps the previous run's higher stale generations.
   */
-class StreamingTopPerGroupSpec extends AnyFunSuite {
+class StreamingTopPerGroupSpec extends AnyFunSuite with StreamingFixture {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
@@ -29,26 +32,15 @@ class StreamingTopPerGroupSpec extends AnyFunSuite {
     (8L, "y", 0.5))
 
   private def writeRows(dir: String, name: String,
-      rows: Seq[(Long, String, Double)], mtime: Long): Unit = {
-    val p = s"$dir/$name"
-    rows.toDF("id", "grp", "q").coalesce(1).write.mode("overwrite").parquet(p)
-    java.nio.file.Files.walk(java.nio.file.Paths.get(p)).forEach { f =>
-      java.nio.file.Files.setLastModifiedTime(f,
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
-  }
-
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+      rows: Seq[(Long, String, Double)], mtime: Long): Unit =
+    writeBatchFile(dir, name, rows.toDF("id", "grp", "q"), mtime)
 
   private def runStream(src: String, base: String, ckpt: String,
       maxFilesPerTrigger: Option[Int] = None): Unit = {
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val q = CorpusSelect.streamingTopPerGroup(reader.parquet(s"$src/*"),
-      "grp", col("q"), "id", n = 2, s"$base/out", s"$base/$ckpt")
-    try assert(q.awaitTermination(120000), "stream did not drain")
-    finally q.stop()
+    drain(CorpusSelect.streamingTopPerGroup(reader.parquet(s"$src/*"),
+      "grp", col("q"), "id", n = 2, s"$base/out", s"$base/$ckpt"))
   }
 
   private def ledger(base: String): Seq[(String, Long, Double)] = {
@@ -66,8 +58,8 @@ class StreamingTopPerGroupSpec extends AnyFunSuite {
       .collect().toSeq.sortBy(r => (r._1, r._2))
 
   test("multi-batch fold equals batch topPerGroup; later batches displace " +
-      "earlier winners") {
-    val src = tmp("stg_src"); val base = tmp("stg")
+      "earlier winners; history is retained only one generation deep") {
+    val src = tmpDir("stg_src"); val base = tmpDir("stg")
     writeRows(src, "b0", batchA, 1000000L)
     writeRows(src, "b1", batchB, 2000000L)
     runStream(src, base, "ckpt", maxFilesPerTrigger = Some(1))
@@ -75,12 +67,14 @@ class StreamingTopPerGroupSpec extends AnyFunSuite {
     assert(got == batchTop(batchA ++ batchB))
     // doc 5 (arrived second) displaced doc 2 from group x's top-2
     assert(got.map(_._2).contains(5L) && !got.map(_._2).contains(2L))
+    // retention: committed ledger + crash-replay predecessor, nothing more
+    assert(CorpusSelect.winnersBatches(spark, s"$base/out").sorted == Seq(0L, 1L))
   }
 
   test("arrival order does not matter: reversed batches give the " +
       "identical ledger") {
-    val fwd = tmp("stg_f"); val rev = tmp("stg_r")
-    val srcF = tmp("stg_srcf"); val srcR = tmp("stg_srcr")
+    val fwd = tmpDir("stg_f"); val rev = tmpDir("stg_r")
+    val srcF = tmpDir("stg_srcf"); val srcR = tmpDir("stg_srcr")
     writeRows(srcF, "b0", batchA, 1000000L)
     writeRows(srcF, "b1", batchB, 2000000L)
     writeRows(srcR, "b0", batchB, 1000000L)
@@ -90,15 +84,19 @@ class StreamingTopPerGroupSpec extends AnyFunSuite {
     assert(ledger(fwd) == ledger(rev))
   }
 
-  test("restart continues the ledger; fresh-checkpoint replay idempotent") {
-    val src = tmp("stg_src2"); val base = tmp("stg2")
+  test("restart continues the ledger; fresh-checkpoint replay idempotent; " +
+      "a coarser re-drive sweeps stale generations") {
+    val src = tmpDir("stg_src2"); val base = tmpDir("stg2")
     writeRows(src, "b0", batchA, 1000000L)
-    runStream(src, base, "ckpt")
-    writeRows(src, "b1", batchB, 3000000L)
-    runStream(src, base, "ckpt")
+    writeRows(src, "b1", batchB, 2000000L)
+    runStream(src, base, "ckpt", maxFilesPerTrigger = Some(1)) // ledgers 0, 1
     val after = ledger(base)
     assert(after == batchTop(batchA ++ batchB))
+    // coarser fresh-checkpoint re-drive: one batch 0 — the previous
+    // run's winners_batch=1 would otherwise be served by .max forever
     runStream(src, base, "ckpt_replay")
+    assert(CorpusSelect.winnersBatches(spark, s"$base/out").max == 0L,
+      "stale higher ledger generation survived the coarser re-drive")
     assert(ledger(base) == after, "replay changed the ledger")
   }
 }
