@@ -992,6 +992,22 @@ object SparkEntry {
       } finally r.pairs.unpersist() // groups are checkpointed — safe now
     }),
 
+    "qd_comp_sizes" -> ((s, dir) => {
+      // dedup audit: the near-dup component SIZE distribution — how big
+      // the duplicate clusters are (a heavy tail = template spam). Sizes
+      // come from the same banded pairs + pointer-jump closure; the
+      // histogram is two aggregations over the pair-bounded label
+      // relation, nothing corpus-sized past the minhash spine.
+      val pairs = Dedup.minhashNearDups(
+        t(s, dir, "documents"), "doc_id", col("text"))
+      try {
+        Dedup.connectedComponents(pairs)
+          .groupBy("comp").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_components"))
+          .orderBy("sz")
+      } finally pairs.unpersist()
+    }),
+
     "qd_simhash" -> ((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", col("text")).orderBy("doc_id")
     }),
@@ -3932,6 +3948,21 @@ object SparkEntry {
            |SELECT id AS doc_id, min(comp) AS comp,
            |  (SELECT count(*) FROM mp) AS n_pairs
            |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin),
+
+      // same reachability closure as qd_components, folded twice: size
+      // per component, then components per size
+      "qd_comp_sizes" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mp
+           |  UNION SELECT doc_b, doc_a FROM mp),
+           |reach(id, comp) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, r2.comp FROM edges e JOIN reach r2 ON e.dst = r2.id),
+           |comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1),
+           |sz AS (SELECT comp, count(*) AS sz FROM comps GROUP BY 1)
+           |SELECT sz, count(*) AS n_components FROM sz
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
 
       "qd_simhash" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
