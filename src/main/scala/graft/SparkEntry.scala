@@ -1700,9 +1700,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      // order by integer micro-unit quality — the repo's portability
+      // doctrine: a raw-double ORDER BY feeding hashed output can resolve
+      // near-ties differently across engines
       graft.ops.CorpusSelect.groupedBudgetPrefix(d, "lang", "n_tokens",
           budgetPerGroup = 5000L,
-          Seq(col("quality").desc, col("doc_id").asc), cumCol = "cum_tokens")
+          Seq(round(col("quality") * 1000000).cast("long").desc,
+            col("doc_id").asc), cumCol = "cum_tokens")
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("lang", "doc_id")
     }),
@@ -2745,9 +2749,10 @@ object SparkEntry {
 
     "q9_running_balance" ->
       """SELECT event_id, user_id,
-        |  sum(CAST(round(value*100) AS BIGINT)) OVER (
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY ts
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    / 100.0 AS running
         |FROM events""".stripMargin,
 
     "q10_sessions" ->
@@ -3156,16 +3161,21 @@ object SparkEntry {
 
     // token-budget shard assignment replay — shared by qt_shard_pack and
     // its single-pass streaming twin qt_stream_shards
+    // Window sums over integers are CAST to BIGINT before selection:
+    // newer DuckDB promotes integer window sums to HUGEINT, and an
+    // un-cast HUGEINT output column renders differently across engine
+    // versions (the r14 driver-red root cause).
     val shardPackSql =
       s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
          |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS k
          |  FROM documents WHERE length(trim(text)) > 0),
          |c AS (SELECT doc_id, n_tokens,
-         |    sum(n_tokens) OVER (ORDER BY k, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |    CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
          |  FROM d)
          |SELECT doc_id, n_tokens, cum_tokens,
-         |  (cum_tokens - n_tokens) // 2000 AS shard
+         |  CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin
 
     // closed-form aHash replay (the synthetic gradient is x-invariant,
@@ -3555,13 +3565,19 @@ object SparkEntry {
            |  sum(CAST(round(quality*1000000) AS BIGINT))/1000000.0 AS quality_sum
            |FROM r WHERE rnk <= ceil(n / 10.0) GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      // Ordering uses integer micro-unit quality (not the raw double) so
+      // both engines resolve near-ties identically, and the window cumsum
+      // is CAST to BIGINT before selection (HUGEINT rendering hazard).
       "qt_lang_budget" ->
-        s"""WITH d AS (SELECT doc_id, lang, $qualitySql AS quality,
+        s"""WITH d AS (SELECT doc_id, lang,
+           |    CAST(round(($qualitySql) * 1000000) AS BIGINT) AS q_micro,
            |    CAST(len($toks) AS BIGINT) AS n_tokens
            |  FROM documents WHERE length(trim(text)) > 0),
            |c AS (SELECT doc_id, lang, n_tokens,
-           |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           |    CAST(sum(n_tokens) OVER (PARTITION BY lang
+           |      ORDER BY q_micro DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum_tokens
            |  FROM d)
            |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
            |WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""".stripMargin,
