@@ -3412,17 +3412,17 @@ object SparkEntry {
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // integer PageRank unrolled: every round is
-      // base + floor(85 · Σ floor(pr/deg) / 100); all-long arithmetic
-      // (order-independent sums) is what makes three rounds replayable
-      // bit-for-bit. The two floor-divisions are exact — see
-      // Ranking.pageRankInt's scaladoc.
+      // base + (85 · Σ (pr div deg)) div 100; all-long arithmetic
+      // (order-independent sums, INTEGRAL divisions — `//` here, `div`
+      // in Spark, exact at any magnitude) is what makes three rounds
+      // replayable bit-for-bit. See Ranking.pageRankInt's scaladoc.
       "qp_domain_rank" -> {
         def round(prev: String, out: String) =
           s"""c$out AS (SELECT ed.dst AS node,
-             |    CAST(sum(CAST(floor($prev.pr / ed.deg) AS BIGINT)) AS BIGINT) AS s
+             |    CAST(sum($prev.pr // ed.deg) AS BIGINT) AS s
              |  FROM ed JOIN $prev ON $prev.node = ed.src GROUP BY 1),
              |$out AS (SELECT n.node,
-             |    150000 + CAST(floor(85 * coalesce(c$out.s, 0) / 100) AS BIGINT) AS pr
+             |    150000 + CAST(85 * coalesce(c$out.s, 0) // 100 AS BIGINT) AS pr
              |  FROM nodes n LEFT JOIN c$out ON c$out.node = n.node)""".stripMargin
         s"""WITH e AS (
            |  SELECT DISTINCT src, dst FROM (
@@ -3442,8 +3442,17 @@ object SparkEntry {
 
       "qp_url_canon" -> {
         import TextAnalysis._
+        // scheme-conditional default-port strip, mirroring canonHost
+        val host0 = s"lower(regexp_extract(url, '$UrlHostRe', 1))"
+        val scheme = s"lower(regexp_extract(url, '$UrlSchemeRe'))"
+        val dePorted =
+          s"""CASE WHEN $scheme = 'https://'
+             |      THEN regexp_replace($host0, '$UrlHttpsPortRe', '', 'g')
+             |    WHEN $scheme = 'http://'
+             |      THEN regexp_replace($host0, '$UrlHttpPortRe', '', 'g')
+             |    ELSE $host0 END""".stripMargin.replace('\n', ' ')
         val host =
-          s"regexp_replace(regexp_replace(lower(regexp_extract(url, '$UrlHostRe', 1)), '$UrlDefaultPortRe', '', 'g'), '$UrlWwwRe', '', 'g')"
+          s"regexp_replace($dePorted, '$UrlWwwRe', '', 'g')"
         val rest =
           s"regexp_replace(regexp_replace(regexp_replace(regexp_extract(url, '$UrlRestRe', 1), '$UrlUtmAmpRe', '', 'g'), '$UrlUtmLeadRe', '?', 'g'), '$UrlUtmTailRe', '', 'g')"
         s"""WITH u AS (SELECT doc_id,

@@ -436,9 +436,12 @@ object Multimodal {
     * split into 8 time bands (same `floor(k·n/8)` edges / inverse-index
     * math as the image blocks), per-band ENERGY (sum of squares) compares
     * against the global mean by exact integer cross-multiplication
-    * (`bandEnergy·n ≥ total·bandLen`, operands < 2^63 for 16-bit samples
-    * at any realistic clip length), giving an 8-char bit string. Grouping
-    * by it is the coarse audio dedup tier. Map-only decode per clip.
+    * (`bandEnergy·n ≥ total·bandLen`). The cross-products exceed 2^63
+    * once clips pass ~2^18 samples (total can reach 2^30·n, so
+    * total·bandLen ~ 2^27·n²), so the compare runs in 128 bits via
+    * [[java.lang.Math.multiplyHigh]] — exact at any clip length, no
+    * overflow guard needed. Gives an 8-char bit string; grouping by it
+    * is the coarse audio dedup tier. Map-only decode per clip.
     */
   def audioFingerprint(payloads: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val idIdx = payloads.schema.fieldIndex(idCol)
@@ -476,7 +479,16 @@ object Multimodal {
           var b = 0
           while (b < 8) {
             val i0 = b * n / 8; val i1 = (b + 1) * n / 8
-            sb.append(if (band(b) * n >= total * (i1 - i0)) '1' else '0')
+            // 128-bit unsigned compare of band(b)*n vs total*(i1-i0):
+            // all operands are non-negative, and 64-bit products overflow
+            // for clips past ~2^18 samples (~33 s at 8 kHz)
+            val lhsHi = Math.multiplyHigh(band(b), n.toLong)
+            val lhsLo = band(b) * n.toLong
+            val rhsHi = Math.multiplyHigh(total, (i1 - i0).toLong)
+            val rhsLo = total * (i1 - i0).toLong
+            val ge = lhsHi > rhsHi || (lhsHi == rhsHi &&
+              java.lang.Long.compareUnsigned(lhsLo, rhsLo) >= 0)
+            sb.append(if (ge) '1' else '0')
             b += 1
           }
           Row(id, n.toLong, sb.toString)

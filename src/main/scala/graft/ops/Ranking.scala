@@ -139,10 +139,11 @@ object Ranking {
     * with `base = scale/dampDen · (dampDen − dampNum)`. Integer sums are
     * order-independent, so the result is bit-identical across engines
     * and partitionings — which is what lets a SQL oracle replay the
-    * unrolled rounds exactly. The two floor-divisions are IEEE doubles
-    * under the hood but EXACT here: numerator/denominator both < 2^53
-    * and a non-exact quotient sits ≥ 1/deg (resp. 1/dampDen) from any
-    * integer, orders of magnitude beyond double error.
+    * unrolled rounds exactly. The two floor-divisions run as INTEGRAL
+    * `div` (never through doubles), so exactness holds to the full
+    * 64-bit range — floor(a/b) = a div b for the non-negative operands
+    * here; a setup-time guard rejects `dampNum·n·scale ≥ 2^63`, the
+    * worst-case round sum, so the multiply cannot wrap either.
     *
     * Scale shape: per round ONE equi-join of the rank relation onto the
     * (degree-annotated, persisted) edge list + one hash aggregation on
@@ -170,18 +171,27 @@ object Ranking {
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .persist(mem)
     try {
+      // Worst-case round sum puts every node's full rank on one dst:
+      // dampNum·n·scale must stay below 2^63 or the damping multiply
+      // wraps silently. nodes is persisted, so the count is one cheap
+      // setup job; hub-heavy 100 TB graphs hit this loudly, not wrongly.
+      val nNodes = nodes.count()
+      require(nNodes <= Long.MaxValue / dampNum / scale,
+        s"dampNum*n*scale overflows long: n=$nNodes scale=$scale " +
+          s"dampNum=$dampNum; lower scale")
       val base = scale / dampDen * (dampDen - dampNum)
       var ranks = nodes.withColumn("pr", lit(scale)).localCheckpoint()
       for (_ <- 1 to iters) {
         val contrib = eDeg
           .join(ranks.withColumnRenamed("node", "src"), "src")
-          .select(col("dst").as("node"),
-            floor(col("pr") / col("deg")).cast("long").as("c"))
+          // integral div: exact at any magnitude (floor == div for the
+          // non-negative pr/deg), unlike floor(pr/deg) via doubles
+          .select(col("dst").as("node"), expr("pr div deg").as("c"))
           .groupBy("node").agg(sum("c").as("s"))
         ranks = nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
-            (lit(base) + floor(lit(dampNum) * coalesce(col("s"), lit(0L)) /
-              lit(dampDen)).cast("long")).as("pr"))
+            (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
+              .as("pr"))
           .localCheckpoint()
       }
       ranks

@@ -182,15 +182,24 @@ object TextAnalysis {
   val UrlUtmAmpRe = "&utm_[a-z]+=[^&]*"
   val UrlUtmLeadRe = "\\?utm_[a-z]+=[^&]*&"
   val UrlUtmTailRe = "[?&]utm_[a-z]+=[^&]*$"
-  val UrlDefaultPortRe = ":(443|80)$"
+  // A port is "default" only for ITS scheme: https://host:80 names a
+  // different resource than https://host, so :443 strips only under
+  // https and :80 only under http (scheme-conditional on both engines).
+  val UrlHttpsPortRe = ":443$"
+  val UrlHttpPortRe = ":80$"
   val UrlAnyPortRe = ":[0-9]+$"
   val UrlWwwRe = "^www\\."
   val UrlDomainRe = "[^.]+\\.[^.]+$"
 
-  private def canonHost(url: Column): Column =
-    regexp_replace(regexp_replace(
-      lower(regexp_extract(url, UrlHostRe, 1)), UrlDefaultPortRe, ""),
-      UrlWwwRe, "")
+  private def canonHost(url: Column): Column = {
+    val host = lower(regexp_extract(url, UrlHostRe, 1))
+    val scheme = lower(regexp_extract(url, UrlSchemeRe, 0))
+    val dePorted = when(scheme === "https://",
+        regexp_replace(host, UrlHttpsPortRe, ""))
+      .when(scheme === "http://", regexp_replace(host, UrlHttpPortRe, ""))
+      .otherwise(host)
+    regexp_replace(dePorted, UrlWwwRe, "")
+  }
 
   /** Canonical URL: `lower(scheme) + canonical host + de-tracked rest`.
     * Pure regexp Column chain — codegen, map-only at any scale; the

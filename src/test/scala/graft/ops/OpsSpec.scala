@@ -455,6 +455,30 @@ class OpsSpec extends AnyFunSuite {
     assert(flat == 1L)
   }
 
+  test("multimodal: audio fingerprint is exact past 2^18 samples " +
+      "(the 64-bit cross-product would wrap)") {
+    import javax.sound.sampled._
+    // 400k samples, loud first half: band(b)*n ~ 1.8e19 > 2^63, so the
+    // pre-128-bit compare wrapped negative and read loud bands as '0'
+    val n = 400000
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n / 2) {
+      pcm(2 * i) = (30000 & 0xFF).toByte
+      pcm(2 * i + 1) = ((30000 >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val out = Multimodal.audioFingerprint(
+      Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")).collect()
+    assert(out.head.getLong(1) == n.toLong)
+    assert(out.head.getString(2) == "11110000")
+  }
+
   test("multimodal: real WAV round trip through javax.sound.sampled") {
     val ids = spark.range(0, 50, 1, 4).select($"id".as("doc_id"))
     val p = Multimodal.audioPayload(ids)
@@ -598,7 +622,11 @@ class OpsSpec extends AnyFunSuite {
         "https://site.com/p?redirect=page_utm_x=1&id=2", "site.com"),
       // leading utm followed by a real param keeps a well-formed query
       (7L, "https://site.com/p?utm_a=1&utm_b=2&id=3",
-        "https://site.com/p?id=3", "site.com"))
+        "https://site.com/p?id=3", "site.com"),
+      // a default port for the OTHER scheme is a real port: https://:80
+      // and http://:443 name different resources and must survive
+      (8L, "https://site.com:80/p", "https://site.com:80/p", "site.com"),
+      (9L, "http://site.com:443/p", "http://site.com:443/p", "site.com"))
     val out = cases.map(c => (c._1, c._2)).toDF("id", "url")
       .select(col("id"), TextAnalysis.canonicalUrl(col("url")).as("c"),
         TextAnalysis.urlDomain(col("url")).as("d"))
