@@ -1961,20 +1961,20 @@ object SparkEntry {
       // (qt_token_stats/qt_vocab) and sequence packing (qt_packing):
       // each token maps to its frequency-rank id (1-based, ties by token
       // asc), out-of-vocab → 0. The vocab is driver-sized by contract
-      // (same precedent as the ANN codebooks), so it broadcasts as a
-      // literal map and encoding is a map-only transform — no per-doc
-      // shuffle at any corpus size; only the one vocab aggregation
-      // shuffles. Output as csv + oov count (array columns don't
-      // hash-compare portably across engines).
+      // (same precedent as the ANN codebooks); encodeTokens picks the
+      // literal-map form here (50 entries) and switches to a broadcast-
+      // variable UDF above MaxLiteralVocab — either way encoding is a
+      // map-only transform, no per-doc shuffle at any corpus size; only
+      // the one vocab aggregation shuffles. Output as csv + oov count
+      // (array columns don't hash-compare portably across engines).
       val vocab = t(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("tok"))
         .limit(50).collect()
         .zipWithIndex.map { case (r, i) => r.getString(0) -> (i + 1L) }.toMap
-      val m = typedLit(vocab)
-      val ids = transform(TextAnalysis.tokens(col("text")),
-        t => coalesce(element_at(m, t), lit(0L)))
+      val ids = TextAnalysis.encodeTokens(
+        TextAnalysis.tokens(col("text")), vocab)
       t(s, dir, "documents")
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"),

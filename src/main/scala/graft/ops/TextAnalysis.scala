@@ -371,4 +371,37 @@ object TextAnalysis {
     }
     df.sparkSession.createDataFrame(rows, out)
   }
+
+  /** Vocab size bound for the literal-map encode form. Above it, a
+    * `typedLit` map bloats the analyzed plan and codegen (every entry is
+    * a literal in the expression tree) and ships with EVERY task binary;
+    * a real BPE vocab (50k–200k entries) must ride a broadcast variable
+    * instead. 10k keeps the literal plan comfortably under Janino/plan
+    * size limits while covering every gate-sized vocab.
+    */
+  val MaxLiteralVocab = 10000
+
+  /** token-array → vocab-id-array encode (OOV → 0). Two forms, identical
+    * results, picked by vocab size:
+    *
+    *  - `<= maxLiteral`: `typedLit` map + `transform`/`element_at` —
+    *    pure codegen, zero serialization beyond the plan itself;
+    *  - above: the vocab rides a TorrentBroadcast (one copy per
+    *    executor, not per task) and a Scala UDF does the lookup — still
+    *    map-only, no shuffle, but off codegen for the lookup itself.
+    *
+    * Both forms preserve null arrays as null.
+    */
+  def encodeTokens(toks: Column, vocab: Map[String, Long],
+      maxLiteral: Int = MaxLiteralVocab): Column =
+    if (vocab.size <= maxLiteral) {
+      val m = typedLit(vocab)
+      transform(toks, t => coalesce(element_at(m, t), lit(0L)))
+    } else {
+      val bc = org.apache.spark.sql.SparkSession.active
+        .sparkContext.broadcast(vocab)
+      val enc = udf((ts: Seq[String]) =>
+        if (ts == null) null else ts.map(t => bc.value.getOrElse(t, 0L)))
+      enc(toks)
+    }
 }

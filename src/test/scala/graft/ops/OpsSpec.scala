@@ -455,6 +455,29 @@ class OpsSpec extends AnyFunSuite {
     assert(flat == 1L)
   }
 
+  test("encodeTokens: literal-map and broadcast-UDF forms are identical, " +
+      "including OOV, empty, and null inputs") {
+    val vocab = (1 to 100).map(i => s"w$i" -> i.toLong).toMap
+    val d = Seq(
+      (1L, "w1 w50 w100 unknown w2"),
+      (2L, "all oov here"),
+      (3L, ""),
+      (4L, null: String)).toDF("id", "text")
+    val toks = when(col("text").isNotNull,
+      TextAnalysis.tokens(col("text")))
+    def run(maxLiteral: Int) = d.select(col("id"),
+        TextAnalysis.encodeTokens(toks, vocab, maxLiteral).as("ids"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Long](1)).map(_.toList))
+    val lit0 = run(maxLiteral = 1000)   // literal-map form
+    val udf0 = run(maxLiteral = 1)      // forced broadcast-UDF form
+    assert(lit0.toSeq == udf0.toSeq)
+    val m = lit0.toMap
+    assert(m(1L).contains(List(1L, 50L, 100L, 0L, 2L)))
+    assert(m(2L).contains(List(0L, 0L, 0L)))
+    assert(m(4L).isEmpty) // null text → null ids in BOTH forms
+  }
+
   test("multimodal: audio fingerprint is exact past 2^18 samples " +
       "(the 64-bit cross-product would wrap)") {
     import javax.sound.sampled._
