@@ -62,6 +62,12 @@ object Main {
     // checkpoint at first start; size to key cardinality × rate, not core
     // count (CanStream.withStatePartitions). None = session default.
     var statePartitions: Option[Int] = None
+    // K4 revival (the reference's deleted Influx upload,
+    // /root/reference/src/main.cpp.bak:119-130): measurement = table,
+    // srcfile tag, token auth. Active when --influx-host is set, same
+    // gate shape as the reference's host.size() > 2.
+    var influxHost = ""; var influxToken = ""
+    var influxTable = "fs23migrated" // reference default, arguments.h:27
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -82,6 +88,9 @@ object Main {
         case "--max-lines-per-trigger" => maxLinesPerTrigger = args(i + 1).toLong; i += 2
         case "--state-partitions" => statePartitions = Some(args(i + 1).toInt); i += 2
         case "--max-files-per-trigger" => maxFilesPerTrigger = args(i + 1).toInt; i += 2
+        case "--influx-host" => influxHost = args(i + 1); i += 2
+        case "--influx-token" => influxToken = args(i + 1); i += 2
+        case "--influx-table" => influxTable = args(i + 1); i += 2
         case "--state-backend" =>
           stateBackend = Some(args(i + 1).toLowerCase match {
             case "rocksdb" => CanStream.StateBackend.RocksDB
@@ -115,15 +124,28 @@ object Main {
     graft.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
 
+    // K4: rows → line protocol, Time_ms (fractional ms) → integer ns.
+    // The time column moves out of the field set into the line timestamp.
+    def influxUpload(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions.{col, lit}
+      graft.sinks.InfluxLineSink.upload(
+        df.withColumn("__influx_ns",
+            (col(DbcColumns.TimeCol) * 1e6).cast("long"))
+          .drop(DbcColumns.TimeCol),
+        influxHost, influxToken, influxTable,
+        Seq("srcfile" -> lit(in)), "__influx_ns")
+    }
+
     def writeBatch(wide: org.apache.spark.sql.DataFrame): Unit = {
       wide.write.mode("append").parquet(out) // K1 batch
+      // K3/K4 batch: read back the WRITTEN output rather than re-running
+      // the observed plan — a second execution would make the T7 progress
+      // listener double-count every frame/row
       if (live.nonEmpty)
-        // K3 batch: read back the WRITTEN output rather than re-running the
-        // observed plan — a second execution would make the T7 progress
-        // listener double-count every frame/row
         spark.read.parquet(out)
           .select((DbcColumns.TimeCol +: live.reverse).map(org.apache.spark.sql.functions.col): _*)
           .show(50, truncate = false)
+      if (influxHost.length > 2) influxUpload(spark.read.parquet(out))
     }
 
     mode match {
@@ -176,7 +198,25 @@ object Main {
             if (cacheMs <= 0) wide.withColumnRenamed("ts_ms", DbcColumns.TimeCol) else bucketed,
             live.reverse))
         else None
-        sys.addShutdownHook { q.stop(); liveQ.foreach(_.stop()) } // SIGINT parity
+        // K4 streaming: a second query on the decoded stream (the liveQ
+        // precedent), uploading each micro-batch as line protocol —
+        // at-least-once, idempotent server-side by (measurement, tagset,
+        // timestamp)
+        val influxQ = if (influxHost.length > 2)
+          Some((if (cacheMs <= 0)
+              wide.withColumnRenamed("ts_ms", DbcColumns.TimeCol)
+            else bucketed)
+            .writeStream
+            .option("checkpointLocation", s"$out.influx-checkpoint")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              influxUpload(b)
+            }
+            .trigger(Trigger.ProcessingTime("1 second"))
+            .start())
+        else None
+        sys.addShutdownHook { // SIGINT parity
+          q.stop(); liveQ.foreach(_.stop()); influxQ.foreach(_.stop())
+        }
         q.awaitTermination()
     }
     spark.stop()
@@ -203,6 +243,7 @@ object Main {
       |  [--max-lines-per-trigger <n>] [--max-files-per-trigger <n>]
       |  [--state-backend inheap|rocksdb] [--state-partitions <n>]
       |  [--lenient-dbc]
+      |  [--influx-host <url>] [--influx-token <t>] [--influx-table <m>]
       |  --socket: --if is host:port of a candump text stream
       |  --process: --if is a bridge command (e.g. "candump -L can0")
       |  --stream-file: --if is a directory watched for candump log files
@@ -220,6 +261,10 @@ object Main {
       |  --lenient-dbc: load vendor DBCs whose SIG_VALTYPE_/SG_MUL_VAL_
       |    declarations reference unparsed messages (warn instead of fail;
       |    mistyped declarations on present signals still fail)
+      |  --influx-host: line-protocol /write endpoint (e.g.
+      |    http://host:8086/write?db=can); decoded rows upload as
+      |    measurement --influx-table with a srcfile tag and token auth —
+      |    alongside the parquet sink in every mode
       |  --bucket-key: partition column for --exact bucketing (e.g. iface);
       |    keyed folds/state run independently per key and scale with the
       |    cluster — default is the reference's global sequential semantics""".stripMargin

@@ -69,6 +69,58 @@ class CliStreamSmokeSpec extends AnyFunSuite {
     assert(Main.effectiveStatePartitions(Some(16), exact = true, 10.0, None) == Some(16))
   }
 
+  test("CLI batch --influx-host uploads decoded rows as line protocol " +
+      "with srcfile tag and token auth (K4)") {
+    import java.nio.charset.StandardCharsets
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/write",
+      new com.sun.net.httpserver.HttpHandler {
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          received.add((
+            new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8),
+            Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")))
+          ex.sendResponseHeaders(204, -1); ex.close()
+        }
+      })
+    server.start()
+    val outDir = java.nio.file.Files.createTempDirectory("cli_influx").toString + "/out"
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.master=local[4]",
+      "-Dspark.sql.shuffle.partitions=4",
+      "-cp", cp, "graft.cli.Main", "fixtures/mini.dbc",
+      "--if", "fixtures/mini.log", "--of", outDir, "--file",
+      "--influx-host",
+      s"http://127.0.0.1:${server.getAddress.getPort}/write?db=can",
+      "--influx-token", "tok123", "--influx-table", "canwide")
+    val logFile = java.nio.file.Files.createTempFile("cli_influx", ".log").toFile
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(new java.io.File(sys.props("user.dir")))
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(logFile)
+    val proc = pb.start()
+    try {
+      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "batch CLI did not exit")
+      assert(proc.exitValue() == 0, "CLI failed; log:\n" +
+        scala.io.Source.fromFile(logFile).mkString.takeRight(4000))
+      val reqs = received.toArray(Array.empty[(String, String)])
+      assert(reqs.nonEmpty && reqs.forall(_._2 == "Token tok123"))
+      val lines = reqs.flatMap(_._1.split("\n")).filter(_.nonEmpty)
+      // 6 decoded wide rows in mini.log (no bucketing)
+      assert(lines.length == 6, s"lines:\n${lines.mkString("\n")}")
+      assert(lines.forall(_.startsWith("canwide,srcfile=fixtures/mini.log ")))
+      // decoded signal rides as a field; timestamp is integer ns
+      assert(lines.exists(_.contains("Engine_Speed=2000.0")))
+      assert(lines.forall(_.matches(".* \\d+")))
+    } finally {
+      proc.destroyForcibly(); proc.waitFor(); server.stop(0)
+    }
+  }
+
   test("CLI --stream-file with rocksdb state backend and admission bound " +
       "decodes to parquet end-to-end") {
     val inDir = java.nio.file.Files.createTempDirectory("cli_smoke_in").toString

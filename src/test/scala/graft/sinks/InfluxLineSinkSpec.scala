@@ -1,0 +1,148 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Drives the line-protocol sink end-to-end against an in-process JDK
+  * HttpServer (the zero-egress stand-in for an Influx `/write`
+  * endpoint): line shape + escaping, typed field rendering, null
+  * handling, request batching, auth header, and the retry ladder.
+  */
+class InfluxLineSinkSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** (server, received bodies+auth, port); handler returns `codes` in
+    * sequence then 204 forever.
+    */
+  private def withServer(codes: Int*)(
+      f: (Int, ConcurrentLinkedQueue[(String, String)]) => Unit): Unit = {
+    val received = new ConcurrentLinkedQueue[(String, String)]()
+    val remaining = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/write", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .getOrElse("")
+        received.add((body, auth))
+        val i = remaining.getAndIncrement()
+        val code = if (i < codes.length) codes(i) else 204
+        ex.sendResponseHeaders(code, -1)
+        ex.close()
+      }
+    })
+    server.start()
+    try f(server.getAddress.getPort, received)
+    finally server.stop(0)
+  }
+
+  test("line protocol column: tags and typed fields render and escape " +
+      "per spec; all-null field set yields null") {
+    val df = Seq(
+      (1L, "src a,b", 3.5, Some(7L), Some("""say "hi" \now"""), true),
+      (2L, "plain", 0.25, None, None, false),
+      (3L, "plain", Double.NaN, Some(1L), Some("x"), true))
+      .toDF("t", "src", "d", "l", "s", "b")
+      .withColumn("d", when(!isnan(col("d")), col("d")))
+    import org.apache.spark.sql.types._
+    val line = InfluxLineSink.lineProtocol("can frames",
+      Seq("srcfile" -> col("src")),
+      Seq(("val d", col("d"), DoubleType), ("n", col("l"), LongType),
+        ("msg", col("s"), StringType), ("ok", col("b"), BooleanType)),
+      col("t") * 1000L)
+    val out = df.select(col("t"), line.as("line")).orderBy("t")
+      .as[(Long, String)].collect()
+    assert(out(0)._2 ==
+      """can\ frames,srcfile=src\ a\,b val\ d=3.5,n=7i,msg="say \"hi\" \\now",ok=true 1000""")
+    assert(out(1)._2 == """can\ frames,srcfile=plain val\ d=0.25,ok=false 2000""")
+    // null double drops; remaining fields still render
+    assert(out(2)._2 == """can\ frames,srcfile=plain n=1i,msg="x",ok=true 3000""")
+    // every field null -> null line
+    val empty = Seq((9L, "s")).toDF("t", "x")
+      .select(InfluxLineSink.lineProtocol("m", Nil,
+        Seq(("f", lit(null).cast("double"), DoubleType)), col("t")))
+      .collect()
+    assert(empty.head.isNullAt(0))
+  }
+
+  test("upload: posts per-partition batches with auth; timestamps are " +
+      "ns from the timestamp column; field-less rows dropped") {
+    withServer() { (port, received) =>
+      val df = spark.range(0, 10, 1, 2)
+        .select(col("id").as("event_id"),
+          timestamp_micros(col("id") * 1000000L).as("ts"),
+          (col("id") * 2).cast("double").as("speed"),
+          // one row with every field null must drop, not 400 the server
+          when(col("id") =!= 3L, col("id") % 2 === 0).as("flag"))
+        .withColumn("speed", when(col("event_id") =!= 3L, col("speed")))
+        .withColumn("event_id",
+          when(col("event_id") =!= 3L, col("event_id")))
+      InfluxLineSink.upload(df, s"http://127.0.0.1:$port/write?db=can",
+        token = "sekrit", measurement = "frames",
+        tags = Seq("srcfile" -> lit("mini.log")), timeCol = "ts",
+        batchLines = 4)
+      val reqs = received.toArray(Array.empty[(String, String)])
+      assert(reqs.nonEmpty && reqs.forall(_._2 == "Token sekrit"))
+      val lines = reqs.flatMap(_._1.split("\n")).filter(_.nonEmpty)
+      assert(lines.length == 9) // 10 rows minus the all-null one
+      // 2 partitions x batches of 4: no request exceeds batchLines
+      assert(reqs.forall(_._1.split("\n").count(_.nonEmpty) <= 4))
+      val l5 = lines.find(_.contains("event_id=5i")).get
+      assert(l5 == "frames,srcfile=mini.log event_id=5i,speed=10.0,flag=false 5000000000")
+    }
+  }
+
+  test("retry ladder: 5xx retries then succeeds; 4xx fails fast") {
+    withServer(500, 503) { (port, received) =>
+      InfluxLineSink.post(s"http://127.0.0.1:$port/write", "",
+        "m f=1i 1\n".getBytes(StandardCharsets.UTF_8), maxRetries = 3)
+      assert(received.size == 3) // 500, 503, then 204
+    }
+    withServer(400) { (port, received) =>
+      val e = intercept[java.io.IOException] {
+        InfluxLineSink.post(s"http://127.0.0.1:$port/write", "",
+          "bad\n".getBytes(StandardCharsets.UTF_8), maxRetries = 3)
+      }
+      assert(e.getMessage.contains("HTTP 400") && received.size == 1)
+    }
+    withServer(500, 500, 500, 500) { (port, _) =>
+      val e = intercept[java.io.IOException] {
+        InfluxLineSink.post(s"http://127.0.0.1:$port/write", "",
+          "m f=1i 1\n".getBytes(StandardCharsets.UTF_8), maxRetries = 2)
+      }
+      assert(e.getMessage.contains("after 3 attempts"))
+    }
+  }
+
+  test("foreachBatchSink drives a real micro-batch stream") {
+    withServer() { (port, received) =>
+      val dir = java.nio.file.Files.createTempDirectory("influx_src").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("influx_ck").toString
+      spark.range(0, 6).select(col("id"),
+          timestamp_micros(col("id")).as("ts"))
+        .write.mode("overwrite").parquet(dir)
+      val q = spark.readStream.schema("id LONG, ts TIMESTAMP").parquet(dir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(InfluxLineSink.foreachBatchSink(
+          s"http://127.0.0.1:$port/write?db=can", token = "",
+          measurement = "m", tags = Nil, timeCol = "ts"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val lines = received.toArray(Array.empty[(String, String)])
+        .flatMap(_._1.split("\n")).filter(_.nonEmpty)
+      assert(lines.length == 6)
+      assert(lines.count(_.startsWith("m id=")) == 6)
+    }
+  }
+}
