@@ -24,12 +24,15 @@ import org.apache.spark.sql.SparkSession
   *     reported ~2× inflated totals (131s vs 61s quiet for identical
   *     code); min-of-5 survives several loaded reps;
   *   - the full board runs as ONE CHILD JVM PER QUERY FAMILY (q*, qc, qd,
-  *     qj, qm, qp, qs, qt), merged into the single output line. Cross-round
-  *     comparison on code-identical queries measured +29% (r11) and +84%
-  *     (r12) in-board inflation as the 92-query board grew — shared-JVM
-  *     GC/codegen-cache/codec pressure, not query cost. Per-family JVMs
-  *     bound that contamination to a family's own members while keeping
-  *     session bring-up untimed (each child warms up before timing).
+  *     qj, qm, qp, qs, qt), families larger than [[MaxQueriesPerChild]]
+  *     further split into `family#k` slices, merged into the single
+  *     output line. Cross-round comparison on code-identical queries
+  *     measured +29% (r11) and +84% (r12) in-board inflation as the
+  *     92-query board grew — shared-JVM GC/codegen-cache/codec pressure,
+  *     not query cost — and r14 reproduced it INSIDE the 50-gate qt
+  *     family (3-4× on four code-identical gates). Per-slice JVMs bound
+  *     that contamination while keeping session bring-up untimed (each
+  *     child warms up before timing).
   *     `SPARK_GRAFT_BENCH_ONLY` (diagnostics) and
   *     `SPARK_GRAFT_BENCH_FORK=0` both run single-JVM, unchanged;
   *   - the JSON line goes to stdout AND to a bare file (bench_out.json, or
@@ -46,6 +49,31 @@ object Bench {
     val prefix = name.takeWhile(_ != '_')
     if (prefix.matches("q\\d+")) "core" else prefix
   }
+
+  /** Per-child-JVM query cap. The r14 board re-measured the same
+    * shared-JVM inflation inside ONE family once it outgrew this scale:
+    * qt carried ~50 gates and four code-identical qt queries read
+    * 2.9–3.8× their isolated min-of-5 (qt_token_stats 1.96 s in-board
+    * vs 0.602 s isolated, CPUS=32 quiet host). Families split into
+    * deterministic sorted slices of at most this many queries — the cap
+    * bounds the contamination a slice's members can exert on each other
+    * at roughly the family size the protocol was validated at (r13's
+    * largest family was 27).
+    */
+  private val MaxQueriesPerChild = 24
+
+  /** Child-JVM work units: families, with any family larger than
+    * [[MaxQueriesPerChild]] split into `family#k` slices (sorted names,
+    * fixed-size slices — deterministic across runs).
+    */
+  private[graft] def childGroups(names: Seq[String]): Seq[(String, Seq[String])] =
+    names.sorted.groupBy(familyOf).toSeq.sortBy(_._1).flatMap {
+      case (family, members) if members.size <= MaxQueriesPerChild =>
+        Seq(family -> members)
+      case (family, members) =>
+        members.grouped(MaxQueriesPerChild).zipWithIndex
+          .map { case (slice, k) => s"$family#$k" -> slice }.toSeq
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -120,7 +148,7 @@ object Bench {
         "manifest classpath?) — child JVMs cannot start. Run via " +
         "tools/bench.sh (plain `java -cp`), or set SPARK_GRAFT_BENCH_FORK=0 " +
         "for a single-JVM board.")
-    val families = SparkEntry.queries.keySet.toSeq.sorted.groupBy(familyOf)
+    val families = childGroups(SparkEntry.queries.keySet.toSeq)
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     import scala.jdk.CollectionConverters._
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -128,7 +156,7 @@ object Bench {
       // -agentlib/-javaagent (sbt/debugger plumbing) must not leak into
       // children: agents bind ports and would collide across 8 launches
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
-    families.toSeq.sortBy(_._1).flatMap { case (family, names) =>
+    families.flatMap { case (family, names) =>
       val childOut =
         Files.createTempFile(s"bench_$family", ".json").toString
       val cmd = Seq(javaBin) ++ jvmArgs ++
