@@ -1983,6 +1983,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qt_dsir" -> ((s, dir) => {
+      // DSIR-style data selection: score every doc by target-vs-raw
+      // hashed-bigram importance (target = the English sample, the
+      // "select docs like my trusted domain corpus" primitive). Two
+      // B-sized bucket aggregations + a map-only literal-map scoring
+      // pass — per-doc work never shuffles; see
+      // CorpusSelect.targetMatchScores for the 100 TB shape and the
+      // integer micro-unit surrogate of the DSIR log-ratio.
+      val base = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+      graft.ops.CorpusSelect.targetMatchScores(
+          base, base.filter(col("lang") === "en"), "text", "doc_id",
+          buckets = 256)
+        .orderBy("doc_id")
+    }),
+
     "qt_repetition" -> ((s, dir) =>
       // Gopher-style repetition signals per doc: top-unigram share and
       // duplicate-bigram fraction (machine-generated boilerplate scores
@@ -3579,6 +3594,33 @@ object SparkEntry {
            |SELECT lang, count(*) AS n_docs,
            |  sum(CAST(round(quality*1000000) AS BIGINT))/1000000.0 AS quality_sum
            |FROM r WHERE rnk <= ceil(n / 10.0) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // DSIR replay: bucket counts with FILTER for the target (en) side,
+      // Laplace micro-unit weights as BIGINT, per-doc sum over gram
+      // occurrences; left join restores gram-less docs at score 0. The
+      // round() operand is positive, where DuckDB's half-away and the
+      // Spark driver's Math.round half-up agree.
+      "qt_dsir" ->
+        s"""WITH tk AS (SELECT doc_id, lang, $toks AS w FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |g AS (SELECT doc_id, lang, ${h("gram")} % 256 AS b FROM (
+           |    SELECT doc_id, lang, unnest(list_transform(range(len(w)-1),
+           |      i -> w[i+1] || ' ' || w[i+2])) AS gram
+           |    FROM tk WHERE len(w) >= 2)),
+           |tots AS (SELECT count(*) AS nr,
+           |    count(*) FILTER (WHERE lang = 'en') AS nt FROM g),
+           |wt AS (SELECT b,
+           |    CAST(round(1000000.0 * (count(*) FILTER (WHERE lang = 'en') + 1)
+           |      / (t.nt + 256)) AS BIGINT)
+           |  - CAST(round(1000000.0 * (count(*) + 1)
+           |      / (t.nr + 256)) AS BIGINT) AS w
+           |  FROM g, tots t GROUP BY b, t.nt, t.nr),
+           |sc AS (SELECT g.doc_id, count(*) AS n_grams,
+           |    CAST(sum(wt.w) AS BIGINT) AS dsir_micro
+           |  FROM g JOIN wt USING (b) GROUP BY 1)
+           |SELECT tk.doc_id, CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+           |  CAST(coalesce(sc.dsir_micro, 0) AS BIGINT) AS dsir_micro
+           |FROM tk LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
 
       // Ordering uses integer micro-unit quality (not the raw double) so
       // both engines resolve near-ties identically, and the window cumsum

@@ -509,6 +509,83 @@ object CorpusSelect {
       }
       .start()
 
+  /** DSIR-style target-distribution importance scoring (Xie et al. 2023,
+    * "Data Selection via Importance Resampling"): score each raw document
+    * by how much its hashed-bigram profile looks like a TARGET sample
+    * (a trusted domain/language corpus) vs the raw pool, then select or
+    * resample by the score. This is the integer-exact surrogate of
+    * DSIR's log-likelihood ratio — per hashed bucket
+    *
+    *   w(b) = round(1e6·(c_t(b)+1)/(N_t+B)) − round(1e6·(c_r(b)+1)/(N_r+B))
+    *
+    * (difference of Laplace-smoothed gram probabilities in micro-units;
+    * `log` is libm-dependent and would break the cross-engine
+    * bit-identical contract, while products and quotients of exactly-
+    * represented integers are IEEE-identical everywhere), and per doc
+    * the score is the sum of w over its bigram OCCURRENCES. Ranking by
+    * this score is the n-gram-feature data-selection step; feed it to
+    * [[budgetPrefix]] / [[weightedSamplePerGroup]] for the resample.
+    *
+    * Scale shape: two explode+hash aggregations produce the B-sized
+    * bucket tables (map-side combine ships ≤ B rows per task, B ≪
+    * corpus); the weight table is DRIVER-SIZED BY CONTRACT (B buckets,
+    * default 1024) and rides either a literal map (`B <= maxLiteral` —
+    * per-doc scoring stays map-only inside whole-stage codegen, zero
+    * per-doc shuffle) or, above the [[TextAnalysis.MaxLiteralVocab]]-
+    * style guard, a broadcast hash join + one per-doc re-aggregation.
+    * Totals are `require`d below 2^53/1e6 so the micro-unit product
+    * stays exactly representable.
+    *
+    * Output: (idCol, n_grams, dsir_micro) — docs with < 2 tokens score 0.
+    */
+  def targetMatchScores(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, buckets: Int = 1024,
+      maxLiteral: Int = TextAnalysis.MaxLiteralVocab): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val b = buckets.toLong
+    def gramBuckets(text: Column): Column = {
+      val t = TextAnalysis.tokens(text)
+      val n = F.size(t)
+      F.zip_with(
+        F.slice(t, F.lit(1), F.greatest(n - 1, F.lit(0))),
+        F.slice(t, F.lit(2), F.greatest(n - 1, F.lit(0))),
+        (x, y) => F.pmod(
+          TextAnalysis.md5Long(F.concat(x, F.lit(" "), y)), F.lit(b)))
+    }
+    def counts(df: DataFrame): DataFrame = df
+      .select(F.explode(gramBuckets(F.col(textCol))).as("b"))
+      .groupBy("b").agg(F.count(F.lit(1)).as("c"))
+    // B rows each — driver-sized by contract, same as the ANN codebooks
+    val tc = counts(target).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rc = counts(raw).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nt = tc.values.sum; val nr = rc.values.sum
+    require(nt + b < (1L << 53) / 1000000 && nr + b < (1L << 53) / 1000000,
+      s"gram totals ($nt target / $nr raw) too large for exact micro-unit " +
+        "probabilities; raise the unit or shrink the sample")
+    def micro(c: Long, n: Long): Long =
+      Math.round(1000000.0 * (c + 1) / (n + b))
+    val weights = (0L until b).map(k =>
+      k -> (micro(tc.getOrElse(k, 0L), nt) - micro(rc.getOrElse(k, 0L), nr)))
+    val grams = gramBuckets(F.col(textCol))
+    if (buckets <= maxLiteral) {
+      val m = F.typedLit(weights.toMap)
+      raw.select(F.col(idCol),
+        F.size(grams).cast(LongType).as("n_grams"),
+        F.aggregate(F.transform(grams, g => F.element_at(m, g)),
+          F.lit(0L), (acc, w) => acc + w).as("dsir_micro"))
+    } else {
+      val s = raw.sparkSession
+      import s.implicits._
+      val wdf = weights.toDF("b", "w")
+      val exploded = raw
+        .select(F.col(idCol), F.explode_outer(grams).as("b"))
+        .join(F.broadcast(wdf), Seq("b"), "left")
+      exploded.groupBy(idCol)
+        .agg(F.count(F.col("b")).as("n_grams"),
+          F.coalesce(F.sum("w"), F.lit(0L)).as("dsir_micro"))
+    }
+  }
+
   private def prefixCore(df: DataFrame, weightCol: String,
       order: Seq[Column], cumCol: String, numPartitions: Int,
       resolveBudget: Long => Long,

@@ -362,6 +362,50 @@ class CorpusSelectSpec extends AnyFunSuite {
     assert(e.getMessage.contains("id column"))
   }
 
+  test("targetMatchScores: literal-map and broadcast-join forms are " +
+      "identical; target-like docs outscore off-target; short docs score 0") {
+    // N >> B: Laplace smoothing adds B pseudo-counts per corpus, so a
+    // fixture whose real gram mass is smaller than B measures smoothing
+    // noise, not distribution match — 2000 docs puts Nt ~ 12x B
+    val target = Seq.tabulate(2000)(i => (100L + i, "the quick brown fox"))
+    val raw = target ++ Seq(
+      (1L, "the quick brown fox"),  // pure target profile
+      (2L, "zzz qqq vvv kkk"),      // pure off-target profile
+      (3L, "single"),               // one token → no bigrams
+      (4L, "the quick brown zzz"))  // 2 target grams + 1 novel
+    val rawDf = raw.toDF("doc_id", "text")
+    val tgtDf = target.toDF("doc_id", "text")
+    // 512 buckets: the fixture's 7 grams are collision-free there ("vvv
+    // kkk" and "quick brown" share a bucket at 256, which couples the
+    // off-target score to a target gram and muddies the ordering assert)
+    def run(maxLiteral: Int) =
+      CorpusSelect.targetMatchScores(rawDf, tgtDf, "text", "doc_id",
+          buckets = 512, maxLiteral = maxLiteral)
+        .orderBy("doc_id").select("doc_id", "n_grams", "dsir_micro")
+        .as[(Long, Long, Long)].collect().toSeq
+    val lit0 = run(maxLiteral = 1000) // literal-map scoring
+    val bj0 = run(maxLiteral = 1)     // forced broadcast-join scoring
+    assert(lit0 == bj0)
+    val m = lit0.map(r => r._1 -> r).toMap
+    assert(m(1L)._2 == 3 && m(2L)._2 == 3 && m(3L)._2 == 0 && m(4L)._2 == 3)
+    assert(m(3L)._3 == 0L)
+    // the DSIR ordering: target-profile > mixed > off-target
+    assert(m(1L)._3 > m(4L)._3, s"target vs mixed: $lit0")
+    assert(m(4L)._3 > m(2L)._3, s"mixed vs off-target: $lit0")
+    assert(m(2L)._3 < 0L, "off-target grams must score negative")
+  }
+
+  test("targetMatchScores literal form stays map-only: no exchange in " +
+      "the per-doc scoring plan") {
+    val d = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3}"))
+      .toDF("doc_id", "text")
+    val scored = CorpusSelect.targetMatchScores(
+      d, d.filter(col("doc_id") % 2 === 0), "text", "doc_id", buckets = 32)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-doc scoring must not shuffle:\n$plan")
+  }
+
   test("topPerGroup aggregates with partial (map-side) combine, not a " +
       "window sort: the plan has two aggregate stages and no Window") {
     val df = groupedCorpus.toDF("grp", "id", "s")
