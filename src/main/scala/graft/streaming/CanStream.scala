@@ -105,6 +105,50 @@ object CanStream {
     CandumpParser.parseLines(reader.load())
   }
 
+  /** S6: CAN-over-TCP packed struct (the reference's dormant
+    * `CanTcpPacket`, `/root/reference/src/tcpstream.h:7-14` — 32-byte LE
+    * records: can_frame at 0, epoch double at 16, packetID i64 at 24).
+    * [[graft.sources.TcpStructSource]] ships raw packets; THIS is the
+    * decode, all column expressions (hex/conv byte plumbing + the
+    * [[graft.plans.FloatReinterpret]] codegen reinterpret for the epoch)
+    * so unpacking scales with executors, not the driver ingest thread.
+    *
+    * Semantics: RTR (0x40000000) and error (0x20000000) frames drop —
+    * they carry no decodable payload — and the 29-bit id mask strips the
+    * EFF flag, matching the candump text path's id space. Output is the
+    * standard frame schema `(ts_us, iface, can_id, data)` with
+    * `iface = "tcp"` (the struct carries none) plus `packet_id` for
+    * sequence auditing.
+    */
+  def framesFromTcpStruct(spark: SparkSession, host: String, port: Int,
+      maxPacketsPerTrigger: Option[Long] = None): DataFrame = {
+    val reader = spark.readStream.format("graft.sources.TcpStructSource")
+      .option("host", host).option("port", port)
+    maxPacketsPerTrigger.foreach(n => reader.option("maxPacketsPerTrigger", n))
+    val p = reader.load()
+    // 1-based byte i of the packet as an unsigned long
+    def u8(i: Int) = conv(hex(substring(col("packet"), i, 1)), 16, 10).cast("long")
+    // little-endian field at 1-based [off, off+len): bytes concatenated
+    // high-to-low into one hex string; signed=-10 keeps i64 sign bits
+    def leHex(off: Int, len: Int) =
+      concat((off + len - 1 to off by -1).map(i =>
+        hex(substring(col("packet"), i, 1))): _*)
+    val canIdRaw = conv(leHex(1, 4), 16, 10).cast("long")
+    val epochBits = conv(leHex(17, 8), 16, -10).cast("long")
+    p.filter(length(col("packet")) === graft.sources.TcpStructSource.PacketBytes)
+      .withColumn("_id_raw", canIdRaw)
+      .filter((col("_id_raw").bitwiseAND(0x60000000L)) === 0L) // no RTR/ERR
+      .withColumn("ts_us",
+        round(graft.plans.FloatReinterpret.longBitsToDouble(epochBits)
+          * 1000000.0).cast("long"))
+      .withColumn("iface", lit("tcp"))
+      .withColumn("can_id", col("_id_raw").bitwiseAND(0x1FFFFFFFL))
+      .withColumn("dlc", least(u8(5), lit(8L)).cast("int"))
+      .withColumn("data", expr("substring(packet, 9, dlc)"))
+      .withColumn("packet_id", conv(leHex(25, 8), 16, -10).cast("long"))
+      .select("ts_us", "iface", "can_id", "data", "packet_id")
+  }
+
   /** Decode frames to the wide per-frame table. Streaming keeps absolute
     * time: `ts_ms = ts_us / 1000` (epoch ms; the reference's socket mode
     * stamps relative wall-clock, `--no-adjust-timestamp` shape — a t0

@@ -216,6 +216,67 @@ class CanStreamSpec extends AnyFunSuite {
     assert(got.head.getAs[Float]("Engine_Speed") == 2000.0f)
   }
 
+  test("CAN-over-TCP struct source (S6): packed CanTcpPacket records " +
+      "decode to frame parity with the text fixture; RTR/ERR drop") {
+    // serialize fixtures/mini.log's frames as 32-byte CanTcpPacket
+    // records (tcpstream.h layout: LE can_id@0, dlc@4, data@8, epoch
+    // double@16, packetID i64@24), plus one RTR and one ERR frame that
+    // must drop, and a torn 10-byte tail that must be ignored
+    def pkt(id: Long, data: Array[Byte], epoch: Double, pid: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(id.toInt); b.put(data.length.toByte); b.put(0.toByte)
+      b.put(0.toByte); b.put(0.toByte)
+      b.put(java.util.Arrays.copyOf(data, 8))
+      b.putDouble(epoch); b.putLong(pid)
+      b.array()
+    }
+    def hx(s: String) = s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val t0 = 1700000000.0
+    val packets = Seq(
+      pkt(0x100, hx("401F4B01"), t0, 1L),
+      pkt(0x200, hx("02E8030000000000"), t0 + 0.004, 2L),
+      pkt(0x300, hx("0000803F"), t0 + 0.008, 3L),
+      pkt(0x400, hx("00D007"), t0 + 0.012, 4L),
+      pkt(0x400, hx("01FF7F"), t0 + 0.016, 5L),
+      pkt(0x7FF | 0x40000000L, hx("DEADBEEF"), t0 + 0.018, 6L), // RTR: drop
+      pkt(0x20000001L, hx("00"), t0 + 0.019, 7L),               // ERR: drop
+      pkt(0x7FF, hx("DEADBEEF"), t0 + 0.020, 8L),
+      pkt(0x100, hx("00000000"), t0 + 0.050, 9L))
+    val server = new java.net.ServerSocket(0)
+    val sender = new Thread(() => {
+      val s = server.accept()
+      val os = s.getOutputStream
+      packets.foreach(p => os.write(p))
+      os.write(new Array[Byte](10)) // torn tail: must not become a row
+      os.flush(); s.close()
+    }, "s6-test-server")
+    sender.setDaemon(true); sender.start()
+    try {
+      val frames = CanStream.framesFromTcpStruct(spark, "127.0.0.1",
+        server.getLocalPort)
+      val wide = CanStream.decoded(net, frames,
+        carryCols = Seq("packet_id")).drop("ts")
+      val q = wide.writeStream.format("memory").queryName("s6tcp")
+        .outputMode("append").start()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("s6tcp").count() < 6 && System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      q.stop()
+      val got = spark.table("s6tcp").orderBy("ts_ms").collect()
+      // 7 decodable packets, minus the unknown-id 0x7FF → 6 wide rows,
+      // the same parity as the text replay tests; RTR/ERR never surface
+      assert(got.length == 6, got.mkString("\n"))
+      assert(got.head.getAs[Float]("Engine_Speed") == 2000.0f)
+      assert(got.head.getAs[Long]("packet_id") == 1L)
+      assert(got.last.getAs[Long]("packet_id") == 9L)
+      // epoch reinterpret is exact: micros round-trip the text timestamps
+      assert(got.map(_.getAs[Double]("ts_ms")).toSeq ==
+        Seq(0, 4, 8, 12, 16, 50).map(t0 * 1000 + _))
+    } finally server.close()
+  }
+
   test("exactStream state works under the RocksDB state-store provider") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(key)
