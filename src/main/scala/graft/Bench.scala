@@ -64,14 +64,18 @@ object Bench {
 
   /** Child-JVM work units: families, with any family larger than
     * [[MaxQueriesPerChild]] split into `family#k` slices (sorted names,
-    * fixed-size slices — deterministic across runs).
+    * BALANCED sizes — 25 queries go 13+12, not 24+1 with a
+    * near-empty JVM paying full session bring-up; deterministic across
+    * runs).
     */
   private[graft] def childGroups(names: Seq[String]): Seq[(String, Seq[String])] =
     names.sorted.groupBy(familyOf).toSeq.sortBy(_._1).flatMap {
       case (family, members) if members.size <= MaxQueriesPerChild =>
         Seq(family -> members)
       case (family, members) =>
-        members.grouped(MaxQueriesPerChild).zipWithIndex
+        val slices = (members.size + MaxQueriesPerChild - 1) / MaxQueriesPerChild
+        val per = (members.size + slices - 1) / slices
+        members.grouped(per).zipWithIndex
           .map { case (slice, k) => s"$family#$k" -> slice }.toSeq
     }
 

@@ -20,10 +20,11 @@ class BenchGroupingSpec extends AnyFunSuite {
     // core and qm stay whole
     assert(groups.collect { case ("core", m) => m.size } == Seq(18))
     assert(groups.collect { case ("qm", m) => m.size } == Seq(9))
-    // qt splits into 24+24+2 slices named qt#k
+    // qt splits into 3 BALANCED slices (17+17+16), never 24+24+2 with a
+    // near-empty child paying full session bring-up
     val qt = groups.filter(_._1.startsWith("qt"))
     assert(qt.map(_._1) == Seq("qt#0", "qt#1", "qt#2"))
-    assert(qt.map(_._2.size) == Seq(24, 24, 2))
+    assert(qt.map(_._2.size) == Seq(17, 17, 16))
     // slices are sorted-name contiguous → stable across runs
     assert(qt.flatMap(_._2) == (1 to 50).map(i => f"qt_gate$i%02d"))
     // determinism regardless of input order
