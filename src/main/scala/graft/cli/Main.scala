@@ -125,18 +125,32 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     // K4: rows → line protocol, Time_ms (fractional ms) → integer ns.
-    // The time column moves out of the field set into the line timestamp.
+    // The time column moves out of the field set into the line timestamp;
+    // the streaming wide frame's event-time twin `ts` (TimestampType,
+    // added by CanStream.decoded for watermarks) drops too — it mirrors
+    // Time_ms and is not a line-protocol field type.
     def influxUpload(df: org.apache.spark.sql.DataFrame): Unit = {
       import org.apache.spark.sql.functions.{col, lit}
       graft.sinks.InfluxLineSink.upload(
-        df.withColumn("__influx_ns",
+        df.drop("ts")
+          .withColumn("__influx_ns",
             (col(DbcColumns.TimeCol) * 1e6).cast("long"))
           .drop(DbcColumns.TimeCol),
         influxHost, influxToken, influxTable,
         Seq("srcfile" -> lit(in)), "__influx_ns")
     }
 
+    // parquet part-files currently under `out` (empty when absent)
+    def partFiles(): Set[String] = {
+      val d = new java.io.File(out)
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().map(_.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")).toSet
+    }
+
     def writeBatch(wide: org.apache.spark.sql.DataFrame): Unit = {
+      val before = partFiles()
       wide.write.mode("append").parquet(out) // K1 batch
       // K3/K4 batch: read back the WRITTEN output rather than re-running
       // the observed plan — a second execution would make the T7 progress
@@ -145,7 +159,14 @@ object Main {
         spark.read.parquet(out)
           .select((DbcColumns.TimeCol +: live.reverse).map(org.apache.spark.sql.functions.col): _*)
           .show(50, truncate = false)
-      if (influxHost.length > 2) influxUpload(spark.read.parquet(out))
+      if (influxHost.length > 2) {
+        // upload only THIS run's part-files: `out` is an append-mode
+        // directory, and re-reading it whole would re-post previous
+        // runs' rows re-tagged with the CURRENT srcfile
+        val added = (partFiles() -- before).toSeq.map(n => s"$out/$n")
+        if (added.nonEmpty)
+          influxUpload(spark.read.parquet(added: _*))
+      }
     }
 
     mode match {
@@ -214,10 +235,37 @@ object Main {
             .trigger(Trigger.ProcessingTime("1 second"))
             .start())
         else None
+        if (mode == "socket" && (liveQ.size + influxQ.size) > 0)
+          // each query is its own TCP client; a single-accept feeder
+          // (`candump | nc -l`) serves exactly one of them
+          System.err.println(
+            s"warning: --socket with --live-decode/--influx-host runs " +
+              s"${1 + liveQ.size + influxQ.size} independent queries, each " +
+              "connecting to --if; use a multi-client feeder (e.g. " +
+              "`socat TCP-LISTEN:port,fork`) or the sink silently starves")
+        val side = liveQ.toSeq ++ influxQ.toSeq
         sys.addShutdownHook { // SIGINT parity
-          q.stop(); liveQ.foreach(_.stop()); influxQ.foreach(_.stop())
+          q.stop(); side.foreach(_.stop())
         }
-        q.awaitTermination()
+        // await the PRIMARY sink, but fail loudly (non-zero) the moment
+        // any side query dies with an exception — a silently-dead Influx
+        // uploader would violate its at-least-once claim while the
+        // process keeps running and exits 0
+        var failed: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+        while (q.isActive && failed.isEmpty) {
+          spark.streams.awaitAnyTermination()
+          spark.streams.resetTerminated()
+          failed = side.find(s => !s.isActive && s.exception.isDefined)
+        }
+        failed.orElse(Some(q).filter(_.exception.isDefined)).foreach { dead =>
+          System.err.println("streaming query '" +
+            Option(dead.name).getOrElse(dead.id.toString) + "' failed: " +
+            dead.exception.map(_.getMessage()).getOrElse(""))
+          (q +: side).foreach(x => if (x.isActive) x.stop())
+          spark.stop()
+          sys.exit(1)
+        }
+        side.foreach(x => if (x.isActive) x.stop())
     }
     spark.stop()
   }

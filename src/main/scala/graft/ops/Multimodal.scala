@@ -471,14 +471,20 @@ object Multimodal {
             val s = ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1).toInt << 8))
               .toShort.toLong
             val e = s * s
-            band((i * 8 + 7) / n) += e
+            // long band index: i*8 wraps Int past 2^28 samples (within
+            // readAllBytes' 2 GB reach) — a negative index, not a wrong bit
+            band(((i.toLong * 8 + 7) / n).toInt) += e
             total += e
             i += 1
           }
           val sb = new java.lang.StringBuilder(8)
           var b = 0
           while (b < 8) {
-            val i0 = b * n / 8; val i1 = (b + 1) * n / 8
+            // long edge math for the same 2^28-sample reason as the
+            // band index above (7*n wraps Int); the edges themselves
+            // always fit an Int (<= n)
+            val i0 = (b.toLong * n / 8).toInt
+            val i1 = ((b + 1).toLong * n / 8).toInt
             // 128-bit unsigned compare of band(b)*n vs total*(i1-i0):
             // all operands are non-negative, and 64-bit products overflow
             // for clips past ~2^18 samples (~33 s at 8 kHz)

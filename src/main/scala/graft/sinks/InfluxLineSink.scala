@@ -50,22 +50,29 @@ object InfluxLineSink {
 
   /** One field's `key=value` fragment, typed per the line protocol:
     * integers suffix `i`, doubles print plainly, strings quote+escape,
-    * booleans are bare true/false. Null → null (the field drops out of
-    * the comma join).
+    * booleans are bare true/false. Null drops out of the comma join;
+    * so do NaN/Infinity doubles — the /write API 400s on them, and a
+    * 4xx is a permanent error that would fail the whole batch for one
+    * bad row.
     */
   private def fieldFragment(name: String, c: Column, dt: DataType): Column = {
     val k = escapeKey(name)
-    val v = dt match {
+    val (v, present) = dt match {
       case ByteType | ShortType | IntegerType | LongType =>
-        concat(c.cast("string"), lit("i"))
-      case FloatType | DoubleType => c.cast("double").cast("string")
-      case BooleanType => c.cast("string")
-      case StringType => concat(lit("\""), escapeFieldString(c), lit("\""))
+        (concat(c.cast("string"), lit("i")), c.isNotNull)
+      case FloatType | DoubleType =>
+        val d = c.cast("double")
+        (d.cast("string"),
+          c.isNotNull && !isnan(d) && d =!= Double.PositiveInfinity &&
+            d =!= Double.NegativeInfinity)
+      case BooleanType => (c.cast("string"), c.isNotNull)
+      case StringType =>
+        (concat(lit("\""), escapeFieldString(c), lit("\"")), c.isNotNull)
       case other =>
         throw new IllegalArgumentException(
           s"unsupported line-protocol field type for '$name': $other")
     }
-    when(c.isNotNull, concat(lit(k + "="), v))
+    when(present, concat(lit(k + "="), v))
   }
 
   /** Line-protocol line as a codegen Column:
@@ -79,10 +86,14 @@ object InfluxLineSink {
   def lineProtocol(measurement: String, tags: Seq[(String, Column)],
       fields: Seq[(String, Column, DataType)], timeNs: Column): Column = {
     require(fields.nonEmpty, "line protocol needs at least one field")
-    val head = concat(
+    // concat_ws skips nulls: a row whose tag VALUE is null keeps its
+    // line (the tag is simply omitted — tags are optional per the
+    // protocol) instead of null-propagating the whole row away
+    val head = concat_ws("",
       lit(escapeMeasurement(measurement)) +:
         tags.map { case (k, v) =>
-          concat(lit("," + escapeKey(k) + "="), escapeTagValue(v))
+          when(v.isNotNull,
+            concat(lit("," + escapeKey(k) + "="), escapeTagValue(v)))
         }: _*)
     val fieldSet = concat_ws(",",
       fields.map { case (n, c, dt) => fieldFragment(n, c, dt) }: _*)

@@ -78,89 +78,43 @@ private[sources] class ProcessTable(command: String, maxLinesPerTrigger: Long)
     }
 }
 
-/** Offset = count of lines read since source start (monotonic). */
-private[sources] case class LineCountOffset(count: Long) extends Offset {
-  override def json(): String = count.toString
-}
-
+/** Ingest loop + process lifecycle only; offsets/admission/commit live
+  * in [[CountOffsetMicroBatchStream]] (shared with the TCP struct
+  * source).
+  */
 private[sources] class ProcessMicroBatchStream(command: String,
-    maxLinesPerTrigger: Long = Long.MaxValue) extends MicroBatchStream {
+    maxLinesPerTrigger: Long = Long.MaxValue)
+    extends CountOffsetMicroBatchStream[String](maxLinesPerTrigger, "run") {
 
-  // buffered lines for offsets [base, base + buffer.size)
-  private val buffer = new ArrayBuffer[String]
-  private var base = 0L
   private var process: Process = _
-  private var readerThread: Thread = _
-  private val lock = new Object
 
-  private def ensureStarted(): Unit = lock.synchronized {
-    if (process == null) {
-      val pb = new ProcessBuilder(command.split("\\s+"): _*)
-      // stderr goes straight to the driver's stderr: diagnostics stay
-      // visible and the child can never block on a full stderr pipe
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      process = pb.start()
-      readerThread = new Thread(() => {
-        val r = new java.io.BufferedReader(new java.io.InputStreamReader(
-          process.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
-        try {
-          var line = r.readLine()
-          while (line != null) {
-            lock.synchronized { buffer += line }
-            line = r.readLine()
-          }
-        } catch { case _: java.io.IOException => () /* process killed */ }
-      }, s"graft-process-source(${command.take(32)})")
-      readerThread.setDaemon(true)
-      readerThread.start()
-    }
+  override protected def open(): Unit = {
+    val pb = new ProcessBuilder(command.split("\\s+"): _*)
+    // stderr goes straight to the driver's stderr: diagnostics stay
+    // visible and the child can never block on a full stderr pipe
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    process = pb.start()
+    val readerThread = new Thread(() => {
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+        process.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        var line = r.readLine()
+        while (line != null) {
+          ingest(line)
+          line = r.readLine()
+        }
+      } catch { case _: java.io.IOException => () /* process killed */ }
+    }, s"graft-process-source(${command.take(32)})")
+    readerThread.setDaemon(true)
+    readerThread.start()
   }
 
-  override def initialOffset(): Offset = { ensureStarted(); LineCountOffset(0L) }
+  override protected def close(): Unit = process.destroy()
 
-  override def latestOffset(): Offset = {
-    ensureStarted()
-    // admission control: cap each micro-batch at maxLinesPerTrigger NEW
-    // lines beyond the committed base (commit advances base per batch), so
-    // a backlogged bridge replaying hours of lines cannot funnel them all
-    // into one batch — the documented mitigation for the keyless
-    // exactStream memory bound (CanStream.exactStream)
-    lock.synchronized(
-      LineCountOffset(base + math.min(buffer.size.toLong, maxLinesPerTrigger)))
-  }
-
-  override def deserializeOffset(json: String): Offset = LineCountOffset(json.toLong)
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[LineCountOffset].count
-    val e = end.asInstanceOf[LineCountOffset].count
-    val slice = lock.synchronized {
-      // offsets are line counts of THIS process's lifetime — a checkpoint
-      // from a previous run references lines this process never produced.
-      // Fail fast (on either end of the range) instead of silently
-      // committing truncated or empty batches over them.
-      if (s > base + buffer.size || e > base + buffer.size)
-        throw new IllegalStateException(
-          s"ProcessSource cannot replay offsets [$s, $e) from a previous " +
-            s"run (this process has produced ${base + buffer.size} lines) — " +
-            "delete the checkpoint or replay from files instead")
-      buffer.slice((s - base).toInt.max(0), (e - base).toInt.max(0)).toArray
-    }
-    Array(LinesPartition(slice))
-  }
+  override protected def partition(slice: Array[String]): InputPartition =
+    LinesPartition(slice)
 
   override def createReaderFactory(): PartitionReaderFactory = LinesReaderFactory
-
-  /** Committed prefixes are never replanned — free the buffer. */
-  override def commit(end: Offset): Unit = lock.synchronized {
-    val e = end.asInstanceOf[LineCountOffset].count
-    val drop = (e - base).toInt
-    if (drop > 0) { buffer.dropInPlace(drop.min(buffer.size)); base = e.max(base) }
-  }
-
-  override def stop(): Unit = lock.synchronized {
-    if (process != null) process.destroy()
-  }
 }
 
 private[sources] case class LinesPartition(lines: Array[String]) extends InputPartition

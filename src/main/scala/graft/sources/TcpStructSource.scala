@@ -78,78 +78,47 @@ private[sources] class TcpStructTable(host: String, port: Int,
     }
 }
 
-/** Offset = count of whole packets read since connect (monotonic). */
+/** Ingest loop + socket lifecycle only; offsets/admission/commit live
+  * in [[CountOffsetMicroBatchStream]] (shared with the process bridge).
+  */
 private[sources] class TcpStructMicroBatchStream(host: String, port: Int,
-    maxPacketsPerTrigger: Long) extends MicroBatchStream {
+    maxPacketsPerTrigger: Long)
+    extends CountOffsetMicroBatchStream[Array[Byte]](
+      maxPacketsPerTrigger, "connection") {
 
-  private val buffer = new ArrayBuffer[Array[Byte]]
-  private var base = 0L
   private var socket: java.net.Socket = _
-  private var readerThread: Thread = _
-  private val lock = new Object
 
-  private def ensureStarted(): Unit = lock.synchronized {
-    if (socket == null) {
-      socket = new java.net.Socket(host, port)
-      readerThread = new Thread(() => {
-        val in = new java.io.DataInputStream(
-          new java.io.BufferedInputStream(socket.getInputStream))
-        try {
-          var eof = false
-          while (!eof) {
-            val pkt = new Array[Byte](TcpStructSource.PacketBytes)
-            try {
-              in.readFully(pkt) // blocks until 32 bytes or EOF
-              lock.synchronized { buffer += pkt }
-            } catch {
-              // EOFException: a trailing partial record (or clean close)
-              // — drop it, exactly like the candump parser's 5-bad-line
-              // EOF tolerance drops a torn tail line
-              case _: java.io.EOFException => eof = true
-            }
+  override protected def open(): Unit = {
+    socket = new java.net.Socket(host, port)
+    val readerThread = new Thread(() => {
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(socket.getInputStream))
+      try {
+        var eof = false
+        while (!eof) {
+          val pkt = new Array[Byte](TcpStructSource.PacketBytes)
+          try {
+            in.readFully(pkt) // blocks until 32 bytes or EOF
+            ingest(pkt)
+          } catch {
+            // EOFException: a trailing partial record (or clean close)
+            // — drop it, exactly like the candump parser's 5-bad-line
+            // EOF tolerance drops a torn tail line
+            case _: java.io.EOFException => eof = true
           }
-        } catch { case _: java.io.IOException => () /* socket closed */ }
-      }, s"graft-tcp-struct-source($host:$port)")
-      readerThread.setDaemon(true)
-      readerThread.start()
-    }
+        }
+      } catch { case _: java.io.IOException => () /* socket closed */ }
+    }, s"graft-tcp-struct-source($host:$port)")
+    readerThread.setDaemon(true)
+    readerThread.start()
   }
 
-  override def initialOffset(): Offset = { ensureStarted(); LineCountOffset(0L) }
+  override protected def close(): Unit = socket.close()
 
-  override def latestOffset(): Offset = {
-    ensureStarted()
-    lock.synchronized(
-      LineCountOffset(base + math.min(buffer.size.toLong, maxPacketsPerTrigger)))
-  }
-
-  override def deserializeOffset(json: String): Offset = LineCountOffset(json.toLong)
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[LineCountOffset].count
-    val e = end.asInstanceOf[LineCountOffset].count
-    val slice = lock.synchronized {
-      if (s > base + buffer.size || e > base + buffer.size)
-        throw new IllegalStateException(
-          s"TcpStructSource cannot replay offsets [$s, $e) from a previous " +
-            s"connection (this one has produced ${base + buffer.size} " +
-            "packets) — delete the checkpoint or replay from files instead")
-      buffer.slice((s - base).toInt.max(0), (e - base).toInt.max(0)).toArray
-    }
-    Array(PacketsPartition(slice))
-  }
+  override protected def partition(slice: Array[Array[Byte]]): InputPartition =
+    PacketsPartition(slice)
 
   override def createReaderFactory(): PartitionReaderFactory = PacketsReaderFactory
-
-  override def commit(end: Offset): Unit = lock.synchronized {
-    val e = end.asInstanceOf[LineCountOffset].count
-    val drop = (e - base).toInt
-    if (drop > 0) { buffer.dropInPlace(drop.min(buffer.size)); base = e.max(base) }
-  }
-
-  override def stop(): Unit = lock.synchronized {
-    if (socket != null) socket.close()
-  }
 }
 
 private[sources] case class PacketsPartition(packets: Array[Array[Byte]])

@@ -88,25 +88,30 @@ class CliStreamSmokeSpec extends AnyFunSuite {
     val outDir = java.nio.file.Files.createTempDirectory("cli_influx").toString + "/out"
     val javaBin = sys.props("java.home") + "/bin/java"
     val cp = sys.props("java.class.path")
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.master=local[4]",
-      "-Dspark.sql.shuffle.partitions=4",
-      "-cp", cp, "graft.cli.Main", "fixtures/mini.dbc",
-      "--if", "fixtures/mini.log", "--of", outDir, "--file",
-      "--influx-host",
-      s"http://127.0.0.1:${server.getAddress.getPort}/write?db=can",
-      "--influx-token", "tok123", "--influx-table", "canwide")
-    val logFile = java.nio.file.Files.createTempFile("cli_influx", ".log").toFile
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.directory(new java.io.File(sys.props("user.dir")))
-    pb.redirectErrorStream(true)
-    pb.redirectOutput(logFile)
-    val proc = pb.start()
+    def runCli(ifArg: String): Unit = {
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.master=local[4]",
+        "-Dspark.sql.shuffle.partitions=4",
+        "-cp", cp, "graft.cli.Main", "fixtures/mini.dbc",
+        "--if", ifArg, "--of", outDir, "--file",
+        "--influx-host",
+        s"http://127.0.0.1:${server.getAddress.getPort}/write?db=can",
+        "--influx-token", "tok123", "--influx-table", "canwide")
+      val logFile = java.nio.file.Files.createTempFile("cli_influx", ".log").toFile
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.directory(new java.io.File(sys.props("user.dir")))
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(logFile)
+      val proc = pb.start()
+      try {
+        assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+          "batch CLI did not exit")
+        assert(proc.exitValue() == 0, "CLI failed; log:\n" +
+          scala.io.Source.fromFile(logFile).mkString.takeRight(4000))
+      } finally { proc.destroyForcibly(); proc.waitFor() }
+    }
     try {
-      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
-        "batch CLI did not exit")
-      assert(proc.exitValue() == 0, "CLI failed; log:\n" +
-        scala.io.Source.fromFile(logFile).mkString.takeRight(4000))
+      runCli("fixtures/mini.log")
       val reqs = received.toArray(Array.empty[(String, String)])
       assert(reqs.nonEmpty && reqs.forall(_._2 == "Token tok123"))
       val lines = reqs.flatMap(_._1.split("\n")).filter(_.nonEmpty)
@@ -116,13 +121,37 @@ class CliStreamSmokeSpec extends AnyFunSuite {
       // decoded signal rides as a field; timestamp is integer ns
       assert(lines.exists(_.contains("Engine_Speed=2000.0")))
       assert(lines.forall(_.matches(".* \\d+")))
-    } finally {
-      proc.destroyForcibly(); proc.waitFor(); server.stop(0)
-    }
+      // second run into the SAME append-mode out dir: only the new run's
+      // rows upload — run 1's rows must NOT re-post re-tagged with the
+      // second srcfile
+      val copy = java.nio.file.Files.createTempFile("mini2", ".log")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("fixtures/mini.log"), copy,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      received.clear()
+      runCli(copy.toString)
+      val lines2 = received.toArray(Array.empty[(String, String)])
+        .flatMap(_._1.split("\n")).filter(_.nonEmpty)
+      assert(lines2.length == 6, s"re-upload leak:\n${lines2.mkString("\n")}")
+      assert(lines2.forall(_.startsWith(s"canwide,srcfile=$copy ")))
+    } finally server.stop(0)
   }
 
   test("CLI --stream-file with rocksdb state backend and admission bound " +
-      "decodes to parquet end-to-end") {
+      "decodes to parquet end-to-end (and streams line protocol, K4)") {
+    import java.nio.charset.StandardCharsets
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/write",
+      new com.sun.net.httpserver.HttpHandler {
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          received.add(new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8))
+          ex.sendResponseHeaders(204, -1); ex.close()
+        }
+      })
+    server.start()
     val inDir = java.nio.file.Files.createTempDirectory("cli_smoke_in").toString
     val outDir = java.nio.file.Files.createTempDirectory("cli_smoke").toString + "/out"
     val javaBin = sys.props("java.home") + "/bin/java"
@@ -136,7 +165,9 @@ class CliStreamSmokeSpec extends AnyFunSuite {
       "-cp", cp, "graft.cli.Main", "fixtures/mini.dbc",
       "--if", inDir, "--of", outDir, "--stream-file",
       "--state-backend", "rocksdb", "--max-files-per-trigger", "1",
-      "--exact", "--cache", "10", "--bucket-key", "iface")
+      "--exact", "--cache", "10", "--bucket-key", "iface",
+      "--influx-host",
+      s"http://127.0.0.1:${server.getAddress.getPort}/write?db=can")
     val logFile = java.nio.file.Files.createTempFile("cli_smoke", ".log").toFile
     val pb = new ProcessBuilder(cmd: _*)
     pb.directory(new java.io.File(sys.props("user.dir")))
@@ -186,9 +217,22 @@ class CliStreamSmokeSpec extends AnyFunSuite {
         p.toString.endsWith(".delta"))
       assert(sawRocks && !sawDelta,
         "state checkpoint is not RocksDB-format (--state-backend ignored?)")
+
+      // K4 streaming: the side query uploads the SAME closed buckets as
+      // line protocol (the TimestampType 'ts' twin must not crash it)
+      while (received.size < 2 && System.nanoTime() < deadline && proc.isAlive)
+        Thread.sleep(500)
+      assert(proc.isAlive, "CLI exited prematurely; log:\n" +
+        scala.io.Source.fromFile(logFile).mkString.takeRight(4000))
+      val lp = received.toArray(Array.empty[String])
+        .flatMap(_.split("\n")).filter(_.nonEmpty)
+      assert(lp.length >= 2, s"expected streamed lines, got:\n${lp.mkString("\n")}")
+      assert(lp.forall(_.startsWith(s"fs23migrated,srcfile=$inDir ")))
+      assert(lp.exists(_.contains("Engine_Speed=2000.0")))
     } finally {
       proc.destroyForcibly()
       proc.waitFor()
+      server.stop(0)
     }
   }
 }

@@ -74,6 +74,29 @@ class InfluxLineSinkSpec extends AnyFunSuite {
     assert(empty.head.isNullAt(0))
   }
 
+  test("null tag values drop the TAG, not the line; NaN/Infinity double " +
+      "fields drop the FIELD, not the batch") {
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      (1L, Some("a"), Some(1.5)),
+      (2L, None: Option[String], Some(2.5)), // null tag: line survives
+      (3L, Some("c"), Some(Double.NaN)),     // NaN field: field drops
+      (4L, Some("d"), Some(Double.PositiveInfinity)),
+      (5L, Some("e"), None: Option[Double])) // null field: field drops
+      .toDF("t", "tag", "d")
+    val line = InfluxLineSink.lineProtocol("m",
+      Seq("k" -> col("tag")),
+      Seq(("d", col("d"), DoubleType), ("id", col("t"), LongType)),
+      col("t"))
+    val out = df.select(col("t"), line.as("l")).orderBy("t")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "m,k=a d=1.5,id=1i 1")
+    assert(out(2L) == "m d=2.5,id=2i 2") // tag omitted, fields intact
+    assert(out(3L) == "m,k=c id=3i 3")   // NaN double omitted
+    assert(out(4L) == "m,k=d id=4i 4")   // Infinity omitted
+    assert(out(5L) == "m,k=e id=5i 5")
+  }
+
   test("upload: posts per-partition batches with auth; timestamps are " +
       "ns from the timestamp column; field-less rows dropped") {
     withServer() { (port, received) =>
