@@ -1986,15 +1986,17 @@ object SparkEntry {
     "qt_dsir" -> ((s, dir) => {
       // DSIR-style data selection: score every doc by target-vs-raw
       // hashed-bigram importance (target = the English sample, the
-      // "select docs like my trusted domain corpus" primitive). Two
-      // B-sized bucket aggregations + a map-only literal-map scoring
-      // pass — per-doc work never shuffles; see
-      // CorpusSelect.targetMatchScores for the 100 TB shape and the
-      // integer micro-unit surrogate of the DSIR log-ratio.
+      // "select docs like my trusted domain corpus" primitive). The
+      // one-pass predicate form: ONE corpus gram aggregation with a
+      // conditional count builds both bucket tables (the two-corpus
+      // overload pays two), then a map-only literal-map scoring pass —
+      // per-doc work never shuffles; see CorpusSelect.targetMatchScores
+      // for the 100 TB shape and the integer micro-unit surrogate of
+      // the DSIR log-ratio.
       val base = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
       graft.ops.CorpusSelect.targetMatchScores(
-          base, base.filter(col("lang") === "en"), "text", "doc_id",
-          buckets = 256)
+          base, col("lang") === "en", "text", "doc_id",
+          buckets = 256, maxLiteral = graft.ops.TextAnalysis.MaxLiteralVocab)
         .orderBy("doc_id")
     }),
 

@@ -542,22 +542,59 @@ object CorpusSelect {
       idCol: String, buckets: Int = 1024,
       maxLiteral: Int = TextAnalysis.MaxLiteralVocab): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val b = buckets.toLong
-    def gramBuckets(text: Column): Column = {
-      val t = TextAnalysis.tokens(text)
-      val n = F.size(t)
-      F.zip_with(
-        F.slice(t, F.lit(1), F.greatest(n - 1, F.lit(0))),
-        F.slice(t, F.lit(2), F.greatest(n - 1, F.lit(0))),
-        (x, y) => F.pmod(
-          TextAnalysis.md5Long(F.concat(x, F.lit(" "), y)), F.lit(b)))
-    }
-    def counts(df: DataFrame): DataFrame = df
-      .select(F.explode(gramBuckets(F.col(textCol))).as("b"))
+    def counts(df: DataFrame): Map[Long, Long] = df
+      .select(F.explode(gramBuckets(F.col(textCol), buckets)).as("b"))
       .groupBy("b").agg(F.count(F.lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // B rows each — driver-sized by contract, same as the ANN codebooks
-    val tc = counts(target).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val rc = counts(raw).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dsirScore(raw, textCol, idCol, counts(target), counts(raw),
+      buckets, maxLiteral)
+  }
+
+  /** One-pass form for the common "target = a trusted SUBSET of raw"
+    * case (the shape a `lang = 'en'` / domain-allowlist selection has):
+    * both bucket tables come from a SINGLE corpus gram pass with a
+    * conditional count — at 100 TB this halves the dominant cost, the
+    * corpus explode+aggregate, vs the two-corpus overload.
+    */
+  def targetMatchScores(raw: DataFrame, targetPred: Column, textCol: String,
+      idCol: String, buckets: Int, maxLiteral: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val both = raw
+      .select(F.explode(gramBuckets(F.col(textCol), buckets)).as("b"),
+        targetPred.as("t"))
+      .groupBy("b").agg(F.count(F.lit(1)).as("cr"),
+        F.count(F.when(F.col("t"), 1)).as("ct"))
+      .collect()
+    val rc = both.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tc = both.map(r => r.getLong(0) -> r.getLong(2))
+      .filter(_._2 > 0).toMap
+    dsirScore(raw, textCol, idCol, tc, rc, buckets, maxLiteral)
+  }
+
+  /** Hashed-bigram bucket ids of `text` (whitespace tokens; `< 2`
+    * tokens → empty array). md5-based, so both engines bucket
+    * identically.
+    */
+  private def gramBuckets(text: Column, buckets: Int): Column = {
+    val t = TextAnalysis.tokens(text)
+    val n = F.size(t)
+    F.zip_with(
+      F.slice(t, F.lit(1), F.greatest(n - 1, F.lit(0))),
+      F.slice(t, F.lit(2), F.greatest(n - 1, F.lit(0))),
+      (x, y) => F.pmod(
+        TextAnalysis.md5Long(F.concat(x, F.lit(" "), y)),
+        F.lit(buckets.toLong)))
+  }
+
+  /** Weight-table build + per-doc scoring shared by both
+    * [[targetMatchScores]] overloads (see the two-corpus overload's
+    * scaladoc for the semantics and scale shape).
+    */
+  private def dsirScore(raw: DataFrame, textCol: String, idCol: String,
+      tc: Map[Long, Long], rc: Map[Long, Long], buckets: Int,
+      maxLiteral: Int): DataFrame = {
+    val b = buckets.toLong
     val nt = tc.values.sum; val nr = rc.values.sum
     require(nt + b < (1L << 53) / 1000000 && nr + b < (1L << 53) / 1000000,
       s"gram totals ($nt target / $nr raw) too large for exact micro-unit " +
@@ -566,7 +603,7 @@ object CorpusSelect {
       Math.round(1000000.0 * (c + 1) / (n + b))
     val weights = (0L until b).map(k =>
       k -> (micro(tc.getOrElse(k, 0L), nt) - micro(rc.getOrElse(k, 0L), nr)))
-    val grams = gramBuckets(F.col(textCol))
+    val grams = gramBuckets(F.col(textCol), buckets)
     if (buckets <= maxLiteral) {
       val m = F.typedLit(weights.toMap)
       raw.select(F.col(idCol),

@@ -395,6 +395,23 @@ class CorpusSelectSpec extends AnyFunSuite {
     assert(m(2L)._3 < 0L, "off-target grams must score negative")
   }
 
+  test("targetMatchScores one-pass predicate form equals the two-corpus " +
+      "form when target = raw.filter(pred)") {
+    val d = (1L to 300L).map(i =>
+      (i, s"tok${i % 11} tok${i % 7} tok${i % 5} tok${i % 3}",
+        if (i % 4 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val two = CorpusSelect.targetMatchScores(
+        d, d.filter(col("lang") === "en"), "text", "doc_id", buckets = 128)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val one = CorpusSelect.targetMatchScores(
+        d, col("lang") === "en", "text", "doc_id", buckets = 128,
+        maxLiteral = TextAnalysis.MaxLiteralVocab)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(one == two)
+    assert(one.exists(_._3 != 0L)) // non-degenerate fixture
+  }
+
   test("targetMatchScores literal form stays map-only: no exchange in " +
       "the per-doc scoring plan") {
     val d = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3}"))
