@@ -2000,6 +2000,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qt_cluster_budget" -> ((s, dir) => {
+      // cluster-balanced corpus selection: train the 8-centroid codebook
+      // (2 deterministic Lloyd rounds), assign every embedding, join each
+      // vector's document, and keep the best-quality token prefix PER
+      // CLUSTER — the "balance the pretraining mixture across embedding
+      // clusters" primitive (the selection step cluster-based curation
+      // pipelines run after SemDeDup-style pruning). Composition of two
+      // gated operators: kmeansCodebook/assignToCentroids (broadcast
+      // assign, codebook driver-sized by definition) into
+      // groupedBudgetPrefix (two-pass prefix, no per-group window sort);
+      // integer micro-unit quality order per the portability doctrine.
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCodebook(emb, k = 8, iters = 2)
+      val q = emb.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      val assigned = Similarity.assignToCentroids(q, cents)
+        .select(col("vec_id").as("doc_id"),
+          col("cent_id").cast("string").as("cluster"))
+      val d = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+        .join(assigned, "doc_id")
+        .select(col("doc_id"), col("cluster"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.ops.CorpusSelect.groupedBudgetPrefix(d, "cluster", "n_tokens",
+          budgetPerGroup = 3000L,
+          Seq(round(col("quality") * 1000000).cast("long").desc,
+            col("doc_id").asc), cumCol = "cum_tokens")
+        .select("doc_id", "cluster", "n_tokens", "cum_tokens")
+        .orderBy("cluster", "doc_id")
+    }),
+
     "qt_repetition" -> ((s, dir) =>
       // Gopher-style repetition signals per doc: top-unigram share and
       // duplicate-bigram fraction (machine-generated boilerplate scores
@@ -3623,6 +3654,31 @@ object SparkEntry {
            |SELECT tk.doc_id, CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
            |  CAST(coalesce(sc.dsir_micro, 0) AS BIGINT) AS dsir_micro
            |FROM tk LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      // cluster-balanced selection replay: the unrolled 2-round Lloyd
+      // training + assignment CTEs (shared with qs_kmeans_topk), joined
+      // to documents on the shared id space, then the per-cluster
+      // BIGINT-cast micro-unit-ordered window cumsum (same doctrine as
+      // qt_lang_budget)
+      "qt_cluster_budget" -> (quantCte +
+        s""",
+           |c0 AS (SELECT vec_id AS cent_id, qe AS cv FROM q WHERE vec_id < 8),
+           |${kmRound(1, "c0")},
+           |${kmRound(2, "c1")},
+           |${kmAssign("af", "c2")},
+           |d AS (SELECT doc_id, CAST(af.cent_id AS VARCHAR) AS cluster,
+           |    CAST(round(($qualitySql) * 1000000) AS BIGINT) AS q_micro,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens
+           |  FROM documents JOIN af ON af.vec_id = documents.doc_id
+           |  WHERE length(trim(text)) > 0),
+           |cm AS (SELECT doc_id, cluster, n_tokens,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY cluster
+           |      ORDER BY q_micro DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum_tokens
+           |  FROM d)
+           |SELECT doc_id, cluster, n_tokens, cum_tokens FROM cm
+           |WHERE cum_tokens <= 3000 ORDER BY cluster, doc_id""".stripMargin),
 
       // Ordering uses integer micro-unit quality (not the raw double) so
       // both engines resolve near-ties identically, and the window cumsum
