@@ -125,7 +125,15 @@ object CanStream {
     val reader = spark.readStream.format("graft.sources.TcpStructSource")
       .option("host", host).option("port", port)
     maxPacketsPerTrigger.foreach(n => reader.option("maxPacketsPerTrigger", n))
-    val p = reader.load()
+    unpackTcpStruct(reader.load())
+  }
+
+  /** The S6 struct unpack on its own (`packet: binary` → frames) — the
+    * live source above streams through it, and a RECORDED packet dump
+    * (`spark.read.parquet(...)` with a 32-byte `packet` column) replays
+    * through the identical expressions in batch.
+    */
+  def unpackTcpStruct(p: DataFrame): DataFrame = {
     // 1-based byte i of the packet as an unsigned long
     def u8(i: Int) = conv(hex(substring(col("packet"), i, 1)), 16, 10).cast("long")
     // little-endian field at 1-based [off, off+len): bytes concatenated

@@ -277,6 +277,40 @@ class CanStreamSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("unpackTcpStruct in batch: stays in one codegen stage with no " +
+      "exchange, and round-trips a recorded packet dump") {
+    def pkt(id: Long, data: Array[Byte], epoch: Double, pid: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(id.toInt); b.put(data.length.toByte); b.put(0.toByte)
+      b.put(0.toByte); b.put(0.toByte)
+      b.put(java.util.Arrays.copyOf(data, 8))
+      b.putDouble(epoch); b.putLong(pid)
+      b.array()
+    }
+    // through parquet: a Seq-backed relation constant-folds to a
+    // LocalTableScan and there would be no scan/codegen plan to pin
+    val dir = java.nio.file.Files.createTempDirectory("pkt_dump").toString
+    Seq(
+      pkt(0x100, Array[Byte](0x40, 0x1F, 0x4B, 1), 1700000000.25, 7L),
+      pkt(0x123 | 0x80000000L, Array[Byte](1), 1.5, 8L)) // EFF flag masks off
+      .toDF("packet").write.mode("overwrite").parquet(dir)
+    val out = CanStream.unpackTcpStruct(spark.read.parquet(dir))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unpack must be map-only:\n$plan")
+    // the executedPlan string marks whole-stage-codegen spans "*(n)";
+    // one span covers both project and filter
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"),
+      s"unpack fell out of codegen:\n$plan")
+    val rows = out.orderBy("packet_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("ts_us") == 1700000000250000L)
+    assert(rows(0).getAs[Long]("can_id") == 0x100L)
+    assert(rows(0).getAs[Array[Byte]]("data").toSeq ==
+      Seq[Byte](0x40, 0x1F, 0x4B, 1))
+    assert(rows(1).getAs[Long]("can_id") == 0x123L) // EFF bit stripped
+  }
+
   test("exactStream state works under the RocksDB state-store provider") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(key)
