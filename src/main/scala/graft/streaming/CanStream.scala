@@ -143,12 +143,15 @@ object CanStream {
         hex(substring(col("packet"), i, 1))): _*)
     val canIdRaw = conv(leHex(1, 4), 16, 10).cast("long")
     val epochBits = conv(leHex(17, 8), 16, -10).cast("long")
+    val epoch = graft.plans.FloatReinterpret.longBitsToDouble(epochBits)
     p.filter(length(col("packet")) === graft.sources.TcpStructSource.PacketBytes)
       .withColumn("_id_raw", canIdRaw)
       .filter((col("_id_raw").bitwiseAND(0x60000000L)) === 0L) // no RTR/ERR
-      .withColumn("ts_us",
-        round(graft.plans.FloatReinterpret.longBitsToDouble(epochBits)
-          * 1000000.0).cast("long"))
+      // corrupt-epoch drop (the struct twin of the parser's malformed-line
+      // filter F2): a garbage double — NaN or beyond long-micros range —
+      // would throw on the ANSI cast and kill the stream for one bad packet
+      .filter(!isnan(epoch) && abs(epoch) < 9.2e12)
+      .withColumn("ts_us", round(epoch * 1000000.0).cast("long"))
       .withColumn("iface", lit("tcp"))
       .withColumn("can_id", col("_id_raw").bitwiseAND(0x1FFFFFFFL))
       .withColumn("dlc", least(u8(5), lit(8L)).cast("int"))

@@ -311,6 +311,44 @@ class CanStreamSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("can_id") == 0x123L) // EFF bit stripped
   }
 
+  test("unpackTcpStruct property: 200 random packets decode identically " +
+      "to an independent ByteBuffer reference") {
+    val rnd = new scala.util.Random(42)
+    val packets = (1 to 200).map { _ =>
+      val raw = new Array[Byte](32)
+      rnd.nextBytes(raw)
+      // dlc byte must be a plausible 0..15 so `least(dlc, 8)` is exercised
+      raw(4) = (rnd.nextInt(16) & 0xFF).toByte
+      raw
+    }
+    // independent reference: plain ByteBuffer struct reads, no hex/conv
+    def ref(p: Array[Byte]): Option[(Long, Array[Byte], Long, Long)] = {
+      val b = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val idRaw = b.getInt(0).toLong & 0xFFFFFFFFL
+      val epoch = b.getDouble(16)
+      if ((idRaw & 0x60000000L) != 0) None
+      else if (epoch.isNaN || math.abs(epoch) >= 9.2e12) None // corrupt
+      else {
+        val dlc = math.min(p(4) & 0xFF, 8)
+        Some((idRaw & 0x1FFFFFFFL,
+          java.util.Arrays.copyOfRange(p, 8, 8 + dlc),
+          Math.round(epoch * 1e6), b.getLong(24)))
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pkt_prop").toString
+    packets.toDF("packet").write.mode("overwrite").parquet(dir)
+    val got = CanStream.unpackTcpStruct(spark.read.parquet(dir))
+      .orderBy("packet_id")
+      .select("can_id", "data", "ts_us", "packet_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq,
+        r.getLong(2), r.getLong(3)))
+    val want = packets.flatMap(ref)
+      .map(t => (t._1, t._2.toSeq, t._3, t._4)).sortBy(_._4)
+    assert(got.length == want.length) // same RTR/ERR drops
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"\n$g\n$w") }
+  }
+
   test("exactStream state works under the RocksDB state-store provider") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(key)
