@@ -331,9 +331,12 @@ class CanStreamSpec extends AnyFunSuite {
       else if (epoch.isNaN || math.abs(epoch) >= 9.2e12) None // corrupt
       else {
         val dlc = math.min(p(4) & 0xFF, 8)
+        // HALF_UP like Spark's round() — Math.round is half-toward-
+        // positive-infinity, which differs on negative exact halves
+        val ts = java.math.BigDecimal.valueOf(epoch * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
         Some((idRaw & 0x1FFFFFFFL,
-          java.util.Arrays.copyOfRange(p, 8, 8 + dlc),
-          Math.round(epoch * 1e6), b.getLong(24)))
+          java.util.Arrays.copyOfRange(p, 8, 8 + dlc), ts, b.getLong(24)))
       }
     }
     val dir = java.nio.file.Files.createTempDirectory("pkt_prop").toString
