@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, Dedup, RangeJoin, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis}
 
 /** Standing 10× scale-stress harness (the tagged-copy protocol the round
   * notes ran ad-hoc, promoted to a tool): the six heaviest operator
@@ -25,7 +25,12 @@ import graft.ops.{AsOfJoin, Dedup, RangeJoin, TextAnalysis}
   *   - range: 10× points AND 10× intervals — the match set grows ~60×
   *     while the ≤2-replica bucket bound must keep wall near-linear;
   *   - decode: 10× generated candump frames through parse → decode →
-  *     tumbling bucket (the CLI spine) — expected ~linear (map-only).
+  *     tumbling bucket (the CLI spine) — expected ~linear (map-only);
+  *   - ann: 10× id-shifted vector copies, every copy landing in the SAME
+  *     LSH sign-bucket as its original (identical embeddings) — each
+  *     probed bucket's candidate list grows 10×, the bucket-join worst
+  *     axis; the batch 8-query probe must stay near-linear (the
+  *     candidate join is bucket-equi bounded, never all-pairs).
   *
   * Output: ONE JSON line, `{"sf":…,"families":{"<name>":{"base":s,
   * "x10":s,"ratio":r}}}`, written to stdout and to
@@ -63,7 +68,8 @@ object Stress {
       "range" -> (c => range(spark, sfDir, c)),
       "decode_bucket" -> (c => decodeBucket(spark, c)),
       "dup_spans" -> (c => dupSpans(spark, sfDir, c)),
-      "segment_dedup" -> (c => segDedup(spark, sfDir, c)))
+      "segment_dedup" -> (c => segDedup(spark, sfDir, c)),
+      "ann" -> (c => ann(spark, sfDir, c)))
 
     val results = families.map { case (name, run) =>
       val base = time(spark, run(1))
@@ -107,6 +113,28 @@ object Stress {
 
   private def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** 10 id-shifted embedding copies, vectors unchanged: every original's
+    * sign-bucket gains 9 identical-vector siblings — the candidate-list
+    * densification axis for the bucket join.
+    */
+  private def vecCopies(spark: SparkSession, dir: String, copies: Int): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    if (copies == 1) e
+    else (0 until copies).map { i =>
+      e.select((col("vec_id") + lit(i * 100000000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_.unionByName(_))
+  }
+
+  private def ann(spark: SparkSession, dir: String, copies: Int): Unit = {
+    val q = Similarity.batchQueries(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding"),
+      col("vec_id") < 8)
+    noop(Similarity.lshTopKBatch(vecCopies(spark, dir, copies), q, k = 10))
+  }
 
   private def dedupSpine(spark: SparkSession, dir: String, copies: Int): Unit = {
     val pairs = Dedup.minhashNearDups(docCopies(spark, dir, copies),
