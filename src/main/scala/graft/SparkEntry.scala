@@ -2000,6 +2000,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qt_oov_report" -> ((s, dir) => {
+      // tokenizer-coverage report: per-language token counts and OOV
+      // rate under the top-50 frequency vocab — the check a pipeline
+      // runs before committing to a tokenizer (languages the vocab
+      // underserves surface as high oov_rate). One vocab aggregation
+      // (driver-sized by contract), then the guarded encode map-only
+      // over the corpus into one report aggregation; oov_rate is a
+      // division of exactly-computed integers (portable IEEE).
+      val base = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+      val vocab = base
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok"))
+        .limit(50).collect()
+        .zipWithIndex.map { case (r, i) => r.getString(0) -> (i + 1L) }.toMap
+      val ids = TextAnalysis.encodeTokens(TextAnalysis.tokens(col("text")), vocab)
+      base.select(col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+          size(filter(ids, _ === 0L)).cast("long").as("n_oov"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          sum("n_oov").as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+        .orderBy("lang")
+    }),
+
     "qt_cluster_budget" -> ((s, dir) => {
       // cluster-balanced corpus selection: train the 8-centroid codebook
       // (2 deterministic Lloyd rounds), assign every embedding, join each
@@ -3654,6 +3682,25 @@ object SparkEntry {
            |SELECT tk.doc_id, CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
            |  CAST(coalesce(sc.dsir_micro, 0) AS BIGINT) AS dsir_micro
            |FROM tk LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      // tokenizer-coverage replay: top-50 vocab by (freq DESC, tok),
+      // per-lang token/OOV sums BIGINT-cast per the doctrine, rate as
+      // exact-integer division
+      "qt_oov_report" ->
+        s"""WITH base AS (SELECT lang, text FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |v AS (SELECT tok FROM (
+           |    SELECT unnest($toks) AS tok FROM base) u
+           |  GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 50),
+           |tk AS (SELECT lang, unnest($toks) AS tok FROM base),
+           |oov AS (SELECT lang, count(*) AS n_tokens,
+           |    CAST(sum(CASE WHEN tok IN (SELECT tok FROM v)
+           |      THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+           |  FROM tk GROUP BY 1),
+           |d AS (SELECT lang, count(*) AS n_docs FROM base GROUP BY 1)
+           |SELECT d.lang, d.n_docs, oov.n_tokens, oov.n_oov,
+           |  CAST(oov.n_oov AS DOUBLE) / oov.n_tokens AS oov_rate
+           |FROM d JOIN oov USING (lang) ORDER BY lang""".stripMargin,
 
       // cluster-balanced selection replay: the unrolled 2-round Lloyd
       // training + assignment CTEs (shared with qs_kmeans_topk), joined
