@@ -1225,6 +1225,32 @@ object SparkEntry {
           col("quality") >= 0.45).as("n_kept"))
     }),
 
+    "qt_filter_ledger" -> ((s, dir) => {
+      // per-doc filter provenance — the dropLedger twin for quality
+      // rules: one row per REJECTED doc with the FIRST failing rule by
+      // fixed priority (structural before statistical), the audit trail
+      // a curation run keeps next to qt_filter_report's counts. Same
+      // proven signal fragments, one codegen when-chain — no new
+      // aggregation shape.
+      val base = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+      val rep = TextAnalysis.repetitionStats(base, "doc_id", col("text"))
+      base.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          (regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
+            length(col("text"))).as("alpha_frac"))
+        .join(rep.select(col("doc_id"), col("top_unigram_frac")), "doc_id")
+        .withColumn("reason",
+          when(col("n_tokens") < 5, "short")
+            .when(col("n_tokens") > 5000, "long")
+            .when(col("alpha_frac") < 0.2, "low_alpha")
+            .when(col("top_unigram_frac") > 0.2, "repetitive")
+            .when(col("quality") < 0.45, "low_quality"))
+        .filter(col("reason").isNotNull)
+        .select("doc_id", "reason")
+        .orderBy("doc_id")
+    }),
+
     "qt_upsample" -> ((s, dir) => {
       // the UPSAMPLING half of mixture construction (qt_mixture
       // downsamples): low-resource languages get an integer repeat
@@ -3606,6 +3632,30 @@ object SparkEntry {
            |    AND alpha_frac >= 0.2 AND top_unigram_frac <= 0.2
            |    AND quality >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
            |FROM d""".stripMargin,
+
+      // per-doc rejection provenance: same d relation as the report,
+      // CASE chain in the report's priority order
+      "qt_filter_ledger" ->
+        s"""WITH base AS (SELECT doc_id, text, $toks AS w FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |u1 AS (SELECT doc_id, t, count(*) AS c FROM (
+           |    SELECT doc_id, unnest(w) AS t FROM base) x GROUP BY 1, 2),
+           |uni AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c,
+           |    CAST(sum(c) AS BIGINT) AS tok_sum FROM u1 GROUP BY 1),
+           |d AS (SELECT b.doc_id,
+           |    $qualitySql AS quality,
+           |    CAST(len(w) AS BIGINT) AS n_tokens,
+           |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+           |      / length(text) AS alpha_frac,
+           |    CAST(u.top_c AS DOUBLE) / u.tok_sum AS top_unigram_frac
+           |  FROM base b JOIN uni u USING (doc_id))
+           |SELECT doc_id,
+           |  CASE WHEN n_tokens < 5 THEN 'short'
+           |       WHEN n_tokens > 5000 THEN 'long'
+           |       WHEN alpha_frac < 0.2 THEN 'low_alpha'
+           |       WHEN top_unigram_frac > 0.2 THEN 'repetitive'
+           |       WHEN quality < 0.45 THEN 'low_quality' END AS reason
+           |FROM d WHERE reason IS NOT NULL ORDER BY doc_id""".stripMargin,
 
       "qt_upsample" ->
         """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
