@@ -106,6 +106,22 @@ object SparkEntry {
 
   private def hex2(c: Column): Column = lpad(hex(c), 2, "0")
 
+  /** Shared signal relation of the Gopher filter gates
+    * (qt_filter_report / qt_filter_ledger): ONE definition of the five
+    * thresholds' inputs so the report and the ledger cannot drift. The
+    * unigram-only stats skip repetitionStats' bigram shuffle — the
+    * ledger/report never read dup_bigram_frac.
+    */
+  private def filterSignals(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
+        graft.ops.TextAnalysis.qualityScore(col("text")).as("quality"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"),
+        (regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
+          length(col("text"))).as("alpha_frac"))
+      .join(graft.ops.TextAnalysis.topUnigramStats(base, "doc_id", col("text"))
+        .select(col("doc_id"), col("top_unigram_frac")), "doc_id")
+
   /** Gram document-frequency cap for qd_ngram_jaccard (posting-list
     * truncation bound, shared with the oracle SQL).
     */
@@ -1201,18 +1217,13 @@ object SparkEntry {
       // the Gopher-rules filter REPORT a curation run publishes next to
       // its output: each rule's (non-exclusive) hit count plus the
       // surviving count, one wide row. Rules compose the proven signal
-      // fragments — length bounds, alpha fraction, top-unigram
-      // repetition, composite quality — so thresholds compare IDENTICAL
-      // doubles in both engines. Cost = qt_repetition's two gram
-      // aggregations + one codegen projection + one global agg.
-      val base = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
-      val rep = TextAnalysis.repetitionStats(base, "doc_id", col("text"))
-      val d = base.select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-          (regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
-            length(col("text"))).as("alpha_frac"))
-        .join(rep.select(col("doc_id"), col("top_unigram_frac")), "doc_id")
+      // fragments (the shared filterSignals relation) — length bounds,
+      // alpha fraction, top-unigram repetition, composite quality — so
+      // thresholds compare IDENTICAL doubles in both engines. Cost =
+      // one unigram aggregation + one codegen projection + one global
+      // agg.
+      val d = filterSignals(
+        t(s, dir, "documents").filter(length(trim(col("text"))) > 0))
       def hits(c: Column) = sum(when(c, 1L).otherwise(0L))
       d.agg(count(lit(1)).as("n_total"),
         hits(col("n_tokens") < 5).as("n_short"),
@@ -1230,16 +1241,10 @@ object SparkEntry {
       // rules: one row per REJECTED doc with the FIRST failing rule by
       // fixed priority (structural before statistical), the audit trail
       // a curation run keeps next to qt_filter_report's counts. Same
-      // proven signal fragments, one codegen when-chain — no new
+      // shared filterSignals relation, one codegen when-chain — no new
       // aggregation shape.
-      val base = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
-      val rep = TextAnalysis.repetitionStats(base, "doc_id", col("text"))
-      base.select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-          (regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
-            length(col("text"))).as("alpha_frac"))
-        .join(rep.select(col("doc_id"), col("top_unigram_frac")), "doc_id")
+      filterSignals(
+          t(s, dir, "documents").filter(length(trim(col("text"))) > 0))
         .withColumn("reason",
           when(col("n_tokens") < 5, "short")
             .when(col("n_tokens") > 5000, "long")
@@ -3269,6 +3274,25 @@ object SparkEntry {
 
     // token-budget shard assignment replay — shared by qt_shard_pack and
     // its single-pass streaming twin qt_stream_shards
+    // Shared signal CTEs of the Gopher filter gates (report + ledger):
+    // the SQL mirror of SparkEntry.filterSignals — one definition of the
+    // five thresholds' inputs so the two oracles can't drift either.
+    val filterSignalsCte =
+      s"""WITH base AS (SELECT doc_id, text, $toks AS w FROM documents
+         |  WHERE length(trim(text)) > 0),
+         |u1 AS (SELECT doc_id, t, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(w) AS t FROM base) x GROUP BY 1, 2),
+         |uni AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c,
+         |    CAST(sum(c) AS BIGINT) AS tok_sum FROM u1 GROUP BY 1),
+         |d AS (SELECT b.doc_id,
+         |    $qualitySql AS quality,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+         |      / length(text) AS alpha_frac,
+         |    CAST(u.top_c AS DOUBLE) / u.tok_sum AS top_unigram_frac
+         |  FROM base b JOIN uni u USING (doc_id))
+         |""".stripMargin
+
     // Window sums over integers are CAST to BIGINT before selection:
     // newer DuckDB promotes integer window sums to HUGEINT, and an
     // un-cast HUGEINT output column renders differently across engine
@@ -3608,21 +3632,8 @@ object SparkEntry {
            |    AS n_at_or_above
            |FROM h ORDER BY bin""".stripMargin,
 
-      "qt_filter_report" ->
-        s"""WITH base AS (SELECT doc_id, text, $toks AS w FROM documents
-           |  WHERE length(trim(text)) > 0),
-           |u1 AS (SELECT doc_id, t, count(*) AS c FROM (
-           |    SELECT doc_id, unnest(w) AS t FROM base) x GROUP BY 1, 2),
-           |uni AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c,
-           |    CAST(sum(c) AS BIGINT) AS tok_sum FROM u1 GROUP BY 1),
-           |d AS (SELECT b.doc_id,
-           |    $qualitySql AS quality,
-           |    CAST(len(w) AS BIGINT) AS n_tokens,
-           |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
-           |      / length(text) AS alpha_frac,
-           |    CAST(u.top_c AS DOUBLE) / u.tok_sum AS top_unigram_frac
-           |  FROM base b JOIN uni u USING (doc_id))
-           |SELECT count(*) AS n_total,
+      "qt_filter_report" -> (filterSignalsCte +
+        s"""SELECT count(*) AS n_total,
            |  CAST(sum(CASE WHEN n_tokens < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
            |  CAST(sum(CASE WHEN n_tokens > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
            |  CAST(sum(CASE WHEN alpha_frac < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_alpha,
@@ -3631,31 +3642,18 @@ object SparkEntry {
            |  CAST(sum(CASE WHEN n_tokens >= 5 AND n_tokens <= 5000
            |    AND alpha_frac >= 0.2 AND top_unigram_frac <= 0.2
            |    AND quality >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-           |FROM d""".stripMargin,
+           |FROM d""".stripMargin),
 
-      // per-doc rejection provenance: same d relation as the report,
-      // CASE chain in the report's priority order
-      "qt_filter_ledger" ->
-        s"""WITH base AS (SELECT doc_id, text, $toks AS w FROM documents
-           |  WHERE length(trim(text)) > 0),
-           |u1 AS (SELECT doc_id, t, count(*) AS c FROM (
-           |    SELECT doc_id, unnest(w) AS t FROM base) x GROUP BY 1, 2),
-           |uni AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c,
-           |    CAST(sum(c) AS BIGINT) AS tok_sum FROM u1 GROUP BY 1),
-           |d AS (SELECT b.doc_id,
-           |    $qualitySql AS quality,
-           |    CAST(len(w) AS BIGINT) AS n_tokens,
-           |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
-           |      / length(text) AS alpha_frac,
-           |    CAST(u.top_c AS DOUBLE) / u.tok_sum AS top_unigram_frac
-           |  FROM base b JOIN uni u USING (doc_id))
-           |SELECT doc_id,
-           |  CASE WHEN n_tokens < 5 THEN 'short'
-           |       WHEN n_tokens > 5000 THEN 'long'
-           |       WHEN alpha_frac < 0.2 THEN 'low_alpha'
-           |       WHEN top_unigram_frac > 0.2 THEN 'repetitive'
-           |       WHEN quality < 0.45 THEN 'low_quality' END AS reason
-           |FROM d WHERE reason IS NOT NULL ORDER BY doc_id""".stripMargin,
+      // per-doc rejection provenance: same shared d relation as the
+      // report, CASE chain in the report's priority order
+      "qt_filter_ledger" -> (filterSignalsCte +
+        """SELECT doc_id,
+          |  CASE WHEN n_tokens < 5 THEN 'short'
+          |       WHEN n_tokens > 5000 THEN 'long'
+          |       WHEN alpha_frac < 0.2 THEN 'low_alpha'
+          |       WHEN top_unigram_frac > 0.2 THEN 'repetitive'
+          |       WHEN quality < 0.45 THEN 'low_quality' END AS reason
+          |FROM d WHERE reason IS NOT NULL ORDER BY doc_id""".stripMargin),
 
       "qt_upsample" ->
         """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),

@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
 import graft.ops.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis}
 
 /** Standing 10× scale-stress harness (the tagged-copy protocol the round
-  * notes ran ad-hoc, promoted to a tool): the six heaviest operator
-  * families each run at base scale and at 10× input, and the wall-clock
+  * notes ran ad-hoc, promoted to a tool): the heaviest operator families
+  * (eight as of r15) each run at base scale and at 10× input, and the wall-clock
   * ratio is the scale-safety evidence — a candidate-bounded operator
   * should grow SUBLINEARLY in wall time (shared scan/shuffle constants
   * amortize; candidate fan-out stays capped), where an uncapped design
@@ -100,16 +100,26 @@ object Stress {
       sec
     }.min
 
+  /** Shared copy builder: `copies` id-shifted unions of a table, payload
+    * columns unchanged — every row gains `copies-1` identical-payload
+    * siblings under fresh ids (the adversarial densification axis).
+    */
+  private def idShiftedCopies(spark: SparkSession, path: String,
+      idCol: String, payloadCols: Seq[String], copies: Int): DataFrame = {
+    val d = spark.read.parquet(path).select((idCol +: payloadCols).map(col): _*)
+    if (copies == 1) d
+    else (0 until copies).map { i =>
+      d.select((col(idCol) + lit(i * 100000000L)).as(idCol) +:
+        payloadCols.map(col): _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** 10 id-shifted copies, text unchanged: every doc gains 9 identical-
     * text siblings across copies.
     */
-  private def docCopies(spark: SparkSession, dir: String, copies: Int): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
-    if (copies == 1) d
-    else (0 until copies).map { i =>
-      d.select((col("doc_id") + lit(i * 100000000L)).as("doc_id"), col("text"))
-    }.reduce(_.unionByName(_))
-  }
+  private def docCopies(spark: SparkSession, dir: String, copies: Int): DataFrame =
+    idShiftedCopies(spark, s"$dir/documents.parquet", "doc_id",
+      Seq("text"), copies)
 
   private def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -118,15 +128,9 @@ object Stress {
     * sign-bucket gains 9 identical-vector siblings — the candidate-list
     * densification axis for the bucket join.
     */
-  private def vecCopies(spark: SparkSession, dir: String, copies: Int): DataFrame = {
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select("vec_id", "embedding")
-    if (copies == 1) e
-    else (0 until copies).map { i =>
-      e.select((col("vec_id") + lit(i * 100000000L)).as("vec_id"),
-        col("embedding"))
-    }.reduce(_.unionByName(_))
-  }
+  private def vecCopies(spark: SparkSession, dir: String, copies: Int): DataFrame =
+    idShiftedCopies(spark, s"$dir/embeddings.parquet", "vec_id",
+      Seq("embedding"), copies)
 
   private def ann(spark: SparkSession, dir: String, copies: Int): Unit = {
     val q = Similarity.batchQueries(

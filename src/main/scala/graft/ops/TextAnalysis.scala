@@ -285,9 +285,7 @@ object TextAnalysis {
       text: Column): org.apache.spark.sql.DataFrame = {
     val base = df.filter(length(trim(text)) > 0)
       .select(col(idCol), tokens(text).as("_toks"))
-    val uni = base.select(col(idCol), explode(col("_toks")).as("w"))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(sum("c").as("n_tokens"), max("c").as("top_c"))
+    val uni = uniAgg(base, idCol)
     val bg = base.filter(size(col("_toks")) >= 2)
       .select(col(idCol), explode(Dedup.shinglesOfTokens(col("_toks"), 2)).as("b"))
       .groupBy(col(idCol))
@@ -298,6 +296,27 @@ object TextAnalysis {
         coalesce(lit(1.0) - col("n_bg_d").cast("double") / col("n_bg"), lit(0.0))
           .as("dup_bigram_frac"))
   }
+
+  /** Unigram tier of [[repetitionStats]] on its own — (idCol, n_tokens,
+    * top_unigram_frac). The filter gates threshold only on the unigram
+    * signal; this skips the bigram explode+countDistinct shuffle they
+    * would otherwise pay for and discard.
+    */
+  def topUnigramStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column): org.apache.spark.sql.DataFrame =
+    uniAgg(df.filter(length(trim(text)) > 0)
+        .select(col(idCol), tokens(text).as("_toks")), idCol)
+      .select(col(idCol), col("n_tokens"),
+        (col("top_c").cast("double") / col("n_tokens")).as("top_unigram_frac"))
+
+  /** Per-doc (n_tokens, top_c) over a `_toks` relation — the shared
+    * unigram aggregation of [[repetitionStats]] and [[topUnigramStats]].
+    */
+  private def uniAgg(base: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    base.select(col(idCol), explode(col("_toks")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(sum("c").as("n_tokens"), max("c").as("top_c"))
 
   /** Feature-hashed bag-of-words embedding (the HashingTF shape): token
     * hash residues bucket into `dims` counts — the cheap, vocabulary-free
