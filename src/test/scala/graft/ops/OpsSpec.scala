@@ -455,6 +455,27 @@ class OpsSpec extends AnyFunSuite {
     assert(flat == 1L)
   }
 
+  test("topUnigramStats equals repetitionStats' unigram columns and " +
+      "drops blank docs") {
+    val d = Seq(
+      (1L, "a a a b c"),      // top 3/5
+      (2L, "x y z"),          // top 1/3
+      (3L, "only"),           // single token: top 1/1
+      (4L, "   "),            // blank: dropped
+      (5L, "w w")).toDF("doc_id", "text")
+    val uni = TextAnalysis.topUnigramStats(d, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(uni.toSeq == Seq((1L, 5L, 0.6), (2L, 3L, 1.0 / 3),
+      (3L, 1L, 1.0), (5L, 2L, 1.0)))
+    // same values as the full repetitionStats' unigram half
+    val full = TextAnalysis.repetitionStats(d, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("top_unigram_frac")))
+    assert(full.toSeq == uni.toSeq)
+  }
+
   test("encodeTokens: literal-map and broadcast-UDF forms are identical, " +
       "including OOV, empty, and null inputs") {
     val vocab = (1 to 100).map(i => s"w$i" -> i.toLong).toMap

@@ -74,6 +74,19 @@ class InfluxLineSinkSpec extends AnyFunSuite {
     assert(empty.head.isNullAt(0))
   }
 
+  test("escape helpers cover the line-protocol special characters") {
+    assert(InfluxLineSink.escapeMeasurement("can frames,v1") ==
+      """can\ frames\,v1""")
+    assert(InfluxLineSink.escapeKey("src file,a=b") ==
+      """src\ file\,a\=b""")
+    val esc = Seq(("""x,y=z w""", 1)).toDF("v", "i")
+      .select(InfluxLineSink.escapeTagValue(col("v")),
+        InfluxLineSink.escapeFieldString(lit("""say "hi" \now""")))
+      .head()
+    assert(esc.getString(0) == """x\,y\=z\ w""")
+    assert(esc.getString(1) == """say \"hi\" \\now""")
+  }
+
   test("null tag values drop the TAG, not the line; NaN/Infinity double " +
       "fields drop the FIELD, not the batch") {
     import org.apache.spark.sql.types._
