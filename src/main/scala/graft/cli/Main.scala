@@ -252,10 +252,18 @@ object Main {
         // uploader would violate its at-least-once claim while the
         // process keeps running and exits 0
         var failed: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
-        while (q.isActive && failed.isEmpty) {
-          spark.streams.awaitAnyTermination()
-          spark.streams.resetTerminated()
-          failed = side.find(s => !s.isActive && s.exception.isDefined)
+        try {
+          while (q.isActive && failed.isEmpty) {
+            spark.streams.awaitAnyTermination()
+            spark.streams.resetTerminated()
+            failed = side.find(s => !s.isActive && s.exception.isDefined)
+          }
+        } catch {
+          // awaitAnyTermination rethrows a failed query's exception;
+          // route it into the same graceful path (print, stop, exit 1)
+          // instead of dying via an uncaught throw
+          case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+            failed = (q +: side).find(_.exception.isDefined)
         }
         failed.orElse(Some(q).filter(_.exception.isDefined)).foreach { dead =>
           System.err.println("streaming query '" +

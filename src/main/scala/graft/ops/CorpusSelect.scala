@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row, functions => F}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** Token-budget corpus selection: keep the maximal prefix of a totally-
   * ordered corpus whose running weight sum stays within `budget` — the
@@ -603,7 +603,11 @@ object CorpusSelect {
       Math.round(1000000.0 * (c + 1) / (n + b))
     val weights = (0L until b).map(k =>
       k -> (micro(tc.getOrElse(k, 0L), nt) - micro(rc.getOrElse(k, 0L), nr)))
-    val grams = gramBuckets(F.col(textCol), buckets)
+    // null text → empty gram array so BOTH forms return (0, 0): the
+    // literal path would otherwise null-propagate through size/aggregate
+    // while the join path's explode_outer+coalesce yields zeros
+    val grams = F.coalesce(gramBuckets(F.col(textCol), buckets),
+      F.array().cast(ArrayType(LongType)))
     if (buckets <= maxLiteral) {
       val m = F.typedLit(weights.toMap)
       raw.select(F.col(idCol),

@@ -39,14 +39,19 @@ object InfluxLineSink {
 
   /** Escape a dynamic tag-value column: `,` `=` and space, per the line
     * protocol. Backslash-group replacement (`\\$1`) has identical
-    * semantics in Spark's Java regex.
+    * semantics in Spark's Java regex. Line protocol is newline-delimited
+    * and has no escape for `\n`/`\r`, so a raw newline in a value would
+    * split the POST body mid-line (400 for the whole batch, and a line-
+    * injection vector) — fold them to a single escaped space instead.
     */
   def escapeTagValue(v: Column): Column =
-    regexp_replace(v, "([,= ])", "\\\\$1")
+    regexp_replace(regexp_replace(v, "[\\r\\n]+", " "), "([,= ])", "\\\\$1")
 
-  /** Escape a dynamic string field value: `"` and `\`. */
+  /** Escape a dynamic string field value: `"` and `\`; newlines fold to
+    * a space (see [[escapeTagValue]] — the protocol forbids them).
+    */
   def escapeFieldString(v: Column): Column =
-    regexp_replace(v, "([\"\\\\])", "\\\\$1")
+    regexp_replace(regexp_replace(v, "[\\r\\n]+", " "), "([\"\\\\])", "\\\\$1")
 
   /** One field's `key=value` fragment, typed per the line protocol:
     * integers suffix `i`, doubles print plainly, strings quote+escape,
