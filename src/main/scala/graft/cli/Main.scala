@@ -251,24 +251,16 @@ object Main {
         // any side query dies with an exception — a silently-dead Influx
         // uploader would violate its at-least-once claim while the
         // process keeps running and exits 0
-        var failed: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
-        try {
-          while (q.isActive && failed.isEmpty) {
-            spark.streams.awaitAnyTermination()
-            spark.streams.resetTerminated()
-            failed = side.find(s => !s.isActive && s.exception.isDefined)
+        awaitFirstFailure(q, side,
+          () => spark.streams.awaitAnyTermination(),
+          () => spark.streams.resetTerminated()).foreach { evidence =>
+          val msg = evidence match {
+            case Right(dead) => "streaming query '" +
+              Option(dead.name).getOrElse(dead.id.toString) + "' failed: " +
+              dead.exception.map(_.getMessage()).getOrElse("")
+            case Left(e) => "streaming query failed: " + e.getMessage()
           }
-        } catch {
-          // awaitAnyTermination rethrows a failed query's exception;
-          // route it into the same graceful path (print, stop, exit 1)
-          // instead of dying via an uncaught throw
-          case _: org.apache.spark.sql.streaming.StreamingQueryException =>
-            failed = (q +: side).find(_.exception.isDefined)
-        }
-        failed.orElse(Some(q).filter(_.exception.isDefined)).foreach { dead =>
-          System.err.println("streaming query '" +
-            Option(dead.name).getOrElse(dead.id.toString) + "' failed: " +
-            dead.exception.map(_.getMessage()).getOrElse(""))
+          System.err.println(msg)
           (q +: side).foreach(x => if (x.isActive) x.stop())
           spark.stop()
           sys.exit(1)
@@ -276,6 +268,43 @@ object Main {
         side.foreach(x => if (x.isActive) x.stop())
     }
     spark.stop()
+  }
+
+  /** Await the primary sink `q`, watching the `side` queries; returns the
+    * first failure's EVIDENCE, or None on a clean stop. `Right(query)`
+    * when a query handle carries the exception; `Left(throwable)` when
+    * the failure surfaced only through `awaitAnyTermination`'s rethrow
+    * and NO handle exposes it (e.g. another query on the shared session
+    * failed and was already dropped from the handles we hold) — without
+    * the Left arm that caught exception would be discarded and the
+    * process would fall through to the success path and exit 0.
+    * Parametrized on the manager calls so the loop is unit-testable with
+    * fake [[org.apache.spark.sql.streaming.StreamingQuery]] handles.
+    */
+  private[cli] def awaitFirstFailure(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      side: Seq[org.apache.spark.sql.streaming.StreamingQuery],
+      awaitAny: () => Unit, resetTerminated: () => Unit)
+      : Option[Either[Throwable, org.apache.spark.sql.streaming.StreamingQuery]] = {
+    var failed: Option[Either[Throwable,
+      org.apache.spark.sql.streaming.StreamingQuery]] = None
+    try {
+      while (q.isActive && failed.isEmpty) {
+        awaitAny()
+        resetTerminated()
+        failed = side.find(s => !s.isActive && s.exception.isDefined)
+          .map(Right(_))
+      }
+    } catch {
+      // awaitAnyTermination rethrows a failed query's exception; route
+      // it into the same graceful path (print, stop, exit 1) instead of
+      // dying via an uncaught throw — preferring the handle's richer
+      // exception when one is visible, the caught one otherwise
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        failed = (q +: side).find(_.exception.isDefined).map(Right(_))
+          .orElse(Some(Left(e)))
+    }
+    failed.orElse(Some(q).filter(_.exception.isDefined).map(Right(_)))
   }
 
   /** Streaming state-store partition count the CLI starts a query with.

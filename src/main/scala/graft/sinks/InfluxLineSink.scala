@@ -29,13 +29,21 @@ import org.apache.spark.sql.types._
   */
 object InfluxLineSink {
 
-  /** Escape a literal (driver-side) measurement: `,` and space. */
+  /** Escape a literal (driver-side) measurement: `,` and space; newlines
+    * fold to a space first (see [[escapeTagValue]] — the protocol is
+    * newline-delimited, so a caller-supplied `\n` would split the POST
+    * body mid-line; the injection boundary must hold on every input).
+    */
   def escapeMeasurement(m: String): String =
-    m.replace(",", "\\,").replace(" ", "\\ ")
+    m.replaceAll("[\\r\\n]+", " ").replace(",", "\\,").replace(" ", "\\ ")
 
-  /** Escape a literal tag key / tag value / field key: `,` `=` space. */
+  /** Escape a literal tag key / tag value / field key: `,` `=` space;
+    * newlines fold to a space first (same boundary as
+    * [[escapeMeasurement]]).
+    */
   def escapeKey(k: String): String =
-    k.replace(",", "\\,").replace("=", "\\=").replace(" ", "\\ ")
+    k.replaceAll("[\\r\\n]+", " ")
+      .replace(",", "\\,").replace("=", "\\=").replace(" ", "\\ ")
 
   /** Escape a dynamic tag-value column: `,` `=` and space, per the line
     * protocol. Backslash-group replacement (`\\$1`) has identical

@@ -412,6 +412,29 @@ class CorpusSelectSpec extends AnyFunSuite {
     assert(one.exists(_._3 != 0L)) // non-degenerate fixture
   }
 
+  test("targetMatchScores: a null-text row scores (n_grams=0, " +
+      "dsir_micro=0) on BOTH the literal-map and broadcast-join paths") {
+    // the literal path would null-propagate through size/aggregate while
+    // the join path's explode_outer+coalesce yields zeros — the fixed
+    // contract is (0, 0) from both (CorpusSelect.dsirScore null coalesce)
+    val raw = Seq(
+      (1L, "the quick brown fox"),
+      (2L, null: String),
+      (3L, "the quick brown fox")).toDF("doc_id", "text")
+    val tgt = Seq((10L, "the quick brown fox")).toDF("doc_id", "text")
+    def run(maxLiteral: Int) =
+      CorpusSelect.targetMatchScores(raw, tgt, "text", "doc_id",
+          buckets = 64, maxLiteral = maxLiteral)
+        .orderBy("doc_id").select("doc_id", "n_grams", "dsir_micro")
+        .as[(Long, Long, Long)].collect().toSeq
+    val lit0 = run(maxLiteral = 1000) // literal-map scoring
+    val bj0 = run(maxLiteral = 1)     // forced broadcast-join scoring
+    assert(lit0 == bj0)
+    val m = lit0.map(r => r._1 -> r).toMap
+    assert(m(2L) == ((2L, 0L, 0L)), s"null text must score (0,0): $lit0")
+    assert(m(1L)._2 == 3 && m(3L)._2 == 3)
+  }
+
   test("targetMatchScores literal form stays map-only: no exchange in " +
       "the per-doc scoring plan") {
     val d = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3}"))

@@ -87,6 +87,32 @@ class InfluxLineSinkSpec extends AnyFunSuite {
     assert(esc.getString(1) == """say \"hi\" \\now""")
   }
 
+  test("newlines fold to a space in every escaper — a value cannot split " +
+      "the newline-delimited POST body mid-line") {
+    // literal (driver-side) escapers: fold happens BEFORE space-escaping,
+    // so the folded space itself comes out escaped
+    assert(InfluxLineSink.escapeMeasurement("m1\r\nm2") == """m1\ m2""")
+    assert(InfluxLineSink.escapeMeasurement("a\nb\nc") == """a\ b\ c""")
+    assert(InfluxLineSink.escapeKey("k1\nk2=x") == """k1\ k2\=x""")
+    // dynamic Column escapers
+    val esc = Seq(1).toDF("i")
+      .select(InfluxLineSink.escapeTagValue(lit("a\r\nb")),
+        InfluxLineSink.escapeFieldString(lit("l1\nl2")))
+      .head()
+    assert(esc.getString(0) == """a\ b""")
+    assert(esc.getString(1) == "l1 l2")
+    // end-to-end: an injected newline stays inside ONE rendered line
+    import org.apache.spark.sql.types._
+    val line = Seq((7L, "evil\nm2,t=x f=1i 1")).toDF("t", "msg")
+      .select(InfluxLineSink.lineProtocol(
+        "m\nrogue", Seq("tag\nkey" -> lit("v1\nv2")),
+        Seq(("msg", col("msg"), StringType)), col("t")))
+      .as[String].head()
+    assert(!line.contains("\n"), s"newline leaked into the line: $line")
+    assert(line ==
+      """m\ rogue,tag\ key=v1\ v2 msg="evil m2,t=x f=1i 1" 7""")
+  }
+
   test("null tag values drop the TAG, not the line; NaN/Infinity double " +
       "fields drop the FIELD, not the batch") {
     import org.apache.spark.sql.types._
