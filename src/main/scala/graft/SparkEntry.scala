@@ -1910,6 +1910,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qd_incremental" -> ((s, dir) => {
+      // BATCH incremental dedup against a persisted claim store — the
+      // recurring-crawl shape: the prior corpus (doc_id % 3 != 0) signs
+      // the store ONCE (Dedup.buildClaimStore); the new snapshot
+      // (doc_id % 3 == 0) dedups against it (Dedup.dedupAgainstStore)
+      // with greedy banded-minhash semantics, never re-signing a prior
+      // doc. The oracle replays store+snapshot as ONE corpus: a snapshot
+      // doc survives iff no bucket of its is claimed by any prior doc
+      // and it is the min-id snapshot claimant of every one of its
+      // buckets. Chaining/store-interop is spec'd in
+      // DedupAgainstStoreSpec
+      val tmp = scratchDir("graft_qinc")
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      Dedup.buildClaimStore(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", col("text"), s"$tmp/claims")
+      Dedup.dedupAgainstStore(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", col("text"), s"$tmp/claims")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "qd_stream_decontam" -> ((s, dir) => {
       // STREAMING fuzzy decontamination (Dedup.streamingDecontaminate):
       // train docs arrive as micro-batches; eval signatures are prepared
@@ -4103,6 +4123,29 @@ object SparkEntry {
            |    min(doc_id) OVER (PARTITION BY band, bkey) AS mn FROM bands)
            |SELECT doc_id FROM documents
            |WHERE doc_id NOT IN (SELECT doc_id FROM b2 WHERE mn < doc_id)
+           |ORDER BY doc_id""".stripMargin),
+
+      // batch dedup-against-store: replay store+snapshot as one corpus —
+      // a snapshot doc (doc_id % 3 = 0) survives iff no prior doc
+      // (doc_id % 3 <> 0) claims any of its buckets AND it is the min-id
+      // snapshot claimant of each of its buckets; short docs have no
+      // buckets and survive trivially
+      "qd_incremental" -> (shinglesCte +
+        s""",
+           |sig AS (SELECT doc_id, $minhashSig FROM sh GROUP BY 1),
+           |bands AS ($bandRows),
+           |prior_b AS (SELECT DISTINCT band, bkey FROM bands
+           |  WHERE doc_id % 3 <> 0),
+           |snap AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 3 = 0),
+           |blocked AS (
+           |  SELECT DISTINCT s.doc_id FROM snap s
+           |    JOIN prior_b p ON s.band = p.band AND s.bkey = p.bkey
+           |  UNION
+           |  SELECT s.doc_id FROM snap s JOIN (
+           |      SELECT band, bkey, min(doc_id) AS mn FROM snap GROUP BY 1, 2) m
+           |    ON s.band = m.band AND s.bkey = m.bkey AND s.doc_id > m.mn)
+           |SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+           |  AND doc_id NOT IN (SELECT doc_id FROM blocked)
            |ORDER BY doc_id""".stripMargin),
 
       "qd_minhash_pairs" -> (minhashPairsCtes +

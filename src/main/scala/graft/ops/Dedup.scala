@@ -1377,4 +1377,77 @@ object Dedup {
         } finally { claims.unpersist(); cached.unpersist(); () }
       }
       .start()
+
+  // -------------------------------------------------------------------
+  // Batch incremental dedup against a persisted claim store — the
+  // recurring-crawl shape: day-1 builds the store from the accepted
+  // corpus ONCE; every later snapshot dedups against the store without
+  // recomputing a single prior signature, then appends only its OWN new
+  // claims. Same store layout (and [[compactClaims]] compaction) as
+  // [[streamingNearDup]], so a store can be built by either path and
+  // consumed by the other.
+  // -------------------------------------------------------------------
+
+  /** Bootstrap a claim store from an existing corpus: its distinct band
+    * buckets under `claim_batch=0`. One minhash pass + one distinct —
+    * the only time the prior corpus is ever signed.
+    */
+  def buildClaimStore(corpus: DataFrame, idCol: String, text: Column,
+      storePath: String, nGram: Int = 3): Unit =
+    bandClaims(corpus, idCol, text, nGram)
+      .select("band", "bkey").distinct()
+      .write.mode("overwrite").parquet(s"$storePath/claim_batch=0")
+
+  /** Dedup a NEW snapshot against a persisted claim store (greedy banded
+    * minhash, [[greedyFromClaims]] semantics): a snapshot doc survives
+    * iff none of its band buckets is claimed by the store AND it is the
+    * min-id claimant of each of its buckets within the snapshot. The
+    * snapshot's new claims (buckets not already in the store) land under
+    * the next `claim_batch` partition, so consecutive snapshots chain:
+    * run N sees the claims of runs 0..N-1 — without ever re-reading or
+    * re-signing the prior corpora.
+    *
+    * Scale shape: the store read is a parquet scan of (band, bkey) only;
+    * the block test is one equi-join on that key (never broadcast — the
+    * store GROWS with the corpus); signatures are computed for the
+    * SNAPSHOT alone. This is what makes day-2 ingest O(|snapshot|), not
+    * O(|corpus|): the store is the corpus's signature memo.
+    *
+    * CONTRACT (the [[segmentDedup]] contract): the returned survivors
+    * are persisted (MEMORY_AND_DISK) and materialized — the caller owns
+    * the handle and must `unpersist()`. The claim write happens before
+    * return; an exception leaves the store without the new partition
+    * (re-run converges — `mode("overwrite")` per partition).
+    */
+  def dedupAgainstStore(snapshot: DataFrame, idCol: String, text: Column,
+      storePath: String, nGram: Int = 3): DataFrame = {
+    val s = snapshot.sparkSession
+    val parts = claimPartitions(s, storePath)
+    val prior =
+      if (parts.isEmpty) None
+      else Some(
+        s.read.option("basePath", storePath).schema(ClaimStoreSchema)
+          .parquet(storePath).select("band", "bkey"))
+    val nextBatch = parts
+      .map(p => p.getName.stripPrefix("claim_batch=").toLong)
+      .maxOption.map(_ + 1L).getOrElse(0L)
+    val cached = snapshot.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val claims = bandClaims(cached, idCol, text, nGram).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (surv, newClaims) = greedyFromClaims(cached, idCol, claims, prior)
+      newClaims.write.mode("overwrite")
+        .parquet(s"$storePath/claim_batch=$nextBatch")
+      val result = surv.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try result.count() // materialize while the inputs are still cached
+      catch { case e: Throwable =>
+        // on failure the caller never receives a handle to unpersist
+        result.unpersist()
+        throw e
+      }
+      result
+    } finally { claims.unpersist(); cached.unpersist(); () }
+  }
 }
