@@ -760,7 +760,7 @@ object SparkEntry {
   // multimodal) over the documents and embeddings tables.
   // ---------------------------------------------------------------------
 
-  import graft.ops.{AsOfJoin, Bpe, Chunker, Dedup, Multimodal, Ranking, Similarity, SkewJoin, TextAnalysis, ZOrder}
+  import graft.ops.{AsOfJoin, Bpe, Chunker, Classify, Dedup, Multimodal, Ranking, Similarity, SkewJoin, TextAnalysis, ZOrder}
 
   /** Probe query for the BM25 gate — terms with spread document
     * frequencies in the synthetic corpus (shared with the oracle SQL).
@@ -2048,6 +2048,23 @@ object SparkEntry {
       graft.ops.CorpusSelect.targetMatchScores(
           base, col("lang") === "en", "text", "doc_id",
           buckets = 256, maxLiteral = graft.ops.TextAnalysis.MaxLiteralVocab)
+        .orderBy("doc_id")
+    }),
+
+    "qt_nb_classify" -> ((s, dir) => {
+      // model-based quality/domain classifier (the fastText/logreg role
+      // in C4/CCNet curation) as multinomial Naive Bayes: train on
+      // doc_id % 5 != 0 with lang as the label, classify the held-out
+      // fifth. Laplace-smoothed integer micro-unit probabilities — the
+      // qt_dsir/qt_lm_score no-libm portability pattern; argmax with
+      // label-ascending tie-break via a min-struct aggregation (no
+      // window). See Classify.nbTrain/nbClassify for the 100 TB shape.
+      val docs = t(s, dir, "documents")
+      Classify.nbTrainApply(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "lang", col("text"))
+        .select("doc_id", "pred_label", "score_micro", "actual", "correct")
         .orderBy("doc_id")
     }),
 
@@ -3750,6 +3767,47 @@ object SparkEntry {
            |SELECT tk.doc_id, CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
            |  CAST(coalesce(sc.dsir_micro, 0) AS BIGINT) AS dsir_micro
            |FROM tk LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      // Naive-Bayes replay: Laplace counts, micro-unit integer-division
+      // probabilities (// on positive BIGINTs = Spark's div), per-doc
+      // distinct-token tf scoring, argmax by (score DESC, label) — sums
+      // BIGINT-cast per the doctrine
+      "qt_nb_classify" ->
+        s"""WITH tr AS (SELECT lang AS label, doc_id, $toks AS w
+           |  FROM documents WHERE doc_id % 5 <> 0 AND length(trim(text)) > 0),
+           |tok AS (SELECT label, unnest(w) AS w FROM tr),
+           |cw AS (SELECT label, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
+           |nc AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS n_tok
+           |  FROM cw GROUP BY 1),
+           |voc AS (SELECT count(DISTINCT w) AS v FROM tok),
+           |dc AS (SELECT label, count(*) AS n_docs FROM tr GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nd FROM dc),
+           |labels AS (SELECT dc.label,
+           |    (dc.n_docs * 1000000) // tot.nd AS prior_micro,
+           |    1000000 // (nc.n_tok + voc.v) AS floor_micro
+           |  FROM dc JOIN nc ON dc.label = nc.label, voc, tot),
+           |probs AS (SELECT cw.label, cw.w,
+           |    ((cw.cnt + 1) * 1000000) // (nc.n_tok + voc.v) AS p_micro
+           |  FROM cw JOIN nc ON cw.label = nc.label, voc),
+           |tf AS (SELECT doc_id, w, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest($toks) AS w FROM documents
+           |    WHERE doc_id % 5 = 0) u GROUP BY 1, 2),
+           |sc AS (SELECT tf.doc_id, l.label,
+           |    CAST(sum(tf.tf * coalesce(p.p_micro, l.floor_micro))
+           |      AS BIGINT) AS tok_micro
+           |  FROM tf CROSS JOIN labels l
+           |  LEFT JOIN probs p ON p.label = l.label AND p.w = tf.w
+           |  GROUP BY 1, 2),
+           |fin AS (SELECT sc.doc_id, sc.label,
+           |    CAST(l.prior_micro + sc.tok_micro AS BIGINT) AS score_micro,
+           |    row_number() OVER (PARTITION BY sc.doc_id
+           |      ORDER BY l.prior_micro + sc.tok_micro DESC, sc.label)
+           |      AS rn
+           |  FROM sc JOIN labels l ON sc.label = l.label)
+           |SELECT f.doc_id, f.label AS pred_label, f.score_micro,
+           |  d.lang AS actual, f.label = d.lang AS correct
+           |FROM fin f JOIN documents d ON f.doc_id = d.doc_id
+           |WHERE f.rn = 1 ORDER BY f.doc_id""".stripMargin,
 
       // tokenizer-coverage replay: top-50 vocab by (freq DESC, tok),
       // per-lang token/OOV sums BIGINT-cast per the doctrine, rate as
