@@ -1910,6 +1910,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qd_line_dedup" -> ((s, dir) => {
+      // C4-style LINE-boundary dedup (Dedup.lineDedup): keep the first
+      // corpus-wide occurrence of every distinct trimmed line, rebuild
+      // docs from their surviving lines. The synthetic corpus is
+      // single-line, so the gate first derives a line-structured view —
+      // a newline after every token whose md5Long % 5 == 0 (content-
+      // dependent variable-length lines, replayed verbatim by the
+      // oracle) — then dedups at the natural boundaries.
+      val toksC = TextAnalysis.tokens(col("text"))
+      val stagedText = concat_ws("", transform(toksC, x =>
+        concat(x, when(pmod(TextAnalysis.md5Long(x), lit(5L)) === 0,
+          lit("\n")).otherwise(lit(" ")))))
+      val staged = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), stagedText.as("text"))
+      Dedup.lineDedup(staged, "doc_id", "text").orderBy("doc_id")
+    }),
+
     "qd_incremental" -> ((s, dir) => {
       // BATCH incremental dedup against a persisted claim store — the
       // recurring-crawl shape: the prior corpus (doc_id % 3 != 0) signs
@@ -4143,6 +4161,37 @@ object SparkEntry {
       "qd_segment_dedup" -> segmentDedupSql,
 
       "qd_stream_segdedup" -> segmentDedupSql,
+
+      // line-boundary dedup: stage content-dependent lines (newline
+      // after every token with md5Long % 5 == 0), then keep-first per
+      // distinct trimmed line and rebuild with newline joins; n_total
+      // counts non-blank lines only
+      "qd_line_dedup" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |st AS (SELECT doc_id, list_aggregate(list_transform(w, x -> x ||
+           |    CASE WHEN (${h("x")}) % 5 = 0 THEN chr(10) ELSE ' ' END),
+           |  'string_agg', '') AS s FROM tk),
+           |sp AS (SELECT doc_id, string_split(s, chr(10)) AS l FROM st),
+           |lr AS (SELECT doc_id, unnest(range(len(l))) AS seg_id, l FROM sp),
+           |ln AS (SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id,
+           |    regexp_replace(l[seg_id+1], '^\\s+|\\s+$$', '', 'g') AS seg
+           |  FROM lr),
+           |nz AS (SELECT doc_id, seg_id, seg, ${h("seg")} AS gh FROM ln
+           |  WHERE length(seg) > 0),
+           |kp AS (SELECT doc_id, seg_id, seg FROM (
+           |  SELECT doc_id, seg_id, seg,
+           |      row_number() OVER (PARTITION BY gh ORDER BY doc_id, seg_id)
+           |        AS rn
+           |    FROM nz) WHERE rn = 1),
+           |rec AS (SELECT doc_id, count(*) AS n_kept,
+           |    string_agg(seg, chr(10) ORDER BY seg_id) AS clean_text
+           |  FROM kp GROUP BY doc_id),
+           |tot AS (SELECT doc_id, count(*) AS n_total FROM nz GROUP BY doc_id)
+           |SELECT tot.doc_id, coalesce(clean_text, '') AS clean_text,
+           |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+           |  CAST(n_total AS BIGINT) AS n_total
+           |FROM tot LEFT JOIN rec USING (doc_id) ORDER BY doc_id""".stripMargin,
 
       "qd_keep_best" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
         s""",

@@ -918,7 +918,8 @@ object Dedup {
   /** Rebuild documents from keep-flagged segment rows: one aggregation
     * on the doc id, per-group state bounded by the doc's own segments.
     */
-  private def rebuildFromFlag(marked: DataFrame, idCol: String): DataFrame =
+  private def rebuildFromFlag(marked: DataFrame, idCol: String,
+      sep: String = " "): DataFrame =
     marked.groupBy(col(idCol))
       .agg(
         sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -930,8 +931,57 @@ object Dedup {
                 col("_keep")))),
               s => s("_keep")),
             s => s("_seg")),
-          " ").as("clean_text"))
+          sep).as("clean_text"))
       .select(col(idCol), col("clean_text"), col("n_kept"), col("n_total"))
+
+  /** Line/paragraph-boundary segment dedup — the C4 shape: C4 dedups at
+    * LINE granularity (every line of every page, keep the first
+    * occurrence corpus-wide), so the segment boundary is the NATURAL one
+    * (`sepPattern`, default newline runs), not [[segmentDedup]]'s fixed
+    * token windows — boilerplate that reflows across fixed windows
+    * (nav bars, cookie banners, license headers) aligns exactly at line
+    * boundaries. Lines are trimmed before hashing (indentation must not
+    * defeat the match); blank lines are dropped from the relation
+    * entirely (they neither claim a hash nor count in `n_total`).
+    *
+    * Same machinery and scale shape as [[segmentDedup]] (one persisted
+    * line relation feeding the min-struct winner aggregation, the
+    * winner join, and the per-doc rebuild — see that scaladoc for why
+    * each of the three shuffles is irreducible and how duplicate-heavy
+    * corpora collapse map-side), and the same persisted-result caller
+    * contract. Rebuild joins surviving lines with `\n`, preserving the
+    * document's own line order.
+    *
+    * Output: (idCol, clean_text, n_kept, n_total), one row per input
+    * document with ≥1 non-blank line.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      sepPattern: String = "[\\r\\n]+"): DataFrame = {
+    val segs = docs
+      .select(col(idCol), posexplode(split(col(textCol), sepPattern)))
+      .select(col(idCol), col("pos").cast("long").as("seg_id"),
+        // full-whitespace trim (plain `trim` strips only spaces — a
+        // tab-indented duplicate line would escape the match)
+        regexp_replace(col("col"), "^\\s+|\\s+$", "").as("_seg"))
+      .filter(length(col("_seg")) > 0)
+      .withColumn("gh", md5Long(col("_seg")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val winners = segmentWinners(segs, idCol)
+      val marked = segs.join(winners, "gh")
+        .withColumn("_keep",
+          col(idCol) === col("_wdoc") && col("seg_id") === col("_wseg"))
+      val result = rebuildFromFlag(marked, idCol, sep = "\n")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try result.count() // materialize while `segs` is still cached
+      catch { case e: Throwable =>
+        // on failure the caller never receives a handle to unpersist
+        result.unpersist()
+        throw e
+      }
+      result
+    } finally { segs.unpersist(); () }
+  }
 
   /** Streaming segment-level dedup: [[segmentDedup]]'s corpus rewrite as
     * a `foreachBatch` ingest stage with a persisted segment-claim store
