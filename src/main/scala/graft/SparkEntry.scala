@@ -760,7 +760,7 @@ object SparkEntry {
   // multimodal) over the documents and embeddings tables.
   // ---------------------------------------------------------------------
 
-  import graft.ops.{AsOfJoin, Bpe, Chunker, Classify, Dedup, Multimodal, Ranking, Similarity, SkewJoin, TextAnalysis, ZOrder}
+  import graft.ops.{AsOfJoin, Bpe, Chunker, Classify, Dedup, Multimodal, Ranking, Similarity, SkewJoin, TextAnalysis, UnigramLm, ZOrder}
 
   /** Probe query for the BM25 gate — terms with spread document
     * frequencies in the synthetic corpus (shared with the oracle SQL).
@@ -2067,6 +2067,21 @@ object SparkEntry {
           base, col("lang") === "en", "text", "doc_id",
           buckets = 256, maxLiteral = graft.ops.TextAnalysis.MaxLiteralVocab)
         .orderBy("doc_id")
+    }),
+
+    "qt_unigram_lm" -> ((s, dir) => {
+      // SentencePiece-style unigram-LM tokenizer training (hard EM):
+      // seed vocab = top-64 weighted substrings (≤4 chars) + all single
+      // chars; 2 Viterbi E-step rounds re-estimating integer micro-unit
+      // piece probabilities. The oracle replays the DP as a recursive
+      // CTE carrying the last 4 (score, path) lags as columns — product
+      // scores and the shortest-piece tie-break are bit-identical. See
+      // UnigramLm for the O(unique words)-per-round scale shape.
+      import s.implicits._
+      val words = UnigramLm.wordTable(t(s, dir, "documents"), col("text"))
+      val model = UnigramLm.train(words, rounds = 2, vocabSize = 64)
+      model.counts.map { case (p, c) => (p, c, model.probs(p)) }
+        .toDF("piece", "cnt", "p_micro").orderBy("piece")
     }),
 
     "qt_nb_classify" -> ((s, dir) => {
@@ -4565,6 +4580,81 @@ object SparkEntry {
            |p AS (SELECT va, vb, $dotAB / (sqrt(a.nrm)*sqrt(b.nrm)) AS cos
            |  FROM cand JOIN n a ON va = a.vec_id JOIN n b ON vb = b.vec_id)
            |SELECT va, vb, cos FROM p WHERE cos >= 0.3 ORDER BY va, vb""".stripMargin),
+
+      // unigram-LM replay: seed substring counts + 2 unrolled hard-EM
+      // rounds; each round's Viterbi DP is a recursive CTE over word
+      // positions carrying the last 4 (score, path) lags as columns,
+      // with candidate k joined from the round's prob table and the
+      // first-maximum (shortest-piece) tie-break as a CASE chain
+      "qt_unigram_lm" -> {
+        val vs = 64
+        def dpRound(r: Int, prb: String) =
+          s"""seg$r(w, cnt, pos, b0, p0, b1, p1, b2, p2, b3, p3) AS (
+             |  SELECT w, cnt, 0, CAST(1.0 AS DOUBLE), '',
+             |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+             |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+             |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+             |  FROM wf
+             |  UNION ALL
+             |  SELECT w, cnt, pos + 1,
+             |    CASE WHEN k1 IS NOT NULL AND (k2 IS NULL OR k1 >= k2)
+             |           AND (k3 IS NULL OR k1 >= k3) AND (k4 IS NULL OR k1 >= k4)
+             |      THEN k1
+             |      WHEN k2 IS NOT NULL AND (k3 IS NULL OR k2 >= k3)
+             |           AND (k4 IS NULL OR k2 >= k4) THEN k2
+             |      WHEN k3 IS NOT NULL AND (k4 IS NULL OR k3 >= k4) THEN k3
+             |      ELSE k4 END,
+             |    CASE WHEN k1 IS NOT NULL AND (k2 IS NULL OR k1 >= k2)
+             |           AND (k3 IS NULL OR k1 >= k3) AND (k4 IS NULL OR k1 >= k4)
+             |      THEN p0 || '|' || substr(w, pos + 1, 1) || '|'
+             |      WHEN k2 IS NOT NULL AND (k3 IS NULL OR k2 >= k3)
+             |           AND (k4 IS NULL OR k2 >= k4)
+             |      THEN p1 || '|' || substr(w, pos, 2) || '|'
+             |      WHEN k3 IS NOT NULL AND (k4 IS NULL OR k3 >= k4)
+             |      THEN p2 || '|' || substr(w, pos - 1, 3) || '|'
+             |      WHEN k4 IS NOT NULL
+             |      THEN p3 || '|' || substr(w, pos - 2, 4) || '|' END,
+             |    b0, p0, b1, p1, b2, p2
+             |  FROM (
+             |    SELECT s.*,
+             |      s.b0 * (v1.p / 1000000.0) AS k1,
+             |      CASE WHEN s.pos >= 1 THEN s.b1 * (v2.p / 1000000.0) END AS k2,
+             |      CASE WHEN s.pos >= 2 THEN s.b2 * (v3.p / 1000000.0) END AS k3,
+             |      CASE WHEN s.pos >= 3 THEN s.b3 * (v4.p / 1000000.0) END AS k4
+             |    FROM seg$r s
+             |    LEFT JOIN $prb v1 ON v1.piece = substr(s.w, s.pos + 1, 1)
+             |    LEFT JOIN $prb v2 ON s.pos >= 1 AND v2.piece = substr(s.w, s.pos, 2)
+             |    LEFT JOIN $prb v3 ON s.pos >= 2 AND v3.piece = substr(s.w, s.pos - 1, 3)
+             |    LEFT JOIN $prb v4 ON s.pos >= 3 AND v4.piece = substr(s.w, s.pos - 2, 4)
+             |    WHERE s.pos < length(s.w)) x),
+             |fin$r AS (SELECT w, cnt, p0 AS path FROM seg$r WHERE pos = length(w)),
+             |cnts$r AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+             |    SELECT unnest(string_split(trim(path, '|'), '||')) AS piece, cnt
+             |    FROM fin$r) u GROUP BY 1),
+             |tot$r AS (SELECT CAST(sum(pcnt) AS BIGINT) AS t FROM cnts$r),
+             |prb$r AS (SELECT piece, (pcnt * 1000000) // tot$r.t AS p
+             |  FROM cnts$r, tot$r)""".stripMargin
+        s"""WITH RECURSIVE tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+           |  FROM documents),
+           |wf AS (SELECT w, count(*) AS cnt FROM tok
+           |  WHERE regexp_matches(w, '^[A-Za-z]+$$') GROUP BY 1),
+           |pos1 AS (SELECT w, cnt, unnest(range(length(w))) AS i FROM wf),
+           |sub1 AS (SELECT w, cnt, i, unnest(range(1, 5)) AS k FROM pos1),
+           |subs AS (SELECT substr(w, i + 1, k) AS piece,
+           |    CAST(sum(cnt) AS BIGINT) AS scnt
+           |  FROM sub1 WHERE i + k <= length(w) GROUP BY 1),
+           |seedv AS (SELECT piece, scnt FROM (
+           |    SELECT piece, scnt,
+           |      row_number() OVER (ORDER BY scnt DESC, piece) AS rn
+           |    FROM subs) rr WHERE rn <= $vs OR length(piece) = 1),
+           |tot0 AS (SELECT CAST(sum(scnt) AS BIGINT) AS t FROM seedv),
+           |prb0 AS (SELECT piece, (scnt * 1000000) // tot0.t AS p
+           |  FROM seedv, tot0),
+           |${dpRound(1, "prb0")},
+           |${dpRound(2, "prb1")}
+           |SELECT c.piece, c.pcnt AS cnt, p.p AS p_micro
+           |FROM cnts2 c JOIN prb2 p USING (piece) ORDER BY piece""".stripMargin
+      },
 
       "qt_bpe_merges" -> {
         // one BPE round: segment, pair-count, argmax, replace-apply —
