@@ -80,7 +80,11 @@ object ArrowIpcSink {
     }
   }
 
-  /** Streaming sink: one IPC file per non-empty micro-batch under `dir`. */
+  /** Streaming sink: one IPC file per non-empty micro-batch under `dir`.
+    * The collect keeps the reference's contract — ONE chunk per batch,
+    * driver-sized by design; [[fileSinkDistributed]] is the executor-side
+    * option when that funnel matters.
+    */
   def fileSink(df: DataFrame, dir: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     Files.createDirectories(Paths.get(dir))
@@ -90,6 +94,38 @@ object ArrowIpcSink {
         if (rows.nonEmpty) {
           val out = new FileOutputStream(s"$dir/batch-$id.arrows")
           try writeRows(batch.schema, rows.iterator, out) finally out.close()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Executor-side variant of [[fileSink]]: each non-empty PARTITION
+    * serializes its own IPC stream directly on the executor
+    * (`batch-<id>-part-<pid>.arrows`) — no driver funnel anywhere in the
+    * sink path. Rows stream straight from the partition iterator into
+    * 10k-row Arrow batches, so executor memory holds one chunk, never a
+    * partition. Replay-idempotent: file names are keyed (batch,
+    * partition) and a replayed micro-batch re-plans to the same
+    * partition count, so it overwrites its own previous files.
+    * Consumers must accept N files per batch instead of the reference's
+    * one-chunk contract (which [[fileSink]] keeps as the default).
+    */
+  def fileSinkDistributed(df: DataFrame, dir: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    Files.createDirectories(Paths.get(dir))
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val schema = batch.schema
+        batch.foreachPartition { (it: Iterator[Row]) =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val out = new FileOutputStream(s"$dir/batch-$id-part-$pid.arrows")
+            try writeRows(schema, it, out) finally out.close()
+          }
+          ()
         }
         ()
       }

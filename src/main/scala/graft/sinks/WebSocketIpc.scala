@@ -109,7 +109,8 @@ object WebSocketIpc {
 
   /** Streaming sink: each non-empty micro-batch becomes one Arrow IPC
     * buffer pushed as one WebSocket binary message — the reference's
-    * chunk-per-message contract exactly.
+    * chunk-per-message contract exactly ([[wsSinkDistributed]] is the
+    * executor-side option when the driver funnel matters).
     */
   def wsSink(df: DataFrame, host: String, port: Int, target: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -120,6 +121,37 @@ object WebSocketIpc {
           val buf = new ByteArrayOutputStream()
           ArrowIpcSink.writeRows(batch.schema, rows.iterator, buf)
           sendBuffer(host, port, target, buf.toByteArray)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Executor-side variant of [[wsSink]]: each non-empty PARTITION
+    * serializes and pushes its own IPC buffer as one binary message
+    * straight from the executor — partition-per-message instead of the
+    * reference's chunk-per-batch contract (kept as the [[wsSink]]
+    * default). The last driver-side data funnel in the sink tier
+    * disappears; executors connect to the endpoint concurrently, so the
+    * consumer must accept parallel connections and must not assume one
+    * message per micro-batch. At-least-once like the batch form: a
+    * failed task replays its partition's message.
+    */
+  def wsSinkDistributed(df: DataFrame, host: String, port: Int,
+      target: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val schema = batch.schema
+        batch.foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val buf = new ByteArrayOutputStream()
+            ArrowIpcSink.writeRows(schema, it, buf)
+            sendBuffer(host, port, target, buf.toByteArray)
+          }
+          ()
         }
         ()
       }
