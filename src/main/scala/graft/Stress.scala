@@ -10,7 +10,7 @@ import graft.ops.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis}
 
 /** Standing 10× scale-stress harness (the tagged-copy protocol the round
   * notes ran ad-hoc, promoted to a tool): the heaviest operator families
-  * (eight as of r15) each run at base scale and at 10× input, and the wall-clock
+  * (ten as of r17) each run at base scale and at 10× input, and the wall-clock
   * ratio is the scale-safety evidence — a candidate-bounded operator
   * should grow SUBLINEARLY in wall time (shared scan/shuffle constants
   * amortize; candidate fan-out stays capped), where an uncapped design
@@ -69,7 +69,9 @@ object Stress {
       "decode_bucket" -> (c => decodeBucket(spark, c)),
       "dup_spans" -> (c => dupSpans(spark, sfDir, c)),
       "segment_dedup" -> (c => segDedup(spark, sfDir, c)),
-      "ann" -> (c => ann(spark, sfDir, c)))
+      "ann" -> (c => ann(spark, sfDir, c)),
+      "drop_ledger" -> (c => dropLedger(spark, sfDir, c)),
+      "jaccard_est" -> (c => jaccardEst(spark, sfDir, c)))
 
     val results = families.map { case (name, run) =>
       val base = time(spark, run(1))
@@ -165,6 +167,25 @@ object Stress {
     r.unpersist()
     ()
   }
+
+  /** The two most expensive board gates, stressed on the dedup
+    * densification axis. Identical copies make every doc a member of a
+    * 10-deep EXACT-dup group, so the ledger's tier 1 catches all the
+    * added mass and the BOW/near-dup tiers see base-sized survivor sets
+    * — the composed three-tier chain must stay near-flat, which is
+    * exactly its shrinking-survivor-sets scale claim.
+    */
+  private def dropLedger(spark: SparkSession, dir: String, copies: Int): Unit =
+    noop(Dedup.dropLedger(docCopies(spark, dir, copies), "doc_id", col("text")))
+
+  /** Estimator audit under pair densification: every band bucket gains
+    * 9 identical-signature siblings, so candidate pairs grow ~100×
+    * within the BandBucketCap bound and the signature/shingle joins
+    * behind both estimates are the stressed edge.
+    */
+  private def jaccardEst(spark: SparkSession, dir: String, copies: Int): Unit =
+    noop(Dedup.jaccardEstimates(docCopies(spark, dir, copies), "doc_id",
+      col("text")))
 
   private def fuzzyDecon(spark: SparkSession, dir: String, copies: Int): Unit = {
     val r = Dedup.fuzzyDecontaminate(docCopies(spark, dir, copies),

@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# Standing 10x scale-stress runner (graft.Stress): the six heaviest
+# Standing 10x scale-stress runner (graft.Stress): the heaviest
 # operator families at base and 10x adversarial input, one JSON line out.
 # Usage:
 #   tools/stress.sh                      # sf0.1, 4 cpus, -> STRESS.json
