@@ -2084,6 +2084,32 @@ object SparkEntry {
         .toDF("piece", "cnt", "p_micro").orderBy("piece")
     }),
 
+    "qt_unigram_encode" -> ((s, dir) => {
+      // the APPLY side of unigram-LM training (qt_bpe_encode's twin):
+      // segment the corpus with the trained piece vocabulary and report
+      // per-language symbol counts — the compression-rate readout a
+      // tokenizer choice is judged by. Scale shape: the DP runs once per
+      // DISTINCT word; occurrences join back on the word (at 100 TB the
+      // distinct-word table is vocabulary-sized, the join is the cheap
+      // part). No unknown floor: apply-corpus = train-corpus, whose
+      // round-2 Viterbi paths guarantee coverage under the final vocab.
+      val docs = t(s, dir, "documents")
+      val words = UnigramLm.wordTable(docs, col("text"))
+      val model = UnigramLm.train(words, rounds = 2, vocabSize = 64)
+      val seg = words.select(col("w"),
+          UnigramLm.viterbiPath(col("w"), model.probs).as("path"))
+        .select(col("w"),
+          size(split(expr("trim(BOTH '|' FROM path)"), "\\|\\|"))
+            .cast("long").as("ns"))
+      docs.select(col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[A-Za-z]+$"))
+        .join(seg, "w")
+        .groupBy("lang")
+        .agg(sum("ns").as("n_symbols"), count(lit(1)).as("n_words"))
+        .orderBy("lang")
+    }),
+
     "qt_nb_classify" -> ((s, dir) => {
       // model-based quality/domain classifier (the fastText/logreg role
       // in C4/CCNet curation) as multinomial Naive Bayes: train on
@@ -3291,6 +3317,82 @@ object SparkEntry {
     // drift from each other when the score changes
     val qualitySql =
       s"""(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)) * 0.4 + least(CAST(${profCount(TextAnalysis.StopwordProfiles.head._2)} AS DOUBLE) / len($toks) * 4.0, 1.0) * 0.3 + least(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($toks) / 8.0, 1.0) * 0.3"""
+
+    // unigram-LM shared CTEs: one Viterbi-DP round as a recursive CTE
+    // over word positions carrying the last 4 (score, path) lags as
+    // columns — candidate k left-joined from the round's prob table,
+    // first-maximum (shortest-piece) tie-break as a CASE chain; plus the
+    // seed + 2 training rounds prefix shared by qt_unigram_lm (final
+    // vocab) and qt_unigram_encode (a third apply round).
+    // prb CTEs are MATERIALIZED: each DP round references its prob table
+    // 4x, so inlined CTEs re-evaluate the entire prior-round DP per
+    // reference — cost ~4^rounds (measured 288 s for the 3-round encode
+    // oracle at sf0.001 vs ~1 s materialized)
+    def ulmDpRound(r: Int, prb: String) =
+      s"""seg$r(w, cnt, pos, b0, p0, b1, p1, b2, p2, b3, p3) AS (
+         |  SELECT w, cnt, 0, CAST(1.0 AS DOUBLE), '',
+         |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+         |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+         |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+         |  FROM wf
+         |  UNION ALL
+         |  SELECT w, cnt, pos + 1,
+         |    CASE WHEN k1 IS NOT NULL AND (k2 IS NULL OR k1 >= k2)
+         |           AND (k3 IS NULL OR k1 >= k3) AND (k4 IS NULL OR k1 >= k4)
+         |      THEN k1
+         |      WHEN k2 IS NOT NULL AND (k3 IS NULL OR k2 >= k3)
+         |           AND (k4 IS NULL OR k2 >= k4) THEN k2
+         |      WHEN k3 IS NOT NULL AND (k4 IS NULL OR k3 >= k4) THEN k3
+         |      ELSE k4 END,
+         |    CASE WHEN k1 IS NOT NULL AND (k2 IS NULL OR k1 >= k2)
+         |           AND (k3 IS NULL OR k1 >= k3) AND (k4 IS NULL OR k1 >= k4)
+         |      THEN p0 || '|' || substr(w, pos + 1, 1) || '|'
+         |      WHEN k2 IS NOT NULL AND (k3 IS NULL OR k2 >= k3)
+         |           AND (k4 IS NULL OR k2 >= k4)
+         |      THEN p1 || '|' || substr(w, pos, 2) || '|'
+         |      WHEN k3 IS NOT NULL AND (k4 IS NULL OR k3 >= k4)
+         |      THEN p2 || '|' || substr(w, pos - 1, 3) || '|'
+         |      WHEN k4 IS NOT NULL
+         |      THEN p3 || '|' || substr(w, pos - 2, 4) || '|' END,
+         |    b0, p0, b1, p1, b2, p2
+         |  FROM (
+         |    SELECT s.*,
+         |      s.b0 * (v1.p / 1000000.0) AS k1,
+         |      CASE WHEN s.pos >= 1 THEN s.b1 * (v2.p / 1000000.0) END AS k2,
+         |      CASE WHEN s.pos >= 2 THEN s.b2 * (v3.p / 1000000.0) END AS k3,
+         |      CASE WHEN s.pos >= 3 THEN s.b3 * (v4.p / 1000000.0) END AS k4
+         |    FROM seg$r s
+         |    LEFT JOIN $prb v1 ON v1.piece = substr(s.w, s.pos + 1, 1)
+         |    LEFT JOIN $prb v2 ON s.pos >= 1 AND v2.piece = substr(s.w, s.pos, 2)
+         |    LEFT JOIN $prb v3 ON s.pos >= 2 AND v3.piece = substr(s.w, s.pos - 1, 3)
+         |    LEFT JOIN $prb v4 ON s.pos >= 3 AND v4.piece = substr(s.w, s.pos - 2, 4)
+         |    WHERE s.pos < length(s.w)) x),
+         |fin$r AS (SELECT w, cnt, p0 AS path FROM seg$r WHERE pos = length(w)),
+         |cnts$r AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+         |    SELECT unnest(string_split(trim(path, '|'), '||')) AS piece, cnt
+         |    FROM fin$r) u GROUP BY 1),
+         |tot$r AS (SELECT CAST(sum(pcnt) AS BIGINT) AS t FROM cnts$r),
+         |prb$r AS MATERIALIZED (SELECT piece, (pcnt * 1000000) // tot$r.t AS p
+         |  FROM cnts$r, tot$r)""".stripMargin
+    val ulmTrainCtes =
+      s"""WITH RECURSIVE tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM documents),
+         |wf AS MATERIALIZED (SELECT w, count(*) AS cnt FROM tok
+         |  WHERE regexp_matches(w, '^[A-Za-z]+$$') GROUP BY 1),
+         |pos1 AS (SELECT w, cnt, unnest(range(length(w))) AS i FROM wf),
+         |sub1 AS (SELECT w, cnt, i, unnest(range(1, 5)) AS k FROM pos1),
+         |subs AS (SELECT substr(w, i + 1, k) AS piece,
+         |    CAST(sum(cnt) AS BIGINT) AS scnt
+         |  FROM sub1 WHERE i + k <= length(w) GROUP BY 1),
+         |seedv AS (SELECT piece, scnt FROM (
+         |    SELECT piece, scnt,
+         |      row_number() OVER (ORDER BY scnt DESC, piece) AS rn
+         |    FROM subs) rr WHERE rn <= 64 OR length(piece) = 1),
+         |tot0 AS (SELECT CAST(sum(scnt) AS BIGINT) AS t FROM seedv),
+         |prb0 AS MATERIALIZED (SELECT piece, (scnt * 1000000) // tot0.t AS p
+         |  FROM seedv, tot0),
+         |${ulmDpRound(1, "prb0")},
+         |${ulmDpRound(2, "prb1")}""".stripMargin
 
     val segmentDedupSql =
       s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents
@@ -4586,75 +4688,25 @@ object SparkEntry {
       // positions carrying the last 4 (score, path) lags as columns,
       // with candidate k joined from the round's prob table and the
       // first-maximum (shortest-piece) tie-break as a CASE chain
-      "qt_unigram_lm" -> {
-        val vs = 64
-        def dpRound(r: Int, prb: String) =
-          s"""seg$r(w, cnt, pos, b0, p0, b1, p1, b2, p2, b3, p3) AS (
-             |  SELECT w, cnt, 0, CAST(1.0 AS DOUBLE), '',
-             |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
-             |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
-             |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
-             |  FROM wf
-             |  UNION ALL
-             |  SELECT w, cnt, pos + 1,
-             |    CASE WHEN k1 IS NOT NULL AND (k2 IS NULL OR k1 >= k2)
-             |           AND (k3 IS NULL OR k1 >= k3) AND (k4 IS NULL OR k1 >= k4)
-             |      THEN k1
-             |      WHEN k2 IS NOT NULL AND (k3 IS NULL OR k2 >= k3)
-             |           AND (k4 IS NULL OR k2 >= k4) THEN k2
-             |      WHEN k3 IS NOT NULL AND (k4 IS NULL OR k3 >= k4) THEN k3
-             |      ELSE k4 END,
-             |    CASE WHEN k1 IS NOT NULL AND (k2 IS NULL OR k1 >= k2)
-             |           AND (k3 IS NULL OR k1 >= k3) AND (k4 IS NULL OR k1 >= k4)
-             |      THEN p0 || '|' || substr(w, pos + 1, 1) || '|'
-             |      WHEN k2 IS NOT NULL AND (k3 IS NULL OR k2 >= k3)
-             |           AND (k4 IS NULL OR k2 >= k4)
-             |      THEN p1 || '|' || substr(w, pos, 2) || '|'
-             |      WHEN k3 IS NOT NULL AND (k4 IS NULL OR k3 >= k4)
-             |      THEN p2 || '|' || substr(w, pos - 1, 3) || '|'
-             |      WHEN k4 IS NOT NULL
-             |      THEN p3 || '|' || substr(w, pos - 2, 4) || '|' END,
-             |    b0, p0, b1, p1, b2, p2
-             |  FROM (
-             |    SELECT s.*,
-             |      s.b0 * (v1.p / 1000000.0) AS k1,
-             |      CASE WHEN s.pos >= 1 THEN s.b1 * (v2.p / 1000000.0) END AS k2,
-             |      CASE WHEN s.pos >= 2 THEN s.b2 * (v3.p / 1000000.0) END AS k3,
-             |      CASE WHEN s.pos >= 3 THEN s.b3 * (v4.p / 1000000.0) END AS k4
-             |    FROM seg$r s
-             |    LEFT JOIN $prb v1 ON v1.piece = substr(s.w, s.pos + 1, 1)
-             |    LEFT JOIN $prb v2 ON s.pos >= 1 AND v2.piece = substr(s.w, s.pos, 2)
-             |    LEFT JOIN $prb v3 ON s.pos >= 2 AND v3.piece = substr(s.w, s.pos - 1, 3)
-             |    LEFT JOIN $prb v4 ON s.pos >= 3 AND v4.piece = substr(s.w, s.pos - 2, 4)
-             |    WHERE s.pos < length(s.w)) x),
-             |fin$r AS (SELECT w, cnt, p0 AS path FROM seg$r WHERE pos = length(w)),
-             |cnts$r AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
-             |    SELECT unnest(string_split(trim(path, '|'), '||')) AS piece, cnt
-             |    FROM fin$r) u GROUP BY 1),
-             |tot$r AS (SELECT CAST(sum(pcnt) AS BIGINT) AS t FROM cnts$r),
-             |prb$r AS (SELECT piece, (pcnt * 1000000) // tot$r.t AS p
-             |  FROM cnts$r, tot$r)""".stripMargin
-        s"""WITH RECURSIVE tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-           |  FROM documents),
-           |wf AS (SELECT w, count(*) AS cnt FROM tok
-           |  WHERE regexp_matches(w, '^[A-Za-z]+$$') GROUP BY 1),
-           |pos1 AS (SELECT w, cnt, unnest(range(length(w))) AS i FROM wf),
-           |sub1 AS (SELECT w, cnt, i, unnest(range(1, 5)) AS k FROM pos1),
-           |subs AS (SELECT substr(w, i + 1, k) AS piece,
-           |    CAST(sum(cnt) AS BIGINT) AS scnt
-           |  FROM sub1 WHERE i + k <= length(w) GROUP BY 1),
-           |seedv AS (SELECT piece, scnt FROM (
-           |    SELECT piece, scnt,
-           |      row_number() OVER (ORDER BY scnt DESC, piece) AS rn
-           |    FROM subs) rr WHERE rn <= $vs OR length(piece) = 1),
-           |tot0 AS (SELECT CAST(sum(scnt) AS BIGINT) AS t FROM seedv),
-           |prb0 AS (SELECT piece, (scnt * 1000000) // tot0.t AS p
-           |  FROM seedv, tot0),
-           |${dpRound(1, "prb0")},
-           |${dpRound(2, "prb1")}
+      "qt_unigram_lm" -> (ulmTrainCtes +
+        s"""
            |SELECT c.piece, c.pcnt AS cnt, p.p AS p_micro
-           |FROM cnts2 c JOIN prb2 p USING (piece) ORDER BY piece""".stripMargin
-      },
+           |FROM cnts2 c JOIN prb2 p USING (piece) ORDER BY piece""".stripMargin),
+
+      // unigram apply (qt_bpe_encode's twin): a third DP round under the
+      // trained prb2 segments every distinct word; occurrences join back
+      // per language for the symbol-count report
+      "qt_unigram_encode" -> (ulmTrainCtes +
+        s""",
+           |${ulmDpRound(3, "prb2")},
+           |enc AS (SELECT w,
+           |    len(string_split(trim(path, '|'), '||')) AS ns FROM fin3),
+           |aw AS (SELECT lang, w FROM (
+           |    SELECT lang, unnest($toks) AS w FROM documents) u
+           |  WHERE regexp_matches(w, '^[A-Za-z]+$$'))
+           |SELECT lang, CAST(sum(ns) AS BIGINT) AS n_symbols,
+           |  count(*) AS n_words
+           |FROM aw JOIN enc USING (w) GROUP BY 1 ORDER BY 1""".stripMargin),
 
       "qt_bpe_merges" -> {
         // one BPE round: segment, pair-count, argmax, replace-apply —
