@@ -760,7 +760,7 @@ object SparkEntry {
   // multimodal) over the documents and embeddings tables.
   // ---------------------------------------------------------------------
 
-  import graft.ops.{AsOfJoin, Bpe, Chunker, Classify, Dedup, Multimodal, Ranking, Similarity, SkewJoin, TextAnalysis, UnigramLm, ZOrder}
+  import graft.ops.{AsOfJoin, Bpe, Chunker, Classify, Dedup, Multimodal, Ranking, Similarity, SkewJoin, TextAnalysis, UnigramLm, WordPiece, ZOrder}
 
   /** Probe query for the BM25 gate — terms with spread document
     * frequencies in the synthetic corpus (shared with the oracle SQL).
@@ -2014,6 +2014,21 @@ object SparkEntry {
         .groupBy("lang")
         .agg(sum(col("_nsym")).as("n_symbols"), sum(col("_nw")).as("n_words"))
         .orderBy("lang")
+    }),
+
+    "qt_wordpiece" -> ((s, dir) => {
+      // WordPiece merge training (the BERT tokenizer's likelihood-gain
+      // rule): same word-table collapse and delimited-string mechanics
+      // as qt_bpe_merges, but each round's merge maximizes
+      // count(ab)/(count(a)*count(b)) in exact pico-unit floor division
+      // — the oracle replays rounds with the pair/symbol-count join
+      // unrolled in SQL (HUGEINT product, BIGINT on selection)
+      import s.implicits._
+      val words = Bpe.wordTable(t(s, dir, "documents"), col("text"))
+      val (merges, fin) = WordPiece.train(words, 3)
+      fin.unpersist()
+      merges.map(m => (m.round, m.a, m.b, m.pairCount, m.scorePico, m.a + m.b))
+        .toDF("round", "sym_a", "sym_b", "pair_count", "score_pico", "merged")
     }),
 
     "qt_vocab" -> ((s, dir) => {
@@ -4730,6 +4745,41 @@ object SparkEntry {
            |${bpeRound(3, "w2")}
            |SELECT round, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_count,
            |  a || b AS merged
+           |FROM (SELECT 1 AS round, * FROM m1 UNION ALL
+           |      SELECT 2, * FROM m2 UNION ALL
+           |      SELECT 3, * FROM m3)
+           |ORDER BY round""".stripMargin
+      },
+
+      "qt_wordpiece" -> {
+        // one WordPiece round: segment, pair-count + SYMBOL-count,
+        // likelihood-score join (pico-unit floor division in HUGEINT,
+        // BIGINT on selection), argmax, replace-apply
+        def wpRound(r: Int, prev: String) =
+          s"""s$r AS (SELECT string_split(trim(seg, '|'), '||') AS sy, cnt FROM $prev),
+             |sy$r AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS c FROM (
+             |    SELECT unnest(sy) AS s, cnt FROM s$r) GROUP BY 1),
+             |pr$r AS (SELECT z.a AS a, z.b AS b, CAST(sum(cnt) AS BIGINT) AS c FROM (
+             |    SELECT unnest(list_transform(range(1, len(sy)),
+             |      i -> {'a': sy[i], 'b': sy[i+1]})) AS z, cnt
+             |    FROM s$r) GROUP BY 1, 2),
+             |m$r AS (SELECT p.a AS a, p.b AS b, p.c AS c,
+             |    CAST((CAST(p.c AS HUGEINT) * 1000000000000) //
+             |      (CAST(x.c AS HUGEINT) * y.c) AS BIGINT) AS sp
+             |  FROM pr$r p JOIN sy$r x ON x.s = p.a JOIN sy$r y ON y.s = p.b
+             |  ORDER BY sp DESC, c DESC, a, b LIMIT 1),
+             |w$r AS (SELECT replace(seg, '|'||a||'||'||b||'|', '|'||a||b||'|') AS seg, cnt
+             |  FROM $prev CROSS JOIN m$r)""".stripMargin
+        s"""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+           |  FROM documents),
+           |wf AS (SELECT w, count(*) AS cnt FROM tok
+           |  WHERE regexp_matches(w, '^[A-Za-z]+$$') GROUP BY 1),
+           |w0 AS (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS seg, cnt FROM wf),
+           |${wpRound(1, "w0")},
+           |${wpRound(2, "w1")},
+           |${wpRound(3, "w2")}
+           |SELECT round, a AS sym_a, b AS sym_b, c AS pair_count,
+           |  sp AS score_pico, a || b AS merged
            |FROM (SELECT 1 AS round, * FROM m1 UNION ALL
            |      SELECT 2, * FROM m2 UNION ALL
            |      SELECT 3, * FROM m3)
