@@ -10,7 +10,7 @@ import graft.ops.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis}
 
 /** Standing 10× scale-stress harness (the tagged-copy protocol the round
   * notes ran ad-hoc, promoted to a tool): the heaviest operator families
-  * (ten as of r17) each run at base scale and at 10× input, and the wall-clock
+  * (eleven as of r17) each run at base scale and at 10× input, and the wall-clock
   * ratio is the scale-safety evidence — a candidate-bounded operator
   * should grow SUBLINEARLY in wall time (shared scan/shuffle constants
   * amortize; candidate fan-out stays capped), where an uncapped design
@@ -61,6 +61,16 @@ object Stress {
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect() // session warmup, untimed
 
+    // UNTIMED setup for the incremental family: sign the day-1 corpus
+    // into claim stores at base and 10× scale once — the one-time cost
+    // dedupAgainstStore exists to avoid re-paying is exactly what must
+    // stay OUT of the timed body for the ratio to measure the claim.
+    val incDir = Files.createTempDirectory("stress_incstore").toString
+    Seq(1, 10).foreach { c =>
+      Dedup.buildClaimStore(docCopies(spark, sfDir, c), "doc_id",
+        col("text"), s"$incDir/x$c")
+    }
+
     val families: Seq[(String, Int => Unit)] = Seq(
       "dedup" -> (c => dedupSpine(spark, sfDir, c)),
       "fuzzy_decon" -> (c => fuzzyDecon(spark, sfDir, c)),
@@ -71,7 +81,8 @@ object Stress {
       "segment_dedup" -> (c => segDedup(spark, sfDir, c)),
       "ann" -> (c => ann(spark, sfDir, c)),
       "drop_ledger" -> (c => dropLedger(spark, sfDir, c)),
-      "jaccard_est" -> (c => jaccardEst(spark, sfDir, c)))
+      "jaccard_est" -> (c => jaccardEst(spark, sfDir, c)),
+      "incremental" -> (c => incremental(spark, sfDir, s"$incDir/x$c")))
 
     val results = families.map { case (name, run) =>
       val base = time(spark, run(1))
@@ -86,7 +97,12 @@ object Stress {
     val json = s"""{"sf":"$sfDir","families":{$body}}"""
     println(json)
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    rmTree(new java.io.File(incDir))
     spark.stop()
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
   /** Min-of-2 wall seconds; caches dropped between reps so rep 2 is not
@@ -186,6 +202,30 @@ object Stress {
   private def jaccardEst(spark: SparkSession, dir: String, copies: Int): Unit =
     noop(Dedup.jaccardEstimates(docCopies(spark, dir, copies), "doc_id",
       col("text")))
+
+  /** Day-2 ingest against a 10× day-1 corpus: the STORE densifies (10×
+    * claim rows, pre-signed untimed), the snapshot stays base-sized with
+    * ids disjoint from every store corpus — the recurring-crawl claim
+    * under test is that run cost is O(|snapshot|) plus a columnar
+    * (band, bkey) store scan, NOT O(|corpus|) re-signing; the ratio
+    * should sit far below the 10× store growth. Every snapshot text
+    * exists in the store, so the block join matches maximally (the
+    * match-dense worst case). Claims appended by the previous rep are
+    * pre-cleaned (one local dir delete, noise vs the run) so each rep
+    * dedups against the same day-1 store.
+    */
+  private def incremental(spark: SparkSession, dir: String,
+      storePath: String): Unit = {
+    Option(new java.io.File(storePath).listFiles()).foreach(
+      _.filter(f => f.getName.startsWith("claim_batch=") &&
+          f.getName != "claim_batch=0")
+        .foreach(rmTree))
+    val snap = docCopies(spark, dir, 1)
+      .select((col("doc_id") + lit(1000000000000L)).as("doc_id"), col("text"))
+    val surv = Dedup.dedupAgainstStore(snap, "doc_id", col("text"), storePath)
+    surv.unpersist()
+    ()
+  }
 
   private def fuzzyDecon(spark: SparkSession, dir: String, copies: Int): Unit = {
     val r = Dedup.fuzzyDecontaminate(docCopies(spark, dir, copies),
