@@ -1530,6 +1530,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qp_containment" -> ((s, dir) => {
+      // CONTAINMENT decontamination (the GPT-3/Llama n-gram overlap
+      // rule): |train ∩ eval| / |eval| shingles >= 0.5, measured
+      // relative to the EVAL doc — catches a short eval snippet inside
+      // a long train doc, which Jaccard (qp_decontaminate_fuzzy) maps
+      // to ~0. Candidacy = direct inverted-index join on broadcast eval
+      // shingles (banding would approximate the WRONG metric); threshold
+      // compared by integer cross-multiplication
+      Dedup.containmentDecontaminate(t(s, dir, "documents"), "doc_id",
+          col("text"), TextAnalysis.md5Long(col("text")) % 20 === 1)
+        .orderBy("doc_id")
+    }),
+
     "qp_token_budget" -> ((s, dir) => {
       // token-budget corpus selection: highest-quality docs first until the
       // budget fills — distributed 2-pass prefix sum (range partition +
@@ -4633,6 +4646,23 @@ object SparkEntry {
            |  JOIN sizes y ON c.e_id = y.doc_id)
            |SELECT doc_id, count(*) AS n_eval_hits, max(jac) AS max_jaccard
            |FROM j WHERE jac >= 0.5 GROUP BY 1 ORDER BY 1""".stripMargin),
+
+      "qp_containment" -> (shinglesCte +
+        s""",
+           |ev AS (SELECT doc_id, ${h("text")} % 20 = 1 AS is_eval FROM documents),
+           |es AS (SELECT s.doc_id AS e_id, sh FROM sh s JOIN ev USING (doc_id)
+           |  WHERE is_eval),
+           |ts AS (SELECT s.doc_id, sh FROM sh s JOIN ev USING (doc_id)
+           |  WHERE NOT is_eval),
+           |ne AS (SELECT e_id, count(*) AS n_eval FROM es GROUP BY 1),
+           |cm AS (SELECT t.doc_id, e.e_id, count(*) AS n_common
+           |  FROM ts t JOIN es e USING (sh) GROUP BY 1, 2),
+           |c AS (SELECT cm.doc_id, cm.n_common, ne.n_eval
+           |  FROM cm JOIN ne USING (e_id)
+           |  WHERE cm.n_common * 1000000 >= 500000 * ne.n_eval)
+           |SELECT doc_id, count(*) AS n_eval_hits,
+           |  max(CAST(n_common AS DOUBLE)/n_eval) AS max_containment
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
 
       "qp_token_budget" ->
         s"""WITH f AS (SELECT doc_id, lang,

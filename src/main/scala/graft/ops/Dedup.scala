@@ -392,6 +392,62 @@ object Dedup {
     } finally sigs.unpersist()
   }
 
+  /** CONTAINMENT-based eval decontamination — the asymmetric-overlap
+    * complement of [[fuzzyDecontaminate]]: a train doc is contaminated
+    * when `|train ∩ eval| / |eval|` shingles reaches the threshold
+    * (the GPT-3/Llama-style n-gram overlap rule, measured relative to
+    * the EVAL doc). Symmetric Jaccard systematically misses the shape
+    * this exists for — a short eval snippet embedded verbatim in a long
+    * train doc has containment 1.0 but Jaccard ≈ |eval|/|train| → 0 —
+    * and MinHash banding approximates Jaccard, so the candidacy here is
+    * NOT banded: it is a direct inverted-index join of train shingles
+    * against the (eval-sized, broadcast) eval shingle table — a train
+    * doc becomes a candidate by sharing ANY shingle, and the verify is
+    * the exact distinct-shingle count.
+    *
+    * Scale shape (the same 100 TB asymmetry): everything eval-derived is
+    * eval-sized and broadcast under the same size guard as
+    * [[fuzzyDecontaminate]] (above `maxBroadcastEvalDocs` the joins run
+    * as shuffles — still correct); the train side is one shingle explode
+    * + one aggregation, no minhash pipeline at all. The threshold is an
+    * integer micro-unit compared by cross-multiplication (no division in
+    * the filter); the reported `max_containment` is a quotient of exact
+    * integer counts.
+    *
+    * Returns (idCol, n_eval_hits, max_containment) for contaminated
+    * train docs. CONTRACT: the result is persisted (MEMORY_AND_DISK) and
+    * materialized — the caller owns the handle and must `unpersist()`.
+    */
+  def containmentDecontaminate(docs: DataFrame, idCol: String, text: Column,
+      isEval: Column, thresholdMicro: Long = 500000L, n: Int = 3,
+      maxBroadcastEvalDocs: Long = 1000000L): DataFrame = {
+    require(thresholdMicro >= 0 && thresholdMicro <= 1000000L,
+      s"thresholdMicro must be in [0, 1000000], got $thresholdMicro")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = docs.select(col(idCol), text.as("_text"), isEval.as("_is_eval"))
+    val evalSh = shingleHashes(base.filter(col("_is_eval")), idCol,
+      col("_text"), n).withColumnRenamed(idCol, "_eval_id").persist(lvl)
+    try {
+      val evalSizes = evalSh.groupBy("_eval_id").agg(count(lit(1)).as("_ne"))
+      val evalDocCount = evalSizes.count() // materializes the evalSh cache
+      def hinted(df: DataFrame): DataFrame =
+        if (evalDocCount <= maxBroadcastEvalDocs) broadcast(df) else df
+      val trainSh = shingleHashes(base.filter(!col("_is_eval")), idCol,
+        col("_text"), n)
+      val common = trainSh.join(hinted(evalSh), "sh")
+        .groupBy(col(idCol), col("_eval_id")).agg(count(lit(1)).as("_nc"))
+      val result = common.join(hinted(evalSizes), "_eval_id")
+        .filter(col("_nc") * lit(1000000L) >= lit(thresholdMicro) * col("_ne"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_eval_hits"),
+          max(col("_nc").cast("double") / col("_ne")).as("max_containment"))
+        .persist(lvl)
+      try result.count() // materialize while evalSh is still cached
+      catch { case e: Throwable => result.unpersist(); throw e }
+      result
+    } finally { evalSh.unpersist(); () }
+  }
+
   /** Eval-side relations of the fuzzy-decontamination join, precomputed
     * and persisted for REPEATED use — the static reference set of a
     * streaming ingest filter ([[streamingDecontaminate]]), where
