@@ -2044,6 +2044,30 @@ object SparkEntry {
         .toDF("round", "sym_a", "sym_b", "pair_count", "score_pico", "merged")
     }),
 
+    "qt_wordpiece_encode" -> ((s, dir) => {
+      // the APPLY side of WordPiece (qt_bpe_encode's twin under the
+      // likelihood-trained merge table): merge application is
+      // order-for-order BPE apply — Bpe.segment with the WordPiece
+      // table — so the corpus-scale encode shares that map-only path
+      val d = t(s, dir, "documents")
+      val (merges, fin) = WordPiece.train(Bpe.wordTable(d, col("text")), 3)
+      fin.unpersist()
+      val asBpe = merges.map(m => Bpe.Merge(m.round, m.a, m.b, m.pairCount))
+      val toksF = filter(TextAnalysis.tokens(col("text")),
+        w => w.rlike("^[A-Za-z]+$"))
+      val nSyms = aggregate(
+        transform(col("_w"),
+          w => size(split(Bpe.segment(w, asBpe), "\\|\\|")).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      d.select(col("lang"), toksF.as("_w"))
+        .filter(size(col("_w")) > 0)
+        .select(col("lang"), nSyms.as("_nsym"),
+          size(col("_w")).cast("long").as("_nw"))
+        .groupBy("lang")
+        .agg(sum(col("_nsym")).as("n_symbols"), sum(col("_nw")).as("n_words"))
+        .orderBy("lang")
+    }),
+
     "qt_vocab" -> ((s, dir) => {
       // vocabulary building: top 50 tokens by corpus frequency
       t(s, dir, "documents")
@@ -3422,6 +3446,39 @@ object SparkEntry {
          |${ulmDpRound(1, "prb0")},
          |${ulmDpRound(2, "prb1")}""".stripMargin
 
+    // WordPiece shared CTEs: one round = segment, pair-count +
+    // SYMBOL-count, likelihood-score join (pico-unit floor division in
+    // HUGEINT, BIGINT on selection), argmax, replace-apply; the 3-round
+    // prefix is shared by qt_wordpiece (merge table) and
+    // qt_wordpiece_encode (corpus apply). m$r is one row, so the
+    // multi-reference inlining hazard the unigram prb tables needed
+    // MATERIALIZED for does not arise (w$r references m$r once; the
+    // round chain is linear, not 4-way).
+    def wpRound(r: Int, prev: String) =
+      s"""s$r AS (SELECT string_split(trim(seg, '|'), '||') AS sy, cnt FROM $prev),
+         |sy$r AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT unnest(sy) AS s, cnt FROM s$r) GROUP BY 1),
+         |pr$r AS (SELECT z.a AS a, z.b AS b, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, len(sy)),
+         |      i -> {'a': sy[i], 'b': sy[i+1]})) AS z, cnt
+         |    FROM s$r) GROUP BY 1, 2),
+         |m$r AS (SELECT p.a AS a, p.b AS b, p.c AS c,
+         |    CAST((CAST(p.c AS HUGEINT) * 1000000000000) //
+         |      (CAST(x.c AS HUGEINT) * y.c) AS BIGINT) AS sp
+         |  FROM pr$r p JOIN sy$r x ON x.s = p.a JOIN sy$r y ON y.s = p.b
+         |  ORDER BY sp DESC, c DESC, a, b LIMIT 1),
+         |w$r AS (SELECT replace(seg, '|'||a||'||'||b||'|', '|'||a||b||'|') AS seg, cnt
+         |  FROM $prev CROSS JOIN m$r)""".stripMargin
+    val wpTrainCtes =
+      s"""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM documents),
+         |wf AS (SELECT w, count(*) AS cnt FROM tok
+         |  WHERE regexp_matches(w, '^[A-Za-z]+$$') GROUP BY 1),
+         |w0 AS (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS seg, cnt FROM wf),
+         |${wpRound(1, "w0")},
+         |${wpRound(2, "w1")},
+         |${wpRound(3, "w2")}""".stripMargin
+
     val segmentDedupSql =
       s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents
          |  WHERE length(trim(text)) > 0),
@@ -4781,40 +4838,33 @@ object SparkEntry {
            |ORDER BY round""".stripMargin
       },
 
-      "qt_wordpiece" -> {
-        // one WordPiece round: segment, pair-count + SYMBOL-count,
-        // likelihood-score join (pico-unit floor division in HUGEINT,
-        // BIGINT on selection), argmax, replace-apply
-        def wpRound(r: Int, prev: String) =
-          s"""s$r AS (SELECT string_split(trim(seg, '|'), '||') AS sy, cnt FROM $prev),
-             |sy$r AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS c FROM (
-             |    SELECT unnest(sy) AS s, cnt FROM s$r) GROUP BY 1),
-             |pr$r AS (SELECT z.a AS a, z.b AS b, CAST(sum(cnt) AS BIGINT) AS c FROM (
-             |    SELECT unnest(list_transform(range(1, len(sy)),
-             |      i -> {'a': sy[i], 'b': sy[i+1]})) AS z, cnt
-             |    FROM s$r) GROUP BY 1, 2),
-             |m$r AS (SELECT p.a AS a, p.b AS b, p.c AS c,
-             |    CAST((CAST(p.c AS HUGEINT) * 1000000000000) //
-             |      (CAST(x.c AS HUGEINT) * y.c) AS BIGINT) AS sp
-             |  FROM pr$r p JOIN sy$r x ON x.s = p.a JOIN sy$r y ON y.s = p.b
-             |  ORDER BY sp DESC, c DESC, a, b LIMIT 1),
-             |w$r AS (SELECT replace(seg, '|'||a||'||'||b||'|', '|'||a||b||'|') AS seg, cnt
-             |  FROM $prev CROSS JOIN m$r)""".stripMargin
-        s"""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-           |  FROM documents),
-           |wf AS (SELECT w, count(*) AS cnt FROM tok
-           |  WHERE regexp_matches(w, '^[A-Za-z]+$$') GROUP BY 1),
-           |w0 AS (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS seg, cnt FROM wf),
-           |${wpRound(1, "w0")},
-           |${wpRound(2, "w1")},
-           |${wpRound(3, "w2")}
+      "qt_wordpiece" -> (wpTrainCtes +
+        s"""
            |SELECT round, a AS sym_a, b AS sym_b, c AS pair_count,
            |  sp AS score_pico, a || b AS merged
            |FROM (SELECT 1 AS round, * FROM m1 UNION ALL
            |      SELECT 2, * FROM m2 UNION ALL
            |      SELECT 3, * FROM m3)
-           |ORDER BY round""".stripMargin
-      },
+           |ORDER BY round""".stripMargin),
+
+      // WordPiece apply (qt_bpe_encode's twin): the trained merges
+      // applied in order by the same triple-replace
+      "qt_wordpiece_encode" -> (wpTrainCtes +
+        s""",
+           |tok2 AS (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+           |  FROM documents),
+           |aw AS (SELECT lang, regexp_replace(w, '(.)', '|\\1|', 'g') AS seg
+           |  FROM tok2 WHERE regexp_matches(w, '^[A-Za-z]+$$')),
+           |ap AS (SELECT lang,
+           |    replace(replace(replace(seg,
+           |      '|'||m1.a||'||'||m1.b||'|', '|'||m1.a||m1.b||'|'),
+           |      '|'||m2.a||'||'||m2.b||'|', '|'||m2.a||m2.b||'|'),
+           |      '|'||m3.a||'||'||m3.b||'|', '|'||m3.a||m3.b||'|') AS seg2
+           |  FROM aw, m1, m2, m3)
+           |SELECT lang,
+           |  CAST(sum(len(string_split(seg2, '||'))) AS BIGINT) AS n_symbols,
+           |  count(*) AS n_words
+           |FROM ap GROUP BY 1 ORDER BY 1""".stripMargin),
 
       "qt_bpe_encode" -> {
         def bpeRound(r: Int, prev: String) =
