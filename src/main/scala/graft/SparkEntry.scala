@@ -1990,6 +1990,35 @@ object SparkEntry {
         .select("doc_id", "n_eval_hits", "max_jaccard").orderBy("doc_id")
     }),
 
+    "qd_stream_containment" -> ((s, dir) => {
+      // STREAMING containment decontamination
+      // (Dedup.streamingContainment): the ingest-side form of
+      // qp_containment — eval shingles prepared ONCE from the static
+      // table, each train micro-batch checked by the same inverted-index
+      // join. Stateless per batch, so the unioned reports equal the
+      // batch operator — shares qp_containment's oracle. Multi-batch +
+      // replay behavior is spec'd in StreamingContainmentSpec
+      val tmp = scratchDir("graft_qsct")
+      val evalPred = TextAnalysis.md5Long(col("text")) % 20 === 1
+      val src = stagedInput("qsn", dir) { p =>
+        t(s, dir, "documents").select("doc_id", "text")
+          .write.mode("overwrite").parquet(p)
+      }
+      val eval = Dedup.prepareEvalShingles(
+        t(s, dir, "documents").filter(evalPred), "doc_id", col("text"))
+      try {
+        val stream = s.readStream.schema(
+          new org.apache.spark.sql.types.StructType()
+            .add("doc_id", "long").add("text", "string")).parquet(src)
+          .filter(!evalPred)
+        val q = Dedup.streamingContainment(stream, "doc_id", col("text"),
+          eval, s"$tmp/out", s"$tmp/ckpt")
+        q.awaitTermination()
+      } finally eval.unpersist()
+      s.read.parquet(s"$tmp/out/contam")
+        .select("doc_id", "n_eval_hits", "max_containment").orderBy("doc_id")
+    }),
+
     "qt_bpe_merges" -> ((s, dir) => {
       // distributed BPE merge training: corpus collapses ONCE to the
       // word-frequency table, then 3 rounds of (pair-count aggregation ->
@@ -3290,6 +3319,8 @@ object SparkEntry {
         // must equal the batch operator's
         ("qs_batch_pruned" -> all2("qs_batch_topk")) +
         ("qd_stream_decontam" -> all2("qp_decontaminate_fuzzy")) +
+        // streaming containment is stateless per batch the same way
+        ("qd_stream_containment" -> all2("qp_containment")) +
         // the bloom prefilter has no false negatives and the confirm join
         // removes its false positives, so the result must be EXACTLY the
         // plain exact-join decontamination — shared oracle

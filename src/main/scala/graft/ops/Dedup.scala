@@ -421,32 +421,107 @@ object Dedup {
   def containmentDecontaminate(docs: DataFrame, idCol: String, text: Column,
       isEval: Column, thresholdMicro: Long = 500000L, n: Int = 3,
       maxBroadcastEvalDocs: Long = 1000000L): DataFrame = {
+    val base = docs.select(col(idCol), text.as("_text"), isEval.as("_is_eval"))
+    val eval = prepareEvalShingles(base.filter(col("_is_eval")), idCol,
+      col("_text"), n)
+    try containmentAgainst(base.filter(!col("_is_eval")), idCol,
+      col("_text"), eval, thresholdMicro, n, maxBroadcastEvalDocs)
+    finally eval.unpersist()
+  }
+
+  /** Eval side of containment decontamination, precomputed + persisted
+    * for REPEATED use (the [[EvalSignatures]] pattern without the minhash
+    * relations — containment candidacy is the inverted shingle index
+    * itself): distinct shingle hashes per eval doc and their counts. Both
+    * eval-sized; the holder owns the cached blocks and must
+    * [[EvalShingles.unpersist]].
+    */
+  final case class EvalShingles(shingles: DataFrame, sizes: DataFrame,
+      evalDocCount: Long) {
+    def unpersist(): Unit = { shingles.unpersist(); sizes.unpersist(); () }
+  }
+
+  def prepareEvalShingles(evalDocs: DataFrame, idCol: String, text: Column,
+      n: Int = 3): EvalShingles = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = evalDocs.select(col(idCol), text.as("_text"))
+    val sh = shingleHashes(base, idCol, col("_text"), n)
+      .withColumnRenamed(idCol, "_eval_id").persist(lvl)
+    val sizes = sh.groupBy("_eval_id").agg(count(lit(1)).as("_ne")).persist(lvl)
+    var ok = false
+    try {
+      val cnt = sizes.count() // one row per eval doc — the guard input
+      sh.count()
+      ok = true
+      EvalShingles(sh, sizes, cnt)
+    } finally if (!ok) { sh.unpersist(); sizes.unpersist(); () }
+  }
+
+  /** Containment check of `train` docs against a prepared eval shingle
+    * table — the repeated-use core of [[containmentDecontaminate]] (and
+    * each [[streamingContainment]] micro-batch). Result contract as
+    * there: persisted + materialized, caller unpersists.
+    */
+  def containmentAgainst(train: DataFrame, idCol: String, text: Column,
+      eval: EvalShingles, thresholdMicro: Long = 500000L, n: Int = 3,
+      maxBroadcastEvalDocs: Long = 1000000L): DataFrame = {
     require(thresholdMicro >= 0 && thresholdMicro <= 1000000L,
       s"thresholdMicro must be in [0, 1000000], got $thresholdMicro")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val base = docs.select(col(idCol), text.as("_text"), isEval.as("_is_eval"))
-    val evalSh = shingleHashes(base.filter(col("_is_eval")), idCol,
-      col("_text"), n).withColumnRenamed(idCol, "_eval_id").persist(lvl)
-    try {
-      val evalSizes = evalSh.groupBy("_eval_id").agg(count(lit(1)).as("_ne"))
-      val evalDocCount = evalSizes.count() // materializes the evalSh cache
-      def hinted(df: DataFrame): DataFrame =
-        if (evalDocCount <= maxBroadcastEvalDocs) broadcast(df) else df
-      val trainSh = shingleHashes(base.filter(!col("_is_eval")), idCol,
-        col("_text"), n)
-      val common = trainSh.join(hinted(evalSh), "sh")
-        .groupBy(col(idCol), col("_eval_id")).agg(count(lit(1)).as("_nc"))
-      val result = common.join(hinted(evalSizes), "_eval_id")
-        .filter(col("_nc") * lit(1000000L) >= lit(thresholdMicro) * col("_ne"))
-        .groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_eval_hits"),
-          max(col("_nc").cast("double") / col("_ne")).as("max_containment"))
-        .persist(lvl)
-      try result.count() // materialize while evalSh is still cached
-      catch { case e: Throwable => result.unpersist(); throw e }
-      result
-    } finally { evalSh.unpersist(); () }
+    def hinted(df: DataFrame): DataFrame =
+      if (eval.evalDocCount <= maxBroadcastEvalDocs) broadcast(df) else df
+    val trainSh = shingleHashes(train.select(col(idCol), text.as("_t")),
+      idCol, col("_t"), n)
+    val common = trainSh.join(hinted(eval.shingles), "sh")
+      .groupBy(col(idCol), col("_eval_id")).agg(count(lit(1)).as("_nc"))
+    val result = common.join(hinted(eval.sizes), "_eval_id")
+      .filter(col("_nc") * lit(1000000L) >= lit(thresholdMicro) * col("_ne"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(col("_nc").cast("double") / col("_ne")).as("max_containment"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try result.count() // materialize while the eval caches are live
+    catch { case e: Throwable => result.unpersist(); throw e }
+    result
   }
+
+  /** Streaming containment decontamination: train docs arrive as
+    * micro-batches and are checked against a [[prepareEvalShingles]] set
+    * prepared ONCE (the static reference of an ingest-side filter).
+    * Stateless per batch — a doc's containment depends only on the eval
+    * set — so the unioned per-batch reports equal the batch operator's;
+    * contaminated rows land under `outPath/contam/batch=<id>`, clean rows
+    * under `outPath/clean/batch=<id>`, overwritten per batch for
+    * idempotent replay (the [[streamingDecontaminate]] layout wholesale).
+    */
+  def streamingContainment(docs: DataFrame, idCol: String, text: Column,
+      eval: EvalShingles, outPath: String, checkpoint: String,
+      thresholdMicro: Long = 500000L, n: Int = 3,
+      maxBroadcastEvalDocs: Long = 1000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist()
+        try {
+          val contam = containmentAgainst(cached, idCol, text, eval,
+            thresholdMicro, n, maxBroadcastEvalDocs)
+          try {
+            // contam is hit-bounded, but the bound is eval fan-out — the
+            // hint carries the same guard as every eval-derived relation
+            val exclusion =
+              if (contam.count() <= maxBroadcastEvalDocs)
+                broadcast(contam.select(col(idCol)))
+              else contam.select(col(idCol))
+            val clean = cached.join(exclusion, Seq(idCol), "left_anti")
+            clean.write.mode("overwrite")
+              .parquet(s"$outPath/clean/batch=$batchId")
+            contam.write.mode("overwrite")
+              .parquet(s"$outPath/contam/batch=$batchId")
+          } finally { contam.unpersist(); () }
+        } finally { cached.unpersist(); () }
+      }
+      .start()
 
   /** Eval-side relations of the fuzzy-decontamination join, precomputed
     * and persisted for REPEATED use — the static reference set of a
