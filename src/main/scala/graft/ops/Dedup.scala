@@ -465,6 +465,21 @@ object Dedup {
   def containmentAgainst(train: DataFrame, idCol: String, text: Column,
       eval: EvalShingles, thresholdMicro: Long = 500000L, n: Int = 3,
       maxBroadcastEvalDocs: Long = 1000000L): DataFrame = {
+    val result = containmentPlan(train, idCol, text, eval, thresholdMicro,
+      n, maxBroadcastEvalDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try result.count() // materialize while the eval caches are live
+    catch { case e: Throwable => result.unpersist(); throw e }
+    result
+  }
+
+  /** The unpersisted containment pipeline — separated so PlanSpec can pin
+    * its physical shape (the public form persists itself, which folds its
+    * own plan into an InMemoryTableScan).
+    */
+  private[graft] def containmentPlan(train: DataFrame, idCol: String,
+      text: Column, eval: EvalShingles, thresholdMicro: Long, n: Int,
+      maxBroadcastEvalDocs: Long): DataFrame = {
     require(thresholdMicro >= 0 && thresholdMicro <= 1000000L,
       s"thresholdMicro must be in [0, 1000000], got $thresholdMicro")
     def hinted(df: DataFrame): DataFrame =
@@ -473,15 +488,11 @@ object Dedup {
       idCol, col("_t"), n)
     val common = trainSh.join(hinted(eval.shingles), "sh")
       .groupBy(col(idCol), col("_eval_id")).agg(count(lit(1)).as("_nc"))
-    val result = common.join(hinted(eval.sizes), "_eval_id")
+    common.join(hinted(eval.sizes), "_eval_id")
       .filter(col("_nc") * lit(1000000L) >= lit(thresholdMicro) * col("_ne"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_eval_hits"),
         max(col("_nc").cast("double") / col("_ne")).as("max_containment"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try result.count() // materialize while the eval caches are live
-    catch { case e: Throwable => result.unpersist(); throw e }
-    result
   }
 
   /** Streaming containment decontamination: train docs arrive as

@@ -187,6 +187,59 @@ class PlanSpec extends AnyFunSuite {
     assert(!mp.contains("CartesianProduct"), s"no cartesian:\n$mp")
   }
 
+  test("containment: eval relations broadcast under the guard, the train " +
+      "side never sort-merges; over the guard the join degrades to a " +
+      "shuffle, never a cartesian (AQE off+on)") {
+    val eval = Dedup.prepareEvalShingles(docs.filter($"doc_id" < 4),
+      "doc_id", col("text"))
+    try {
+      def mk(maxBc: Long) = Dedup.containmentPlan(
+        docs.filter($"doc_id" >= 4), "doc_id", col("text"), eval,
+        500000L, 3, maxBc)
+      // auto-broadcast OFF isolates the operator's own hint: at test
+      // sizes Catalyst would broadcast the tiny eval relations anyway
+      // and mask whether the guard actually controls the strategy
+      val abt = "spark.sql.autoBroadcastJoinThreshold"
+      val before = spark.conf.get(abt)
+      spark.conf.set(abt, "-1")
+      try {
+        for (p <- Seq(plan(mk(1000000L)), aqeFinalPlan(mk(1000000L)))) {
+          assert(p.contains("BroadcastHashJoin"),
+            s"under the guard the eval hint must force a broadcast:\n$p")
+          assert(!p.contains("SortMergeJoin"),
+            s"train side must not sort-merge against eval-sized relations:\n$p")
+          assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+        }
+        for (p <- Seq(plan(mk(0L)), aqeFinalPlan(mk(0L)))) {
+          assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+            s"over the guard the eval join must degrade to a shuffle join:\n$p")
+          assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+        }
+      } finally spark.conf.set(abt, before)
+    } finally eval.unpersist()
+  }
+
+  test("tokenizer APPLY paths are pure projections — zero exchanges " +
+      "(AQE off+on)") {
+    // WordPiece apply = Bpe.segment under the likelihood-trained table
+    val merges = Seq(graft.ops.Bpe.Merge(1, "w", "1", 4L),
+      graft.ops.Bpe.Merge(2, "w1", "w2", 2L))
+    def wp = docs.select(col("doc_id"),
+      graft.ops.Bpe.segment(col("text"), merges).as("seg"))
+    // unigram apply = one aggregate-HOF Viterbi DP per row
+    val probs = Map("w" -> 300000L, "w1" -> 300000L, "1" -> 200000L,
+      "2" -> 100000L, "c" -> 50000L, "o" -> 25000L, "m" -> 25000L)
+    def ulm = docs.select(col("doc_id"),
+      graft.ops.UnigramLm.viterbiPath(
+        regexp_replace(col("text"), "[^a-z0-9]", ""), probs,
+        unkMicro = Some(1L)).as("path"))
+    for ((nm, p) <- Seq("wordpiece" -> plan(wp), "wordpiece-aqe" -> aqeFinalPlan(wp),
+        "unigram" -> plan(ulm), "unigram-aqe" -> aqeFinalPlan(ulm))) {
+      assert(!p.contains("Exchange"), s"$nm apply must not shuffle:\n$p")
+      assert(!p.contains("Join"), s"$nm apply must not join:\n$p")
+    }
+  }
+
   // ------------------------------------------------------------------
   // The same six invariants under AQE — the mode bench and production
   // run. Assertions run against the finalized adaptive plan.
