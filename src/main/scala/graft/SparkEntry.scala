@@ -1941,6 +1941,17 @@ object SparkEntry {
       Dedup.lineDedup(staged, "doc_id", "text").orderBy("doc_id")
     }),
 
+    "qd_cdc_dedup" -> ((s, dir) => {
+      // content-defined-chunking dedup (Dedup.cdcSegmentDedup): segment
+      // boundaries fall after tokens whose hash % 8 == 0, so a
+      // duplicated passage keeps its segmentation wherever it sits in a
+      // document — the shift-robust complement of qd_segment_dedup's
+      // fixed windows (head-to-head case in CdcDedupSpec). Keep-first
+      // corpus-wide, rebuild in document order
+      Dedup.cdcSegmentDedup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "qd_incremental" -> ((s, dir) => {
       // BATCH incremental dedup against a persisted claim store — the
       // recurring-crawl shape: the prior corpus (doc_id % 3 != 0) signs
@@ -4419,6 +4430,35 @@ object SparkEntry {
            |    FROM nz) WHERE rn = 1),
            |rec AS (SELECT doc_id, count(*) AS n_kept,
            |    string_agg(seg, chr(10) ORDER BY seg_id) AS clean_text
+           |  FROM kp GROUP BY doc_id),
+           |tot AS (SELECT doc_id, count(*) AS n_total FROM nz GROUP BY doc_id)
+           |SELECT tot.doc_id, coalesce(clean_text, '') AS clean_text,
+           |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+           |  CAST(n_total AS BIGINT) AS n_total
+           |FROM tot LEFT JOIN rec USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      // CDC dedup: qd_line_dedup's replay with chr(1) boundaries after
+      // hash%8==0 tokens and a space-joined rebuild
+      "qd_cdc_dedup" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |st AS (SELECT doc_id, list_aggregate(list_transform(w, x -> x ||
+           |    CASE WHEN (${h("x")}) % 8 = 0 THEN chr(1) ELSE ' ' END),
+           |  'string_agg', '') AS s FROM tk),
+           |sp AS (SELECT doc_id, string_split(s, chr(1)) AS l FROM st),
+           |lr AS (SELECT doc_id, unnest(range(len(l))) AS seg_id, l FROM sp),
+           |ln AS (SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id,
+           |    regexp_replace(l[seg_id+1], '^\\s+|\\s+$$', '', 'g') AS seg
+           |  FROM lr),
+           |nz AS (SELECT doc_id, seg_id, seg, ${h("seg")} AS gh FROM ln
+           |  WHERE length(seg) > 0),
+           |kp AS (SELECT doc_id, seg_id, seg FROM (
+           |  SELECT doc_id, seg_id, seg,
+           |      row_number() OVER (PARTITION BY gh ORDER BY doc_id, seg_id)
+           |        AS rn
+           |    FROM nz) WHERE rn = 1),
+           |rec AS (SELECT doc_id, count(*) AS n_kept,
+           |    string_agg(seg, ' ' ORDER BY seg_id) AS clean_text
            |  FROM kp GROUP BY doc_id),
            |tot AS (SELECT doc_id, count(*) AS n_total FROM nz GROUP BY doc_id)
            |SELECT tot.doc_id, coalesce(clean_text, '') AS clean_text,

@@ -1125,6 +1125,57 @@ object Dedup {
     } finally { segs.unpersist(); () }
   }
 
+  /** Content-defined-chunking (CDC) segment dedup — the shift-robust
+    * third boundary rule next to [[segmentDedup]] (fixed token windows)
+    * and [[lineDedup]] (natural line boundaries): a segment ends after
+    * every token whose hash is ≡ 0 mod `divisor` (expected segment
+    * length ≈ `divisor` tokens). Because a passage's boundaries depend
+    * only on its OWN tokens, an insertion before a duplicated passage
+    * shifts its position but not its segmentation — the case where fixed
+    * windows misalign and miss every window of the duplicate (the
+    * rsync/LBFS chunking argument, applied to corpus dedup; spec'd
+    * head-to-head in CdcDedupSpec). Segments are materialized by one
+    * map-only pass — each token emits itself plus either a U+0001
+    * boundary mark or a space, then one split — and the winner/rebuild
+    * machinery is [[lineDedup]]'s wholesale (keep-first corpus-wide
+    * min-struct aggregation; rebuild joins surviving segments with
+    * spaces in document order).
+    *
+    * Output and contract as [[segmentDedup]]: (idCol, clean_text,
+    * n_kept, n_total), persisted + materialized, caller unpersists.
+    */
+  def cdcSegmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      divisor: Long = 8L): DataFrame = {
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    val markedText = concat_ws("", transform(tokens(col(textCol)), x =>
+      concat(x, when(pmod(md5Long(x), lit(divisor)) === 0, lit("\u0001"))
+        .otherwise(lit(" ")))))
+    val segs = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), posexplode(split(markedText, "\u0001")))
+      .select(col(idCol), col("pos").cast("long").as("seg_id"),
+        // only the final split part can be blank (text ending on a
+        // boundary token); trimming + dropping it keeps seg ids stable
+        regexp_replace(col("col"), "^\\s+|\\s+$", "").as("_seg"))
+      .filter(length(col("_seg")) > 0)
+      .withColumn("gh", md5Long(col("_seg")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val winners = segmentWinners(segs, idCol)
+      val marked = segs.join(winners, "gh")
+        .withColumn("_keep",
+          col(idCol) === col("_wdoc") && col("seg_id") === col("_wseg"))
+      val result = rebuildFromFlag(marked, idCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try result.count() // materialize while `segs` is still cached
+      catch { case e: Throwable =>
+        // on failure the caller never receives a handle to unpersist
+        result.unpersist()
+        throw e
+      }
+      result
+    } finally { segs.unpersist(); () }
+  }
+
   /** Streaming segment-level dedup: [[segmentDedup]]'s corpus rewrite as
     * a `foreachBatch` ingest stage with a persisted segment-claim store
     * — the same store layout (and therefore the same
