@@ -68,6 +68,13 @@ object Main {
     // gate shape as the reference's host.size() > 2.
     var influxHost = ""; var influxToken = ""
     var influxTable = "fs23migrated" // reference default, arguments.h:27
+    // K2 (the reference's Arrow-IPC-over-WebSocket side channel,
+    // /root/reference/src/main.cpp:160-176): active when --ws-host is
+    // set. Default contract = chunk-per-message from the driver (the
+    // reference's); --ws-distributed switches to partition-per-message
+    // serialized on the executors (no driver funnel; the consumer must
+    // accept concurrent connections).
+    var wsHost = ""; var wsDistributed = false
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -88,6 +95,8 @@ object Main {
         case "--max-lines-per-trigger" => maxLinesPerTrigger = args(i + 1).toLong; i += 2
         case "--state-partitions" => statePartitions = Some(args(i + 1).toInt); i += 2
         case "--max-files-per-trigger" => maxFilesPerTrigger = args(i + 1).toInt; i += 2
+        case "--ws-host" => wsHost = args(i + 1); i += 2
+        case "--ws-distributed" => wsDistributed = true; i += 1
         case "--influx-host" => influxHost = args(i + 1); i += 2
         case "--influx-token" => influxToken = args(i + 1); i += 2
         case "--influx-table" => influxTable = args(i + 1); i += 2
@@ -106,6 +115,27 @@ object Main {
       System.err.println(s"--bucket-key requires --exact and --cache > 0\n$usage")
       sys.exit(2)
     }
+    if (wsDistributed && wsHost.isEmpty) {
+      System.err.println(s"--ws-distributed requires --ws-host\n$usage")
+      sys.exit(2)
+    }
+    // host:port[/target] — the reference connects to ws://host:9000/
+    val wsTarget: Option[(String, Int, String)] =
+      if (wsHost.isEmpty) None
+      else wsHost.split("/", 2) match {
+        case Array(hp, t) => hp.split(":") match {
+          case Array(h, p) => Some((h, p.toInt, "/" + t))
+          case _ =>
+            System.err.println(s"--ws-host must be host:port[/target]\n$usage")
+            sys.exit(2)
+        }
+        case Array(hp) => hp.split(":") match {
+          case Array(h, p) => Some((h, p.toInt, "/"))
+          case _ =>
+            System.err.println(s"--ws-host must be host:port[/target]\n$usage")
+            sys.exit(2)
+        }
+      }
     if (statePartitions.exists(_ <= 0)) {
       System.err.println(s"--state-partitions must be positive\n$usage")
       sys.exit(2)
@@ -149,6 +179,32 @@ object Main {
           !n.startsWith(".")).toSet
     }
 
+    // K2 batch: this run's written rows as Arrow IPC over the WebSocket —
+    // one buffer/message from the driver by default (the reference's
+    // chunk contract at run granularity), one message per partition
+    // serialized on the executors under --ws-distributed
+    def wsPush(df: org.apache.spark.sql.DataFrame): Unit = wsTarget.foreach {
+      case (h, p, t) =>
+        if (wsDistributed) {
+          val schema = df.schema
+          df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            if (it.hasNext) {
+              val buf = new java.io.ByteArrayOutputStream()
+              graft.sinks.ArrowIpcSink.writeRows(schema, it, buf)
+              graft.sinks.WebSocketIpc.sendBuffer(h, p, t, buf.toByteArray)
+            }
+            ()
+          }
+        } else {
+          val rows = df.collect() // side-channel chunk, driver-sized by design
+          if (rows.nonEmpty) {
+            val buf = new java.io.ByteArrayOutputStream()
+            graft.sinks.ArrowIpcSink.writeRows(df.schema, rows.iterator, buf)
+            graft.sinks.WebSocketIpc.sendBuffer(h, p, t, buf.toByteArray)
+          }
+        }
+    }
+
     def writeBatch(wide: org.apache.spark.sql.DataFrame): Unit = {
       val before = partFiles()
       wide.write.mode("append").parquet(out) // K1 batch
@@ -159,14 +215,14 @@ object Main {
         spark.read.parquet(out)
           .select((DbcColumns.TimeCol +: live.reverse).map(org.apache.spark.sql.functions.col): _*)
           .show(50, truncate = false)
-      if (influxHost.length > 2) {
-        // upload only THIS run's part-files: `out` is an append-mode
-        // directory, and re-reading it whole would re-post previous
-        // runs' rows re-tagged with the CURRENT srcfile
-        val added = (partFiles() -- before).toSeq.map(n => s"$out/$n")
-        if (added.nonEmpty)
-          influxUpload(spark.read.parquet(added: _*))
-      }
+      // side channels see only THIS run's part-files: `out` is an
+      // append-mode directory, and re-reading it whole would re-send
+      // previous runs' rows (re-tagged with the CURRENT srcfile for K4)
+      lazy val added = (partFiles() -- before).toSeq.map(n => s"$out/$n")
+      if (influxHost.length > 2 && added.nonEmpty)
+        influxUpload(spark.read.parquet(added: _*))
+      if (wsTarget.isDefined && added.nonEmpty)
+        wsPush(spark.read.parquet(added: _*))
     }
 
     mode match {
@@ -235,15 +291,30 @@ object Main {
             .trigger(Trigger.ProcessingTime("1 second"))
             .start())
         else None
-        if (mode == "socket" && (liveQ.size + influxQ.size) > 0)
+        // K2 streaming: a third side query (the influxQ precedent) —
+        // each non-empty micro-batch becomes Arrow IPC over the
+        // WebSocket, chunk-per-message (or partition-per-message under
+        // --ws-distributed)
+        val wsQ = wsTarget.map { case (h, p, t) =>
+          val src = if (cacheMs <= 0)
+            wide.withColumnRenamed("ts_ms", DbcColumns.TimeCol)
+          else bucketed
+          if (wsDistributed)
+            graft.sinks.WebSocketIpc.wsSinkDistributed(src, h, p, t,
+              s"$out.ws-checkpoint", Trigger.ProcessingTime("1 second"))
+          else
+            graft.sinks.WebSocketIpc.wsSink(src, h, p, t,
+              s"$out.ws-checkpoint", Trigger.ProcessingTime("1 second"))
+        }
+        if (mode == "socket" && (liveQ.size + influxQ.size + wsQ.size) > 0)
           // each query is its own TCP client; a single-accept feeder
           // (`candump | nc -l`) serves exactly one of them
           System.err.println(
-            s"warning: --socket with --live-decode/--influx-host runs " +
-              s"${1 + liveQ.size + influxQ.size} independent queries, each " +
-              "connecting to --if; use a multi-client feeder (e.g. " +
-              "`socat TCP-LISTEN:port,fork`) or the sink silently starves")
-        val side = liveQ.toSeq ++ influxQ.toSeq
+            s"warning: --socket with --live-decode/--influx-host/--ws-host " +
+              s"runs ${1 + liveQ.size + influxQ.size + wsQ.size} independent " +
+              "queries, each connecting to --if; use a multi-client feeder " +
+              "(e.g. `socat TCP-LISTEN:port,fork`) or the sink silently starves")
+        val side = liveQ.toSeq ++ influxQ.toSeq ++ wsQ.toSeq
         sys.addShutdownHook { // SIGINT parity
           q.stop(); side.foreach(_.stop())
         }
@@ -329,6 +400,7 @@ object Main {
       |  [--state-backend inheap|rocksdb] [--state-partitions <n>]
       |  [--lenient-dbc]
       |  [--influx-host <url>] [--influx-token <t>] [--influx-table <m>]
+      |  [--ws-host <host:port[/target]>] [--ws-distributed]
       |  --socket: --if is host:port of a candump text stream
       |  --process: --if is a bridge command (e.g. "candump -L can0")
       |  --stream-file: --if is a directory watched for candump log files
@@ -350,6 +422,13 @@ object Main {
       |    http://host:8086/write?db=can); decoded rows upload as
       |    measurement --influx-table with a srcfile tag and token auth —
       |    alongside the parquet sink in every mode
+      |  --ws-host: Arrow-IPC-over-WebSocket side channel (the reference's
+      |    K2, ws://host:port/target): decoded output pushed as binary IPC
+      |    messages alongside the parquet sink in every mode —
+      |    chunk-per-message from the driver by default;
+      |    --ws-distributed serializes per partition on the executors
+      |    (no driver funnel; the consumer must accept concurrent
+      |    connections)
       |  --bucket-key: partition column for --exact bucketing (e.g. iface);
       |    keyed folds/state run independently per key and scale with the
       |    cluster — default is the reference's global sequential semantics""".stripMargin

@@ -1,0 +1,129 @@
+package graft.cli
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.sinks.WebSocketIpc
+
+/** End-to-end smoke of the CLI's K2 side channel (`--ws-host`): the
+  * batch decode run pushes its written rows as ONE Arrow-IPC WebSocket
+  * binary message to an in-process RFC 6455 server, and the payload's
+  * row count matches the parquet sink. Runs the CLI in its own JVM (the
+  * CliStreamSmokeSpec pattern — the CLI owns its SparkSession).
+  */
+class CliWsSmokeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def readIpcRows(bytes: Array[Byte]): Long = {
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    var rows = 0L
+    while (reader.loadNextBatch()) rows += reader.getVectorSchemaRoot.getRowCount
+    reader.close(); alloc.close()
+    rows
+  }
+
+  test("CLI batch --ws-host pushes the run's rows as one valid IPC " +
+      "message; exit 0; parquet row count matches") {
+    val server = new java.net.ServerSocket(0)
+    val received = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]]()
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val s = server.accept()
+        new Thread(() => {
+          try {
+            val in = new java.io.DataInputStream(s.getInputStream)
+            val out = new java.io.DataOutputStream(s.getOutputStream)
+            val head = new StringBuilder
+            while (!head.endsWith("\r\n\r\n")) head.append(in.readByte().toChar)
+            val key = head.toString.linesIterator
+              .find(_.toLowerCase.startsWith("sec-websocket-key:"))
+              .get.split(":", 2)(1).trim
+            out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+              "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+              "Sec-WebSocket-Accept: " + WebSocketIpc.acceptToken(key) +
+              "\r\n\r\n").getBytes("US-ASCII"))
+            out.flush()
+            val b0 = in.readByte(); val b1 = in.readByte()
+            assert((b0 & 0x0f) == 0x2 && (b1 & 0x80) != 0)
+            val len = (b1 & 0x7f) match {
+              case 126 => in.readUnsignedShort().toLong
+              case 127 => in.readLong()
+              case n => n.toLong
+            }
+            val mask = new Array[Byte](4); in.readFully(mask)
+            val data = new Array[Byte](len.toInt); in.readFully(data)
+            for (i <- data.indices) data(i) = (data(i) ^ mask(i % 4)).toByte
+            received.put(data)
+            s.close()
+          } catch { case _: Throwable => () }
+        }).start()
+      } catch { case _: Throwable => () } // server closed
+    })
+    acceptor.setDaemon(true); acceptor.start()
+
+    val outDir = java.nio.file.Files.createTempDirectory("cli_ws").toString + "/out"
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.master=local[4]",
+      "-Dspark.sql.shuffle.partitions=4",
+      "-cp", cp, "graft.cli.Main", "fixtures/mini.dbc",
+      "--if", "fixtures/mini.log", "--of", outDir,
+      "--file", "--cache", "10",
+      "--ws-host", s"127.0.0.1:${server.getLocalPort}/ipc")
+    val logFile = java.nio.file.Files.createTempFile("cli_ws", ".log").toFile
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(new java.io.File(sys.props("user.dir")))
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(logFile)
+    val proc = pb.start()
+    try {
+      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "batch CLI did not exit")
+      val log = scala.io.Source.fromFile(logFile).mkString
+      assert(proc.exitValue() == 0, s"CLI failed; log:\n${log.takeRight(4000)}")
+      val payload = received.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(payload != null, "no WebSocket message arrived")
+      assert(readIpcRows(payload) == spark.read.parquet(outDir).count(),
+        "IPC payload row count != parquet sink")
+      assert(received.poll(2, java.util.concurrent.TimeUnit.SECONDS) == null,
+        "expected exactly one chunk-per-run message in driver mode")
+    } finally {
+      server.close()
+      proc.destroyForcibly()
+      proc.waitFor()
+      ()
+    }
+  }
+
+  test("--ws-distributed without --ws-host exits 2 with usage") {
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx512m", "-cp", cp, "graft.cli.Main", "fixtures/mini.dbc",
+      "--if", "fixtures/mini.log", "--ws-distributed")
+    val logFile = java.nio.file.Files.createTempFile("cli_ws2", ".log").toFile
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(new java.io.File(sys.props("user.dir")))
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(logFile)
+    val proc = pb.start()
+    try {
+      assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(proc.exitValue() == 2)
+      val log = scala.io.Source.fromFile(logFile).mkString
+      assert(log.contains("--ws-distributed requires --ws-host"))
+    } finally { proc.destroyForcibly(); proc.waitFor(); () }
+  }
+}
