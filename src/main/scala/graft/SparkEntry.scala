@@ -4919,7 +4919,10 @@ object SparkEntry {
            |ORDER BY round""".stripMargin),
 
       // WordPiece apply (qt_bpe_encode's twin): the trained merges
-      // applied in order by the same triple-replace
+      // applied in order by the same triple-replace. LEFT JOIN + an
+      // unmatchable chr(7) pattern when a round found no merge — a
+      // CROSS JOIN against an empty m_r would empty the whole result
+      // while the Scala gate applies the merges it did find
       "qt_wordpiece_encode" -> (wpTrainCtes +
         s""",
            |tok2 AS (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
@@ -4928,10 +4931,14 @@ object SparkEntry {
            |  FROM tok2 WHERE regexp_matches(w, '^[A-Za-z]+$$')),
            |ap AS (SELECT lang,
            |    replace(replace(replace(seg,
-           |      '|'||m1.a||'||'||m1.b||'|', '|'||m1.a||m1.b||'|'),
-           |      '|'||m2.a||'||'||m2.b||'|', '|'||m2.a||m2.b||'|'),
-           |      '|'||m3.a||'||'||m3.b||'|', '|'||m3.a||m3.b||'|') AS seg2
-           |  FROM aw, m1, m2, m3)
+           |      '|'||coalesce(m1.a, chr(7))||'||'||coalesce(m1.b, chr(7))||'|',
+           |        '|'||coalesce(m1.a, '')||coalesce(m1.b, '')||'|'),
+           |      '|'||coalesce(m2.a, chr(7))||'||'||coalesce(m2.b, chr(7))||'|',
+           |        '|'||coalesce(m2.a, '')||coalesce(m2.b, '')||'|'),
+           |      '|'||coalesce(m3.a, chr(7))||'||'||coalesce(m3.b, chr(7))||'|',
+           |        '|'||coalesce(m3.a, '')||coalesce(m3.b, '')||'|') AS seg2
+           |  FROM aw LEFT JOIN m1 ON true LEFT JOIN m2 ON true
+           |    LEFT JOIN m3 ON true)
            |SELECT lang,
            |  CAST(sum(len(string_split(seg2, '||'))) AS BIGINT) AS n_symbols,
            |  count(*) AS n_words
@@ -4961,10 +4968,14 @@ object SparkEntry {
            |  FROM tok2 WHERE regexp_matches(w, '^[A-Za-z]+$$')),
            |ap AS (SELECT lang,
            |    replace(replace(replace(seg,
-           |      '|'||m1.a||'||'||m1.b||'|', '|'||m1.a||m1.b||'|'),
-           |      '|'||m2.a||'||'||m2.b||'|', '|'||m2.a||m2.b||'|'),
-           |      '|'||m3.a||'||'||m3.b||'|', '|'||m3.a||m3.b||'|') AS seg2
-           |  FROM aw, m1, m2, m3)
+           |      '|'||coalesce(m1.a, chr(7))||'||'||coalesce(m1.b, chr(7))||'|',
+           |        '|'||coalesce(m1.a, '')||coalesce(m1.b, '')||'|'),
+           |      '|'||coalesce(m2.a, chr(7))||'||'||coalesce(m2.b, chr(7))||'|',
+           |        '|'||coalesce(m2.a, '')||coalesce(m2.b, '')||'|'),
+           |      '|'||coalesce(m3.a, chr(7))||'||'||coalesce(m3.b, chr(7))||'|',
+           |        '|'||coalesce(m3.a, '')||coalesce(m3.b, '')||'|') AS seg2
+           |  FROM aw LEFT JOIN m1 ON true LEFT JOIN m2 ON true
+           |    LEFT JOIN m3 ON true)
            |SELECT lang,
            |  CAST(sum(len(string_split(seg2, '||'))) AS BIGINT) AS n_symbols,
            |  count(*) AS n_words

@@ -84,20 +84,22 @@ object Stress {
       "jaccard_est" -> (c => jaccardEst(spark, sfDir, c)),
       "incremental" -> (c => incremental(spark, sfDir, s"$incDir/x$c")))
 
-    val results = families.map { case (name, run) =>
-      val base = time(spark, run(1))
-      val x10 = time(spark, run(10))
-      System.err.println(
-        f"[stress] $name base ${base}%.3f s -> x10 ${x10}%.3f s (${x10 / base}%.2fx)")
-      name -> (base, x10)
-    }
+    // cleanup in finally: a family failure must not leak the (10×
+    // corpus-sized) signed claim stores into the temp dir
+    val results =
+      try families.map { case (name, run) =>
+        val base = time(spark, run(1))
+        val x10 = time(spark, run(10))
+        System.err.println(
+          f"[stress] $name base ${base}%.3f s -> x10 ${x10}%.3f s (${x10 / base}%.2fx)")
+        name -> (base, x10)
+      } finally rmTree(new java.io.File(incDir))
     val body = results.map { case (n, (b, x)) =>
       s""""$n":{"base":${fmt(b)},"x10":${fmt(x)},"ratio":${fmt(x / b)}}"""
     }.mkString(",")
     val json = s"""{"sf":"$sfDir","families":{$body}}"""
     println(json)
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
-    rmTree(new java.io.File(incDir))
     spark.stop()
   }
 

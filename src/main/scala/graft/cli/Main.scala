@@ -218,11 +218,14 @@ object Main {
       // side channels see only THIS run's part-files: `out` is an
       // append-mode directory, and re-reading it whole would re-send
       // previous runs' rows (re-tagged with the CURRENT srcfile for K4)
-      lazy val added = (partFiles() -- before).toSeq.map(n => s"$out/$n")
-      if (influxHost.length > 2 && added.nonEmpty)
-        influxUpload(spark.read.parquet(added: _*))
-      if (wsTarget.isDefined && added.nonEmpty)
-        wsPush(spark.read.parquet(added: _*))
+      if (influxHost.length > 2 || wsTarget.isDefined) {
+        val added = (partFiles() -- before).toSeq.map(n => s"$out/$n")
+        if (added.nonEmpty) {
+          val run = spark.read.parquet(added: _*)
+          if (influxHost.length > 2) influxUpload(run)
+          if (wsTarget.isDefined) wsPush(run)
+        }
+      }
     }
 
     mode match {
@@ -296,9 +299,13 @@ object Main {
         // WebSocket, chunk-per-message (or partition-per-message under
         // --ws-distributed)
         val wsQ = wsTarget.map { case (h, p, t) =>
-          val src = if (cacheMs <= 0)
+          // drop the event-time twin `ts` (TimestampType) like the
+          // parquet/influx paths do — the Arrow sink maps no timestamp
+          // type, and in per-frame mode (cacheMs <= 0) `wide` still
+          // carries it; drop() is a no-op when bucketing removed it
+          val src = (if (cacheMs <= 0)
             wide.withColumnRenamed("ts_ms", DbcColumns.TimeCol)
-          else bucketed
+          else bucketed).drop("ts")
           if (wsDistributed)
             graft.sinks.WebSocketIpc.wsSinkDistributed(src, h, p, t,
               s"$out.ws-checkpoint", Trigger.ProcessingTime("1 second"))

@@ -1680,12 +1680,19 @@ object Dedup {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val (surv, newClaims) = greedyFromClaims(cached, idCol, claims, prior)
-      newClaims.write.mode("overwrite")
-        .parquet(s"$storePath/claim_batch=$nextBatch")
+      // materialize survivors BEFORE the claim write: the converse order
+      // would leave the snapshot's own claims persisted when the
+      // survivor job fails, and the documented re-run (nextBatch = N+1)
+      // would then read them as PRIOR claims and block every shingled
+      // snapshot doc against itself — the contract is that a failed run
+      // leaves the store without the new partition
       val result = surv.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try result.count() // materialize while the inputs are still cached
-      catch { case e: Throwable =>
+      try {
+        result.count() // materialize while the inputs are still cached
+        newClaims.write.mode("overwrite")
+          .parquet(s"$storePath/claim_batch=$nextBatch")
+      } catch { case e: Throwable =>
         // on failure the caller never receives a handle to unpersist
         result.unpersist()
         throw e

@@ -118,6 +118,14 @@ object ArrowIpcSink {
     Files.createDirectories(Paths.get(dir))
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // replay hygiene: a replayed micro-batch can plan FEWER
+        // partitions than the aborted attempt (AQE/config/cluster
+        // change), which would leave the attempt's higher-numbered
+        // part files alongside the replay's — delete this batch id's
+        // files first so the written set is exactly this attempt's
+        Option(new java.io.File(dir).listFiles()).foreach(
+          _.filter(_.getName.matches(s"batch-$id-part-\\d+\\.arrows"))
+            .foreach { f => f.delete(); () })
         val schema = batch.schema
         batch.foreachPartition { (it: Iterator[Row]) =>
           if (it.hasNext) {

@@ -62,11 +62,20 @@ class ArrowIpcDistributedSpec extends AnyFunSuite {
   }
 
   test("multi-partition: one valid IPC file per non-empty partition, " +
-      "union of rows = the batch") {
+      "union of rows = the batch; a stale part file from an aborted " +
+      "wider attempt is deleted on replay") {
     val base = tmp("ipc_dist")
+    // simulate an aborted first attempt that planned MORE partitions:
+    // its leftover high-numbered part file must not survive the replay
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/out"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/out/batch-0-part-9.arrows"),
+      Array[Byte](1, 2, 3))
     val df = stream(97).repartition(3)
     ArrowIpcSink.fileSinkDistributed(df, s"$base/out", s"$base/ck")
       .awaitTermination(60000)
+    assert(!new java.io.File(s"$base/out/batch-0-part-9.arrows").exists(),
+      "stale part file from the aborted attempt must be deleted")
     val files = new java.io.File(s"$base/out").listFiles()
       .filter(_.getName.endsWith(".arrows")).sortBy(_.getName)
     assert(files.length == 3, s"expected 3 partition files: ${files.toSeq}")
