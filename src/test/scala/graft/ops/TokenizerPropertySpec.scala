@@ -89,6 +89,65 @@ class TokenizerPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Independent Viterbi reference: plain arrays, explicit candidate
+    * order k = 1..maxPiece with first-maximum (shortest-piece) wins —
+    * the tie-break the HOF encodes as a reduce over a when-chain.
+    */
+  private def refViterbi(word: String, probs: Map[String, Long],
+      maxPiece: Int = 4): Option[String] = {
+    val n = word.length
+    val score = new Array[Double](n + 1)
+    val path = new Array[String](n + 1)
+    score(0) = 1.0; path(0) = ""
+    for (i <- 1 to n) {
+      var best: Option[(Double, String)] = None
+      for (k <- 1 to maxPiece if k <= i && path(i - k) != null) {
+        val piece = word.substring(i - k, i)
+        probs.get(piece).foreach { p =>
+          val s = score(i - k) * (p.toDouble / 1000000.0d)
+          // strict > : the FIRST maximum (smallest k) wins exact ties
+          if (best.forall(_._1 < s))
+            best = Some((s, path(i - k) + "|" + piece + "|"))
+        }
+      }
+      best match {
+        case Some((s, p)) => score(i) = s; path(i) = p
+        case None => path(i) = null
+      }
+    }
+    Option(path(n))
+  }
+
+  test("viterbiPath matches the independent array-DP reference on 200 " +
+      "random (word, vocab) cases — scores, paths, ties, dead ends") {
+    val rnd = new Random(7781)
+    val cases = (1 to 200).map { _ =>
+      val len = 1 + rnd.nextInt(8)
+      val w = (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      // random vocab over the same alphabet: pieces of length 1-4 with
+      // COARSE micro probs (multiples of 125000) to force exact ties;
+      // single chars included only sometimes so dead ends occur
+      val pieces = (1 to 6).map { _ =>
+        val pl = 1 + rnd.nextInt(4)
+        (1 to pl).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      } ++ (if (rnd.nextBoolean()) Seq("a", "b", "c") else Seq("a"))
+      val vocab = pieces.distinct
+        .map(p => p -> (125000L * (1 + rnd.nextInt(8)))).toMap
+      (w, vocab)
+    }
+    val expected = cases.map { case (w, v) => refViterbi(w, v) }
+    val got = cases.zipWithIndex.map { case ((w, v), i) =>
+      val r = Seq(Tuple1(w)).toDF("w")
+        .select(UnigramLm.viterbiPath(col("w"), v).as("p"))
+        .collect().head
+      (i, if (r.isNullAt(0)) None else Some(r.getString(0)))
+    }
+    got.foreach { case (i, g) =>
+      assert(g == expected(i),
+        s"case $i diverged: word=${cases(i)._1} vocab=${cases(i)._2}")
+    }
+  }
+
   test("unigram coverage invariant: every train word Viterbi-segments " +
       "under the trained vocab with NO unknown floor (10 random corpora)") {
     val rnd = new Random(93)
