@@ -1810,6 +1810,20 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    "qt_sb_trigram" -> ((s, dir) => {
+      // Stupid Backoff trigram scoring (Brants et al. 2007 — the
+      // web-scale distributed n-gram LM, chosen there BECAUSE it needs
+      // only raw counts): train on doc_id%5!=0, score the held-out
+      // fifth so the backoff tiers genuinely fire; every tier is an
+      // exact micro-unit integral quotient with 0.4 = 2/5 folded into
+      // the division — see TextAnalysis.stupidBackoffScore
+      val d = t(s, dir, "documents")
+      TextAnalysis.stupidBackoffScore(
+        d.filter(col("doc_id") % 5 =!= 0),
+        d.filter(col("doc_id") % 5 === 0), "doc_id", col("text"))
+        .orderBy("doc_id")
+    }),
+
     "qt_interleave" -> ((s, dir) => {
       // deterministic per-source round-robin interleave for training-mix
       // ordering: rank docs within each source by (md5, doc_id); reading
@@ -4217,6 +4231,46 @@ object SparkEntry {
            |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(p) AS BIGINT) AS lm_sum,
            |  CAST(sum(p) AS DOUBLE) / count(*) AS lm_avg
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Stupid Backoff: three count tables from the train split, the
+      // held-out trigram stream scored by the tier CASE — 0.4 = 2/5
+      // folded into each integral division; unseen-w3 coalesces to 0
+      "qt_sb_trigram" ->
+        s"""WITH tr AS (SELECT $toks AS w FROM documents
+           |  WHERE doc_id % 5 != 0 AND length(trim(text)) > 0),
+           |u AS (SELECT unnest(w) AS t FROM tr),
+           |c1 AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY 1),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM u),
+           |b2 AS (SELECT unnest(list_transform(range(len(w)-1),
+           |    i -> w[i+1]||' '||w[i+2])) AS g FROM tr WHERE len(w) >= 2),
+           |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM b2 GROUP BY 1),
+           |t3 AS (SELECT unnest(list_transform(range(len(w)-2),
+           |    i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS g FROM tr WHERE len(w) >= 3),
+           |c3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM t3 GROUP BY 1),
+           |te AS (SELECT doc_id, $toks AS w FROM documents
+           |  WHERE doc_id % 5 = 0 AND length(trim(text)) > 0),
+           |tg AS (SELECT doc_id, unnest(list_transform(range(len(w)-2),
+           |    i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS g3
+           |  FROM te WHERE len(w) >= 3),
+           |sc AS (SELECT tg.doc_id,
+           |    CASE WHEN c3.c3 IS NOT NULL THEN (c3.c3 * 1000000) // c12.c2
+           |      WHEN c23.c2 IS NOT NULL
+           |        THEN (c23.c2 * 2 * 1000000) // (cw2.c1 * 5)
+           |      ELSE (coalesce(cw3.c1, 0) * 4 * 1000000) // (nt.nt * 25)
+           |    END AS p
+           |  FROM tg
+           |  LEFT JOIN c3 ON c3.g = tg.g3
+           |  LEFT JOIN c2 c12 ON c12.g =
+           |    split_part(tg.g3, ' ', 1) || ' ' || split_part(tg.g3, ' ', 2)
+           |  LEFT JOIN c2 c23 ON c23.g =
+           |    split_part(tg.g3, ' ', 2) || ' ' || split_part(tg.g3, ' ', 3)
+           |  LEFT JOIN c1 cw2 ON cw2.t = split_part(tg.g3, ' ', 2)
+           |  LEFT JOIN c1 cw3 ON cw3.t = split_part(tg.g3, ' ', 3)
+           |  CROSS JOIN nt)
+           |SELECT doc_id, count(*) AS n_trigrams,
+           |  CAST(sum(p) AS BIGINT) AS sb_sum,
+           |  CAST(sum(p) AS DOUBLE) / count(*) AS sb_avg
+           |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "qt_interleave" ->
         s"""SELECT doc_id, source,

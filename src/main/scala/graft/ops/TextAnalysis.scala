@@ -270,6 +270,77 @@ object TextAnalysis {
       .withColumn("lm_avg", col("lm_sum").cast("double") / col("n_bigrams"))
   }
 
+  /** Stupid Backoff trigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") — the web-scale n-gram LM signal
+    * next to [[bigramLmScore]]: `S(w3|w1 w2) = c(w1w2w3)/c(w1w2)` when
+    * the trigram was seen, else `0.4 · S(w3|w2)`, else `0.4² · c(w3)/N`.
+    * Stupid Backoff exists BECAUSE it needs no normalization statistics
+    * beyond raw counts — the property that made it the distributed
+    *-counting LM at web scale, and the property that makes it exactly
+    * replayable here: every tier is one integral micro-unit quotient
+    * (0.4 = 2/5 folded into the division — `(c·2·scale) div (d·5)` — so
+    * no floating backoff factor ever appears; no libm, the
+    * [[bigramLmScore]] portability doctrine).
+    *
+    * Scale shape: three hash-aggregated count tables (trigram, bigram,
+    * unigram — map-side combinable) plus a 1-row token total; scoring
+    * joins the doc trigram stream against them keyed by the gram —
+    * the standard distributed n-gram layout, nothing collected, AQE
+    * owns the stopword-head skew. The model trains on `train` and
+    * scores `test` (self-training would never back off: every trigram
+    * finds itself); a w3 unseen even as a unigram scores 0 — Brants'
+    * `c(w3)/N` with c = 0. Test docs with < 3 tokens drop.
+    *
+    * Output: (idCol, n_trigrams, sb_sum, sb_avg).
+    */
+  def stupidBackoffScore(train: org.apache.spark.sql.DataFrame,
+      test: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    val base = train.filter(length(trim(text)) > 0)
+      .select(tokens(text).as("_toks"))
+    val uni = base.select(explode(col("_toks")).as("w"))
+    val c1 = uni.groupBy("w").agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(count(lit(1)).as("nt"))
+    val c2 = base.filter(size(col("_toks")) >= 2)
+      .select(explode(Dedup.shinglesOfTokens(col("_toks"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c2"))
+    val c3 = base.filter(size(col("_toks")) >= 3)
+      .select(explode(Dedup.shinglesOfTokens(col("_toks"), 3)).as("_t3"))
+      .groupBy("_t3").agg(count(lit(1)).as("c3"))
+    val tg0 = test.filter(length(trim(text)) > 0)
+      .select(col(idCol), tokens(text).as("_toks"))
+      .filter(size(col("_toks")) >= 3)
+      .select(col(idCol), explode(Dedup.shinglesOfTokens(col("_toks"), 3)).as("g3"))
+    // materialize the split once — deriving each part from an inline
+    // split would re-tokenize the trigram per derived column
+    val tg = tg0.withColumn("_a", split(col("g3"), " "))
+      .select(col(idCol), col("g3"),
+        concat(element_at(col("_a"), 1), lit(" "), element_at(col("_a"), 2)).as("_b12"),
+        concat(element_at(col("_a"), 2), lit(" "), element_at(col("_a"), 3)).as("_b23"),
+        element_at(col("_a"), 2).as("_w2"), element_at(col("_a"), 3).as("_w3"))
+    tg
+      .join(c3, col("g3") === col("_t3"), "left")
+      .join(c2.withColumnRenamed("g", "_g12").withColumnRenamed("c2", "c12"),
+        col("_b12") === col("_g12"), "left")
+      .join(c2.withColumnRenamed("g", "_g23").withColumnRenamed("c2", "c23"),
+        col("_b23") === col("_g23"), "left")
+      .join(c1.withColumnRenamed("w", "_u2").withColumnRenamed("c1", "cw2"),
+        col("_w2") === col("_u2"), "left")
+      .join(c1.withColumnRenamed("w", "_u3").withColumnRenamed("c1", "cw3"),
+        col("_w3") === col("_u3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        when(col("c3").isNotNull,
+          expr(s"(c3 * ${scale}L) div c12"))
+        .when(col("c23").isNotNull,
+          expr(s"(c23 * 2L * ${scale}L) div (cw2 * 5L)"))
+        .otherwise(
+          expr(s"(coalesce(cw3, 0L) * 4L * ${scale}L) div (nt * 25L)")).as("p"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"), sum("p").as("sb_sum"))
+      .withColumn("sb_avg", col("sb_sum").cast("double") / col("n_trigrams"))
+  }
+
   /** Repetition statistics per document — the Gopher/MassiveText-style
     * repetition filter signals: `top_unigram_frac` (share of the most
     * frequent token) and `dup_bigram_frac` (1 − distinct/total bigrams);
