@@ -1810,6 +1810,15 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    "qt_blocklist" -> ((s, dir) =>
+      // C4-style word-blocklist filter (the "bad words" list applied
+      // before any quality model): flagged docs with hit count and the
+      // first offending token in document order — map-only, the list
+      // rides the plan as a literal (TextAnalysis.blocklistHits)
+      TextAnalysis.blocklistHits(t(s, dir, "documents"), "doc_id",
+          col("text"))
+        .orderBy("doc_id")),
+
     "qt_sb_trigram" -> ((s, dir) => {
       // Stupid Backoff trigram scoring (Brants et al. 2007 — the
       // web-scale distributed n-gram LM, chosen there BECAUSE it needs
@@ -4231,6 +4240,17 @@ object SparkEntry {
            |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(p) AS BIGINT) AS lm_sum,
            |  CAST(sum(p) AS DOUBLE) / count(*) AS lm_avg
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "qt_blocklist" -> {
+        val lst = graft.ops.TextAnalysis.Blocklist
+          .map(t => s"'$t'").mkString("[", ", ", "]")
+        s"""WITH f AS (SELECT doc_id,
+           |    list_filter($toks, x -> list_contains($lst, x)) AS h
+           |  FROM documents)
+           |SELECT doc_id, CAST(len(h) AS BIGINT) AS n_bad,
+           |  h[1] AS first_bad
+           |FROM f WHERE len(h) > 0 ORDER BY doc_id""".stripMargin
+      },
 
       // Stupid Backoff: three count tables from the train split, the
       // held-out trigram stream scored by the tier CASE — 0.4 = 2/5

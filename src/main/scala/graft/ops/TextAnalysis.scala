@@ -224,6 +224,32 @@ object TextAnalysis {
   def tagCount(text: Column): Column =
     regexp_count(text, lit("<[^>]*>")).cast("long")
 
+  /** Word blocklist for the C4-style "bad words" filter gate — a small
+    * fixed list shared with the oracle SQL (real pipelines load theirs
+    * from a file; the mechanics are identical). Against the synthetic
+    * corpus one term occurs and two never do, so both the hit and the
+    * no-op path execute.
+    */
+  val Blocklist: Seq[String] = Seq("slow", "spill", "stale")
+
+  /** Per-doc blocklist hits on the token stream: the exact-match word
+    * filter C4 applies before any quality model. Map-only — one filter
+    * HOF over the materialized token array; at 100 TB this is a
+    * side-projection inside the ingest scan, never a join (the list is
+    * plan-literal; a file-loaded list would broadcast).
+    * Output for FLAGGED docs only: (idCol, n_bad, first_bad) — the
+    * evidence a rejection ledger records.
+    */
+  def blocklistHits(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, terms: Seq[String] = Blocklist): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    val hits = filter(tokens(text), w => w.isInCollection(terms))
+    df.select(col(idCol), hits.as("_h"))
+      .filter(size(col("_h")) > 0)
+      .select(col(idCol), size(col("_h")).cast("long").as("n_bad"),
+        element_at(col("_h"), 1).as("first_bad"))
+  }
+
   /** C4/CCNet-style boilerplate cleanup: strip tags, unescape entities,
     * collapse whitespace. A chain of `regexp_replace` in one projection —
     * codegen, map-only at any scale (no shuffle, no UDF).
