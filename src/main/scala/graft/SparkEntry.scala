@@ -1024,6 +1024,18 @@ object SparkEntry {
       } finally pairs.unpersist()
     }),
 
+    "qd_soft_weights" -> ((s, dir) => {
+      // soft dedup (downweight, don't delete): every doc keeps weight
+      // 1/|near-dup component| so template spam counts once in
+      // expectation while singletons keep weight 1 — the sampler-facing
+      // alternative to qd_keep_best's drop policy, over the same
+      // verified pair graph and pointer-jump closure
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(d, "doc_id", col("text"))
+      try Dedup.softWeights(d, "doc_id", pairs).orderBy("doc_id")
+      finally pairs.unpersist()
+    }),
+
     "qd_simhash" -> ((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", col("text")).orderBy("doc_id")
     }),
@@ -1808,6 +1820,16 @@ object SparkEntry {
       // corpus-trained bigram-LM quality signal (CCNet-style filter,
       // exact-integer probabilities — see TextAnalysis.bigramLmScore)
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy("doc_id")),
+
+    "qt_ppl_buckets" -> ((s, dir) =>
+      // CCNet-style perplexity terciles over the corpus-trained
+      // bigram-LM score: head = most-probable third (lowest
+      // perplexity); cutoffs are exact histogram quantiles via the
+      // two-pass prefix-combine (no global window), bucket assignment
+      // map-only — see TextAnalysis.perplexityBuckets
+      TextAnalysis.perplexityBuckets(t(s, dir, "documents"), "doc_id",
+          col("text"))
         .orderBy("doc_id")),
 
     "qt_blocklist" -> ((s, dir) =>
@@ -4241,6 +4263,41 @@ object SparkEntry {
            |  CAST(sum(p) AS DOUBLE) / count(*) AS lm_avg
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      // the qt_lm_score pipeline folded to a micro-unit average, then
+      // tercile CUTOFFS from the score histogram's running count (the
+      // window sum is histogram-sized here; the Spark side replaces it
+      // with the two-pass prefix-combine) — sc is MATERIALIZED (3 refs:
+      // count, histogram, labeling) per the multi-ref-CTE doctrine
+      "qt_ppl_buckets" ->
+        s"""WITH base AS (SELECT doc_id, $toks AS w FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |bgs AS (SELECT doc_id,
+           |    unnest(list_transform(range(len(w)-1), i -> w[i+1]||' '||w[i+2])) AS bg
+           |  FROM base WHERE len(w) >= 2),
+           |c2 AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY 1),
+           |cp AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS cp
+           |  FROM c2 GROUP BY 1),
+           |p AS (SELECT doc_id, (c2.c2 * 1000000) // cp.cp AS p
+           |  FROM bgs JOIN c2 USING (bg)
+           |  JOIN cp ON split_part(bgs.bg, ' ', 1) = cp.w1),
+           |sc AS MATERIALIZED (SELECT doc_id,
+           |    (CAST(sum(p) AS BIGINT) * 1000000) // count(*) AS s_micro
+           |  FROM p GROUP BY 1),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+           |hist AS (SELECT s_micro, CAST(count(*) AS BIGINT) AS hn
+           |  FROM sc GROUP BY 1),
+           |cum AS (SELECT s_micro,
+           |    CAST(sum(hn) OVER (ORDER BY s_micro) AS BIGINT) AS cw FROM hist),
+           |cut AS (SELECT
+           |    (SELECT min(s_micro) FROM cum
+           |      WHERE cw >= (SELECT greatest(n // 3, 1) FROM nn)) AS c1,
+           |    (SELECT min(s_micro) FROM cum
+           |      WHERE cw >= (SELECT greatest((2 * n) // 3, 1) FROM nn)) AS c2)
+           |SELECT sc.doc_id, sc.s_micro,
+           |  CASE WHEN sc.s_micro <= cut.c1 THEN 'tail'
+           |       WHEN sc.s_micro <= cut.c2 THEN 'middle' ELSE 'head' END AS bucket
+           |FROM sc, cut ORDER BY sc.doc_id""".stripMargin,
+
       "qt_blocklist" -> {
         val lst = graft.ops.TextAnalysis.Blocklist
           .map(t => s"'$t'").mkString("[", ", ", "]")
@@ -4686,6 +4743,26 @@ object SparkEntry {
            |sz AS (SELECT comp, count(*) AS sz FROM comps GROUP BY 1)
            |SELECT sz, count(*) AS n_components FROM sz
            |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+      // same reachability closure as qd_components; sizes folded over
+      // the label relation, every document left-joined (singleton →
+      // own id / size 1), weight = exact-integer quotient
+      "qd_soft_weights" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mp
+           |  UNION SELECT doc_b, doc_a FROM mp),
+           |reach(id, comp) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, r2.comp FROM edges e JOIN reach r2 ON e.dst = r2.id),
+           |comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1),
+           |lab AS (SELECT c.id, c.comp, s.sz FROM comps c
+           |  JOIN (SELECT comp, count(*) AS sz FROM comps GROUP BY 1) s USING (comp))
+           |SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS comp,
+           |  coalesce(l.sz, 1) AS sz,
+           |  CAST(1 AS DOUBLE)/coalesce(l.sz, 1) AS weight
+           |FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+           |ORDER BY d.doc_id""".stripMargin),
 
       "qd_simhash" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),

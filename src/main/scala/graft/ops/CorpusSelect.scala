@@ -627,6 +627,23 @@ object CorpusSelect {
     }
   }
 
+  /** Exact global running sum of `weightCol` in `order` — the bare
+    * two-pass prefix-combine underneath [[budgetPrefix]]/[[shardAssign]]
+    * with the budget resolved to the grand total, so NOTHING is
+    * filtered: every input row comes back with `cumCol` = cumulative
+    * weight through itself. This is the scalable replacement for
+    * `sum(w) OVER (ORDER BY …)` (which funnels every row through one
+    * running-sum task); callers use it for exact quantile/threshold
+    * derivations over histograms and ledgers.
+    *
+    * Returns (rows + cumCol, grand total). Persisted + materialized per
+    * the object contract (caller unpersists the DataFrame).
+    */
+  def cumulativeWeightsWithTotal(df: DataFrame, weightCol: String,
+      order: Seq[Column], cumCol: String = "cum_weight",
+      numPartitions: Int = 0): (DataFrame, Long) =
+    prefixCoreWithTotal(df, weightCol, order, cumCol, numPartitions, identity)
+
   private def prefixCore(df: DataFrame, weightCol: String,
       order: Seq[Column], cumCol: String, numPartitions: Int,
       resolveBudget: Long => Long,

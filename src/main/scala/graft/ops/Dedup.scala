@@ -876,6 +876,44 @@ object Dedup {
     } finally if (!ok) pairs.unpersist()
   }
 
+  /** Soft dedup weights — the keep-everything alternative to dropping
+    * near-duplicates (the D4/SemDeDup-adjacent "downweight, don't
+    * delete" curation policy): every document keeps a sampling weight
+    * `1 / |its near-dup component|`, so a template spammed 40× counts
+    * once in expectation while singletons keep weight 1. Downstream
+    * samplers and mixture builders consume the weight column directly;
+    * no coverage is lost to an aggressive threshold.
+    *
+    * Takes the caller's `pairs` (from [[minhashNearDups]], persisted per
+    * its contract — sharing one pair computation with any sibling
+    * consumers) rather than rebuilding the minhash pipeline internally.
+    *
+    * Scale shape: the component relation is pair-graph-bounded and its
+    * size fold is an aggregation over that same relation; the corpus
+    * touches only its ID PROJECTION in the final left join (text never
+    * rides the shuffle), as an ordinary equi-join — never an
+    * unconditional broadcast, the [[contaminationSafeSplit]] reasoning
+    * (a duplicate-saturated crawl can push components toward corpus
+    * size). The weight is a quotient of exact integers (1.0 / sz),
+    * bit-identical IEEE across engines.
+    *
+    * Output: (idCol, comp, sz, weight); comp/sz = (own id, 1) for docs
+    * in no verified pair.
+    */
+  def softWeights(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val comps = connectedComponents(pairs, maxIter)
+    val lab = comps
+      .join(comps.groupBy("comp").agg(count(lit(1)).as("sz")), "comp")
+      .withColumnRenamed("id", idCol)
+    df.select(col(idCol))
+      .join(lab, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol)).as("comp"),
+        coalesce(col("sz"), lit(1L)).as("sz"),
+        (lit(1.0) / coalesce(col("sz"), lit(1L))).as("weight"))
+  }
+
   /** Duplicated-span detection — the exact-substring dedup shape
     * (dedup-train-data's "remove any substring appearing more than once"
     * policy, reduced to word n-grams): every position whose n-token gram

@@ -296,6 +296,59 @@ object TextAnalysis {
       .withColumn("lm_avg", col("lm_sum").cast("double") / col("n_bigrams"))
   }
 
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus-trained [[bigramLmScore]], then split the corpus into
+    * head / middle / tail TERCILES of the score distribution (CCNet
+    * trains per-bucket; the head — most LM-probable, i.e. lowest
+    * perplexity — is the premium slice). Bucket membership is defined
+    * by two score CUTOFFS (the N/3-th and 2N/3-th smallest scores), not
+    * by per-row rank, so tied scores always land in one bucket and the
+    * result is engine-independent.
+    *
+    * The score is the exact micro-unit surrogate
+    * `(lm_sum · 10⁶) div n_bigrams` (integer division — the
+    * [[bigramLmScore]]/qt_dsir no-libm portability pattern), so cutoff
+    * comparisons are pure long arithmetic.
+    *
+    * Scale shape: scoring is the bigram-LM pipeline (hash aggregations
+    * + gram-keyed joins, nothing collected); the cutoffs derive from
+    * the SCORE HISTOGRAM (distinct micro-score → doc count) via
+    * [[CorpusSelect.cumulativeWeightsWithTotal]]'s two-pass
+    * prefix-combine — no global window, no corpus-sized sort; only the
+    * two cutoff longs reach the driver. Bucket assignment is map-only
+    * against those two literals. The scored relation is evaluated
+    * twice (histogram pass + labeling pass) — at cluster scale persist
+    * the input or accept one extra LM-pipeline pass, the same recompute
+    * trade the sibling dedup gates make.
+    *
+    * Output: (idCol, s_micro, bucket) over docs with ≥ 1 bigram; bucket
+    * ∈ head | middle | tail.
+    */
+  def perplexityBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val scored = bigramLmScore(df, idCol, text)
+      .select(col(idCol), expr("(lm_sum * 1000000L) div n_bigrams").as("s_micro"))
+    val hist = scored.groupBy("s_micro").agg(count(lit(1)).as("hn"))
+    val (cum, n) = CorpusSelect.cumulativeWeightsWithTotal(
+      hist, "hn", Seq(col("s_micro")), "cw")
+    try {
+      if (n == 0L) {
+        scored.withColumn("bucket", lit("head")).limit(0)
+      } else {
+        val k1 = math.max(n / 3, 1L)
+        val k2 = math.max(2 * n / 3, 1L)
+        val cuts = cum.agg(
+          min(when(col("cw") >= k1, col("s_micro"))).as("c1"),
+          min(when(col("cw") >= k2, col("s_micro"))).as("c2")).head()
+        val (c1, c2) = (cuts.getLong(0), cuts.getLong(1))
+        scored.select(col(idCol), col("s_micro"),
+          when(col("s_micro") <= c1, "tail")
+            .when(col("s_micro") <= c2, "middle")
+            .otherwise("head").as("bucket"))
+      }
+    } finally cum.unpersist()
+  }
+
   /** Stupid Backoff trigram scoring (Brants et al. 2007, "Large Language
     * Models in Machine Translation") — the web-scale n-gram LM signal
     * next to [[bigramLmScore]]: `S(w3|w1 w2) = c(w1w2w3)/c(w1w2)` when
