@@ -760,7 +760,7 @@ object SparkEntry {
   // multimodal) over the documents and embeddings tables.
   // ---------------------------------------------------------------------
 
-  import graft.ops.{AsOfJoin, Bpe, Chunker, Classify, Dedup, Multimodal, Ranking, Similarity, SkewJoin, TextAnalysis, UnigramLm, WordPiece, ZOrder}
+  import graft.ops.{AsOfJoin, Bpe, Chunker, Classify, Dedup, Multimodal, Ranking, Resample, Similarity, SkewJoin, TextAnalysis, UnigramLm, WordPiece, ZOrder}
 
   /** Probe query for the BM25 gate — terms with spread document
     * frequencies in the synthetic corpus (shared with the oracle SQL).
@@ -2749,6 +2749,19 @@ object SparkEntry {
           payload = Seq("purchase_id", "purchase_value"),
           tolerance = 600000000L)
         .select("event_id", "user_id", "prev_purchase_id", "prev_purchase_value")
+    }),
+
+    "qj_resample_lerp" -> ((s, dir) => {
+      // fixed-grid resampling with linear interpolation: each user's
+      // value series evaluated on a 6-hour grid inside that user's own
+      // [min, max] span; cent-unit integer lerp (truncating division —
+      // identical on both engines) between the surrounding samples from
+      // one backward + one forward as-of pass — see Resample.lerpGrid
+      val e = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        expr("CAST(round(value*100) AS BIGINT)").as("v_cent"))
+      Resample.lerpGrid(e, "user_id", "t_us", "v_cent", 21600000000L)
+        .orderBy("user_id", "tick_us")
     }),
 
     "qj_interval" -> ((s, dir) => {
@@ -5684,6 +5697,30 @@ object SparkEntry {
           |  CASE WHEN e.us - p.us <= 600000000 THEN p.event_id END AS prev_purchase_id,
           |  CASE WHEN e.us - p.us <= 600000000 THEN p.value END AS prev_purchase_value
           |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.us > p.us""".stripMargin,
+
+      // grid ticks by integer ceil/floor alignment, surrounding samples
+      // via DuckDB's native ASOF (non-strict both directions), the same
+      // truncating-division lerp; ts-colliding samples collapse to min
+      "qj_resample_lerp" ->
+        """WITH s AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS t,
+          |    min(CAST(round(value*100) AS BIGINT)) AS v
+          |  FROM events GROUP BY 1, 2),
+          |ext AS (SELECT user_id,
+          |    ((min(t) + 21599999999) // 21600000000) * 21600000000 AS g0,
+          |    (max(t) // 21600000000) * 21600000000 AS g1
+          |  FROM s GROUP BY 1),
+          |grid AS MATERIALIZED (SELECT user_id,
+          |    unnest(range(g0, g1 + 1, 21600000000)) AS tick
+          |  FROM ext WHERE g0 <= g1),
+          |pj AS (SELECT g.user_id, g.tick, s.t AS pt, s.v AS pv
+          |  FROM grid g ASOF JOIN s ON g.user_id = s.user_id AND g.tick >= s.t),
+          |nj AS (SELECT g.user_id, g.tick, s.t AS nt, s.v AS nv
+          |  FROM grid g ASOF JOIN s ON g.user_id = s.user_id AND g.tick <= s.t)
+          |SELECT pj.user_id, pj.tick AS tick_us,
+          |  CASE WHEN nt = pt THEN pv
+          |       ELSE pv + ((nv - pv) * (pj.tick - pt)) // (nt - pt) END AS v_cent
+          |FROM pj JOIN nj ON pj.user_id = nj.user_id AND pj.tick = nj.tick
+          |ORDER BY 1, 2""".stripMargin,
 
       "qj_interval" ->
         """WITH pv AS (SELECT user_id, epoch_us(ts) AS ps,

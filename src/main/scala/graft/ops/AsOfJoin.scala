@@ -106,6 +106,57 @@ object AsOfJoin {
   }
 }
 
+/** Fixed-grid linear-interpolation resampling — the time-series shape the
+  * reference's bucketing approximates (SURVEY §2.6 keeps one sample per
+  * bucket; resampling EVALUATES the series on a regular grid): per key,
+  * ticks at every multiple of `periodUs` inside the key's own [min ts,
+  * max ts], value lerped between the surrounding samples.
+  *
+  * Exactness: time is epoch micros (long) and values are caller-scaled
+  * integers (cents/micro-units), so the interpolation is pure long
+  * arithmetic — `v0 + (v1-v0)·(g-t0) div (t1-t0)` with truncating
+  * division (Spark `div` and DuckDB `//` both truncate toward zero). A
+  * tick landing ON a sample returns that sample exactly.
+  *
+  * Scale shape: grid generation is one aggregation per key plus a
+  * `sequence` explode (grid-sized, ~span/period rows per key — the
+  * caller picks the period, so the explosion is bounded by contract);
+  * both surrounding samples come from [[AsOfJoin]]'s union+window fold —
+  * one shuffle per direction on the key, no row explosion, no
+  * corpus-sized collect anywhere.
+  */
+object Resample {
+
+  /** `samples(key, tsCol: long micros, valCol: long)` → one row per
+    * (key, grid tick): (key, tick_us, `valCol` lerped). Colliding
+    * samples at one (key, ts) collapse to their MIN value first so the
+    * interpolation input is deterministic.
+    */
+  def lerpGrid(samples: DataFrame, key: String, tsCol: String,
+      valCol: String, periodUs: Long): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val s = samples
+      .select(col(key), col(tsCol).as("_t"), col(valCol).as("_v"))
+      .groupBy(col(key), col("_t")).agg(min("_v").as("_v"))
+    val grid = s.groupBy(col(key))
+      .agg(min("_t").as("_mn"), max("_t").as("_mx"))
+      .select(col(key),
+        expr(s"((_mn + ${periodUs - 1}L) div ${periodUs}L) * ${periodUs}L").as("_g0"),
+        expr(s"(_mx div ${periodUs}L) * ${periodUs}L").as("_g1"))
+      .filter(col("_g0") <= col("_g1")) // a sub-period key has no ticks
+      .select(col(key),
+        explode(sequence(col("_g0"), col("_g1"), lit(periodUs))).as("_t"))
+    val both = AsOfJoin.forward(
+      AsOfJoin.backward(grid, s, key, "_t", Seq("_v", "_t"), strict = false),
+      s, key, "_t", Seq("_v", "_t"), strict = false)
+    both.select(col(key), col("_t").as("tick_us"),
+      when(col("next__t") === col("prev__t"), col("prev__v"))
+        .otherwise(expr(
+          "prev__v + ((next__v - prev__v) * (_t - prev__t)) div (next__t - prev__t)"))
+        .as(valCol))
+  }
+}
+
 /** Skew-mitigated equi-join: salt the (possibly skewed) left side into S
   * sub-keys and replicate the right side S times, so one hot key spreads
   * over S tasks instead of one straggler. Result is exactly the plain
