@@ -417,4 +417,39 @@ class PlanSpec extends AnyFunSuite {
       .collect().head.getSeq[Int](0)
     assert(ok.length == 2)
   }
+
+  test("softWeights: component sizing and corpus labeling are equi-joins " +
+      "only — no cartesian, no nested-loop") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    for (p <- Seq(plan(Dedup.softWeights(docs, "doc_id", pairs)),
+        aqeFinalPlan(Dedup.softWeights(docs, "doc_id", pairs)))) {
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"softWeights must stay equi-join shaped:\n$p")
+    }
+  }
+
+  test("perplexityBuckets: the labeled output plan has NO window and no " +
+      "join — cutoffs ride as literals after the prefix-combine") {
+    // the histogram cutoffs are computed eagerly (two-pass prefix fold,
+    // outside this plan); what ships per-row at 100 TB is the scoring
+    // pipeline plus a map-only CASE — a global `sum() OVER (ORDER BY)`
+    // reappearing here is exactly the scale regression this pins against
+    val p = plan(TextAnalysis.perplexityBuckets(docs, "doc_id", col("text")))
+    assert(!p.contains("Window"),
+      s"bucket labeling must not contain a window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"bucket labeling must not cross-join the cutoffs:\n$p")
+  }
+
+  test("resample lerp: both as-of passes are union+window folds — the " +
+      "whole plan contains no join operator at all") {
+    val samples = Seq((1L, 0L, 0L), (1L, 1000L, 10L), (2L, 0L, 5L),
+      (2L, 1000L, 7L)).toDF("k", "t", "v")
+    for (p <- Seq(plan(graft.ops.Resample.lerpGrid(samples, "k", "t", "v", 250L)),
+        aqeFinalPlan(graft.ops.Resample.lerpGrid(samples, "k", "t", "v", 250L)))) {
+      assert(!p.contains("Join"),
+        s"as-of resample must be join-free (union+window):\n$p")
+      assert(p.contains("Window"), s"expected the keyed as-of windows:\n$p")
+    }
+  }
 }
