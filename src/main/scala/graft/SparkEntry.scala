@@ -1822,6 +1822,13 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    "qt_tfidf" -> ((s, dir) =>
+      // per-doc top-3 TF-IDF keywords with the libm-free micro-unit IDF
+      // surrogate (N·10⁶ div df) — two hash aggs, a token-keyed join,
+      // and a per-document window; see TextAnalysis.tfidfTopK
+      TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"), col("score").desc, col("tok"))),
+
     "qt_ppl_buckets" -> ((s, dir) =>
       // CCNet-style perplexity terciles over the corpus-trained
       // bigram-LM score: head = most-probable third (lowest
@@ -4275,6 +4282,25 @@ object SparkEntry {
            |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(p) AS BIGINT) AS lm_sum,
            |  CAST(sum(p) AS DOUBLE) / count(*) AS lm_avg
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // tf per (doc, token), df over the distinct (doc, token) relation,
+      // micro-unit idf surrogate, per-doc row_number top-3 — the n CTE
+      // is one count row (never empty), so the cross join is safe
+      "qt_tfidf" ->
+        s"""WITH base AS (SELECT doc_id, $toks AS w FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |tk AS (SELECT doc_id, unnest(w) AS tok FROM base),
+           |tfc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           |  FROM tk GROUP BY 1, 2),
+           |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+           |  FROM tfc GROUP BY 1),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+           |sc AS (SELECT doc_id, tok, tf, tf * ((n * 1000000) // df) AS score
+           |  FROM tfc JOIN dfc USING (tok) CROSS JOIN nn),
+           |r AS (SELECT *, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM sc)
+           |SELECT doc_id, tok, tf, score FROM r WHERE rn <= 3
+           |ORDER BY doc_id, score DESC, tok""".stripMargin,
 
       // the qt_lm_score pipeline folded to a micro-unit average, then
       // tercile CUTOFFS from the score histogram's running count (the

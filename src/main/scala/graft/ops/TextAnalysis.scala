@@ -296,6 +296,42 @@ object TextAnalysis {
       .withColumn("lm_avg", col("lm_sum").cast("double") / col("n_bigrams"))
   }
 
+  /** Per-document TF-IDF keywords: the top-k tokens of each document
+    * ranked by `tf · idf`, with the IDF as the exact micro-unit
+    * surrogate `(N · 10⁶) div df` instead of `log(N/df)` — log is
+    * libm-dependent and banned by the portability doctrine; the
+    * surrogate is monotone in N/df, so within one document the relative
+    * keyword ordering agrees with classic IDF whenever df differs and
+    * every value is exactly replayable. Ties break by token (score
+    * desc, token asc), so the result is a deterministic relation.
+    *
+    * Scale shape: two hash aggregations (tf per (doc, token) — map-side
+    * combinable; df per token over the already-distinct tf relation), a
+    * token-keyed equi-join (AQE owns the stopword-head skew), and a
+    * PER-DOCUMENT row_number window — parallel across documents,
+    * bounded by each doc's own vocabulary, never global. The only
+    * driver value is the corpus document count (one long).
+    *
+    * Output: (idCol, tok, tf, score), k rows max per document.
+    */
+  def tfidfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, k: Int = 3, scale: Long = 1000000L)
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(length(trim(text)) > 0)
+      .select(col(idCol), tokens(text).as("_toks"))
+    val n = base.count()
+    val tf = base.select(col(idCol), explode(col("_toks")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("tok"))
+    tf.join(dfc, "tok")
+      .withColumn("score", col("tf") * expr(s"(${n}L * ${scale}L) div df"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col(idCol), col("tok"), col("tf"), col("score"))
+  }
+
   /** CCNet-style perplexity bucketing: score every document with the
     * corpus-trained [[bigramLmScore]], then split the corpus into
     * head / middle / tail TERCILES of the score distribution (CCNet
