@@ -3015,6 +3015,20 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "q19_sliding_window" -> ((s, dir) => {
+      // sliding (hopping) event-time windows: 2-hour windows every hour,
+      // so each event lands in exactly two — Spark's window(ts, dur,
+      // slide) generates them at the scan (a bounded 2× row expansion
+      // before the aggregation, no self-join); the oracle unnests the
+      // same two aligned starts per event
+      events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), centSum(col("value")).as("total"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("win_start_us", "event_type")
+    }),
+
     "q16_median" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val cents = round(col("o_totalprice") * 100).cast("long")
@@ -5877,7 +5891,20 @@ object SparkEntry {
         """SELECT l_returnflag, count(*) AS n,
           |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
           |  TRUE AS parts_ok, TRUE AS median_ok
-          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // every event belongs to the two 2h/1h hop windows whose starts
+      // are its hour floor and the hour before — unnest both, then the
+      // q11 cent-exact aggregation
+      "q19_sliding_window" ->
+        """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+          |w AS (SELECT unnest([
+          |    (us // 3600000000) * 3600000000,
+          |    (us // 3600000000) * 3600000000 - 3600000000]) AS win_start_us,
+          |  event_type, value FROM e)
+          |SELECT win_start_us, event_type, count(*) AS n,
+          |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS total
+          |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
   }
 }
