@@ -2927,6 +2927,31 @@ object SparkEntry {
       s.table("graft_qss_tbl").orderBy("user_id", "session_start_us")
     }),
 
+    "qc_stream_sliding" -> ((s, dir) => {
+      // the q19 hopping-window aggregation through Structured Streaming
+      // (parquet source → window(2h, 1h) agg, complete mode): overlapping
+      // window state under the same batch oracle — complete mode holds
+      // every window open, so the finite replay emits exactly the batch
+      // result
+      val in = stagedInput("qsw", dir) { p =>
+        events(s, dir).select(col("ts"), col("event_type"), col("value"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val stream = s.readStream.schema(s.read.parquet(in).schema)
+        .parquet(in)
+      val agg = stream
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), centSum(col("value")).as("total"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("total"))
+      val q = graft.streaming.CanStream.withStatePartitions(s, Some(8)) {
+        agg.writeStream.format("memory").queryName("graft_qsw_tbl")
+          .outputMode("complete").start()
+      }
+      q.processAllAvailable(); q.stop()
+      s.table("graft_qsw_tbl").orderBy("win_start_us", "event_type")
+    }),
+
     "qd_ngram_jaccard" -> ((s, dir) => {
       // character-trigram Jaccard near-dups within (lang, source) blocks;
       // guard: sequence(1, len-2) runs backwards for texts under 3 chars
@@ -3417,7 +3442,9 @@ object SparkEntry {
         ("qp_bloom_decontam" -> all2("qp_decontaminate")) +
         // a streamed-then-compacted index serves the same pruned reads as
         // the batch-written layout — shared oracle
-        ("qs_stream_index" -> all2("qs_quantized_pruned"))
+        ("qs_stream_index" -> all2("qs_quantized_pruned")) +
+        // complete-mode hop windows replay the batch sliding aggregation
+        ("qc_stream_sliding" -> all2("q19_sliding_window"))
   }
 
   /** DuckDB equivalents of the ops queries. Repetitive hash SQL is
