@@ -760,7 +760,7 @@ object SparkEntry {
   // multimodal) over the documents and embeddings tables.
   // ---------------------------------------------------------------------
 
-  import graft.ops.{AsOfJoin, Bpe, Chunker, Classify, Dedup, Multimodal, Ranking, Resample, Similarity, SkewJoin, TextAnalysis, UnigramLm, WordPiece, ZOrder}
+  import graft.ops.{AsOfJoin, Bpe, Chunker, Classify, Dedup, Multimodal, Ranking, Resample, RobustStats, Similarity, SkewJoin, TextAnalysis, UnigramLm, WordPiece, ZOrder}
 
   /** Probe query for the BM25 gate — terms with spread document
     * frequencies in the synthetic corpus (shared with the oracle SQL).
@@ -831,6 +831,19 @@ object SparkEntry {
       d.select(
         col("doc_id") +: comps.map { case (n, c) => c.as(n) } :+
           TextAnalysis.qualityScore(col("text")).as("quality"): _*)
+    }),
+
+    "qt_quality_outliers" -> ((s, dir) => {
+      // robust quality outliers: exact median/MAD over the micro-unit
+      // quality score (median via histogram + two-pass prefix-combine —
+      // no global sort; see RobustStats), flag = dev > 3·MAD. The
+      // robust center ignores the template-spam bursts that drag a mean
+      val scored = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")) * 1000000)
+            .cast("long").as("q_micro"))
+      RobustStats.madOutliers(scored, "doc_id", "q_micro").orderBy("doc_id")
     }),
 
     "qt_langid" -> ((s, dir) => {
@@ -3857,6 +3870,21 @@ object SparkEntry {
            |  CAST(${profCount(TextAnalysis.StopwordProfiles.head._2)} AS DOUBLE) / len($toks) AS stop_ratio,
            |  $qualitySql AS quality
            |FROM documents""".stripMargin,
+
+      // same quality formula in micro units; lower medians via
+      // quantile_disc(0.5) (= the (n+1)//2-th smallest, verified
+      // element-exact) — dv is MATERIALIZED (3 refs incl. the mad agg)
+      "qt_quality_outliers" ->
+        s"""WITH q AS MATERIALIZED (SELECT doc_id,
+           |    CAST(round(($qualitySql) * 1000000) AS BIGINT) AS q_micro
+           |  FROM documents WHERE length(text) > 0),
+           |med AS (SELECT quantile_disc(q_micro, 0.5) AS m FROM q),
+           |dv AS MATERIALIZED (SELECT doc_id, q_micro,
+           |    abs(q_micro - (SELECT m FROM med)) AS dev FROM q),
+           |mad AS (SELECT quantile_disc(dev, 0.5) AS d FROM dv)
+           |SELECT doc_id, q_micro, dev,
+           |  dev > 3 * (SELECT d FROM mad) AS is_outlier
+           |FROM dv ORDER BY doc_id""".stripMargin,
 
       "qt_langid" ->
         s"""WITH c AS (SELECT doc_id, lang, length(text) AS len,

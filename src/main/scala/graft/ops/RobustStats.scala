@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact order statistics at corpus scale — the robust-statistics layer
+  * under outlier-aware quality filtering. A 100 TB corpus can't sort
+  * globally for a median, and approximate percentiles aren't
+  * oracle-replayable; instead the k-th smallest of an integer column
+  * comes from its VALUE HISTOGRAM plus
+  * [[CorpusSelect.cumulativeWeightsWithTotal]]'s two-pass
+  * prefix-combine: one hash aggregation, a range-partitioned running
+  * count, and a filtered min — no global window, no single-task sort;
+  * only the chosen value (one long) reaches the driver.
+  */
+object RobustStats {
+
+  /** Exact k-th smallest (1-based; `kOf` sees the total count) of a
+    * LongType column. Throws on empty input or k outside [1, n].
+    */
+  def exactKth(df: DataFrame, valueCol: String, kOf: Long => Long): Long = {
+    val hist = df.groupBy(valueCol).agg(count(lit(1)).as("_hn"))
+    val (cum, n) = CorpusSelect.cumulativeWeightsWithTotal(
+      hist, "_hn", Seq(col(valueCol)), "_cw")
+    try {
+      require(n > 0, "exactKth of an empty input")
+      val k = kOf(n)
+      require(k >= 1 && k <= n, s"k=$k outside [1, $n]")
+      cum.filter(col("_cw") >= k).agg(min(col(valueCol))).head().getLong(0)
+    } finally cum.unpersist()
+  }
+
+  /** Lower median — the ⌈n/2⌉-th smallest (= DuckDB `quantile_disc(x,
+    * 0.5)`), chosen over the interpolated median so even-n results stay
+    * exact integers.
+    */
+  def lowerMedian(df: DataFrame, valueCol: String): Long =
+    exactKth(df, valueCol, n => (n + 1) / 2)
+
+  /** Median/MAD outlier report — the robust alternative to mean/stddev
+    * z-scores (one template-spam burst drags a mean; the median doesn't
+    * move): per row, `dev = |v − median|`, flagged iff
+    * `dev > nMads · MAD` where MAD is the lower median of the devs.
+    * All integer arithmetic — exactly replayable.
+    *
+    * Scale shape: two [[lowerMedian]] passes (each histogram-sized past
+    * the first aggregation) plus one map-only projection; the input
+    * projection is evaluated for each pass — persist upstream if the
+    * score derivation is expensive (the perplexityBuckets recompute
+    * trade).
+    *
+    * Output: (idCol, valueCol, dev, is_outlier).
+    */
+  def madOutliers(df: DataFrame, idCol: String, valueCol: String,
+      nMads: Long = 3L): DataFrame = {
+    require(nMads >= 0, s"nMads must be non-negative, got $nMads")
+    val med = lowerMedian(df, valueCol)
+    val dev = df.select(col(idCol), col(valueCol),
+      abs(col(valueCol) - med).as("dev"))
+    val mad = lowerMedian(dev, "dev")
+    dev.withColumn("is_outlier", col("dev") > nMads * mad)
+  }
+}

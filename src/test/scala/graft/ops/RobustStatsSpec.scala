@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Exact order statistics (`RobustStats`): lower-median semantics
+  * against sorted-seq references, k-th-smallest bounds, and the
+  * hand-computed median/MAD outlier report.
+  */
+class RobustStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def df(vs: Seq[Long]) =
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+
+  test("lowerMedian is the (n+1)/2-th smallest: odd, even, ties, single") {
+    for (vs <- Seq(Seq(3L, 1L, 2L), Seq(4L, 1L, 3L, 2L), Seq(5L),
+        Seq(2L, 1L, 2L, 1L, 3L), Seq(7L, 7L, 7L))) {
+      val expect = vs.sorted.apply((vs.size + 1) / 2 - 1)
+      assert(RobustStats.lowerMedian(df(vs), "v") == expect,
+        s"median of $vs")
+    }
+  }
+
+  test("exactKth: k=1 is the min, k=n the max; out-of-range and empty " +
+      "inputs throw") {
+    val d = df(Seq(30L, 10L, 20L))
+    assert(RobustStats.exactKth(d, "v", _ => 1L) == 10L)
+    assert(RobustStats.exactKth(d, "v", n => n) == 30L)
+    intercept[IllegalArgumentException] {
+      RobustStats.exactKth(d, "v", n => n + 1)
+    }
+    intercept[IllegalArgumentException] {
+      RobustStats.exactKth(df(Nil), "v", _ => 1L)
+    }
+  }
+
+  test("madOutliers: a zero MAD (majority identical) flags any nonzero " +
+      "deviation — the single spike is the only outlier") {
+    val got = RobustStats.madOutliers(
+        df(Seq(10L, 10L, 10L, 10L, 100L)), "id", "v")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toSeq
+    assert(got.filter(_._1 == 10L).forall(_._2 == ((0L, false))))
+    assert(got.find(_._1 == 100L).get._2 == ((90L, true)))
+  }
+
+  test("madOutliers with symmetric spread: dev ≤ 3·MAD is never flagged; " +
+      "negative values are fine") {
+    val got = RobustStats.madOutliers(df(Seq(-5L, 0L, 5L)), "id", "v")
+      .as[(Long, Long, Long, Boolean)].collect()
+    // median 0, devs {5,0,5}, MAD 5 -> threshold 15: nothing flagged
+    assert(got.forall(!_._4), s"got: ${got.toSeq}")
+  }
+}
