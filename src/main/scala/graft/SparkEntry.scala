@@ -846,6 +846,18 @@ object SparkEntry {
       RobustStats.madOutliers(scored, "doc_id", "q_micro").orderBy("doc_id")
     }),
 
+    "qt_group_median" -> ((s, dir) => {
+      // per-language EXACT median document length (tokens): the grouped
+      // histogram median — cumulative window partitioned per group, so
+      // it parallelizes across languages (see
+      // RobustStats.groupedLowerMedian); the robust per-group length
+      // profile a curation report publishes next to means
+      val d = t(s, dir, "documents").select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      RobustStats.groupedLowerMedian(d, Seq("lang"), "n_toks")
+        .orderBy("lang")
+    }),
+
     "qt_langid" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1834,6 +1846,13 @@ object SparkEntry {
       // exact-integer probabilities — see TextAnalysis.bigramLmScore)
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", col("text"))
         .orderBy("doc_id")),
+
+    "qt_collocations" -> ((s, dir) =>
+      // corpus top-20 collocations by exact micro-unit Dice coefficient
+      // (the no-log, no-overflow collocation measure) with a min-count
+      // floor — see TextAnalysis.collocationsTopK
+      TextAnalysis.collocationsTopK(t(s, dir, "documents"), col("text"))
+        .orderBy(col("dice_micro").desc, col("g"))),
 
     "qt_tfidf" -> ((s, dir) =>
       // per-doc top-3 TF-IDF keywords with the libm-free micro-unit IDF
@@ -3886,6 +3905,11 @@ object SparkEntry {
            |  dev > 3 * (SELECT d FROM mad) AS is_outlier
            |FROM dv ORDER BY doc_id""".stripMargin,
 
+      "qt_group_median" ->
+        s"""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           |  quantile_disc(CAST(len($toks) AS BIGINT), 0.5) AS median
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
       "qt_langid" ->
         s"""WITH c AS (SELECT doc_id, lang, length(text) AS len,
            |    len(regexp_extract_all(text, '[一-鿿]')) AS cjk, $profCols
@@ -4351,6 +4375,23 @@ object SparkEntry {
            |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(p) AS BIGINT) AS lm_sum,
            |  CAST(sum(p) AS DOUBLE) / count(*) AS lm_avg
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // unigram + floor-filtered bigram counts, dice in micro units,
+      // deterministic top-20 by (dice desc, bigram)
+      "qt_collocations" ->
+        s"""WITH base AS (SELECT $toks AS w FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |uni AS (SELECT unnest(w) AS t FROM base),
+           |c1t AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+           |bg AS (SELECT unnest(list_transform(range(len(w)-1),
+           |    i -> w[i+1]||' '||w[i+2])) AS g FROM base WHERE len(w) >= 2),
+           |cb AS (SELECT g, CAST(count(*) AS BIGINT) AS c12 FROM bg
+           |  GROUP BY 1 HAVING count(*) >= 5)
+           |SELECT cb.g, c12, a.c AS c1, b.c AS c2,
+           |  (2 * c12 * 1000000) // (a.c + b.c) AS dice_micro
+           |FROM cb JOIN c1t a ON split_part(cb.g, ' ', 1) = a.t
+           |JOIN c1t b ON split_part(cb.g, ' ', 2) = b.t
+           |ORDER BY dice_micro DESC, g LIMIT 20""".stripMargin,
 
       // tf per (doc, token), df over the distinct (doc, token) relation,
       // micro-unit idf surrogate, per-doc row_number top-3 — the n CTE

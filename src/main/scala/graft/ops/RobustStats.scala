@@ -37,6 +37,32 @@ object RobustStats {
   def lowerMedian(df: DataFrame, valueCol: String): Long =
     exactKth(df, valueCol, n => (n + 1) / 2)
 
+  /** Per-GROUP lower median — the grouped counterpart of
+    * [[lowerMedian]]. Here the cumulative count is a window PARTITIONED
+    * BY the group over the group's own value histogram, so it
+    * parallelizes across groups and each partition holds one group's
+    * distinct values (bounded by that group's value spread, never the
+    * corpus) — the qt_packing per-group-window reasoning, not a global
+    * running sum.
+    *
+    * Output: (groupCols…, n, median).
+    */
+  def groupedLowerMedian(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val hist = df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("_hn"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cw", sum("_hn").over(w))
+    val tot = hist.groupBy(groupCols.map(col): _*).agg(sum("_hn").as("n"))
+    cum.join(tot, groupCols)
+      .filter(col("_cw") >= expr("(n + 1) div 2"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(first(col("n")).as("n"), min(col(valueCol)).as("median"))
+  }
+
   /** Median/MAD outlier report — the robust alternative to mean/stddev
     * z-scores (one template-spam burst drags a mean; the median doesn't
     * move): per row, `dev = |v − median|`, flagged iff

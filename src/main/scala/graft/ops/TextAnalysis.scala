@@ -296,6 +296,43 @@ object TextAnalysis {
       .withColumn("lm_avg", col("lm_sum").cast("double") / col("n_bigrams"))
   }
 
+  /** Corpus collocations by the DICE COEFFICIENT —
+    * `2·c(w1w2) / (c(w1)+c(w2))` in exact micro units: Dice is the
+    * standard collocation measure that needs NO logarithm (unlike PMI,
+    * whose log — and whose N² numerator, which overflows 64-bit at
+    * corpus scale — both violate the portability doctrine), is bounded
+    * in [0, 1], and its integral surrogate `(2·c12·10⁶) div (c1+c2)`
+    * can never overflow. A minimum pair count keeps hapax noise out.
+    *
+    * Scale shape: two hash aggregations (unigram + bigram counts,
+    * map-side combinable), the count floor applied BEFORE the joins
+    * (the surviving bigram table is floor-bounded), two token-keyed
+    * equi-joins, and a global top-k = TakeOrdered (k-bounded, not a
+    * sort). Ties break by the bigram string.
+    *
+    * Output: (g, c12, c1, c2, dice_micro), k rows max.
+    */
+  def collocationsTopK(df: org.apache.spark.sql.DataFrame, text: Column,
+      k: Int = 20, minCount: Long = 5L, scale: Long = 1000000L)
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.filter(length(trim(text)) > 0).select(tokens(text).as("_toks"))
+    val uni = base.select(explode(col("_toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bg = base.filter(size(col("_toks")) >= 2)
+      .select(explode(Dedup.shinglesOfTokens(col("_toks"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    bg.join(uni.select(col("w").as("_w1"), col("c").as("c1")),
+        substring_index(col("g"), " ", 1) === col("_w1"))
+      .join(uni.select(col("w").as("_w2"), col("c").as("c2")),
+        substring_index(col("g"), " ", -1) === col("_w2"))
+      .select(col("g"), col("c12"), col("c1"), col("c2"),
+        expr(s"(2 * c12 * ${scale}L) div (c1 + c2)").as("dice_micro"))
+      .orderBy(col("dice_micro").desc, col("g"))
+      .limit(k)
+  }
+
   /** Per-document TF-IDF keywords: the top-k tokens of each document
     * ranked by `tf · idf`, with the IDF as the exact micro-unit
     * surrogate `(N · 10⁶) div df` instead of `log(N/df)` — log is

@@ -53,4 +53,22 @@ class RobustStatsSpec extends AnyFunSuite {
     // median 0, devs {5,0,5}, MAD 5 -> threshold 15: nothing flagged
     assert(got.forall(!_._4), s"got: ${got.toSeq}")
   }
+
+  test("groupedLowerMedian matches the per-group sorted reference " +
+      "(odd/even/tied groups, one pass)") {
+    val rows = Seq(
+      ("a", 3L), ("a", 1L), ("a", 2L),             // odd -> 2
+      ("b", 4L), ("b", 1L), ("b", 3L), ("b", 2L),  // even -> lower = 2
+      ("c", 7L), ("c", 7L), ("c", 9L),             // ties -> 7
+      ("d", 5L))                                   // single -> 5
+    val got = RobustStats.groupedLowerMedian(
+        rows.toDF("g", "v"), Seq("g"), "v")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val ref = rows.groupBy(_._1).map { case (g, vs) =>
+      val s = vs.map(_._2).sorted
+      g -> ((s.size.toLong, s((s.size + 1) / 2 - 1)))
+    }
+    assert(got == ref)
+  }
 }
