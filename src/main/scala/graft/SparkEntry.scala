@@ -858,6 +858,18 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "qt_length_profile" -> ((s, dir) => {
+      // per-language exact decile profile (p10/p50/p90 token lengths)
+      // in ONE histogram pass — the three quantiles are conditional
+      // mins over a shared per-group cumulative, not three sorts; the
+      // length-distribution summary a dataset card publishes
+      val d = t(s, dir, "documents").select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      RobustStats.groupedQuantilesDisc(d, Seq("lang"), "n_toks",
+          Seq(("p10", 1L, 10L), ("p50", 1L, 2L), ("p90", 9L, 10L)))
+        .orderBy("lang")
+    }),
+
     "qt_langid" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -3908,6 +3920,13 @@ object SparkEntry {
       "qt_group_median" ->
         s"""SELECT lang, CAST(count(*) AS BIGINT) AS n,
            |  quantile_disc(CAST(len($toks) AS BIGINT), 0.5) AS median
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "qt_length_profile" ->
+        s"""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           |  quantile_disc(CAST(len($toks) AS BIGINT), 0.1) AS p10,
+           |  quantile_disc(CAST(len($toks) AS BIGINT), 0.5) AS p50,
+           |  quantile_disc(CAST(len($toks) AS BIGINT), 0.9) AS p90
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "qt_langid" ->

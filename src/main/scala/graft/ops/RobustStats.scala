@@ -37,31 +37,51 @@ object RobustStats {
   def lowerMedian(df: DataFrame, valueCol: String): Long =
     exactKth(df, valueCol, n => (n + 1) / 2)
 
-  /** Per-GROUP lower median — the grouped counterpart of
-    * [[lowerMedian]]. Here the cumulative count is a window PARTITIONED
-    * BY the group over the group's own value histogram, so it
-    * parallelizes across groups and each partition holds one group's
-    * distinct values (bounded by that group's value spread, never the
-    * corpus) — the qt_packing per-group-window reasoning, not a global
-    * running sum.
+  /** Per-GROUP discrete quantiles in ONE pass: each requested quantile
+    * `(name, qn, qd)` emits the k-th smallest of the group with
+    * `k = ⌈n·qn/qd⌉ = (n·qn + qd − 1) div qd` — element-exact DuckDB
+    * `quantile_disc(x, qn/qd)` semantics, verified over n = 1..200, so
+    * the rational index arithmetic never touches a float. The
+    * cumulative count is a window PARTITIONED BY the group over the
+    * group's own value histogram, so it parallelizes across groups and
+    * each partition holds one group's distinct values (bounded by that
+    * group's value spread, never the corpus) — the qt_packing
+    * per-group-window reasoning, not a global running sum; all
+    * quantiles share the single histogram/cumulative pass as
+    * conditional mins in one aggregation.
     *
-    * Output: (groupCols…, n, median).
+    * Output: (groupCols…, n, name₁, name₂, …).
     */
-  def groupedLowerMedian(df: DataFrame, groupCols: Seq[String],
-      valueCol: String): DataFrame = {
+  def groupedQuantilesDisc(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, quantiles: Seq[(String, Long, Long)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(quantiles.nonEmpty, "quantiles must be non-empty")
+    quantiles.foreach { case (nm, qn, qd) =>
+      require(qd > 0 && qn > 0 && qn <= qd,
+        s"quantile $nm = $qn/$qd outside (0, 1]")
+    }
     val hist = df.groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("_hn"))
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("_cw", sum("_hn").over(w))
     val tot = hist.groupBy(groupCols.map(col): _*).agg(sum("_hn").as("n"))
+    val qCols = quantiles.map { case (nm, qn, qd) =>
+      min(when(col("_cw") >= expr(s"(n * $qn + ${qd - 1}) div $qd"),
+        col(valueCol))).as(nm)
+    }
     cum.join(tot, groupCols)
-      .filter(col("_cw") >= expr("(n + 1) div 2"))
       .groupBy(groupCols.map(col): _*)
-      .agg(first(col("n")).as("n"), min(col(valueCol)).as("median"))
+      .agg(first(col("n")).as("n"), qCols: _*)
   }
+
+  /** Per-GROUP lower median — [[groupedQuantilesDisc]] at 1/2.
+    * Output: (groupCols…, n, median).
+    */
+  def groupedLowerMedian(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    groupedQuantilesDisc(df, groupCols, valueCol, Seq(("median", 1L, 2L)))
 
   /** Median/MAD outlier report — the robust alternative to mean/stddev
     * z-scores (one template-spam burst drags a mean; the median doesn't

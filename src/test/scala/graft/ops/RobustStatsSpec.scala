@@ -71,4 +71,22 @@ class RobustStatsSpec extends AnyFunSuite {
     }
     assert(got == ref)
   }
+
+  test("groupedQuantilesDisc: p10/p50/p90 in one pass match the " +
+      "k = ceil(n*q) sorted reference for every group size 1..25") {
+    val rows = (1 to 25).flatMap(n =>
+      (1 to n).map(v => (s"g$n", (v * 7 % n + 1).toLong)))
+    val got = RobustStats.groupedQuantilesDisc(rows.toDF("g", "v"),
+        Seq("g"), "v",
+        Seq(("p10", 1L, 10L), ("p50", 1L, 2L), ("p90", 9L, 10L)))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val ref = rows.groupBy(_._1).map { case (g, vs) =>
+      val s = vs.map(_._2).sorted
+      val n = s.size.toLong
+      def k(qn: Long, qd: Long) = s(((n * qn + qd - 1) / qd - 1).toInt)
+      g -> ((n, k(1, 10), k(1, 2), k(9, 10)))
+    }
+    assert(got == ref)
+  }
 }
