@@ -1859,6 +1859,14 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    "qt_vocab_growth" -> ((s, dir) =>
+      // Heaps-law audit: new TRIGRAM types per corpus decile (first
+      // occurrence = min doc_id, one hash agg) + cumulative — the
+      // saturation curve of the crawl; see TextAnalysis.vocabGrowth
+      TextAnalysis.vocabGrowth(t(s, dir, "documents"), "doc_id",
+          col("text"))
+        .orderBy("decile")),
+
     "qt_collocations" -> ((s, dir) =>
       // corpus top-20 collocations by exact micro-unit Dice coefficient
       // (the no-log, no-overflow collocation measure) with a min-count
@@ -4394,6 +4402,23 @@ object SparkEntry {
            |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(p) AS BIGINT) AS lm_sum,
            |  CAST(sum(p) AS DOUBLE) / count(*) AS lm_avg
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // first occurrence per type, integer decile of the id range, and
+      // a cumulative over the 10-row histogram (BIGINT-cast window sum
+      // per the portability doctrine)
+      "qt_vocab_growth" ->
+        s"""WITH base AS (SELECT doc_id, $toks AS w FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |fd AS (SELECT t, min(doc_id) AS fdoc
+           |  FROM (SELECT doc_id, unnest(list_transform(range(len(w)-2),
+           |      i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS t
+           |    FROM base WHERE len(w) >= 3) GROUP BY 1),
+           |bk AS (SELECT (fdoc * 10) // ((SELECT max(doc_id) FROM base) + 1)
+           |    AS decile, CAST(count(*) AS BIGINT) AS new_types
+           |  FROM fd GROUP BY 1)
+           |SELECT decile, new_types,
+           |  CAST(sum(new_types) OVER (ORDER BY decile) AS BIGINT) AS cum_types
+           |FROM bk ORDER BY decile""".stripMargin,
 
       // unigram + floor-filtered bigram counts, dice in micro units,
       // deterministic top-20 by (dice desc, bigram)

@@ -296,6 +296,46 @@ object TextAnalysis {
       .withColumn("lm_avg", col("lm_sum").cast("double") / col("n_bigrams"))
   }
 
+  /** N-gram type growth curve — the Heaps-law audit a corpus report
+    * publishes: how many NEW n-gram types each successive tenth of the
+    * corpus (by the id order) introduces, and the cumulative type count.
+    * A flattening curve says the crawl is saturating; a linear one says
+    * dedup/filtering is leaking novelty (or boilerplate) in. Trigram
+    * types by default — the same unit the dedup shingles use, and the
+    * granularity where synthetic/templated corpora still show a real
+    * curve (unigram vocabularies saturate in the first percentile).
+    *
+    * Exact and order-free: a type's first occurrence is `min(id)` (one
+    * hash aggregation — no prefix scan), its decile is the integer
+    * `(fdoc · buckets) div (maxId + 1)`, and the cumulative sum runs
+    * over the BUCKETS-row histogram — a window over a `buckets`-sized
+    * relation (a literal constant, default 10), not over the corpus.
+    * Deciles that introduce no new types are absent (the cumulative
+    * jumps), identically on both engines.
+    *
+    * Output: (decile, new_types, cum_types).
+    */
+  def vocabGrowth(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, nGram: Int = 3, buckets: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(nGram > 0, s"nGram must be positive, got $nGram")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(length(trim(text)) > 0)
+      .select(col(idCol), tokens(text).as("_toks"))
+    val mx = base.agg(max(col(idCol))).head()
+    val m = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+    val bk = base.filter(size(col("_toks")) >= nGram)
+      .select(col(idCol),
+        explode(Dedup.shinglesOfTokens(col("_toks"), nGram)).as("t"))
+      .groupBy("t").agg(min(col(idCol)).as("fdoc"))
+      .select(expr(s"(fdoc * $buckets) div (${m}L + 1)").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bk.withColumn("cum_types", sum("new_types").over(w))
+  }
+
   /** Corpus collocations by the DICE COEFFICIENT —
     * `2·c(w1w2) / (c(w1)+c(w2))` in exact micro units: Dice is the
     * standard collocation measure that needs NO logarithm (unlike PMI,
