@@ -858,6 +858,17 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "qt_group_outliers" -> ((s, dir) => {
+      // per-language robust length outliers: median/MAD within each
+      // language's own distribution, fully relational (both medians
+      // join back — nothing reaches the driver even with millions of
+      // groups); see RobustStats.groupedMadOutliers
+      val d = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      RobustStats.groupedMadOutliers(d, Seq("lang"), "doc_id", "n_toks")
+        .orderBy("lang", "doc_id")
+    }),
+
     "qt_length_profile" -> ((s, dir) => {
       // per-language exact decile profile (p10/p50/p90 token lengths)
       // in ONE histogram pass — the three quantiles are conditional
@@ -3929,6 +3940,24 @@ object SparkEntry {
         s"""SELECT lang, CAST(count(*) AS BIGINT) AS n,
            |  quantile_disc(CAST(len($toks) AS BIGINT), 0.5) AS median
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // per-group quantile_disc medians for value and deviation, joined
+      // back — dv MATERIALIZED (feeds the mad agg and the output)
+      "qt_group_outliers" ->
+        s"""WITH q AS MATERIALIZED (SELECT lang, doc_id,
+           |    CAST(len($toks) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |med AS (SELECT lang, quantile_disc(n_toks, 0.5) AS m
+           |  FROM q GROUP BY 1),
+           |dv AS MATERIALIZED (SELECT q.lang, q.doc_id, q.n_toks,
+           |    abs(q.n_toks - med.m) AS dev
+           |  FROM q JOIN med USING (lang)),
+           |mad AS (SELECT lang, quantile_disc(dev, 0.5) AS d
+           |  FROM dv GROUP BY 1)
+           |SELECT dv.lang, dv.doc_id, dv.n_toks, dv.dev,
+           |  dv.dev > 3 * mad.d AS is_outlier
+           |FROM dv JOIN mad USING (lang)
+           |ORDER BY dv.lang, dv.doc_id""".stripMargin,
 
       "qt_length_profile" ->
         s"""SELECT lang, CAST(count(*) AS BIGINT) AS n,

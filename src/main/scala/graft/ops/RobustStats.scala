@@ -83,6 +83,31 @@ object RobustStats {
       valueCol: String): DataFrame =
     groupedQuantilesDisc(df, groupCols, valueCol, Seq(("median", 1L, 2L)))
 
+  /** Per-GROUP median/MAD outlier report — [[madOutliers]] with both
+    * medians computed per group via [[groupedLowerMedian]] and joined
+    * back, so NOTHING reaches the driver (the scalar form collects its
+    * two cutoff longs; here they stay relational — the right shape when
+    * the group count itself is large). Flags `dev > nMads · MAD` within
+    * each group's own distribution: a 40-token median Chinese slice and
+    * a 400-token English slice each keep their own center.
+    *
+    * Output: (groupCols…, idCol, valueCol, dev, is_outlier).
+    */
+  def groupedMadOutliers(df: DataFrame, groupCols: Seq[String],
+      idCol: String, valueCol: String, nMads: Long = 3L): DataFrame = {
+    require(nMads >= 0, s"nMads must be non-negative, got $nMads")
+    val med = groupedLowerMedian(df, groupCols, valueCol)
+      .select((groupCols.map(col) :+ col("median").as("_med")): _*)
+    val dev = df.join(med, groupCols)
+      .select(groupCols.map(col) ++ Seq(col(idCol), col(valueCol),
+        abs(col(valueCol) - col("_med")).as("dev")): _*)
+    val mad = groupedLowerMedian(dev, groupCols, "dev")
+      .select((groupCols.map(col) :+ col("median").as("_mad")): _*)
+    dev.join(mad, groupCols)
+      .select(groupCols.map(col) ++ Seq(col(idCol), col(valueCol),
+        col("dev"), (col("dev") > col("_mad") * nMads).as("is_outlier")): _*)
+  }
+
   /** Median/MAD outlier report — the robust alternative to mean/stddev
     * z-scores (one template-spam burst drags a mean; the median doesn't
     * move): per row, `dev = |v − median|`, flagged iff

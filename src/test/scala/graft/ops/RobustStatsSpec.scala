@@ -72,6 +72,22 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("groupedMadOutliers: each group keeps its own center — the value " +
+      "that is an outlier in one group is typical in the other") {
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L), ("a", 4L, 11L),
+      ("a", 5L, 100L),  // spike within a's tight distribution
+      ("b", 6L, 100L), ("b", 7L, 100L), ("b", 8L, 110L)) // 100 is typical
+    val got = RobustStats.groupedMadOutliers(
+        rows.toDF("g", "id", "v"), Seq("g"), "id", "v")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> r._5).toMap
+    // a: med 10, devs {0,0,0,1,90}, MAD 0 -> ids 4 (dev 1) and 5 flagged
+    assert(got(5L) && got(4L) && !got(1L) && !got(2L) && !got(3L))
+    // b: med 100, devs {0,0,10}, MAD 0 -> only 8 flagged
+    assert(got(8L) && !got(6L) && !got(7L))
+  }
+
   test("groupedQuantilesDisc: p10/p50/p90 in one pass match the " +
       "k = ceil(n*q) sorted reference for every group size 1..25") {
     val rows = (1 to 25).flatMap(n =>
