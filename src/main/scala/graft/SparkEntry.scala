@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.can._
 import graft.dbc._
+import graft.ops.{Sketches, Timeseries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -980,6 +981,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "qd_prefix_join" -> ((s, dir) =>
+      // EXACT similarity join by prefix filtering (AllPairs/PPJoin
+      // lite): rarity-ordered per-doc token prefixes bound the
+      // candidate pairs with NO hashing and NO false negatives — the
+      // provably-complete counterpart of the minhash pipeline; length
+      // filter + rational-integer thresholds, word-set Jaccard ≥ 3/5 —
+      // see Dedup.prefixFilterNearDups
+      Dedup.prefixFilterNearDups(t(s, dir, "documents"), "doc_id",
+          col("text"))
+        .orderBy("doc_a", "doc_b")),
+
     "qd_jaccard_est" -> ((s, dir) =>
       // estimator audit: per verified pair, the map-only signature
       // estimate next to the true shingle jaccard — the at-scale
@@ -1901,6 +1913,25 @@ object SparkEntry {
       TextAnalysis.perplexityBuckets(t(s, dir, "documents"), "doc_id",
           col("text"))
         .orderBy("doc_id")),
+
+    "qt_cms_heavy" -> ((s, dir) =>
+      // Count-Min sketch frequency audit (Cormode–Muthukrishnan): 4×512
+      // deterministic md5 registers, min-of-rows estimate NEXT TO the
+      // exact count for the top-50 tokens by estimate — one-sided-error
+      // audit (overcount = est − n ≥ 0 is the collision noise). The
+      // register table is depth·width rows at ANY corpus size and rides
+      // a broadcast join — see Sketches.cmsAudit
+      Sketches.cmsAudit(t(s, dir, "documents"), col("text"))),
+
+    "qt_kmv_distinct" -> ((s, dir) =>
+      // K-minimum-values distinct sketch per language (Bar-Yossef et
+      // al.): k=64 smallest md5 hashes via the bounded top-n aggregator
+      // (shuffle = k·groups·tasks, skew-proof), estimate
+      // (k−1)·2⁶⁰/h₍ₖ₎ in IEEE-exact arithmetic, audited against the
+      // exact distinct count with a 3·RSD acceptance boolean — the
+      // mergeable distinct sketch for shard-then-combine counting; see
+      // Sketches.kmvDistinct
+      Sketches.kmvDistinct(t(s, dir, "documents"), "lang", col("text"))),
 
     "qt_blocklist" -> ((s, dir) =>
       // C4-style word-blocklist filter (the "bad words" list applied
@@ -2834,6 +2865,33 @@ object SparkEntry {
         .orderBy("user_id", "tick_us")
     }),
 
+    "qj_lag_xcov" -> ((s, dir) => {
+      // cross-signal lag alignment ("does purchase volume track click
+      // volume, shifted by how much?"): both series bucketed to a
+      // 1-minute grid in exact cent units, then the co-moment
+      // Σ a(t)·b(t+k) and overlap count per lag k ∈ [0,5] — bigint
+      // product-sums are order-independent, so the answer is
+      // partition-invariant; see Timeseries.lagCoMoment
+      val ev = events(s, dir)
+      def series(tpe: String) = ev.filter(col("event_type") === tpe)
+        // `div`, not `/`: Column `/` is double division and would put
+        // the grid on fractional buckets the lag shift can never hit
+        .groupBy(expr("unix_micros(ts) div 60000000").as("bucket"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      Timeseries.lagCoMoment(series("click"), series("purchase"),
+        maxLag = 5)
+    }),
+
+    "qc_state_duty" -> ((s, dir) =>
+      // time-in-state / duty cycle over a thresholded per-user signal
+      // (the CAN dwell-time staple: how long in each state, how many
+      // entries): interval [ts, next ts) charged to the sample's state,
+      // windows partitioned by the series key — see Timeseries.dutyCycle
+      Timeseries.dutyCycle(events(s, dir), "user_id",
+        unix_micros(col("ts")),
+        when(col("value") >= 100.0, "high").otherwise("low"),
+        "event_id")),
+
     "qj_interval" -> ((s, dir) => {
       // interval-overlap join with bucket-OWNERSHIP dedup (each pair
       // belongs to the bucket holding its overlap start — no DISTINCT
@@ -3115,6 +3173,35 @@ object SparkEntry {
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("event_type"), col("n"), col("total"))
         .orderBy("win_start_us", "event_type")
+    }),
+
+    "q20_funnel" -> ((s, dir) => {
+      // ordered conversion funnel (the ClickHouse-windowFunnel shape):
+      // view → click → purchase with STRICTLY increasing timestamps per
+      // user. Each stage is one hash aggregation plus an equi-join on
+      // user_id against the previous stage's first-completion time — no
+      // windows, no per-user sort, no session collect: three shuffles
+      // on the funnel key at any scale. Output: per-stage converted
+      // users and the total latency from first view (exact micros).
+      val ev = events(s, dir).select("user_id", "event_type", "ts")
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(unix_micros(col("ts")) > col("t1"))
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("t2"), min("t1").as("t1"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(unix_micros(col("ts")) > col("t2"))
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("t3"), min("t1").as("t1"))
+      s1.select(lit("1_view").as("stage"), lit(0L).as("lat_us"))
+        .unionByName(s2.select(lit("2_click").as("stage"),
+          (col("t2") - col("t1")).as("lat_us")))
+        .unionByName(s3.select(lit("3_purchase").as("stage"),
+          (col("t3") - col("t1")).as("lat_us")))
+        .groupBy("stage").agg(count(lit(1)).as("users"),
+          sum("lat_us").as("sum_latency_us"))
+        .orderBy("stage")
     }),
 
     "q16_median" -> ((s, dir) => {
@@ -4520,6 +4607,55 @@ object SparkEntry {
            |       WHEN sc.s_micro <= cut.c2 THEN 'middle' ELSE 'head' END AS bucket
            |FROM sc, cut ORDER BY sc.doc_id""".stripMargin,
 
+      // Count-Min replay: the register table is the same two
+      // aggregations (token counts, then per-(row,slot) sums); the
+      // estimate re-joins each token's 4 slots and takes the min
+      "qt_cms_heavy" ->
+        s"""WITH tk AS (SELECT unnest($toks) AS tok FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tk
+           |  WHERE tok <> '' GROUP BY tok),
+           |sl AS (SELECT c.tok, c.n, r.i,
+           |    ${h("'cms' || CAST(r.i AS VARCHAR) || ':' || c.tok")} % 512 AS slot
+           |  FROM cnt c CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) r),
+           |reg AS (SELECT i, slot, SUM(n) AS reg FROM sl GROUP BY i, slot),
+           |est AS (SELECT s.tok, MIN(s.n) AS n, MIN(r.reg) AS est
+           |  FROM sl s JOIN reg r ON s.i = r.i AND s.slot = r.slot
+           |  GROUP BY s.tok)
+           |SELECT tok, n, CAST(est AS BIGINT) AS est,
+           |  CAST(est - n AS BIGINT) AS overcount
+           |FROM est ORDER BY est DESC, tok LIMIT 50""".stripMargin,
+
+      // KMV replay: the k smallest distinct hashes per lang via
+      // row_number (hashes are distinct within a lang, so the cut is
+      // total); the estimate divides the same exactly-representable
+      // doubles the Scala side does
+      "qt_kmv_distinct" ->
+        s"""WITH tk AS (SELECT lang, unnest($toks) AS tok FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |dh AS (SELECT DISTINCT lang, ${h("tok")} AS h FROM tk
+           |  WHERE tok <> ''),
+           |ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS exact_distinct
+           |  FROM dh GROUP BY lang),
+           |rk AS (SELECT lang, h,
+           |    row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+           |  FROM dh),
+           |km AS (SELECT lang, max(h) AS kth,
+           |    CAST(count(*) AS BIGINT) AS n_in
+           |  FROM rk WHERE r <= 64 GROUP BY lang),
+           |sk AS (SELECT e.lang, e.exact_distinct,
+           |    CASE WHEN km.n_in < 64 THEN CAST(-1 AS BIGINT)
+           |         ELSE km.kth END AS kth_hash,
+           |    CASE WHEN km.n_in < 64 THEN CAST(e.exact_distinct AS DOUBLE)
+           |         ELSE (63.0 * 1152921504606846976.0) /
+           |              CAST(km.kth AS DOUBLE) END AS est
+           |  FROM ex e JOIN km USING (lang))
+           |SELECT lang, exact_distinct, kth_hash, est,
+           |  abs(est - CAST(exact_distinct AS DOUBLE)) <=
+           |    (3.0 / sqrt(62.0)) * CAST(exact_distinct AS DOUBLE)
+           |    AS within_3rsd
+           |FROM sk ORDER BY lang""".stripMargin,
+
       "qt_blocklist" -> {
         val lst = graft.ops.TextAnalysis.Blocklist
           .map(t => s"'$t'").mkString("[", ", ", "]")
@@ -4729,6 +4865,39 @@ object SparkEntry {
            |  CAST(coalesce(dup, 0) AS BIGINT) AS dup_tokens,
            |  CAST(len(w) AS BIGINT) AS n_tokens
            |FROM tk t LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      // prefix-filter replay: same rarity order (df ASC, tok ASC), same
+      // rational-integer prefix/length/acceptance thresholds; tk and
+      // pref are multi-referenced → MATERIALIZED
+      "qd_prefix_join" ->
+        s"""WITH tk AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM (
+           |    SELECT doc_id, unnest($toks) AS tok FROM documents
+           |    WHERE length(trim(text)) > 0) WHERE tok <> ''),
+           |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk
+           |  GROUP BY doc_id),
+           |dfreq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+           |rk AS (SELECT tk.doc_id, tk.tok, sz.n,
+           |    row_number() OVER (PARTITION BY tk.doc_id
+           |      ORDER BY d.df, tk.tok) AS r
+           |  FROM tk JOIN dfreq d USING (tok) JOIN sz USING (doc_id)),
+           |pref AS MATERIALIZED (SELECT doc_id, tok, n FROM rk
+           |  WHERE r <= n - ((3*n + 4) // 5) + 1),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.n AS na, b.n AS nb
+           |  FROM pref a JOIN pref b ON a.tok = b.tok
+           |    AND a.doc_id < b.doc_id
+           |  WHERE 3 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
+           |ver AS (SELECT c.doc_a, c.doc_b, c.na, c.nb,
+           |    CAST(count(*) AS BIGINT) AS common
+           |  FROM cand c
+           |  JOIN tk ta ON ta.doc_id = c.doc_a
+           |  JOIN tk tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT doc_a, doc_b,
+           |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE)
+           |    AS jaccard
+           |FROM ver WHERE 5 * common >= 3 * (na + nb - common)
+           |ORDER BY doc_a, doc_b""".stripMargin,
 
       "qd_jaccard_est" -> (minhashPairsCtes +
         s"""
@@ -5931,6 +6100,40 @@ object SparkEntry {
           |FROM pj JOIN nj ON pj.user_id = nj.user_id AND pj.tick = nj.tick
           |ORDER BY 1, 2""".stripMargin,
 
+      "qj_lag_xcov" ->
+        """WITH c AS MATERIALIZED (
+          |  SELECT epoch_us(ts) // 60000000 AS bucket,
+          |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+          |  FROM events WHERE event_type = 'click' GROUP BY 1),
+          |p AS (
+          |  SELECT epoch_us(ts) // 60000000 AS bucket,
+          |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          |j AS (SELECT l.lag_k, c.v AS va, p.v AS vb
+          |  FROM c CROSS JOIN (SELECT unnest([0,1,2,3,4,5]) AS lag_k) l
+          |  JOIN p ON p.bucket = c.bucket + l.lag_k)
+          |SELECT lag_k, CAST(sum(va * vb) AS BIGINT) AS co_moment,
+          |  CAST(count(*) AS BIGINT) AS n_overlap
+          |FROM j GROUP BY lag_k ORDER BY lag_k""".stripMargin,
+
+      // duty cycle: the x CTE is referenced by both the dwell and the
+      // entries aggregation — MATERIALIZED per the standing rule
+      "qc_state_duty" ->
+        """WITH w AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+          |    CASE WHEN value >= 100.0 THEN 'high' ELSE 'low' END AS state
+          |  FROM events),
+          |x AS MATERIALIZED (SELECT state, tus,
+          |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS nxt,
+          |    lag(state) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+          |  FROM w),
+          |d AS (SELECT state, CAST(sum(nxt - tus) AS BIGINT) AS total_us,
+          |    CAST(count(*) AS BIGINT) AS n_intervals
+          |  FROM x WHERE nxt IS NOT NULL GROUP BY state),
+          |e AS (SELECT state, CAST(count(*) AS BIGINT) AS n_entries
+          |  FROM x WHERE prev IS NULL OR prev <> state GROUP BY state)
+          |SELECT state, d.total_us, d.n_intervals, e.n_entries
+          |FROM d JOIN e USING (state) ORDER BY state""".stripMargin,
+
       "qj_interval" ->
         """WITH pv AS (SELECT user_id, epoch_us(ts) AS ps,
           |    epoch_us(ts) + 3600000000 AS pe, event_id AS purchase_id
@@ -6073,7 +6276,32 @@ object SparkEntry {
           |  event_type, value FROM e)
           |SELECT win_start_us, event_type, count(*) AS n,
           |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS total
-          |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+          |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // funnel replay: each stage joins the previous stage's
+      // first-completion time; s1/s2 are multi-referenced, so they
+      // MATERIALIZE (the standing DuckDB CTE-inlining rule)
+      "q20_funnel" ->
+        """WITH s1 AS MATERIALIZED (
+          |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+          |  WHERE event_type = 'view' GROUP BY user_id),
+          |s2 AS MATERIALIZED (
+          |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(s1.t1) AS t1
+          |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+          |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+          |  GROUP BY e.user_id),
+          |s3 AS (
+          |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3, min(s2.t1) AS t1
+          |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+          |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+          |  GROUP BY e.user_id),
+          |u AS (
+          |  SELECT '1_view' AS stage, CAST(0 AS BIGINT) AS lat_us FROM s1
+          |  UNION ALL SELECT '2_click', t2 - t1 FROM s2
+          |  UNION ALL SELECT '3_purchase', t3 - t1 FROM s3)
+          |SELECT stage, CAST(count(*) AS BIGINT) AS users,
+          |  CAST(sum(lat_us) AS BIGINT) AS sum_latency_us
+          |FROM u GROUP BY stage ORDER BY stage""".stripMargin
     )
   }
 }

@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis, Timeseries}
 
 /** Standing 10× scale-stress harness (the tagged-copy protocol the round
   * notes ran ad-hoc, promoted to a tool): the heaviest operator families
@@ -82,7 +82,9 @@ object Stress {
       "ann" -> (c => ann(spark, sfDir, c)),
       "drop_ledger" -> (c => dropLedger(spark, sfDir, c)),
       "jaccard_est" -> (c => jaccardEst(spark, sfDir, c)),
-      "incremental" -> (c => incremental(spark, sfDir, s"$incDir/x$c")))
+      "incremental" -> (c => incremental(spark, sfDir, s"$incDir/x$c")),
+      "prefix_join" -> (c => prefixJoin(spark, sfDir, c)),
+      "duty_cycle" -> (c => dutyCycle(spark, sfDir, c)))
 
     // cleanup in finally: a family failure must not leak the (10×
     // corpus-sized) signed claim stores into the temp dir
@@ -193,6 +195,26 @@ object Stress {
     * — the composed three-tier chain must stay near-flat, which is
     * exactly its shrinking-survivor-sets scale claim.
     */
+  /** EXACT prefix-filter join under copy densification: every doc gains
+    * 9 IDENTICAL-text siblings, so TRUE near-dup pairs grow ~100× (45
+    * within-group pairs per original group) — the wall should track the
+    * output's shuffle cost, never square in the corpus: candidates form
+    * only on shared rare-prefix tokens, and the length filter prunes
+    * before verification.
+    */
+  private def prefixJoin(spark: SparkSession, dir: String, copies: Int): Unit =
+    noop(Dedup.prefixFilterNearDups(docCopies(spark, dir, copies),
+      "doc_id", col("text")))
+
+  /** Duty cycle under 10× rows PER KEY (ts shifted +i µs — the
+    * keyed-window worst axis, same construction as asof): both analytic
+    * windows partition by the key, so expected near-linear.
+    */
+  private def dutyCycle(spark: SparkSession, dir: String, copies: Int): Unit =
+    noop(Timeseries.dutyCycle(eventCopies(spark, dir, copies), "user_id",
+      col("us"), when(col("value") >= 100.0, "high").otherwise("low"),
+      "event_id"))
+
   private def dropLedger(spark: SparkSession, dir: String, copies: Int): Unit =
     noop(Dedup.dropLedger(docCopies(spark, dir, copies), "doc_id", col("text")))
 

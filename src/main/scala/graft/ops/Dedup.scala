@@ -304,6 +304,67 @@ object Dedup {
     } finally { pairs.unpersist(); () }
   }
 
+  /** EXACT similarity join by prefix filtering (AllPairs/PPJoin,
+    * Bayardo et al. 2007 / Xiao et al. 2008 — "PPJoin-lite": prefix +
+    * length filters, no positional filter): every pair of documents
+    * with word-set Jaccard ≥ `tNum/tDen`, with NO hashing and NO false
+    * negatives — the exact counterpart of the MinHash pipeline, for
+    * when the dedup policy must be provably complete.
+    *
+    * Why it scales: sort each document's distinct tokens by global
+    * rarity (document frequency ASC, token ASC — a total order shared
+    * by every doc WITHOUT a global vocabulary rank: the per-doc
+    * row_number window is doc-sized), keep only the first
+    * `|T| − ⌈t·|T|⌉ + 1` tokens (the classic guarantee: two sets with
+    * J ≥ t MUST collide inside these prefixes), and equi-join on the
+    * prefix token. Prefix tokens are each document's RAREST, so the
+    * join fan-out per token is small by construction; the length filter
+    * `t·max(|A|,|B|) ≤ min(|A|,|B|)` prunes candidates before the
+    * verify. Verification counts the true intersection over the
+    * pair-bounded shortlist only.
+    *
+    * All thresholds are rational-integer arithmetic (`⌈t·n⌉ =
+    * (tNum·n + tDen − 1) div tDen`, acceptance `tDen·common ≥
+    * tNum·(union)`) — no float ever decides membership; the reported
+    * `jaccard` is an exact integer ratio.
+    */
+  def prefixFilterNearDups(docs: DataFrame, idCol: String, text: Column,
+      tNum: Long = 3, tDen: Long = 5): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    val tk = docs.filter(length(trim(text)) > 0)
+      .select(col(idCol), explode(array_distinct(tokens(text))).as("tok"))
+      .filter(col("tok") =!= "")
+    val sz = tk.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val dfreq = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+    val rk = tk.join(dfreq, "tok").join(sz, idCol)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("df"), col("tok"))))
+    // ⌈t·n⌉ in pure integer arithmetic — `div`, not `/` (Column `/` is
+    // double division and loses exactness on wide counts)
+    val pref = rk.filter(col("r") <=
+        col("n") - expr(s"(($tNum * n + ${tDen - 1}) div $tDen)") + 1)
+      .select(col(idCol), col("tok"), col("n"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          lit(tNum) * greatest(col("a.n"), col("b.n")) <=
+            lit(tDen) * least(col("a.n"), col("b.n")))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    cand
+      .join(tk.select(col(idCol).as("doc_a"), col("tok")), "doc_a")
+      .join(tk.select(col(idCol).as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+      .filter(lit(tDen) * col("common") >=
+        lit(tNum) * (col("na") + col("nb") - col("common")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Map-side MinHash signature: appends m0..m{k-1} + `nsh` to each row
     * with NO shuffle — the per-doc minimum is an `array_min` over the
     * materialized shingle-hash array instead of a groupBy over exploded

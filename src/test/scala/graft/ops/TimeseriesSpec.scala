@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Keyed time-series analytics (`Timeseries`): duty cycle against a
+  * hand-walked trace (open last interval, entry counting, tie order),
+  * and the lag co-moment against hand-computed product sums including
+  * the shrinking overlap at the grid edge.
+  */
+class TimeseriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("dutyCycle: hand-walked two-user trace — dwell, intervals, " +
+      "entries; the last sample of a trace charges nothing") {
+    // user 1: low@0 high@10 high@20 low@30; user 2: a lone high@5
+    val df = Seq(
+      (1L, 0L, 1L, "low"), (1L, 10L, 2L, "high"),
+      (1L, 20L, 3L, "high"), (1L, 30L, 4L, "low"),
+      (2L, 5L, 5L, "high")
+    ).toDF("user_id", "tus", "event_id", "st")
+    val out = Timeseries.dutyCycle(df, "user_id", col("tus"), col("st"),
+      "event_id").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // low owns [0,10) and [30,..) — the open end charges nothing
+    assert(out("low") == ((10L, 1L, 2L)))
+    // high owns [10,20) and [20,30); entries: t=10 (transition) and
+    // user 2's first sample
+    assert(out("high") == ((20L, 2L, 2L)))
+  }
+
+  test("dutyCycle: equal timestamps order by the tie column") {
+    // two samples at t=10 — tie order (event_id) decides which state
+    // owns [10,10) (zero dwell) and which owns [10,30)
+    val df = Seq(
+      (1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"), (1L, 30L, 3L, "a")
+    ).toDF("user_id", "tus", "event_id", "st")
+    val out = Timeseries.dutyCycle(df, "user_id", col("tus"), col("st"),
+      "event_id").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((0L, 1L, 2L)), "a owns the zero-width interval")
+    assert(out("b") == ((20L, 1L, 1L)), "b owns [10,30)")
+  }
+
+  test("lagCoMoment: hand-computed product sums; overlap shrinks at " +
+      "the grid edge") {
+    val a = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("bucket", "v")
+    val b = Seq((0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L), (4L, 50L))
+      .toDF("bucket", "v")
+    val out = Timeseries.lagCoMoment(a, b, maxLag = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0, 300L, 4L), (1, 400L, 4L), (2, 260L, 3L)))
+  }
+
+  test("lagCoMoment: maxLag 0 is the plain co-moment; negative throws") {
+    val a = Seq((0L, 2L)).toDF("bucket", "v")
+    val b = Seq((0L, 7L)).toDF("bucket", "v")
+    val out = Timeseries.lagCoMoment(a, b, 0).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 14L)
+    intercept[IllegalArgumentException] {
+      Timeseries.lagCoMoment(a, b, -1)
+    }
+  }
+}

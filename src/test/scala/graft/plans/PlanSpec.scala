@@ -441,6 +441,60 @@ class PlanSpec extends AnyFunSuite {
       s"bucket labeling must not cross-join the cutoffs:\n$p")
   }
 
+  test("cmsAudit: the register table rides a broadcast join and the " +
+      "top-k is a TakeOrderedAndProject — never a global sort") {
+    for (p <- Seq(plan(graft.ops.Sketches.cmsAudit(docs, col("text"))),
+        aqeFinalPlan(graft.ops.Sketches.cmsAudit(docs, col("text"))))) {
+      assert(p.contains("BroadcastHashJoin"),
+        s"the depth×width register table must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"no shuffled or cross join on the register lookup:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-k must be a bounded take, not a global sort:\n$p")
+    }
+  }
+
+  test("kmvDistinct: the k-min cut is the bounded aggregator with a " +
+      "map-side partial phase — no per-group window, no global sort") {
+    for (p <- Seq(plan(graft.ops.Sketches.kmvDistinct(docs, "doc_id",
+          col("text"), k = 4)),
+        aqeFinalPlan(graft.ops.Sketches.kmvDistinct(docs, "doc_id",
+          col("text"), k = 4)))) {
+      assert(!p.contains("Window"),
+        s"k smallest hashes must not use a rank window:\n$p")
+      assert(p.contains("ObjectHashAggregate") && p.contains("partial"),
+        s"expected the bounded top-n aggregator combining map-side:\n$p")
+    }
+  }
+
+  test("dutyCycle and lagCoMoment: windows are keyed (no single-" +
+      "partition exchange); the lag join is an equi-join") {
+    val ev = Seq((1L, 0L, 1L, "a"), (1L, 10L, 2L, "b"))
+      .toDF("user_id", "tus", "event_id", "st")
+    val pd = plan(graft.ops.Timeseries.dutyCycle(ev, "user_id",
+      col("tus"), col("st"), "event_id"))
+    assert(pd.contains("Window") && !pd.contains("Exchange SinglePartition"),
+      s"dwell/entry windows must stay keyed by the series:\n$pd")
+    val a = Seq((0L, 1L)).toDF("bucket", "v")
+    val pl = plan(graft.ops.Timeseries.lagCoMoment(a, a, 2))
+    assert(!pl.contains("CartesianProduct") && !pl.contains("NestedLoop"),
+      s"the shifted-grid join must be an equi-join:\n$pl")
+  }
+
+  test("prefixFilterNearDups: the rank window is PER-DOCUMENT (no " +
+      "single-partition exchange) and every join is an equi-join") {
+    for (p <- Seq(plan(Dedup.prefixFilterNearDups(docs, "doc_id",
+          col("text"))),
+        aqeFinalPlan(Dedup.prefixFilterNearDups(docs, "doc_id",
+          col("text"))))) {
+      assert(!p.contains("Exchange SinglePartition"),
+        s"no global vocabulary rank may appear — the rarity order is " +
+          s"computed per document:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"prefix candidates and verification must stay equi-joins:\n$p")
+    }
+  }
+
   test("resample lerp: both as-of passes are union+window folds — the " +
       "whole plan contains no join operator at all") {
     val samples = Seq((1L, 0L, 0L), (1L, 1000L, 10L), (2L, 0L, 5L),
