@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.can._
 import graft.dbc._
-import graft.ops.{Sketches, Timeseries}
+import graft.ops.{Graphs, Sketches, Timeseries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -983,10 +983,11 @@ object SparkEntry {
 
     "qd_prefix_join" -> ((s, dir) =>
       // EXACT similarity join by prefix filtering (AllPairs/PPJoin
-      // lite): rarity-ordered per-doc token prefixes bound the
-      // candidate pairs with NO hashing and NO false negatives — the
-      // provably-complete counterpart of the minhash pipeline; length
-      // filter + rational-integer thresholds, word-set Jaccard ≥ 3/5 —
+      // lite) on the SAME distinct 3-shingle sets minhash signs:
+      // rarity-ordered per-doc shingle prefixes bound the candidate
+      // pairs with NO false negatives — the provably-complete
+      // counterpart of the minhash pipeline on the identical measure;
+      // length filter + rational-integer thresholds, Jaccard ≥ 3/5 —
       // see Dedup.prefixFilterNearDups
       Dedup.prefixFilterNearDups(t(s, dir, "documents"), "doc_id",
           col("text"))
@@ -1158,6 +1159,35 @@ object SparkEntry {
           e1.unionByName(e2).filter(col("src") =!= col("dst")), iters = 3)
         .orderBy("node")
     }),
+
+    "qp_triangles" -> ((s, dir) => {
+      // link-graph transitivity: triangle count + global clustering
+      // coefficient by degree-ordered orientation (hubs orient INWARD,
+      // so out-degree is O(√E) and the wedge join never explodes on a
+      // power-law hub) — same synthesized domain graph as
+      // qp_domain_rank; see Graphs.triangleStats
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = d.select((col("doc_id") % 60).as("src"),
+        ((col("doc_id") * 13 + 7) % 60).as("dst"))
+      val e2 = d.select((col("doc_id") % 60).as("src"),
+        ((col("doc_id") * 17 + 3) % 60).as("dst"))
+      Graphs.triangleStats(e1.unionByName(e2))
+    }),
+
+    "qp_table_checksum" -> ((s, dir) =>
+      // order-independent table fingerprint (the anti-entropy /
+      // replication-validation primitive): per-row md5 over a canonical
+      // rendering folded by COMMUTATIVE aggregates (modular sum,
+      // min/max, count), so any partitioning, arrival order, or cluster
+      // size yields the same fingerprint — one map-only pass + one
+      // scalar aggregation at any table size
+      t(s, dir, "documents")
+        .select(TextAnalysis.md5Long(concat_ws("|",
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")))).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h") % 1000003L).as("checksum"),
+          min("h").as("min_h"), max("h").as("max_h"))),
 
     "qp_url_canon" -> ((s, dir) => {
       // URL canonicalization + domain blocklist — the crawl-frontier
@@ -2801,6 +2831,16 @@ object SparkEntry {
         Multimodal.videoPayload(t(s, dir, "documents").select("doc_id")), every = 3)
     }),
 
+    "qm_scene_cuts" -> ((s, dir) =>
+      // shot-boundary detection over a scene-structured container:
+      // every frame ImageIO-decoded (cuts compare consecutive frames),
+      // integer mean-luma deltas against a milli-luma threshold, window
+      // per video — the oracle replays the closed-form frame luma and
+      // the same lag comparison; see Multimodal.sceneCuts
+      Multimodal.sceneCuts(
+        Multimodal.videoPayloadScenes(
+          t(s, dir, "documents").select("doc_id")))),
+
     "qm_audio_decode" -> ((s, dir) => {
       // REAL WAV round trip: deterministic 16-bit PCM synthesized from
       // doc_id arithmetic, written and parsed via javax.sound.sampled; the
@@ -2881,6 +2921,13 @@ object SparkEntry {
       Timeseries.lagCoMoment(series("click"), series("purchase"),
         maxLag = 5)
     }),
+
+    "qc_gap_report" -> ((s, dir) =>
+      // sampling-gap diagnostic per series key (dropped frames, dead
+      // channels): largest inter-arrival gap and count of gaps over one
+      // hour — keyed windows only; see Timeseries.gapReport
+      Timeseries.gapReport(events(s, dir), "user_id",
+        unix_micros(col("ts")), "event_id", 3600000000L)),
 
     "qc_state_duty" -> ((s, dir) =>
       // time-in-state / duty cycle over a thresholded per-user signal
@@ -4172,6 +4219,50 @@ object SparkEntry {
            |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
       },
 
+      // triangle replay: same canonical undirected edges, same
+      // (degree, id) orientation, same ordered wedge join; e/deg/o are
+      // multi-referenced → MATERIALIZED
+      "qp_triangles" ->
+        """WITH raw AS (
+          |  SELECT doc_id % 60 AS src, (doc_id*13+7) % 60 AS dst FROM documents
+          |  UNION ALL
+          |  SELECT doc_id % 60, (doc_id*17+3) % 60 FROM documents),
+          |e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+          |    greatest(src, dst) AS v FROM raw WHERE src <> dst),
+          |deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS d
+          |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+          |  GROUP BY node),
+          |o AS MATERIALIZED (SELECT
+          |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+          |         THEN e.u ELSE e.v END AS src,
+          |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+          |         THEN e.v ELSE e.u END AS dst,
+          |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+          |         THEN dv.d ELSE du.d END AS ddst
+          |  FROM e JOIN deg du ON du.node = e.u
+          |         JOIN deg dv ON dv.node = e.v),
+          |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          |  FROM o a JOIN o b ON a.src = b.src
+          |    AND (a.ddst < b.ddst OR (a.ddst = b.ddst AND a.dst < b.dst))
+          |  JOIN o c ON c.src = a.dst AND c.dst = b.dst),
+          |cn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+          |    CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+          |ce AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+          |SELECT cn.n_nodes, ce.n_edges, tri.n_triangles, cn.n_wedges,
+          |  (3000000 * tri.n_triangles) // cn.n_wedges AS cc_micro
+          |FROM cn, ce, tri""".stripMargin,
+
+      // checksum replay: concat_ws in both engines (same NULL-skipping
+      // semantics), modular sum keeps the fold inside BIGINT at any
+      // table size
+      "qp_table_checksum" ->
+        s"""WITH hh AS (SELECT ${h("concat_ws('|', doc_id, lang, source, n_chars, md5(text))")} AS h
+           |  FROM documents)
+           |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(h % 1000003) AS BIGINT) AS checksum,
+           |  min(h) AS min_h, max(h) AS max_h
+           |FROM hh""".stripMargin,
+
       "qp_url_canon" -> {
         import TextAnalysis._
         // scheme-conditional default-port strip, mirroring canonHost
@@ -4866,38 +4957,39 @@ object SparkEntry {
            |  CAST(len(w) AS BIGINT) AS n_tokens
            |FROM tk t LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-      // prefix-filter replay: same rarity order (df ASC, tok ASC), same
-      // rational-integer prefix/length/acceptance thresholds; tk and
-      // pref are multi-referenced → MATERIALIZED
-      "qd_prefix_join" ->
-        s"""WITH tk AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM (
-           |    SELECT doc_id, unnest($toks) AS tok FROM documents
-           |    WHERE length(trim(text)) > 0) WHERE tok <> ''),
-           |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk
-           |  GROUP BY doc_id),
-           |dfreq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
-           |rk AS (SELECT tk.doc_id, tk.tok, sz.n,
-           |    row_number() OVER (PARTITION BY tk.doc_id
-           |      ORDER BY d.df, tk.tok) AS r
-           |  FROM tk JOIN dfreq d USING (tok) JOIN sz USING (doc_id)),
-           |pref AS MATERIALIZED (SELECT doc_id, tok, n FROM rk
-           |  WHERE r <= n - ((3*n + 4) // 5) + 1),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |    a.n AS na, b.n AS nb
-           |  FROM pref a JOIN pref b ON a.tok = b.tok
-           |    AND a.doc_id < b.doc_id
-           |  WHERE 3 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
-           |ver AS (SELECT c.doc_a, c.doc_b, c.na, c.nb,
-           |    CAST(count(*) AS BIGINT) AS common
-           |  FROM cand c
-           |  JOIN tk ta ON ta.doc_id = c.doc_a
-           |  JOIN tk tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-           |  GROUP BY 1, 2, 3, 4)
-           |SELECT doc_a, doc_b,
-           |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE)
-           |    AS jaccard
-           |FROM ver WHERE 5 * common >= 3 * (na + nb - common)
-           |ORDER BY doc_a, doc_b""".stripMargin,
+      // prefix-filter replay over the SHARED shingle CTE (the same
+      // distinct 3-shingle hashes the minhash oracles sign): same
+      // rarity order (df ASC, hash ASC), same rational-integer
+      // prefix/length/acceptance thresholds; shm and pref are
+      // multi-referenced → MATERIALIZED
+      "qd_prefix_join" -> (shinglesCte + """,
+        |shm AS MATERIALIZED (SELECT doc_id, sh FROM sh),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shm
+        |  GROUP BY doc_id),
+        |dfreq AS (SELECT sh, count(*) AS df FROM shm GROUP BY sh),
+        |rk AS (SELECT x.doc_id, x.sh, sz.n,
+        |    row_number() OVER (PARTITION BY x.doc_id
+        |      ORDER BY d.df, x.sh) AS r
+        |  FROM shm x JOIN dfreq d ON d.sh = x.sh
+        |    JOIN sz ON sz.doc_id = x.doc_id),
+        |pref AS MATERIALIZED (SELECT doc_id, sh, n FROM rk
+        |  WHERE r <= n - ((3*n + 4) // 5) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.n AS na, b.n AS nb
+        |  FROM pref a JOIN pref b ON a.sh = b.sh
+        |    AND a.doc_id < b.doc_id
+        |  WHERE 3 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
+        |ver AS (SELECT c.doc_a, c.doc_b, c.na, c.nb,
+        |    CAST(count(*) AS BIGINT) AS common
+        |  FROM cand c
+        |  JOIN shm ta ON ta.doc_id = c.doc_a
+        |  JOIN shm tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b,
+        |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE)
+        |    AS jaccard
+        |FROM ver WHERE 5 * common >= 3 * (na + nb - common)
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
       "qd_jaccard_est" -> (minhashPairsCtes +
         s"""
@@ -6042,6 +6134,29 @@ object SparkEntry {
           |    AS mean_mluma
           |FROM luma""".stripMargin,
 
+      // scene-cut replay: closed-form frame mean-luma (single-wrap sum,
+      // like qm_video_frames) per scene base, then the same lag window
+      // and threshold
+      "qm_scene_cuts" ->
+        """WITH dims AS (
+          |  SELECT doc_id, doc_id % 8 + 6 AS nf,
+          |         doc_id % 31 + 16 AS w, (doc_id*3) % 31 + 16 AS h
+          |  FROM documents),
+          |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM dims),
+          |luma AS (SELECT doc_id, f, w, h,
+          |    (doc_id + (f // 4) * 97) % 256 AS a FROM fr),
+          |m AS (SELECT doc_id, f,
+          |    (w*(h*a + h*(h-1)//2 - 256*greatest(0, a + h - 256)))*1000
+          |      // (w*h) AS mm FROM luma),
+          |d AS (SELECT doc_id, f, mm,
+          |    lag(mm) OVER (PARTITION BY doc_id ORDER BY f) AS pm FROM m),
+          |c AS (SELECT doc_id, f,
+          |    (pm IS NOT NULL AND abs(mm - pm) > 30000) AS cut FROM d)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+          |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+          |  coalesce(min(CASE WHEN cut THEN f END), -1) AS first_cut
+          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
       "qm_audio_decode" ->
         """WITH sq AS (
           |  SELECT doc_id, doc_id % 800 + 100 AS n,
@@ -6115,6 +6230,17 @@ object SparkEntry {
           |SELECT lag_k, CAST(sum(va * vb) AS BIGINT) AS co_moment,
           |  CAST(count(*) AS BIGINT) AS n_overlap
           |FROM j GROUP BY lag_k ORDER BY lag_k""".stripMargin,
+
+      "qc_gap_report" ->
+        """WITH x AS (SELECT user_id,
+          |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS gap
+          |  FROM events)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+          |  max(gap) AS max_gap_us,
+          |  CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_gaps_over
+          |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       // duty cycle: the x CTE is referenced by both the dwell and the
       // entries aggregation — MATERIALIZED per the standing rule

@@ -199,8 +199,9 @@ object Stress {
     * 9 IDENTICAL-text siblings, so TRUE near-dup pairs grow ~100× (45
     * within-group pairs per original group) — the wall should track the
     * output's shuffle cost, never square in the corpus: candidates form
-    * only on shared rare-prefix tokens, and the length filter prunes
-    * before verification.
+    * only on shared rare-prefix SHINGLES (the ~27k-entry shingle
+    * vocabulary, not the degenerate ~31-word one), and the length
+    * filter prunes before verification.
     */
   private def prefixJoin(spark: SparkSession, dir: String, copies: Int): Unit =
     noop(Dedup.prefixFilterNearDups(docCopies(spark, dir, copies),

@@ -306,46 +306,52 @@ object Dedup {
 
   /** EXACT similarity join by prefix filtering (AllPairs/PPJoin,
     * Bayardo et al. 2007 / Xiao et al. 2008 — "PPJoin-lite": prefix +
-    * length filters, no positional filter): every pair of documents
-    * with word-set Jaccard ≥ `tNum/tDen`, with NO hashing and NO false
-    * negatives — the exact counterpart of the MinHash pipeline, for
-    * when the dedup policy must be provably complete.
+    * length filters, no positional filter) over the SAME distinct
+    * 3-shingle sets the MinHash pipeline signs ([[shingleHashes]]):
+    * every pair with shingle-set Jaccard ≥ `tNum/tDen`, with NO
+    * hashing-based candidate loss and NO false negatives — the provably
+    * complete counterpart of [[minhashNearDups]] on the identical
+    * similarity measure, for when the dedup policy must be exact.
     *
-    * Why it scales: sort each document's distinct tokens by global
-    * rarity (document frequency ASC, token ASC — a total order shared
-    * by every doc WITHOUT a global vocabulary rank: the per-doc
-    * row_number window is doc-sized), keep only the first
-    * `|T| − ⌈t·|T|⌉ + 1` tokens (the classic guarantee: two sets with
-    * J ≥ t MUST collide inside these prefixes), and equi-join on the
-    * prefix token. Prefix tokens are each document's RAREST, so the
-    * join fan-out per token is small by construction; the length filter
+    * Why it scales: sort each document's shingles by global rarity
+    * (document frequency ASC, hash ASC — a total order shared by every
+    * doc WITHOUT a global vocabulary rank: the per-doc row_number
+    * window is doc-sized), keep only the first `|S| − ⌈t·|S|⌉ + 1`
+    * (the classic guarantee: two sets with J ≥ t MUST collide inside
+    * these prefixes), and equi-join on the prefix shingle. Shingles are
+    * the right unit for this corpus shape: a natural-language shingle
+    * vocabulary is combinatorially large and Zipf-tailed, so each
+    * document's rarest ~40% of shingles have tiny document frequency
+    * and the join fan-out per shingle stays small — where WORD-level
+    * prefixes over a small vocabulary would degenerate to all-pairs
+    * (measured: this corpus has a ~31-word vocabulary but ~27k distinct
+    * shingles with max df 25 at sf0.1). The length filter
     * `t·max(|A|,|B|) ≤ min(|A|,|B|)` prunes candidates before the
-    * verify. Verification counts the true intersection over the
+    * verify; verification counts the true intersection over the
     * pair-bounded shortlist only.
     *
     * All thresholds are rational-integer arithmetic (`⌈t·n⌉ =
     * (tNum·n + tDen − 1) div tDen`, acceptance `tDen·common ≥
     * tNum·(union)`) — no float ever decides membership; the reported
-    * `jaccard` is an exact integer ratio.
+    * `jaccard` is an exact integer ratio, directly comparable to
+    * [[minhashNearDups]]'s verified jaccard.
     */
   def prefixFilterNearDups(docs: DataFrame, idCol: String, text: Column,
-      tNum: Long = 3, tDen: Long = 5): DataFrame = {
+      tNum: Long = 3, tDen: Long = 5, n: Int = 3): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
-    val tk = docs.filter(length(trim(text)) > 0)
-      .select(col(idCol), explode(array_distinct(tokens(text))).as("tok"))
-      .filter(col("tok") =!= "")
+    val tk = shingleHashes(docs, idCol, text, n)
     val sz = tk.groupBy(idCol).agg(count(lit(1)).as("n"))
-    val dfreq = tk.groupBy("tok").agg(count(lit(1)).as("df"))
-    val rk = tk.join(dfreq, "tok").join(sz, idCol)
+    val dfreq = tk.groupBy("sh").agg(count(lit(1)).as("df"))
+    val rk = tk.join(dfreq, "sh").join(sz, idCol)
       .withColumn("r", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("df"), col("tok"))))
+        Window.partitionBy(idCol).orderBy(col("df"), col("sh"))))
     // ⌈t·n⌉ in pure integer arithmetic — `div`, not `/` (Column `/` is
     // double division and loses exactness on wide counts)
     val pref = rk.filter(col("r") <=
         col("n") - expr(s"(($tNum * n + ${tDen - 1}) div $tDen)") + 1)
-      .select(col(idCol), col("tok"), col("n"))
+      .select(col(idCol), col("sh"), col("n"))
     val cand = pref.as("a").join(pref.as("b"),
-        col("a.tok") === col("b.tok") &&
+        col("a.sh") === col("b.sh") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
           lit(tNum) * greatest(col("a.n"), col("b.n")) <=
             lit(tDen) * least(col("a.n"), col("b.n")))
@@ -353,8 +359,8 @@ object Dedup {
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
     cand
-      .join(tk.select(col(idCol).as("doc_a"), col("tok")), "doc_a")
-      .join(tk.select(col(idCol).as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .join(tk.select(col(idCol).as("doc_a"), col("sh")), "doc_a")
+      .join(tk.select(col(idCol).as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("common"))
       .filter(lit(tDen) * col("common") >=

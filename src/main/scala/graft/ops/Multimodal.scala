@@ -634,6 +634,86 @@ object Multimodal {
     }(Encoders.row(VideoFrameSchema))
   }
 
+  /** Scene-STRUCTURED video container: the [[videoPayload]] chunk format
+    * (length-prefixed PNGs) with `doc_id % 8 + 6` frames in scenes of
+    * `sceneLen`: within a scene consecutive frames are pixel-identical
+    * (row luma `(id + scene·97 + y) mod 256`), across a boundary the
+    * luma base jumps by 97 — the fixture shape a shot-boundary detector
+    * needs, with a closed-form luma the oracle can replay.
+    */
+  def videoPayloadScenes(df: DataFrame, idCol: String = "doc_id",
+      sceneLen: Int = 4): DataFrame = {
+    require(sceneLen >= 1, s"sceneLen must be >= 1, got $sceneLen")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    df.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val nf = (id % 8 + 6).toInt
+        val w = (id % 31 + 16).toInt
+        val h = ((id * 3) % 31 + 16).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val dos = new java.io.DataOutputStream(bos)
+        var f = 0
+        while (f < nf) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rowBuf = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            val v = ((id + (f / sceneLen) * 97L + y) % 256).toInt
+            val rgb = (v << 16) | (v << 8) | v
+            java.util.Arrays.fill(rowBuf, rgb)
+            img.setRGB(0, y, w, 1, rowBuf, 0, w)
+            y += 1
+          }
+          val fb = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", fb),
+            s"no PNG ImageIO writer available (doc_id=$id)")
+          val bytes = fb.toByteArray
+          dos.writeInt(bytes.length)
+          dos.write(bytes)
+          f += 1
+        }
+        dos.flush()
+        Row(id, bos.toByteArray)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Shot-boundary (scene-cut) detection: decode EVERY frame (cuts
+    * compare consecutive frames, so there is nothing to sample away),
+    * take each frame's integer mean-luma, and flag frames whose
+    * mean-luma jumps more than `thresholdMilli` (milli-luma levels)
+    * from their predecessor. The per-document report carries the frame
+    * count, the cut count, and the first cut's frame index (−1 when the
+    * video is one continuous shot).
+    *
+    * The comparison window partitions by the video id — frames of one
+    * video are decoded and compared together, videos parallelize
+    * freely; the decode itself is [[decodeVideoFrames]]'s chunk walk,
+    * so the whole pipeline is one mapPartitions pass plus a per-video
+    * window and one aggregation.
+    */
+  def sceneCuts(payloads: DataFrame, idCol: String = "doc_id",
+      thresholdMilli: Long = 30000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("frame_idx")
+    decodeVideoFrames(payloads, idCol, every = 1)
+      .withColumn("_prev", lag(col("mean_mluma"), 1).over(w))
+      .withColumn("_cut", col("_prev").isNotNull &&
+        abs(col("mean_mluma") - col("_prev")) > thresholdMilli)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("_cut"), 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(min(when(col("_cut"), col("frame_idx"))), lit(-1L))
+          .as("first_cut"))
+      .orderBy(idCol)
+  }
+
   /** Frame sampling for a (stub) video payload: split the payload into
     * fixed-size frames and keep every k-th — exercises the
     * array-of-binary shape a video pipeline produces.

@@ -54,6 +54,26 @@ object Timeseries {
       .orderBy("state")
   }
 
+  /** Sampling-gap report per key — the dropped-frame/dead-channel
+    * diagnostic ("which vehicles have holes in their trace?"): for each
+    * key, the sample count, the LARGEST inter-arrival gap, and how many
+    * gaps exceed `thresholdUs`. Same keyed-window contract as
+    * [[dutyCycle]] (per-key parallel, `(key, ts, tieCol)` total order);
+    * a single-sample key has no gap and reports a NULL `max_gap_us`.
+    */
+  def gapReport(df: DataFrame, keyCol: String, tsUs: Column,
+      tieCol: String, thresholdUs: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("_tus"), col(tieCol))
+    df.select(col(keyCol), tsUs.as("_tus"), col(tieCol))
+      .withColumn("_gap", lead(col("_tus"), 1).over(w) - col("_tus"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_samples"),
+        max("_gap").as("max_gap_us"),
+        sum(when(col("_gap") > thresholdUs, 1L).otherwise(0L))
+          .as("n_gaps_over"))
+      .orderBy(keyCol)
+  }
+
   /** Lag cross-covariance between two bucketed series — "does B track A
     * shifted by k buckets?" Both inputs are (bucket, value) in exact
     * integral units (centi/micro — the caller's scaling). For each lag

@@ -4,25 +4,36 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.SparkTestSession
 
-/** Exact prefix-filter similarity join (`Dedup.prefixFilterNearDups`):
-  * completeness and exactness against a brute-force all-pairs Jaccard
-  * over a corpus built to stress the filters — near-identical pairs,
-  * just-under-threshold pairs, disjoint-prefix-but-low-similarity
-  * pairs, and size-mismatched pairs the length filter must drop
-  * WITHOUT dropping true positives.
+/** Exact prefix-filter similarity join (`Dedup.prefixFilterNearDups`)
+  * over distinct 3-shingle sets: completeness and exactness against a
+  * brute-force all-pairs shingle Jaccard over a corpus built to stress
+  * the filters — identical pairs, boundary-value pairs, just-under-
+  * threshold pairs, and docs too short to shingle.
   */
 class PrefixJoinSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def jaccard(a: Set[String], b: Set[String]): Double =
-    (a & b).size.toDouble / (a | b).size.toDouble
+  private def shingles(t: String): Set[String] = {
+    val w = t.trim.split("\\s+").toSeq
+    if (w.size < 3) Set.empty
+    else w.sliding(3).map(_.mkString(" ")).toSet
+  }
 
-  test("matches brute-force all-pairs word Jaccard >= 3/5 exactly — " +
-      "no false negatives (completeness), no false positives") {
-    // 40 docs over a 25-token vocabulary with deterministic overlap
-    // structure: doc i holds 6 tokens starting at i%20, plus doc pairs
-    // (i, i+40) sharing 5 of 6 tokens (J = 5/7 ≥ 3/5)
+  private def bruteForce(corpus: Seq[(Long, String)], t: Double) =
+    (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+      sa = shingles(ta); sb = shingles(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      j = (sa & sb).size.toDouble / (sa | sb).size.toDouble if j >= t
+    } yield (ia, ib, j)).toSet
+
+  test("matches brute-force all-pairs 3-shingle Jaccard >= 3/5 exactly " +
+      "— no false negatives (completeness), no false positives") {
+    // 40 base docs of 6 tokens sliding over a shared vocabulary
+    // (adjacent docs share 3 of 5 shingles = exactly the 3/5 boundary;
+    // i and i+20 are identical), plus 10 near-dups replacing the last
+    // token (3 of 5 shingles shared)
     val base = (0 until 40).map { i =>
       (i.toLong, (0 until 6).map(j => s"w${(i % 20) + j}").mkString(" "))
     }
@@ -31,27 +42,22 @@ class PrefixJoinSpec extends AnyFunSuite {
         .mkString(" "))
     }
     val corpus = base ++ nearDups
-    val docs = corpus.toDF("doc_id", "text")
-    val want = (for {
-      (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
-      j = jaccard(ta.split(" ").toSet, tb.split(" ").toSet) if j >= 0.6
-    } yield (ia, ib, j)).toSet
-    assert(want.nonEmpty, "fixture must contain qualifying pairs")
-    val got = Dedup.prefixFilterNearDups(docs, "doc_id", col("text"))
+    val want = bruteForce(corpus, 0.6)
+    assert(want.exists(_._3 == 1.0) && want.exists(_._3 == 0.6),
+      "fixture must contain identical AND boundary pairs")
+    val got = Dedup.prefixFilterNearDups(
+        corpus.toDF("doc_id", "text"), "doc_id", col("text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet
     assert(got == want)
   }
 
   test("threshold is rational-exact at the boundary: J = 3/5 kept, " +
-      "just-below dropped; blank docs ignored") {
-    // A={a b c d e f}, B=A-{f}+{g}+{h}... construct J exactly 3/5:
-    // |A∩B|=3, |A∪B|=5: A={a,b,c,d}, B={a,b,c,e} → 3/5 ✓
-    // and a pair at 3/6 = 0.5 < 3/5 that must be dropped
+      "J = 1/2 dropped; sub-3-token docs never pair") {
     val docs = Seq(
-      (1L, "a b c d"), (2L, "a b c e"),          // J = 3/5 — boundary keep
-      (3L, "p q r s"), (4L, "p q r x y"),        // J = 3/6 — drop
-      (5L, "   ")                                 // blank — ignored
+      (1L, "w x y z p q"), (2L, "w x y z p r"), // shingles 3/5 — keep
+      (3L, "m n o p q"), (4L, "m n o p r"),     // shingles 2/4 — drop
+      (5L, "a b")                               // no shingles — ignored
     ).toDF("doc_id", "text")
     val got = Dedup.prefixFilterNearDups(docs, "doc_id", col("text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -60,16 +66,13 @@ class PrefixJoinSpec extends AnyFunSuite {
 
   test("custom threshold 1/2 widens the accepted set consistently " +
       "with brute force") {
-    val corpus = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "a b x y"),
-      (4L, "m n o p"))
-    val docs = corpus.toDF("doc_id", "text")
-    val want = (for {
-      (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
-      j = jaccard(ta.split(" ").toSet, tb.split(" ").toSet) if j >= 0.5
-    } yield (ia, ib)).toSet
-    val got = Dedup.prefixFilterNearDups(docs, "doc_id", col("text"),
-      tNum = 1, tDen = 2).collect()
+    val corpus = Seq((1L, "w x y z p q"), (2L, "w x y z p r"),
+      (3L, "m n o p q"), (4L, "m n o p r"), (5L, "u v w w u v"))
+    val want = bruteForce(corpus, 0.5).map(p => (p._1, p._2))
+    assert(want.contains((3L, 4L)), "the 1/2 pair must now qualify")
+    val got = Dedup.prefixFilterNearDups(corpus.toDF("doc_id", "text"),
+        "doc_id", col("text"), tNum = 1, tDen = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == want && want.contains((1L, 2L)))
+    assert(got == want)
   }
 }

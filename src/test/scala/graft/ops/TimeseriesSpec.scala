@@ -56,6 +56,22 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0, 300L, 4L), (1, 400L, 4L), (2, 260L, 3L)))
   }
 
+  test("gapReport: max gap, threshold count, and the single-sample " +
+      "NULL contract") {
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 10L, 2L), (1L, 1000L, 3L), // gaps 10, 990
+      (2L, 5L, 4L)                                  // lone sample
+    ).toDF("user_id", "tus", "event_id")
+    val out = Timeseries.gapReport(df, "user_id", col("tus"), "event_id",
+      thresholdUs = 100L).collect()
+    val u1 = out(0)
+    assert(u1.getLong(0) == 1L && u1.getLong(1) == 3L &&
+      u1.getLong(2) == 990L && u1.getLong(3) == 1L)
+    val u2 = out(1)
+    assert(u2.getLong(0) == 2L && u2.getLong(1) == 1L &&
+      u2.isNullAt(2) && u2.getLong(3) == 0L)
+  }
+
   test("lagCoMoment: maxLag 0 is the plain co-moment; negative throws") {
     val a = Seq((0L, 2L)).toDF("bucket", "v")
     val b = Seq((0L, 7L)).toDF("bucket", "v")
