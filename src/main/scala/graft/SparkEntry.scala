@@ -1160,6 +1160,24 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "qp_skew_report" -> ((s, dir) => {
+      // partition-key skew profile — the operability report before
+      // picking a partition/bucket column: per source, row share and
+      // ratio to the MEDIAN group in exact micro-units. The median is
+      // RobustStats' exact k-th over the GROUP-COUNT table
+      // (group-sized, never corpus-sized); the total rides a single-row
+      // cross join, so the per-group pass stays one aggregation.
+      val counts = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      val med = graft.ops.RobustStats.lowerMedian(counts, "n_docs")
+      counts.crossJoin(counts.agg(sum("n_docs").as("_tot")))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          expr("(n_docs * 1000000) div _tot").as("share_micro"),
+          expr(s"(n_docs * 1000000) div $med").as("ratio_med_micro"))
+        .withColumn("skewed", col("ratio_med_micro") > 2000000L)
+        .orderBy("source")
+    }),
+
     "qp_triangles" -> ((s, dir) => {
       // link-graph transitivity: triangle count + global clustering
       // coefficient by degree-ordered orientation (hubs orient INWARD,
@@ -1943,6 +1961,14 @@ object SparkEntry {
       TextAnalysis.perplexityBuckets(t(s, dir, "documents"), "doc_id",
           col("text"))
         .orderBy("doc_id")),
+
+    "qt_simpson_div" -> ((s, dir) =>
+      // Simpson corpus concentration per language (the no-log diversity
+      // measure): exact integer pair counts, IEEE-exact quotient, and
+      // the inverse-Simpson effective vocabulary size — see
+      // TextAnalysis.simpsonDiversity
+      TextAnalysis.simpsonDiversity(t(s, dir, "documents"), "lang",
+        col("text"))),
 
     "qt_cms_heavy" -> ((s, dir) =>
       // Count-Min sketch frequency audit (Cormode–Muthukrishnan): 4×512
@@ -2903,6 +2929,24 @@ object SparkEntry {
         expr("CAST(round(value*100) AS BIGINT)").as("v_cent"))
       Resample.lerpGrid(e, "user_id", "t_us", "v_cent", 21600000000L)
         .orderBy("user_id", "tick_us")
+    }),
+
+    "qj_asof_nearest" -> ((s, dir) => {
+      // nearest as-of: each event's CLOSEST purchase by |Δt| on either
+      // side (ties prefer the past — the telemetry convention);
+      // backward ∘ forward union+window folds, one key-shuffle each —
+      // see AsOfJoin.nearest
+      val ev = events(s, dir)
+      val e = ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id").as("purchase_id"))
+      AsOfJoin.nearest(e, purchases, key = "user_id", ts = "us",
+          payload = Seq("us", "purchase_id"), tsPayload = "us")
+        .select(col("event_id"), col("user_id"),
+          col("nearest_purchase_id"), col("nearest_us"))
+        .orderBy("event_id")
     }),
 
     "qj_lag_xcov" -> ((s, dir) => {
@@ -4219,6 +4263,21 @@ object SparkEntry {
            |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
       },
 
+      // skew replay: the lower median IS quantile_disc(0.5) (the
+      // RobustStats contract); c is multi-referenced → MATERIALIZED
+      "qp_skew_report" ->
+        """WITH c AS MATERIALIZED (SELECT source,
+          |    CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |  FROM documents GROUP BY source),
+          |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM c),
+          |m AS (SELECT quantile_disc(n_docs, 0.5) AS med FROM c)
+          |SELECT c.source, c.n_docs, c.sum_chars,
+          |  (c.n_docs * 1000000) // t.tot AS share_micro,
+          |  (c.n_docs * 1000000) // m.med AS ratio_med_micro,
+          |  (c.n_docs * 1000000) // m.med > 2000000 AS skewed
+          |FROM c, t, m ORDER BY c.source""".stripMargin,
+
       // triangle replay: same canonical undirected edges, same
       // (degree, id) orientation, same ordered wedge join; e/deg/o are
       // multi-referenced → MATERIALIZED
@@ -4697,6 +4756,22 @@ object SparkEntry {
            |  CASE WHEN sc.s_micro <= cut.c1 THEN 'tail'
            |       WHEN sc.s_micro <= cut.c2 THEN 'middle' ELSE 'head' END AS bucket
            |FROM sc, cut ORDER BY sc.doc_id""".stripMargin,
+
+      "qt_simpson_div" ->
+        s"""WITH tk AS (SELECT lang, unnest($toks) AS tok FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM tk
+           |  WHERE tok <> '' GROUP BY 1, 2),
+           |s AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |    CAST(count(*) AS BIGINT) AS vocab,
+           |    CAST(sum(c*(c-1)) AS BIGINT) AS sum_cc
+           |  FROM c GROUP BY lang)
+           |SELECT lang, n_tokens, vocab, sum_cc,
+           |  CAST(sum_cc AS DOUBLE) /
+           |    CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson,
+           |  CASE WHEN sum_cc > 0
+           |    THEN (n_tokens * (n_tokens - 1)) // sum_cc END AS eff_types
+           |FROM s ORDER BY lang""".stripMargin,
 
       // Count-Min replay: the register table is the same two
       // aggregations (token counts, then per-(row,slot) sums); the
@@ -6214,6 +6289,31 @@ object SparkEntry {
           |       ELSE pv + ((nv - pv) * (pj.tick - pt)) // (nt - pt) END AS v_cent
           |FROM pj JOIN nj ON pj.user_id = nj.user_id AND pj.tick = nj.tick
           |ORDER BY 1, 2""".stripMargin,
+
+      // nearest = backward ∘ forward ASOF with the same strict bounds
+      // and past-wins tie; e and p are multi-referenced → MATERIALIZED
+      "qj_asof_nearest" ->
+        """WITH e AS MATERIALIZED (
+          |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+          |p AS MATERIALIZED (
+          |  SELECT user_id, epoch_us(ts) AS us, event_id AS pid
+          |  FROM events WHERE event_type = 'purchase'),
+          |b AS (SELECT e.event_id, e.user_id, e.us,
+          |    p.us AS pus, p.pid AS ppid
+          |  FROM e ASOF LEFT JOIN p
+          |    ON e.user_id = p.user_id AND e.us > p.us),
+          |f AS (SELECT e.event_id, p.us AS nus, p.pid AS npid
+          |  FROM e ASOF LEFT JOIN p
+          |    ON e.user_id = p.user_id AND e.us < p.us)
+          |SELECT b.event_id, b.user_id,
+          |  CASE WHEN b.pus IS NOT NULL
+          |         AND (f.nus IS NULL OR b.us - b.pus <= f.nus - b.us)
+          |       THEN b.ppid ELSE f.npid END AS nearest_purchase_id,
+          |  CASE WHEN b.pus IS NOT NULL
+          |         AND (f.nus IS NULL OR b.us - b.pus <= f.nus - b.us)
+          |       THEN b.pus ELSE f.nus END AS nearest_us
+          |FROM b JOIN f USING (event_id)
+          |ORDER BY b.event_id""".stripMargin,
 
       "qj_lag_xcov" ->
         """WITH c AS MATERIALIZED (

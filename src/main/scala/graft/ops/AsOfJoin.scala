@@ -64,6 +64,34 @@ object AsOfJoin {
     asof(left, right, key, ts, payload, strict, descending = true,
       prefix = "next_", toleranceOpt = Some(tolerance))
 
+  /** Nearest as-of: for each left row, the right row minimizing |Δts|
+    * among the same key's matches on EITHER side — the "closest sensor
+    * reading" semantics ([[backward]] ∘ [[forward]], then a per-row
+    * pick). Ties (equidistant past and future) prefer the PAST match,
+    * the telemetry convention. `tsPayload` names the payload column
+    * carrying the right side's timestamp — required to compare
+    * distances, so `ts` must be numeric (epoch micros, the repo
+    * convention). Two union+window folds, one per direction: still one
+    * key-shuffle each, no row explosion. Output columns are
+    * `nearest_<payload>`.
+    */
+  def nearest(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String], tsPayload: String): DataFrame = {
+    require(payload.contains(tsPayload),
+      s"payload must include the right-side ts column $tsPayload")
+    val both = forward(backward(left, right, key, ts, payload),
+      right, key, ts, payload)
+    val useB = col(s"prev_$tsPayload").isNotNull &&
+      (col(s"next_$tsPayload").isNull ||
+        col(ts) - col(s"prev_$tsPayload") <=
+          col(s"next_$tsPayload") - col(ts))
+    payload.foldLeft(both) { (acc, p) =>
+        acc.withColumn(s"nearest_$p",
+          when(useB, col(s"prev_$p")).otherwise(col(s"next_$p")))
+      }
+      .drop(payload.flatMap(p => Seq(s"prev_$p", s"next_$p")): _*)
+  }
+
   /** Shared union+window fold: descending time turns "last preceding" into
     * "first following"; at equal ts the side order decides strictness.
     */

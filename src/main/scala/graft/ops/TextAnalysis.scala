@@ -352,6 +352,34 @@ object TextAnalysis {
     *
     * Output: (g, c12, c1, c2, dice_micro), k rows max.
     */
+  /** Simpson corpus concentration per group — the no-log diversity
+    * measure (entropy needs libm; Simpson is rational): the probability
+    * two tokens drawn WITHOUT replacement are the same type, as the
+    * exact integer pair counts `Σ cᵢ(cᵢ−1)` over `N(N−1)` — kept RAW
+    * (no micro scaling) so the fold stays inside BIGINT for corpora up
+    * to ~3·10⁹ tokens per group; the reported `simpson` is their
+    * IEEE-exact double quotient and `eff_types = N(N−1) div Σcᵢ(cᵢ−1)`
+    * the equivalent-uniform vocabulary size (inverse Simpson, floored).
+    * Two hash aggregations, nothing collected.
+    */
+  def simpsonDiversity(docs: org.apache.spark.sql.DataFrame,
+      groupCol: String, text: Column): org.apache.spark.sql.DataFrame = {
+    val cnt = docs.filter(length(trim(text)) > 0)
+      .select(col(groupCol), explode(tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(groupCol, "tok").agg(count(lit(1)).as("c"))
+    cnt.groupBy(groupCol)
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("c") * (col("c") - 1)).as("sum_cc"))
+      .withColumn("simpson", col("sum_cc").cast("double") /
+        (col("n_tokens") * (col("n_tokens") - 1)).cast("double"))
+      // an all-distinct group has sum_cc = 0: its inverse Simpson is
+      // unbounded — NULL by contract (ANSI `div` would throw)
+      .withColumn("eff_types", when(col("sum_cc") > 0,
+        expr("(n_tokens * (n_tokens - 1)) div sum_cc")))
+      .orderBy(groupCol)
+  }
+
   def collocationsTopK(df: org.apache.spark.sql.DataFrame, text: Column,
       k: Int = 20, minCount: Long = 5L, scale: Long = 1000000L)
       : org.apache.spark.sql.DataFrame = {
