@@ -1962,6 +1962,16 @@ object SparkEntry {
           col("text"))
         .orderBy("doc_id")),
 
+    "qt_rank_norm" -> ((s, dir) =>
+      // rank/percentile normalization per language (distribution-free
+      // score rescaling): exact micro-unit fraction-at-or-below via the
+      // per-group VALUE-HISTOGRAM cumulative — the window sorts
+      // distinct values, never rows; docs re-join on (group, value) —
+      // see RobustStats.rankNormalize
+      graft.ops.RobustStats.rankNormalize(t(s, dir, "documents"),
+          "lang", "n_chars", "doc_id")
+        .orderBy("doc_id")),
+
     "qt_simpson_div" -> ((s, dir) =>
       // Simpson corpus concentration per language (the no-log diversity
       // measure): exact integer pair counts, IEEE-exact quotient, and
@@ -2965,6 +2975,16 @@ object SparkEntry {
       Timeseries.lagCoMoment(series("click"), series("purchase"),
         maxLag = 5)
     }),
+
+    "qc_change_only" -> ((s, dir) =>
+      // on-change logging audit (the CAN storage policy ForwardFill
+      // reconstructs from): per user, samples surviving "store only
+      // when the quantized signal moved" and the exact retention ratio
+      // — see Timeseries.onChangeCompression; signal = value in
+      // half-unit steps so consecutive repeats actually occur
+      Timeseries.onChangeCompression(events(s, dir), "user_id",
+        unix_micros(col("ts")), "event_id",
+        expr("CAST(round(value * 100) AS BIGINT) div 5000"))),
 
     "qc_gap_report" -> ((s, dir) =>
       // sampling-gap diagnostic per series key (dropped frames, dead
@@ -4308,7 +4328,9 @@ object SparkEntry {
           |    CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
           |ce AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
           |SELECT cn.n_nodes, ce.n_edges, tri.n_triangles, cn.n_wedges,
-          |  (3000000 * tri.n_triangles) // cn.n_wedges AS cc_micro
+          |  CASE WHEN cn.n_wedges > 0
+          |    THEN (3000000 * tri.n_triangles) // cn.n_wedges
+          |  END AS cc_micro
           |FROM cn, ce, tri""".stripMargin,
 
       // checksum replay: concat_ws in both engines (same NULL-skipping
@@ -4756,6 +4778,23 @@ object SparkEntry {
            |  CASE WHEN sc.s_micro <= cut.c1 THEN 'tail'
            |       WHEN sc.s_micro <= cut.c2 THEN 'middle' ELSE 'head' END AS bucket
            |FROM sc, cut ORDER BY sc.doc_id""".stripMargin,
+
+      // rank-normalize replay: cumulative over the per-group value
+      // histogram, window sum CAST to BIGINT (the standing HUGEINT rule)
+      "qt_rank_norm" ->
+        """WITH h AS (SELECT lang, n_chars, count(*) AS hn
+          |  FROM documents GROUP BY 1, 2),
+          |c AS (SELECT lang, n_chars,
+          |    CAST(sum(hn) OVER (PARTITION BY lang ORDER BY n_chars)
+          |      AS BIGINT) AS cum FROM h),
+          |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+          |  FROM documents GROUP BY lang)
+          |SELECT d.doc_id, d.lang, d.n_chars,
+          |  (c.cum * 1000000) // t.n AS pct_micro
+          |FROM documents d
+          |JOIN c ON c.lang = d.lang AND c.n_chars = d.n_chars
+          |JOIN t ON t.lang = d.lang
+          |ORDER BY d.doc_id""".stripMargin,
 
       "qt_simpson_div" ->
         s"""WITH tk AS (SELECT lang, unnest($toks) AS tok FROM documents
@@ -6330,6 +6369,20 @@ object SparkEntry {
           |SELECT lag_k, CAST(sum(va * vb) AS BIGINT) AS co_moment,
           |  CAST(count(*) AS BIGINT) AS n_overlap
           |FROM j GROUP BY lag_k ORDER BY lag_k""".stripMargin,
+
+      "qc_change_only" ->
+        """WITH x AS (SELECT user_id,
+          |    CAST(round(value * 100) AS BIGINT) // 5000 AS v,
+          |    lag(CAST(round(value * 100) AS BIGINT) // 5000)
+          |      OVER (PARTITION BY user_id
+          |            ORDER BY epoch_us(ts), event_id) AS pv
+          |  FROM events)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+          |  CAST(sum(CASE WHEN pv IS NULL OR pv <> v THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_kept,
+          |  (CAST(sum(CASE WHEN pv IS NULL OR pv <> v THEN 1 ELSE 0 END)
+          |    AS BIGINT) * 1000000) // count(*) AS ratio_micro
+          |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       "qc_gap_report" ->
         """WITH x AS (SELECT user_id,

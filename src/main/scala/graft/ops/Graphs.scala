@@ -63,6 +63,9 @@ object Graphs {
     counts.crossJoin(edges).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         col("n_wedges"),
-        expr("(3000000 * n_triangles) div n_wedges").as("cc_micro"))
+        // a wedge-free graph (perfect matching) has no transitivity to
+        // report — NULL by contract, not an ANSI divide-by-zero
+        when(col("n_wedges") > 0,
+          expr("(3000000 * n_triangles) div n_wedges")).as("cc_micro"))
   }
 }

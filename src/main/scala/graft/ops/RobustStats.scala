@@ -37,6 +37,34 @@ object RobustStats {
   def lowerMedian(df: DataFrame, valueCol: String): Long =
     exactKth(df, valueCol, n => (n + 1) / 2)
 
+  /** Rank (percentile) normalization per group — the distribution-free
+    * score rescaling ML preprocessing uses before mixing heterogeneous
+    * quality signals: each row's value maps to the exact fraction of
+    * its group at-or-below it, in micro-units
+    * (`pct_micro = cum_≤ · 10⁶ div n`, in (0, 10⁶]).
+    *
+    * Scale shape: the cumulative runs over the per-group VALUE
+    * HISTOGRAM (one row per distinct value — bounded by the value
+    * spread, never the corpus), so the window partitions by group and
+    * sorts only distinct values; rows get their percentile back by an
+    * equi-join on (group, value). No per-row window anywhere — the
+    * [[groupedQuantilesDisc]] reasoning applied to normalization.
+    */
+  def rankNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(groupCol, valueCol).agg(count(lit(1)).as("_hn"))
+    val cum = hist.withColumn("_cum",
+      sum("_hn").over(Window.partitionBy(groupCol).orderBy(valueCol)))
+    val tot = df.groupBy(groupCol).agg(count(lit(1)).as("_n"))
+    df.select(col(idCol), col(groupCol), col(valueCol))
+      .join(cum.select(col(groupCol), col(valueCol), col("_cum")),
+        Seq(groupCol, valueCol))
+      .join(tot, groupCol)
+      .select(col(idCol), col(groupCol), col(valueCol),
+        expr("(_cum * 1000000) div _n").as("pct_micro"))
+  }
+
   /** Per-GROUP discrete quantiles in ONE pass: each requested quantile
     * `(name, qn, qd)` emits the k-th smallest of the group with
     * `k = ⌈n·qn/qd⌉ = (n·qn + qd − 1) div qd` — element-exact DuckDB

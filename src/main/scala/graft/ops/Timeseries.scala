@@ -74,6 +74,28 @@ object Timeseries {
       .orderBy(keyCol)
   }
 
+  /** On-change compression audit — the CAN "log on change" policy
+    * (store a sample only when the signal moved; [[graft.can.ForwardFill]]
+    * is the inverse, reconstruction): per key, how many samples survive
+    * keeping only rows whose value differs from their predecessor
+    * (first sample always kept), and the exact micro-unit retention
+    * ratio. `value` should be the caller's quantized signal (raw floats
+    * never repeat, so quantize first — that IS the policy decision).
+    * Same keyed-window contract as [[dutyCycle]].
+    */
+  def onChangeCompression(df: DataFrame, keyCol: String, tsUs: Column,
+      tieCol: String, value: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("_tus"), col(tieCol))
+    df.select(col(keyCol), tsUs.as("_tus"), col(tieCol), value.as("_v"))
+      .withColumn("_pv", lag(col("_v"), 1).over(w))
+      .withColumn("_keep", col("_pv").isNull || col("_pv") =!= col("_v"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("ratio_micro", expr("(n_kept * 1000000) div n_samples"))
+      .orderBy(keyCol)
+  }
+
   /** Lag cross-covariance between two bucketed series — "does B track A
     * shifted by k buckets?" Both inputs are (bucket, value) in exact
     * integral units (centi/micro — the caller's scaling). For each lag

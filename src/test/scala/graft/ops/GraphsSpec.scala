@@ -52,6 +52,13 @@ class GraphsSpec extends AnyFunSuite {
     assert(stats(messy) == ((3L, 3L, 1L, 3L, 1000000L)))
   }
 
+  test("a wedge-free graph (perfect matching) reports NULL " +
+      "transitivity instead of dividing by zero") {
+    val r = Graphs.triangleStats(
+      Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")).collect()(0)
+    assert(r.getLong(3) == 0L && r.isNullAt(4))
+  }
+
   test("brute-force differential on a deterministic pseudo-random " +
       "graph (including a high-degree hub)") {
     // 25 nodes, arithmetic edge rule, plus node 0 wired to everyone —

@@ -105,4 +105,25 @@ class RobustStatsSpec extends AnyFunSuite {
     }
     assert(got == ref)
   }
+
+  test("rankNormalize: exact at-or-below micro fractions, ties share a " +
+      "percentile, groups independent; matches a sorted-seq reference") {
+    val rows = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 7L)
+    )
+    val got = RobustStats.rankNormalize(rows.toDF("id", "g", "v"),
+        "g", "v", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // group a: 10 -> 1/4, 20 -> 3/4 (both tied rows), 30 -> 4/4
+    assert(got(1L) == 250000L && got(2L) == 750000L &&
+      got(3L) == 750000L && got(4L) == 1000000L)
+    assert(got(5L) == 1000000L, "a singleton group maps to 100%")
+    // reference: fraction at-or-below for every row
+    val ref = rows.map { case (id, g, v) =>
+      val vs = rows.filter(_._2 == g).map(_._3)
+      id -> vs.count(_ <= v).toLong * 1000000L / vs.size
+    }.toMap
+    assert(got == ref)
+  }
 }

@@ -46,6 +46,24 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(out("b") == ((20L, 1L, 1L)), "b owns [10,30)")
   }
 
+  test("onChangeCompression: first sample kept, repeats dropped, " +
+      "every change kept; ratio in exact micro-units") {
+    // user 1: 5,5,7,7,5 -> kept 5,7,5 = 3 of 5 (600000 micro);
+    // user 2: constant -> kept 1 of 4 (250000 micro)
+    val df = Seq(
+      (1L, 0L, 1L, 5L), (1L, 10L, 2L, 5L), (1L, 20L, 3L, 7L),
+      (1L, 30L, 4L, 7L), (1L, 40L, 5L, 5L),
+      (2L, 0L, 6L, 9L), (2L, 1L, 7L, 9L), (2L, 2L, 8L, 9L),
+      (2L, 3L, 9L, 9L)
+    ).toDF("user_id", "tus", "event_id", "v")
+    val out = Timeseries.onChangeCompression(df, "user_id", col("tus"),
+      "event_id", col("v")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((5L, 3L, 600000L)))
+    assert(out(2L) == ((4L, 1L, 250000L)))
+  }
+
   test("lagCoMoment: hand-computed product sums; overlap shrinks at " +
       "the grid edge") {
     val a = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("bucket", "v")
