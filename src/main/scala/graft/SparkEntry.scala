@@ -1962,6 +1962,22 @@ object SparkEntry {
           col("text"))
         .orderBy("doc_id")),
 
+    "qt_winsorized" -> ((s, dir) => {
+      // winsorized mean per group — robust location with the extreme
+      // tails CLAMPED to the exact p10/p90 (groupedQuantilesDisc: one
+      // histogram pass per group, no per-row window); clamped sum in
+      // exact units, mean as a micro-unit integral quotient
+      val d = t(s, dir, "documents")
+      val q = graft.ops.RobustStats.groupedQuantilesDisc(d, Seq("lang"),
+        "n_chars", Seq(("p10", 1L, 10L), ("p90", 9L, 10L)))
+      d.join(broadcast(q.select("lang", "p10", "p90")), "lang")
+        .select(col("lang"),
+          greatest(col("p10"), least(col("p90"), col("n_chars"))).as("w"))
+        .groupBy("lang").agg(count(lit(1)).as("n"), sum("w").as("sum_w"))
+        .withColumn("wmean_micro", expr("(sum_w * 1000000) div n"))
+        .orderBy("lang")
+    }),
+
     "qt_rank_norm" -> ((s, dir) =>
       // rank/percentile normalization per language (distribution-free
       // score rescaling): exact micro-unit fraction-at-or-below via the
@@ -2974,6 +2990,37 @@ object SparkEntry {
         .agg(sum(round(col("value") * 100).cast("long")).as("v"))
       Timeseries.lagCoMoment(series("click"), series("purchase"),
         maxLag = 5)
+    }),
+
+    "qc_range_check" -> ((s, dir) => {
+      // DBC range validation — the plausibility check a fleet runs
+      // right after decode: signals with a declared [min|max] flag
+      // physical values outside it; per signal the frame count,
+      // violation count, and observed envelope. Factors are
+      // binary-exact (0.25, 1) so the physical doubles are
+      // bit-identical cross-engine; a [0|0] signal (no declared range,
+      // the DBC convention) is skipped.
+      val dbc =
+        """BO_ 256 R1: 8 E
+          | SG_ SPEED : 0|16@1+ (0.25,0) [0|8000] "kmh" X
+          | SG_ TEMP : 40|8@1+ (1,-40) [-40|125] "C" X
+          |""".stripMargin
+      val net = DbcParser.parseString(dbc)
+      val frames = CandumpParser.parseLines(canLines(events(s, dir)))
+        .withColumnRenamed("ts_us", "ts_ms")
+      val wide = SignalDecoder.wideFrame(net, frames)
+      val ranged = for {
+        m <- net.messages; sg <- m.signals if sg.min < sg.max
+      } yield (sg.name, sg.min, sg.max)
+      ranged.map { case (nm, mn, mx) =>
+        wide.filter(col(nm).isNotNull)
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col(nm) < mn || col(nm) > mx, 1L).otherwise(0L))
+              .as("n_viol"),
+            min(col(nm)).as("min_phys"), max(col(nm)).as("max_phys"))
+          .select(lit(nm).as("signal"), col("n_frames"), col("n_viol"),
+            col("min_phys"), col("max_phys"))
+      }.reduce(_.unionByName(_)).orderBy("signal")
     }),
 
     "qc_change_only" -> ((s, dir) =>
@@ -4779,6 +4826,21 @@ object SparkEntry {
            |       WHEN sc.s_micro <= cut.c2 THEN 'middle' ELSE 'head' END AS bucket
            |FROM sc, cut ORDER BY sc.doc_id""".stripMargin,
 
+      // winsorized replay: quantile_disc IS groupedQuantilesDisc's
+      // contract; q is multi-referenced via the join → MATERIALIZED
+      "qt_winsorized" ->
+        """WITH q AS MATERIALIZED (SELECT lang,
+          |    quantile_disc(n_chars, 0.1) AS p10,
+          |    quantile_disc(n_chars, 0.9) AS p90
+          |  FROM documents GROUP BY lang),
+          |w AS (SELECT d.lang,
+          |    greatest(q.p10, least(q.p90, d.n_chars)) AS w
+          |  FROM documents d JOIN q USING (lang))
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(w) AS BIGINT) AS sum_w,
+          |  (CAST(sum(w) AS BIGINT) * 1000000) // count(*) AS wmean_micro
+          |FROM w GROUP BY lang ORDER BY lang""".stripMargin,
+
       // rank-normalize replay: cumulative over the per-group value
       // histogram, window sum CAST to BIGINT (the standing HUGEINT rule)
       "qt_rank_norm" ->
@@ -6369,6 +6431,26 @@ object SparkEntry {
           |SELECT lag_k, CAST(sum(va * vb) AS BIGINT) AS co_moment,
           |  CAST(count(*) AS BIGINT) AS n_overlap
           |FROM j GROUP BY lag_k ORDER BY lag_k""".stripMargin,
+
+      // range replay: SPEED = LE u16 at bits 0-15 × 0.25, TEMP = u8 at
+      // 40-47 − 40, both on id-0x100 frames; thresholds on the same
+      // binary-exact doubles
+      "qc_range_check" -> (canBytesCte + """,
+        |f AS (SELECT CAST(d0 + d1*256 AS DOUBLE) * 0.25 AS speed,
+        |    CAST(d5 AS DOUBLE) - 40 AS temp
+        |  FROM b WHERE can_id = 256),
+        |s1 AS (SELECT 'SPEED' AS signal,
+        |    CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(sum(CASE WHEN speed < 0 OR speed > 8000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+        |    min(speed) AS min_phys, max(speed) AS max_phys FROM f),
+        |s2 AS (SELECT 'TEMP',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN temp < -40 OR temp > 125
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    min(temp), max(temp) FROM f)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |ORDER BY signal""".stripMargin),
 
       "qc_change_only" ->
         """WITH x AS (SELECT user_id,
