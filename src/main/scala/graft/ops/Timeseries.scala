@@ -104,9 +104,9 @@ object Timeseries {
     * order-independent, so the result is partition-invariant (the
     * reason this is NOT done in doubles). The join is an equi-join on
     * the shifted bucket after a `maxLag+1`-way literal explode of the
-    * SMALLER series — at fleet scale the grid is bounded by time span,
-    * not event count, so the explode is cheap and the join co-partitions
-    * on the grid.
+    * LEFT series (pass the smaller/sparser series as `a`) — at fleet
+    * scale the grid is bounded by time span, not event count, so the
+    * explode is cheap and the join co-partitions on the grid.
     *
     * Callers pick the scaling so `|a|·|b|·overlap < 2⁶²` — events-table
     * cents (≤ 5·10⁴) over a minute grid (≤ 10⁵ buckets at a week) keep
