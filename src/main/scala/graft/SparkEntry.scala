@@ -993,6 +993,25 @@ object SparkEntry {
           col("text"))
         .orderBy("doc_a", "doc_b")),
 
+    "qd_recall_audit" -> ((s, dir) => {
+      // LSH recall against PROVABLE ground truth: every true pair
+      // (exact prefix-filter join, J ≥ 3/5 — complete by construction)
+      // flagged with whether the capped banded-minhash pipeline also
+      // surfaced it at the same threshold. The one number LSH tuning
+      // guides ask for ("what does the band/cap setting actually
+      // miss?") measured on the identical shingle sets — no sampling,
+      // no estimate.
+      val d = t(s, dir, "documents")
+      val exact = Dedup.prefixFilterNearDups(d, "doc_id", col("text"))
+      val mh = Dedup.minhashNearDups(d, "doc_id", col("text"),
+        threshold = 0.6)
+      exact.join(mh.select(col("doc_a"), col("doc_b"),
+          lit(true).as("found_by_minhash")), Seq("doc_a", "doc_b"), "left")
+        .withColumn("found_by_minhash",
+          coalesce(col("found_by_minhash"), lit(false)))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "qd_jaccard_est" -> ((s, dir) =>
       // estimator audit: per verified pair, the map-only signature
       // estimate next to the true shingle jaccard — the at-scale
@@ -3022,6 +3041,16 @@ object SparkEntry {
             col("min_phys"), col("max_phys"))
       }.reduce(_.unionByName(_)).orderBy("signal")
     }),
+
+    "qc_time_weighted" -> ((s, dir) =>
+      // time-weighted average per user — the correct mean for
+      // irregularly sampled telemetry (arithmetic means over-weight
+      // bursts): step-hold integral over the key's span in exact cents,
+      // micro-unit quotient via the overflow-safe two-term division —
+      // see Timeseries.timeWeightedAvg
+      Timeseries.timeWeightedAvg(events(s, dir), "user_id",
+        unix_micros(col("ts")), "event_id",
+        round(col("value") * 100).cast("long"))),
 
     "qc_change_only" -> ((s, dir) =>
       // on-change logging audit (the CAN storage policy ForwardFill
@@ -5167,6 +5196,41 @@ object SparkEntry {
         |FROM ver WHERE 5 * common >= 3 * (na + nb - common)
         |ORDER BY doc_a, doc_b""".stripMargin),
 
+      // recall audit: the minhash CTE chain (mp, ≥ 0.4) and the
+      // prefix-filter chain share tk/sh; prefix CTEs renamed p* to
+      // avoid colliding with the minhash cand; mp re-filtered to the
+      // audit threshold 0.6
+      "qd_recall_audit" -> (minhashPairsCtes + """,
+        |shm AS MATERIALIZED (SELECT doc_id, sh FROM sh),
+        |pdf AS (SELECT sh, count(*) AS df FROM shm GROUP BY sh),
+        |prk AS (SELECT x.doc_id, x.sh, sizes.nsh AS n,
+        |    row_number() OVER (PARTITION BY x.doc_id
+        |      ORDER BY d.df, x.sh) AS r
+        |  FROM shm x JOIN pdf d ON d.sh = x.sh
+        |    JOIN sizes ON sizes.doc_id = x.doc_id),
+        |ppref AS MATERIALIZED (SELECT doc_id, sh, n FROM prk
+        |  WHERE r <= n - ((3*n + 4) // 5) + 1),
+        |pcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.n AS na, b.n AS nb
+        |  FROM ppref a JOIN ppref b ON a.sh = b.sh
+        |    AND a.doc_id < b.doc_id
+        |  WHERE 3 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
+        |pver AS (SELECT c.doc_a, c.doc_b, c.na, c.nb,
+        |    CAST(count(*) AS BIGINT) AS pc
+        |  FROM pcand c
+        |  JOIN shm ta ON ta.doc_id = c.doc_a
+        |  JOIN shm tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+        |  GROUP BY 1, 2, 3, 4),
+        |exact AS (SELECT doc_a, doc_b,
+        |    CAST(pc AS DOUBLE) / CAST(na + nb - pc AS DOUBLE) AS jaccard
+        |  FROM pver WHERE 5 * pc >= 3 * (na + nb - pc))
+        |SELECT e.doc_a, e.doc_b, e.jaccard,
+        |  (m.doc_a IS NOT NULL) AS found_by_minhash
+        |FROM exact e LEFT JOIN
+        |  (SELECT doc_a, doc_b FROM mp WHERE jaccard >= 0.6) m
+        |  ON m.doc_a = e.doc_a AND m.doc_b = e.doc_b
+        |ORDER BY e.doc_a, e.doc_b""".stripMargin),
+
       "qd_jaccard_est" -> (minhashPairsCtes +
         s"""
            |SELECT mp.doc_a, mp.doc_b, mp.jaccard,
@@ -6451,6 +6515,23 @@ object SparkEntry {
         |    min(temp), max(temp) FROM f)
         |SELECT * FROM s1 UNION ALL SELECT * FROM s2
         |ORDER BY signal""".stripMargin),
+
+      "qc_time_weighted" ->
+        """WITH x AS (SELECT user_id,
+          |    CAST(round(value * 100) AS BIGINT) AS v,
+          |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dt
+          |  FROM events),
+          |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+          |    CAST(sum(v * dt) AS BIGINT) AS integral,
+          |    CAST(sum(dt) AS BIGINT) AS span_us
+          |  FROM x GROUP BY user_id)
+          |SELECT user_id, n_samples, integral, span_us,
+          |  CASE WHEN span_us > 0 THEN
+          |    (integral // span_us) * 1000000 +
+          |    ((integral % span_us) * 1000000) // span_us
+          |  END AS twa_micro
+          |FROM a ORDER BY user_id""".stripMargin,
 
       "qc_change_only" ->
         """WITH x AS (SELECT user_id,

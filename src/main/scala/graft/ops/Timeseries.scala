@@ -74,6 +74,36 @@ object Timeseries {
       .orderBy(keyCol)
   }
 
+  /** Time-weighted average per key — the correct mean for IRREGULARLY
+    * sampled telemetry (an arithmetic mean over-weights chatty bursts;
+    * CAN buses sample on change, so bursts are the norm): step-hold
+    * integral `Σ vᵢ·(tᵢ₊₁ − tᵢ)` over the key's span, each sample
+    * holding until the next (the [[graft.can.ForwardFill]] semantics as
+    * an integral). Values must be caller-scaled exact integers
+    * (cents/micro): the integral is then an exact bigint
+    * (`|v|·span < 2⁶³` is the caller's scaling contract) and
+    * `twa_micro = integral·10⁶ div span` an exact quotient. Keys with a
+    * single sample have no span and report NULL. Same keyed-window
+    * contract as [[dutyCycle]].
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsUs: Column,
+      tieCol: String, value: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("_tus"), col(tieCol))
+    df.select(col(keyCol), tsUs.as("_tus"), col(tieCol), value.as("_v"))
+      .withColumn("_dt", lead(col("_tus"), 1).over(w) - col("_tus"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("_v") * col("_dt")).as("integral"),
+        sum(col("_dt")).as("span_us"))
+      // two-term quotient: (I div S)·10⁶ + ((I mod S)·10⁶) div S ==
+      // floor(I·10⁶/S) for I ≥ 0 WITHOUT materializing I·10⁶ (which
+      // overflows bigint on month-long spans)
+      .withColumn("twa_micro", when(col("span_us") > 0,
+        expr("(integral div span_us) * 1000000 + " +
+          "((integral % span_us) * 1000000) div span_us")))
+      .orderBy(keyCol)
+  }
+
   /** On-change compression audit — the CAN "log on change" policy
     * (store a sample only when the signal moved; [[graft.can.ForwardFill]]
     * is the inverse, reconstruction): per key, how many samples survive

@@ -46,6 +46,24 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(out("b") == ((20L, 1L, 1L)), "b owns [10,30)")
   }
 
+  test("timeWeightedAvg: step-hold integral, floor micro quotient via " +
+      "the two-term division; single-sample key reports NULL") {
+    // user 1: v=10 holds [0,10), v=20 holds [10,30): integral 500,
+    // span 30 -> twa = floor(500e6/30) = 16_666_666
+    val df = Seq(
+      (1L, 0L, 1L, 10L), (1L, 10L, 2L, 20L), (1L, 30L, 3L, 0L),
+      (2L, 5L, 4L, 99L)
+    ).toDF("user_id", "tus", "event_id", "v")
+    val out = Timeseries.timeWeightedAvg(df, "user_id", col("tus"),
+      "event_id", col("v")).collect()
+    val u1 = out(0)
+    assert(u1.getLong(1) == 3L && u1.getLong(2) == 500L &&
+      u1.getLong(3) == 30L && u1.getLong(4) == 16666666L)
+    val u2 = out(1)
+    assert(u2.getLong(1) == 1L && u2.isNullAt(4),
+      "a single sample holds nothing and has no TWA")
+  }
+
   test("onChangeCompression: first sample kept, repeats dropped, " +
       "every change kept; ratio in exact micro-units") {
     // user 1: 5,5,7,7,5 -> kept 5,7,5 = 3 of 5 (600000 micro);
