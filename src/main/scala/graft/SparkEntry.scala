@@ -3031,15 +3031,25 @@ object SparkEntry {
       val ranged = for {
         m <- net.messages; sg <- m.signals if sg.min < sg.max
       } yield (sg.name, sg.min, sg.max)
-      ranged.map { case (nm, mn, mx) =>
-        wide.filter(col(nm).isNotNull)
-          .agg(count(lit(1)).as("n_frames"),
-            sum(when(col(nm) < mn || col(nm) > mx, 1L).otherwise(0L))
-              .as("n_viol"),
-            min(col(nm)).as("min_phys"), max(col(nm)).as("max_phys"))
-          .select(lit(nm).as("signal"), col("n_frames"), col("n_viol"),
-            col("min_phys"), col("max_phys"))
-      }.reduce(_.unionByName(_)).orderBy("signal")
+      // ONE pass: all signals' conditional aggregates in a single
+      // aggregation over a single decode (a per-signal union would
+      // re-scan and re-decode the full frame stream per signal — two
+      // scans here, N at a fleet DBC's signal count), then the
+      // one-row-per-signal shape back via a literal-array explode
+      val aggs = ranged.flatMap { case (nm, mn, mx) => Seq(
+        count(when(col(nm).isNotNull, 1)).as(s"${nm}_n"),
+        sum(when(col(nm) < mn || col(nm) > mx, 1L).otherwise(0L))
+          .as(s"${nm}_viol"),
+        min(col(nm)).as(s"${nm}_min"), max(col(nm)).as(s"${nm}_max"))
+      }
+      wide.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(ranged.map { case (nm, _, _) =>
+          struct(lit(nm).as("signal"), col(s"${nm}_n").as("n_frames"),
+            col(s"${nm}_viol").as("n_viol"),
+            col(s"${nm}_min").as("min_phys"),
+            col(s"${nm}_max").as("max_phys"))
+        }: _*)).as("r"))
+        .select("r.*").orderBy("signal")
     }),
 
     "qc_time_weighted" -> ((s, dir) =>
