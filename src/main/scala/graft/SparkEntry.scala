@@ -1001,14 +1001,10 @@ object SparkEntry {
       // guides ask for ("what does the band/cap setting actually
       // miss?") measured on the identical shingle sets — no sampling,
       // no estimate.
-      val d = t(s, dir, "documents")
-      val exact = Dedup.prefixFilterNearDups(d, "doc_id", col("text"))
-      val mh = Dedup.minhashNearDups(d, "doc_id", col("text"),
-        threshold = 0.6)
-      exact.join(mh.select(col("doc_a"), col("doc_b"),
-          lit(true).as("found_by_minhash")), Seq("doc_a", "doc_b"), "left")
-        .withColumn("found_by_minhash",
-          coalesce(col("found_by_minhash"), lit(false)))
+      // one persisted shingle relation feeds BOTH pipelines — see
+      // Dedup.recallAudit (the r17 board paid the explode twice)
+      Dedup.recallAudit(t(s, dir, "documents"), "doc_id", col("text"),
+          lshThreshold = 0.6)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -6449,8 +6445,8 @@ object SparkEntry {
           |    min(CAST(round(value*100) AS BIGINT)) AS v
           |  FROM events GROUP BY 1, 2),
           |ext AS (SELECT user_id,
-          |    ((min(t) + 21599999999) // 21600000000) * 21600000000 AS g0,
-          |    (max(t) // 21600000000) * 21600000000 AS g1
+          |    min(t) + (((-min(t)) % 21600000000 + 21600000000) % 21600000000) AS g0,
+          |    max(t) - (((max(t)) % 21600000000 + 21600000000) % 21600000000) AS g1
           |  FROM s GROUP BY 1),
           |grid AS MATERIALIZED (SELECT user_id,
           |    unnest(range(g0, g1 + 1, 21600000000)) AS tick

@@ -203,9 +203,17 @@ object Stress {
     * vocabulary, not the degenerate ~31-word one), and the length
     * filter prunes before verification.
     */
-  private def prefixJoin(spark: SparkSession, dir: String, copies: Int): Unit =
+  private def prefixJoin(spark: SparkSession, dir: String, copies: Int): Unit = {
+    // observed candidate volume: the one number that distinguishes
+    // output-sensitive growth (true pairs densified) from a degenerate
+    // vocabulary going all-pairs — printed per rep so the stress log
+    // carries the diagnosis, not just the wall
+    val obs = org.apache.spark.sql.Observation(s"prefix_join_x$copies")
     noop(Dedup.prefixFilterNearDups(docCopies(spark, dir, copies),
-      "doc_id", col("text")))
+      "doc_id", col("text"), candObs = Some(obs)))
+    System.err.println(s"[stress] prefix_join copies=$copies " +
+      s"candidate_pairs=${obs.get("candidate_pairs")}")
+  }
 
   /** Duty cycle under 10× rows PER KEY (ts shifted +i µs — the
     * keyed-window worst axis, same construction as asof): both analytic

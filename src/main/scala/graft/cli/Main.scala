@@ -120,20 +120,27 @@ object Main {
       sys.exit(2)
     }
     // host:port[/target] — the reference connects to ws://host:9000/
+    // A non-numeric or out-of-range port takes the same usage-error
+    // exit(2) path as every sibling flag error, not a raw
+    // NumberFormatException stack trace.
+    def wsUsageError(): Nothing = {
+      System.err.println(
+        s"--ws-host must be host:port[/target] with a numeric port\n$usage")
+      sys.exit(2)
+    }
+    def parsePort(p: String): Int =
+      scala.util.Try(p.toInt).toOption.filter(n => n >= 0 && n <= 65535)
+        .getOrElse(wsUsageError())
     val wsTarget: Option[(String, Int, String)] =
       if (wsHost.isEmpty) None
       else wsHost.split("/", 2) match {
         case Array(hp, t) => hp.split(":") match {
-          case Array(h, p) => Some((h, p.toInt, "/" + t))
-          case _ =>
-            System.err.println(s"--ws-host must be host:port[/target]\n$usage")
-            sys.exit(2)
+          case Array(h, p) => Some((h, parsePort(p), "/" + t))
+          case _ => wsUsageError()
         }
         case Array(hp) => hp.split(":") match {
-          case Array(h, p) => Some((h, p.toInt, "/"))
-          case _ =>
-            System.err.println(s"--ws-host must be host:port[/target]\n$usage")
-            sys.exit(2)
+          case Array(h, p) => Some((h, parsePort(p), "/"))
+          case _ => wsUsageError()
         }
       }
     if (statePartitions.exists(_ <= 0)) {

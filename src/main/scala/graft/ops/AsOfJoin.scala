@@ -166,11 +166,15 @@ object Resample {
     val s = samples
       .select(col(key), col(tsCol).as("_t"), col(valCol).as("_v"))
       .groupBy(col(key), col("_t")).agg(min("_v").as("_v"))
+    // grid alignment must be true ceil/floor to a period multiple —
+    // pmod-based (`x + pmod(-x,p)` / `x - pmod(x,p)`), NOT truncating
+    // `div`, which for negative (pre-1970) epoch-micros would misalign
+    // by one period and emit out-of-span ticks / drop in-span ones
     val grid = s.groupBy(col(key))
       .agg(min("_t").as("_mn"), max("_t").as("_mx"))
       .select(col(key),
-        expr(s"((_mn + ${periodUs - 1}L) div ${periodUs}L) * ${periodUs}L").as("_g0"),
-        expr(s"(_mx div ${periodUs}L) * ${periodUs}L").as("_g1"))
+        expr(s"_mn + pmod(-_mn, ${periodUs}L)").as("_g0"),
+        expr(s"_mx - pmod(_mx, ${periodUs}L)").as("_g1"))
       .filter(col("_g0") <= col("_g1")) // a sub-period key has no ticks
       .select(col(key),
         explode(sequence(col("_g0"), col("_g1"), lit(periodUs))).as("_t"))

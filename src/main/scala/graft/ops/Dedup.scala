@@ -186,28 +186,40 @@ object Dedup {
     // now-uncached shingles — slower, never fatal). Shingle-set sizes ride
     // along in the signature aggregation, so no separate sizes pass exists.
     val sh = shingleHashes(df, idCol, text).cache()
-    try {
-      val sig = minhashAgg(sh, idCol)
-      val sizes = sig.select(col(idCol), col("nsh"))
-      val cands = bandedCandidates(bandKeys(sig, idCol), idCol, bandCap)
-      val common = cands
-        .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
-        .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
-        .filter(col("sha") === col("shb"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-      common
-        .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-        .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
-        .withColumn("jaccard",
-          col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      match { case result =>
-        result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        result.count() // materialize while sh is still cached
-        result
-      }
-    } finally sh.unpersist()
+    try minhashNearDupsFromShingles(sh, idCol, threshold, bandCap)
+    finally sh.unpersist()
+  }
+
+  /** [[minhashNearDups]] over a caller-owned (typically persisted)
+    * shingle relation `(idCol, sh)` — the seam that lets a composition
+    * like [[recallAudit]] compute the shingle explode ONCE and feed
+    * both the minhash chain and the exact prefix join from it. Same
+    * result contract as [[minhashNearDups]] (persisted + materialized,
+    * caller owns the blocks); the shingle relation's lifecycle belongs
+    * to the caller.
+    */
+  def minhashNearDupsFromShingles(sh: DataFrame, idCol: String,
+      threshold: Double = 0.4, bandCap: Int = BandBucketCap): DataFrame = {
+    val sig = minhashAgg(sh, idCol)
+    val sizes = sig.select(col(idCol), col("nsh"))
+    val cands = bandedCandidates(bandKeys(sig, idCol), idCol, bandCap)
+    val common = cands
+      .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
+      .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
+      .filter(col("sha") === col("shb"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    match { case result =>
+      result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      result.count() // materialize while sh is still cached
+      result
+    }
   }
 
   /** Edit-distance verification of near-dup candidate pairs — the exact
@@ -337,9 +349,23 @@ object Dedup {
     * [[minhashNearDups]]'s verified jaccard.
     */
   def prefixFilterNearDups(docs: DataFrame, idCol: String, text: Column,
-      tNum: Long = 3, tDen: Long = 5, n: Int = 3): DataFrame = {
+      tNum: Long = 3, tDen: Long = 5, n: Int = 3,
+      candObs: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    prefixFilterFromShingles(shingleHashes(docs, idCol, text, n), idCol,
+      tNum, tDen, candObs)
+
+  /** [[prefixFilterNearDups]] over a caller-owned shingle relation
+    * `(idCol, sh)` — the exact-join half of the [[recallAudit]] seam.
+    * Plan-only (no persist): the caller decides whether the shingle
+    * relation is cached (it feeds five consumers here — df counts,
+    * sizes, the rank join, and both verify joins — so a persisted input
+    * pays off whenever the relation is also shared with the minhash
+    * chain).
+    */
+  def prefixFilterFromShingles(tk: DataFrame, idCol: String,
+      tNum: Long = 3, tDen: Long = 5,
+      candObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
-    val tk = shingleHashes(docs, idCol, text, n)
     val sz = tk.groupBy(idCol).agg(count(lit(1)).as("n"))
     val dfreq = tk.groupBy("sh").agg(count(lit(1)).as("df"))
     val rk = tk.join(dfreq, "sh").join(sz, idCol)
@@ -350,13 +376,24 @@ object Dedup {
     val pref = rk.filter(col("r") <=
         col("n") - expr(s"(($tNum * n + ${tDen - 1}) div $tDen)") + 1)
       .select(col(idCol), col("sh"), col("n"))
-    val cand = pref.as("a").join(pref.as("b"),
+    val candRaw = pref.as("a").join(pref.as("b"),
         col("a.sh") === col("b.sh") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
           lit(tNum) * greatest(col("a.n"), col("b.n")) <=
             lit(tDen) * least(col("a.n"), col("b.n")))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
+    // observe, don't assume, the candidate volume: on a corpus whose
+    // shingle vocabulary is degenerate (the word-prefix failure mode —
+    // a ~31-word vocabulary makes every prefix common and the join
+    // all-pairs) this count is the number that goes quadratic. The
+    // metric rides the plan's existing aggregation machinery (zero
+    // extra passes, retry-deduped); `Observation.get` blocks until the
+    // caller's action lands, so harnesses print a NUMBER instead of
+    // silently paying the blowup.
+    val cand = candObs
+      .map(o => candRaw.observe(o, count(lit(1)).as("candidate_pairs")))
+      .getOrElse(candRaw)
       .distinct()
     cand
       .join(tk.select(col(idCol).as("doc_a"), col("sh")), "doc_a")
@@ -369,6 +406,42 @@ object Dedup {
         (col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double"))
           .as("jaccard"))
+  }
+
+  /** LSH recall against PROVABLE ground truth: every true pair from the
+    * exact prefix-filter join (complete by construction at J ≥
+    * `tNum/tDen`) flagged with whether the capped banded-minhash
+    * pipeline also surfaced it at `lshThreshold`. The audit is
+    * inherently a composition — it runs BOTH pipelines — but both are
+    * fed from ONE persisted shingle relation, so the corpus is
+    * tokenized/exploded once instead of once per pipeline (the explode
+    * is the dominant shared cost; sharing it cut the sf0.1 gate wall
+    * measurably with the output hash unchanged).
+    *
+    * CONTRACT (same as [[minhashNearDups]]): result persisted +
+    * materialized, caller owns the blocks.
+    *
+    * Output: (doc_a, doc_b, jaccard, found_by_minhash).
+    */
+  def recallAudit(docs: DataFrame, idCol: String, text: Column,
+      tNum: Long = 3, tDen: Long = 5, lshThreshold: Double = 0.6,
+      n: Int = 3): DataFrame = {
+    val sh = shingleHashes(docs, idCol, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mh = minhashNearDupsFromShingles(sh, idCol, lshThreshold)
+      try {
+        val result = prefixFilterFromShingles(sh, idCol, tNum, tDen)
+          .join(mh.select(col("doc_a"), col("doc_b"),
+            lit(true).as("found_by_minhash")), Seq("doc_a", "doc_b"), "left")
+          .withColumn("found_by_minhash",
+            coalesce(col("found_by_minhash"), lit(false)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try result.count() // materialize while sh + mh are still cached
+        catch { case e: Throwable => result.unpersist(); throw e }
+        result
+      } finally { mh.unpersist(); () }
+    } finally sh.unpersist()
   }
 
   /** Map-side MinHash signature: appends m0..m{k-1} + `nsh` to each row

@@ -4,6 +4,7 @@ import java.io.{FileOutputStream, OutputStream}
 import java.nio.file.{Files, Paths}
 
 import org.apache.arrow.memory.RootAllocator
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.ipc.ArrowStreamWriter
 import org.apache.arrow.vector.types.FloatingPointPrecision
@@ -25,6 +26,23 @@ import scala.jdk.CollectionConverters._
   * internal Arrow utils, which are `private[sql]` and version-volatile.
   */
 object ArrowIpcSink {
+
+  /** Java-serializable Hadoop `Configuration` carrier (the Spark-internal
+    * equivalent is `private[spark]`): ships the session's hadoop conf to
+    * executors so [[fileSinkDistributed]] resolves `dir`'s filesystem with
+    * the same settings the driver used.
+    */
+  private final class SerHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
 
   def arrowType(dt: DataType): ArrowType = dt match {
     case BooleanType => ArrowType.Bool.INSTANCE
@@ -112,10 +130,19 @@ object ArrowIpcSink {
     * partition count, so it overwrites its own previous files.
     * Consumers must accept N files per batch instead of the reference's
     * one-chunk contract (which [[fileSink]] keeps as the default).
+    *
+    * All I/O goes through the Hadoop `FileSystem` resolved from `dir`'s
+    * scheme (executors write with the session's broadcast hadoop conf),
+    * so `dir` may be any shared filesystem (HDFS, S3A, NFS mount, or a
+    * local path in local mode) and the driver-side replay cleanup sees
+    * exactly the files executors wrote — no executor-local scatter.
     */
   def fileSinkDistributed(df: DataFrame, dir: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    Files.createDirectories(Paths.get(dir))
+    val sc = df.sparkSession.sparkContext
+    val dirPath = new HPath(dir)
+    val confBc = sc.broadcast(new SerHadoopConf(sc.hadoopConfiguration))
+    dirPath.getFileSystem(sc.hadoopConfiguration).mkdirs(dirPath)
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // replay hygiene: a replayed micro-batch can plan FEWER
@@ -123,14 +150,17 @@ object ArrowIpcSink {
         // change), which would leave the attempt's higher-numbered
         // part files alongside the replay's — delete this batch id's
         // files first so the written set is exactly this attempt's
-        Option(new java.io.File(dir).listFiles()).foreach(
-          _.filter(_.getName.matches(s"batch-$id-part-\\d+\\.arrows"))
-            .foreach { f => f.delete(); () })
+        val fs = dirPath.getFileSystem(confBc.value.value)
+        fs.globStatus(new HPath(dirPath, s"batch-$id-part-*.arrows")) match {
+          case null => ()
+          case stale => stale.foreach { s => fs.delete(s.getPath, false); () }
+        }
         val schema = batch.schema
         batch.foreachPartition { (it: Iterator[Row]) =>
           if (it.hasNext) {
             val pid = org.apache.spark.TaskContext.getPartitionId()
-            val out = new FileOutputStream(s"$dir/batch-$id-part-$pid.arrows")
+            val part = new HPath(dirPath, s"batch-$id-part-$pid.arrows")
+            val out = part.getFileSystem(confBc.value.value).create(part, true)
             try writeRows(schema, it, out) finally out.close()
           }
           ()

@@ -64,6 +64,56 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 0.6)))
   }
 
+  test("recallAudit == the uncached two-pipeline composition (shared " +
+      "shingle relation changes the wall, not the rows), and every " +
+      "exact pair carries a boolean flag") {
+    val corpus = ((0 until 40).map { i =>
+      (i.toLong, (0 until 6).map(j => s"w${(i % 20) + j}").mkString(" "))
+    }) ++ ((0 until 10).map { i =>
+      (100L + i, ((0 until 5).map(j => s"w${(i % 20) + j}") :+ s"z$i")
+        .mkString(" "))
+    })
+    val docs = corpus.toDF("doc_id", "text")
+    val audit = Dedup.recallAudit(docs, "doc_id", col("text"),
+      lshThreshold = 0.6)
+    try {
+      val got = audit.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSet
+      // reference composition: independent (unshared) pipelines
+      val exact = Dedup.prefixFilterNearDups(docs, "doc_id", col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val mh = Dedup.minhashNearDups(docs, "doc_id", col("text"),
+        threshold = 0.6)
+      val mhPairs =
+        try mh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        finally mh.unpersist()
+      val want = exact.map { case (a, b, j) =>
+        (a, b, j, mhPairs.contains((a, b))) }
+      assert(got == want)
+      assert(got.map(t => (t._1, t._2, t._3)) == exact,
+        "audit rows must be exactly the exact-join pairs")
+    } finally { audit.unpersist(); () }
+  }
+
+  test("candidate-volume observation: candidate_pairs rides the plan, " +
+      "counts pre-distinct prefix collisions, and bounds the output") {
+    val docs = Seq(
+      (1L, "w x y z p q"), (2L, "w x y z p r"),
+      (3L, "m n o p q"), (4L, "m n o p r"), (5L, "a b")
+    ).toDF("doc_id", "text")
+    val obs = org.apache.spark.sql.Observation("prefix_cand_spec")
+    val got = Dedup.prefixFilterNearDups(docs, "doc_id", col("text"),
+      candObs = Some(obs)).collect()
+    val cands = obs.get("candidate_pairs").asInstanceOf[Long]
+    // raw collisions ≥ distinct pairs ≥ accepted pairs; and the fixture
+    // has exactly one accepted pair, whose docs share 3 prefix shingles
+    assert(got.length == 1)
+    assert(cands >= got.length, s"observed $cands < ${got.length}")
+    assert(cands > 0)
+  }
+
   test("custom threshold 1/2 widens the accepted set consistently " +
       "with brute force") {
     val corpus = Seq((1L, "w x y z p q"), (2L, "w x y z p r"),
