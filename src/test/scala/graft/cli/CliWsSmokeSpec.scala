@@ -33,8 +33,12 @@ class CliWsSmokeSpec extends AnyFunSuite {
     rows
   }
 
-  test("CLI batch --ws-host pushes the run's rows as one valid IPC " +
-      "message; exit 0; parquet row count matches") {
+  /** In-process RFC 6455 server: accepts concurrent connections, reads
+    * ONE masked binary message per connection into `received`. Returns
+    * (server socket, message queue); caller closes the socket.
+    */
+  private def startWsServer(): (java.net.ServerSocket,
+      java.util.concurrent.LinkedBlockingQueue[Array[Byte]]) = {
     val server = new java.net.ServerSocket(0)
     val received = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]]()
     val acceptor = new Thread(() => {
@@ -71,7 +75,12 @@ class CliWsSmokeSpec extends AnyFunSuite {
       } catch { case _: Throwable => () } // server closed
     })
     acceptor.setDaemon(true); acceptor.start()
+    (server, received)
+  }
 
+  test("CLI batch --ws-host pushes the run's rows as one valid IPC " +
+      "message; exit 0; parquet row count matches") {
+    val (server, received) = startWsServer()
     val outDir = java.nio.file.Files.createTempDirectory("cli_ws").toString + "/out"
     val javaBin = sys.props("java.home") + "/bin/java"
     val cp = sys.props("java.class.path")
@@ -99,6 +108,74 @@ class CliWsSmokeSpec extends AnyFunSuite {
         "IPC payload row count != parquet sink")
       assert(received.poll(2, java.util.concurrent.TimeUnit.SECONDS) == null,
         "expected exactly one chunk-per-run message in driver mode")
+    } finally {
+      server.close()
+      proc.destroyForcibly()
+      proc.waitFor()
+      ()
+    }
+  }
+
+  test("CLI batch --ws-host --ws-distributed pushes partition-count " +
+      "messages whose rows sum to the parquet sink") {
+    val (server, received) = startWsServer()
+    val outDir = java.nio.file.Files.createTempDirectory("cli_wsd").toString + "/out"
+    // a 300-frame log (10 ms buckets over ~1.5 s → ~150 wide rows across
+    // all 4 shuffle partitions → several part files), and a read-back
+    // maxPartitionBytes far below the 4 MB per-file open cost so every
+    // part file becomes its own scan partition — the smoke then MUST see
+    // one message per partition, not a single funneled chunk
+    val logPath = java.nio.file.Files.createTempFile("cli_wsd_in", ".log")
+    val logLines = (0 until 300).map { i =>
+      val usTotal = i * 5000L
+      val sec = 1700000000L + usTotal / 1000000L
+      val us = usTotal % 1000000L
+      val payload = Seq("100#401F4B01", "200#02E8030000000000",
+        "300#0000803F")(i % 3)
+      s"($sec.${"%06d".format(us)}) vcan0 $payload"
+    }
+    java.nio.file.Files.write(logPath,
+      logLines.mkString("\n").getBytes("US-ASCII"))
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.master=local[4]",
+      "-Dspark.sql.shuffle.partitions=4",
+      // AQE would (correctly, at scale) coalesce 150 tiny rows into one
+      // write partition — turn coalescing off so the run writes several
+      // part files and the partition-per-message contract is observable
+      "-Dspark.sql.adaptive.coalescePartitions.enabled=false",
+      "-Dspark.sql.files.maxPartitionBytes=131072",
+      "-cp", cp, "graft.cli.Main", "fixtures/mini.dbc",
+      "--if", logPath.toString, "--of", outDir,
+      "--file", "--cache", "10",
+      "--ws-host", s"127.0.0.1:${server.getLocalPort}/ipc",
+      "--ws-distributed")
+    val logFile = java.nio.file.Files.createTempFile("cli_wsd", ".log").toFile
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(new java.io.File(sys.props("user.dir")))
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(logFile)
+    val proc = pb.start()
+    try {
+      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "batch CLI did not exit")
+      val log = scala.io.Source.fromFile(logFile).mkString
+      assert(proc.exitValue() == 0, s"CLI failed; log:\n${log.takeRight(4000)}")
+      // drain: executors push concurrently; the CLI has exited, so all
+      // messages are either queued or in-flight on accepted sockets
+      val msgs = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var m = received.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      while (m != null) {
+        msgs += m
+        m = received.poll(2, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      val parquetRows = spark.read.parquet(outDir).count()
+      assert(msgs.nonEmpty, "no WebSocket messages arrived")
+      assert(msgs.size > 1,
+        s"expected one message per non-empty partition (>1), got ${msgs.size}")
+      assert(msgs.map(readIpcRows).sum == parquetRows,
+        "sum of per-partition IPC rows != parquet sink")
     } finally {
       server.close()
       proc.destroyForcibly()
