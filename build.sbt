@@ -28,3 +28,33 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Parallel test execution: 65+ suites in ONE forked JVM run ~12.5 min
+// wall; each suite's SparkSession is local[4], so on a 32-core host most
+// of the machine idles. Deterministic round-robin over name-sorted
+// suites into GRAFT_TEST_GROUPS forked JVMs (default 6 → 6 × local[4] =
+// 24 Spark threads, 6 × 8g heap worst case), run concurrently. Suites
+// share nothing across JVMs: no fixed ports (ServerSocket(0)
+// everywhere), no fixed tmp paths (createTemp*), no warehouse writes —
+// verified by grep before this was turned on. GRAFT_TEST_GROUPS=1
+// restores the single-JVM order for debugging.
+val testGroupCount = sys.env.getOrElse("GRAFT_TEST_GROUPS", "6").toInt
+Test / testGrouping := {
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  val opts = (Test / javaOptions).value.toVector
+  val base = baseDirectory.value
+  tests.zipWithIndex.groupBy(_._2 % testGroupCount).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(s"g$i", ts.map(_._1),
+        Tests.SubProcess(ForkOptions()
+          .withRunJVMOptions(opts)
+          .withWorkingDirectory(base)))
+    }
+}
+// REPLACE the default restrictions: sbt ships Tags.limit(ForkedTestGroup, 1)
+// and with multiple limits on one tag the most restrictive wins — appending
+// a higher limit is a no-op (observed: groups ran sequentially).
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(testGroupCount + 2),
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount),
+)
