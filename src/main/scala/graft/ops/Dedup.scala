@@ -560,12 +560,13 @@ object Dedup {
     */
   def containmentDecontaminate(docs: DataFrame, idCol: String, text: Column,
       isEval: Column, thresholdMicro: Long = 500000L, n: Int = 3,
-      maxBroadcastEvalDocs: Long = 1000000L): DataFrame = {
+      maxBroadcastEvalDocs: Long = 1000000L,
+      hitObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val base = docs.select(col(idCol), text.as("_text"), isEval.as("_is_eval"))
     val eval = prepareEvalShingles(base.filter(col("_is_eval")), idCol,
       col("_text"), n)
     try containmentAgainst(base.filter(!col("_is_eval")), idCol,
-      col("_text"), eval, thresholdMicro, n, maxBroadcastEvalDocs)
+      col("_text"), eval, thresholdMicro, n, maxBroadcastEvalDocs, hitObs)
     finally eval.unpersist()
   }
 
@@ -604,9 +605,10 @@ object Dedup {
     */
   def containmentAgainst(train: DataFrame, idCol: String, text: Column,
       eval: EvalShingles, thresholdMicro: Long = 500000L, n: Int = 3,
-      maxBroadcastEvalDocs: Long = 1000000L): DataFrame = {
+      maxBroadcastEvalDocs: Long = 1000000L,
+      hitObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val result = containmentPlan(train, idCol, text, eval, thresholdMicro,
-      n, maxBroadcastEvalDocs)
+      n, maxBroadcastEvalDocs, hitObs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try result.count() // materialize while the eval caches are live
     catch { case e: Throwable => result.unpersist(); throw e }
@@ -619,14 +621,25 @@ object Dedup {
     */
   private[graft] def containmentPlan(train: DataFrame, idCol: String,
       text: Column, eval: EvalShingles, thresholdMicro: Long, n: Int,
-      maxBroadcastEvalDocs: Long): DataFrame = {
+      maxBroadcastEvalDocs: Long,
+      hitObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(thresholdMicro >= 0 && thresholdMicro <= 1000000L,
       s"thresholdMicro must be in [0, 1000000], got $thresholdMicro")
     def hinted(df: DataFrame): DataFrame =
       if (eval.evalDocCount <= maxBroadcastEvalDocs) broadcast(df) else df
     val trainSh = shingleHashes(train.select(col(idCol), text.as("_t")),
       idCol, col("_t"), n)
-    val common = trainSh.join(hinted(eval.shingles), "sh")
+    // observe, don't assume, the inverted-index fan-out (the
+    // prefixFilterNearDups doctrine): shingle_hits counts (train-shingle
+    // × eval-doc) matches BEFORE the per-pair aggregation — the number
+    // that goes quadratic when eval shingles are corpus-common (a
+    // degenerate vocabulary, or an eval predicate selecting boilerplate).
+    // Rides the plan; zero extra passes.
+    val matched = trainSh.join(hinted(eval.shingles), "sh")
+    val watched = hitObs
+      .map(o => matched.observe(o, count(lit(1)).as("shingle_hits")))
+      .getOrElse(matched)
+    val common = watched
       .groupBy(col(idCol), col("_eval_id")).agg(count(lit(1)).as("_nc"))
     common.join(hinted(eval.sizes), "_eval_id")
       .filter(col("_nc") * lit(1000000L) >= lit(thresholdMicro) * col("_ne"))

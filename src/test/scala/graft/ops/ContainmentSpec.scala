@@ -45,6 +45,21 @@ class ContainmentSpec extends AnyFunSuite {
     jac.unpersist()
   }
 
+  test("shingle_hits observation counts the inverted-index fan-out " +
+      "(train-shingle x eval-doc matches, pre-aggregation)") {
+    val obs = org.apache.spark.sql.Observation("containment_hits")
+    val df = docs.toDF("doc_id", "text", "is_eval")
+    val r = Dedup.containmentDecontaminate(df, "doc_id", col("text"),
+      col("is_eval"), hitObs = Some(obs))
+    try {
+      // containmentAgainst materializes internally, so the observation
+      // is already resolved: exactly the 3 embedded snippet shingles
+      // match, once each, against the single eval doc
+      assert(obs.get("shingle_hits").asInstanceOf[Long] == 3L)
+      assert(r.count() == 1)
+    } finally { r.unpersist(); () }
+  }
+
   test("threshold is an exact >= boundary via integer cross-" +
       "multiplication") {
     // eval has 4 shingles (6 tokens); train shares exactly 2 -> 1/2

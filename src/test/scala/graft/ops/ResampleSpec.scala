@@ -57,6 +57,25 @@ class ResampleSpec extends AnyFunSuite {
     assert(got((1L, 50L)) == 2L)
   }
 
+  test("negative (pre-1970) timestamps align the grid inside the span: " +
+      "pmod ceil/floor, no out-of-span ticks, no dropped in-span ticks") {
+    // span [-170, -30]: true ceil(-170/100)*100 = -100 is the ONLY
+    // multiple of 100 inside; truncating `div` alignment would have
+    // produced g0 = -100, g1 = 0 — an out-of-span tick at 0 with null
+    // neighbors and (for [-230,-130]) a dropped in-span tick at -200
+    val got = run(Seq((1L, -170L, 1L), (1L, -30L, 15L)), 100L)
+    assert(got.keySet == Set((1L, -100L)))
+    assert(got((1L, -100L)) == 1L + (15L - 1L) * (-100L + 170L) / (-30L + 170L))
+    // a fully negative span whose bounds ARE multiples: both endpoints
+    // tick, interior lerps exactly
+    val got2 = run(Seq((2L, -200L, 0L), (2L, -100L, 10L)), 50L)
+    assert(got2 == Map((2L, -200L) -> 0L, (2L, -150L) -> 5L,
+      (2L, -100L) -> 10L))
+    // straddling zero: ticks at every multiple across the sign change
+    val got3 = run(Seq((3L, -75L, 0L), (3L, 75L, 30L)), 50L)
+    assert(got3 == Map((3L, -50L) -> 5L, (3L, 0L) -> 15L, (3L, 50L) -> 25L))
+  }
+
   test("keys resample independently on their own spans") {
     val got = run(Seq(
       (1L, 0L, 0L), (1L, 200L, 20L),

@@ -110,6 +110,22 @@ class ZipfVocabSpec extends AnyFunSuite {
         "the rare-prefix guarantee collapsed on a realistic vocabulary")
   }
 
+  test("recallAudit on the realistic vocabulary: the banded-minhash " +
+      "pipeline surfaces every planted twin the exact join proves") {
+    val audit = Dedup.recallAudit(docs, "doc_id", col("text"),
+      lshThreshold = 0.6)
+    try {
+      val rows = audit.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(3))).toMap
+      assert(rows.keySet ==
+        (0 until ZipfFixture.Twins).map(i => (i.toLong, 100000L + i)).toSet)
+      // J ≈ 77/83 per twin — far above the 0.6 LSH threshold, so the
+      // capped banding must find all of them on THIS vocabulary too
+      assert(rows.values.forall(identity),
+        s"minhash missed ${rows.count(!_._2)} of ${rows.size} true pairs")
+    } finally { audit.unpersist(); () }
+  }
+
   test("Dice collocations: the planted always-adjacent bigram wins at " +
       "dice = 1.0 over 10^4+ unigram types") {
     val top = TextAnalysis.collocationsTopK(docs, col("text"), k = 3)

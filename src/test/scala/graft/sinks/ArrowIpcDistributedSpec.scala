@@ -85,6 +85,26 @@ class ArrowIpcDistributedSpec extends AnyFunSuite {
       "every row exactly once across the partition files")
   }
 
+  test("fileSinkDistributed resolves a scheme-qualified dir through the " +
+      "Hadoop FileSystem (file: URI) — write and replay-cleanup both") {
+    val base = tmp("ipc_uri")
+    // stale attempt file, planted through plain java.io — the sink's
+    // Hadoop-side glob must still see and delete it
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/out"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/out/batch-0-part-7.arrows"),
+      Array[Byte](9, 9))
+    val df = stream(40).repartition(2)
+    ArrowIpcSink.fileSinkDistributed(df, s"file:$base/out", s"$base/ck")
+      .awaitTermination(60000)
+    assert(!new java.io.File(s"$base/out/batch-0-part-7.arrows").exists())
+    val files = new java.io.File(s"$base/out").listFiles()
+      .filter(_.getName.endsWith(".arrows"))
+    assert(files.length == 2, s"expected 2 partition files: ${files.toSeq}")
+    val all = files.flatMap(f => readIpc(fileBytes(f))._2)
+    assert(all.length == 40 && all.sorted.toSeq == (0L until 40L))
+  }
+
   test("wsSinkDistributed pushes one valid IPC message per non-empty " +
       "partition; a multi-accept server sees every row") {
     val server = new java.net.ServerSocket(0)
