@@ -10,7 +10,7 @@ import graft.ops.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis, Timeseri
 
 /** Standing 10× scale-stress harness (the tagged-copy protocol the round
   * notes ran ad-hoc, promoted to a tool): the heaviest operator families
-  * (eleven as of r17) each run at base scale and at 10× input, and the wall-clock
+  * (fourteen as of r18) each run at base scale and at 10× input, and the wall-clock
   * ratio is the scale-safety evidence — a candidate-bounded operator
   * should grow SUBLINEARLY in wall time (shared scan/shuffle constants
   * amortize; candidate fan-out stays capped), where an uncapped design
@@ -74,6 +74,7 @@ object Stress {
     val families: Seq[(String, Int => Unit)] = Seq(
       "dedup" -> (c => dedupSpine(spark, sfDir, c)),
       "fuzzy_decon" -> (c => fuzzyDecon(spark, sfDir, c)),
+      "containment" -> (c => containment(spark, sfDir, c)),
       "asof" -> (c => asof(spark, sfDir, c)),
       "range" -> (c => range(spark, sfDir, c)),
       "decode_bucket" -> (c => decodeBucket(spark, c)),
@@ -264,6 +265,26 @@ object Stress {
     val r = Dedup.fuzzyDecontaminate(docCopies(spark, dir, copies),
       "doc_id", col("text"), TextAnalysis.md5Long(col("text")) % 20 === 1)
     r.unpersist()
+    ()
+  }
+
+  /** Containment decontamination under 10× TRAIN copies with a FIXED
+    * eval set (originals only — the 100 TB asymmetry: the train side
+    * grows, the eval set does not): every eval shingle matches 10× the
+    * train shingles, so the observed `shingle_hits` fan-out grows ~10×
+    * while the broadcast inverted-index join must keep the wall
+    * near-linear. The hit count is printed per rep — the containment
+    * twin of the prefix_join candidate diagnosis.
+    */
+  private def containment(spark: SparkSession, dir: String, copies: Int): Unit = {
+    val obs = org.apache.spark.sql.Observation(s"containment_x$copies")
+    val r = Dedup.containmentDecontaminate(docCopies(spark, dir, copies),
+      "doc_id", col("text"),
+      col("doc_id") < 100000000L && TextAnalysis.md5Long(col("text")) % 20 === 1,
+      hitObs = Some(obs))
+    r.unpersist()
+    System.err.println(s"[stress] containment copies=$copies " +
+      s"shingle_hits=${obs.get("shingle_hits")}")
     ()
   }
 
