@@ -38,7 +38,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // everywhere), no fixed tmp paths (createTemp*), no warehouse writes —
 // verified by grep before this was turned on. GRAFT_TEST_GROUPS=1
 // restores the single-JVM order for debugging.
-val testGroupCount = sys.env.getOrElse("GRAFT_TEST_GROUPS", "6").toInt
+val testGroupCount = {
+  val raw = sys.env.getOrElse("GRAFT_TEST_GROUPS", "6")
+  scala.util.Try(raw.toInt).toOption.filter(_ >= 1).getOrElse(
+    sys.error(s"GRAFT_TEST_GROUPS must be a positive integer, got '$raw'"))
+}
 Test / testGrouping := {
   val tests = (Test / definedTests).value.sortBy(_.name)
   val opts = (Test / javaOptions).value.toVector

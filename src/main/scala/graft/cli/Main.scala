@@ -129,8 +129,8 @@ object Main {
       sys.exit(2)
     }
     def parsePort(p: String): Int =
-      scala.util.Try(p.toInt).toOption.filter(n => n >= 0 && n <= 65535)
-        .getOrElse(wsUsageError())
+      scala.util.Try(p.toInt).toOption.filter(n => n >= 1 && n <= 65535)
+        .getOrElse(wsUsageError()) // 0 is bindable but never connectable
     val wsTarget: Option[(String, Int, String)] =
       if (wsHost.isEmpty) None
       else wsHost.split("/", 2) match {

@@ -132,36 +132,61 @@ object ArrowIpcSink {
     * one-chunk contract (which [[fileSink]] keeps as the default).
     *
     * All I/O goes through the Hadoop `FileSystem` resolved from `dir`'s
-    * scheme (executors write with the session's broadcast hadoop conf),
-    * so `dir` may be any shared filesystem (HDFS, S3A, NFS mount, or a
-    * local path in local mode) and the driver-side replay cleanup sees
-    * exactly the files executors wrote — no executor-local scatter.
+    * scheme (executors write with the session's broadcast hadoop conf —
+    * `sessionState.newHadoopConf()`, so runtime `spark.conf.set` fs
+    * options like S3A credentials are honored), so `dir` may be any
+    * shared filesystem (HDFS, S3A, NFS mount, or a local path in local
+    * mode) and the driver-side replay cleanup sees exactly the files
+    * executors wrote — no executor-local scatter. Local-mode writes stay
+    * sidecar-free: the sink uses a private non-cached FS instance with
+    * write checksums off, so no hidden `.arrows.crc` files appear for a
+    * directory-tailing consumer (and the JVM-wide cached FileSystem is
+    * never mutated).
     */
   def fileSinkDistributed(df: DataFrame, dir: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val sc = df.sparkSession.sparkContext
     val dirPath = new HPath(dir)
-    val confBc = sc.broadcast(new SerHadoopConf(sc.hadoopConfiguration))
-    dirPath.getFileSystem(sc.hadoopConfiguration).mkdirs(dirPath)
+    // session-aware conf: sc.hadoopConfiguration misses runtime-set
+    // spark.conf fs options that Spark's own file sinks would honor
+    val confBc = sc.broadcast(
+      new SerHadoopConf(df.sparkSession.sessionState.newHadoopConf()))
+    withSinkFs(dirPath, confBc.value.value)(_.mkdirs(dirPath))
+    val stalePattern = "batch-(\\d+)-part-\\d+\\.arrows".r
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // replay hygiene: a replayed micro-batch can plan FEWER
         // partitions than the aborted attempt (AQE/config/cluster
         // change), which would leave the attempt's higher-numbered
         // part files alongside the replay's — delete this batch id's
-        // files first so the written set is exactly this attempt's
-        val fs = dirPath.getFileSystem(confBc.value.value)
-        fs.globStatus(new HPath(dirPath, s"batch-$id-part-*.arrows")) match {
-          case null => ()
-          case stale => stale.foreach { s => fs.delete(s.getPath, false); () }
+        // files first so the written set is exactly this attempt's.
+        // listStatus + name regex, NOT globStatus: a glob would treat
+        // metacharacters in the caller's dir ("run[2]") as pattern
+        // syntax and silently skip (or crash) the cleanup.
+        withSinkFs(dirPath, confBc.value.value) { fs =>
+          val entries =
+            try fs.listStatus(dirPath)
+            catch { // dir removed out-of-band: nothing stale to clean
+              case _: java.io.FileNotFoundException =>
+                Array.empty[org.apache.hadoop.fs.FileStatus]
+            }
+          entries.foreach { st =>
+            st.getPath.getName match {
+              case stalePattern(batchId) if batchId == id.toString =>
+                fs.delete(st.getPath, false); ()
+              case _ => ()
+            }
+          }
         }
         val schema = batch.schema
         batch.foreachPartition { (it: Iterator[Row]) =>
           if (it.hasNext) {
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val part = new HPath(dirPath, s"batch-$id-part-$pid.arrows")
-            val out = part.getFileSystem(confBc.value.value).create(part, true)
-            try writeRows(schema, it, out) finally out.close()
+            withSinkFs(dirPath, confBc.value.value) { fs =>
+              val out = fs.create(part, true)
+              try writeRows(schema, it, out) finally out.close()
+            }
           }
           ()
         }
@@ -170,5 +195,20 @@ object ArrowIpcSink {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
+
+  /** Run `body` with a PRIVATE (non-cached) FileSystem for `path` with
+    * write checksums disabled, closing it after. The JVM-shared cached
+    * instance must not be used here: `setWriteChecksum(false)` on it
+    * would silently strip `.crc` sidecars from every OTHER local writer
+    * in the JVM, and leaving checksums on would emit hidden
+    * `.arrows.crc` files into the sink dir for consumers to trip over.
+    */
+  private def withSinkFs[A](path: HPath,
+      conf: org.apache.hadoop.conf.Configuration)(
+      body: org.apache.hadoop.fs.FileSystem => A): A = {
+    val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+      path.toUri, conf)
+    try { fs.setWriteChecksum(false); body(fs) } finally fs.close()
   }
 }

@@ -162,20 +162,25 @@ class CliWsSmokeSpec extends AnyFunSuite {
         "batch CLI did not exit")
       val log = scala.io.Source.fromFile(logFile).mkString
       assert(proc.exitValue() == 0, s"CLI failed; log:\n${log.takeRight(4000)}")
-      // drain: executors push concurrently; the CLI has exited, so all
-      // messages are either queued or in-flight on accepted sockets
-      val msgs = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-      var m = received.poll(10, java.util.concurrent.TimeUnit.SECONDS)
-      while (m != null) {
-        msgs += m
-        m = received.poll(2, java.util.concurrent.TimeUnit.SECONDS)
-      }
+      // drain: executors push concurrently, and per-connection handler
+      // threads may still be mid-read after the CLI process exits — a
+      // short fixed quiet-poll races them on a loaded host, so poll
+      // until the row sum reaches the sink count (success) or a hard
+      // deadline (fail), never stopping early on a transiently empty
+      // queue
       val parquetRows = spark.read.parquet(outDir).count()
+      val msgs = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var sum = 0L
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (sum < parquetRows && System.nanoTime() < deadline) {
+        val m = received.poll(2, java.util.concurrent.TimeUnit.SECONDS)
+        if (m != null) { msgs += m; sum += readIpcRows(m) }
+      }
       assert(msgs.nonEmpty, "no WebSocket messages arrived")
       assert(msgs.size > 1,
         s"expected one message per non-empty partition (>1), got ${msgs.size}")
-      assert(msgs.map(readIpcRows).sum == parquetRows,
-        "sum of per-partition IPC rows != parquet sink")
+      assert(sum == parquetRows,
+        s"sum of per-partition IPC rows $sum != parquet sink $parquetRows")
     } finally {
       server.close()
       proc.destroyForcibly()

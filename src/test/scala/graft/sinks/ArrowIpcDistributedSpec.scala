@@ -103,6 +103,11 @@ class ArrowIpcDistributedSpec extends AnyFunSuite {
     assert(files.length == 2, s"expected 2 partition files: ${files.toSeq}")
     val all = files.flatMap(f => readIpc(fileBytes(f))._2)
     assert(all.length == 40 && all.sorted.toSeq == (0L until 40L))
+    // the Hadoop LocalFileSystem write must be checksum-free: hidden
+    // .arrows.crc sidecars would trip a directory-tailing consumer
+    val strays = new java.io.File(s"$base/out").listFiles()
+      .filterNot(_.getName.endsWith(".arrows"))
+    assert(strays.isEmpty, s"unexpected sidecar files: ${strays.toSeq}")
   }
 
   test("wsSinkDistributed pushes one valid IPC message per non-empty " +
