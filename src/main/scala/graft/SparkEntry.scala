@@ -4590,10 +4590,10 @@ object SparkEntry {
       // distinct-token tf scoring, argmax by (score DESC, label) — sums
       // BIGINT-cast per the doctrine
       "qt_nb_classify" ->
-        s"""WITH tr AS (SELECT lang AS label, doc_id, $toks AS w
+        s"""WITH tr AS MATERIALIZED (SELECT lang AS label, doc_id, $toks AS w
            |  FROM documents WHERE doc_id % 5 <> 0 AND length(trim(text)) > 0),
-           |tok AS (SELECT label, unnest(w) AS w FROM tr),
-           |cw AS (SELECT label, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
+           |tok AS MATERIALIZED (SELECT label, unnest(w) AS w FROM tr),
+           |cw AS MATERIALIZED (SELECT label, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
            |nc AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS n_tok
            |  FROM cw GROUP BY 1),
            |voc AS (SELECT count(DISTINCT w) AS v FROM tok),
@@ -4973,9 +4973,9 @@ object SparkEntry {
       // held-out trigram stream scored by the tier CASE — 0.4 = 2/5
       // folded into each integral division; unseen-w3 coalesces to 0
       "qt_sb_trigram" ->
-        s"""WITH tr AS (SELECT $toks AS w FROM documents
+        s"""WITH tr AS MATERIALIZED (SELECT $toks AS w FROM documents
            |  WHERE doc_id % 5 != 0 AND length(trim(text)) > 0),
-           |u AS (SELECT unnest(w) AS t FROM tr),
+           |u AS MATERIALIZED (SELECT unnest(w) AS t FROM tr),
            |c1 AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY 1),
            |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM u),
            |b2 AS (SELECT unnest(list_transform(range(len(w)-1),
@@ -6390,10 +6390,9 @@ object SparkEntry {
           |  FROM documents),
           |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM dims),
           |luma AS (SELECT doc_id, f, w, h,
-          |    (doc_id + (f // 4) * 97) % 256 AS a FROM fr),
+          |    (doc_id + (f // 4) * 53) % 128 AS a FROM fr),
           |m AS (SELECT doc_id, f,
-          |    (w*(h*a + h*(h-1)//2 - 256*greatest(0, a + h - 256)))*1000
-          |      // (w*h) AS mm FROM luma),
+          |    (w*(h*a + h*(h-1)//2))*1000 // (w*h) AS mm FROM luma),
           |d AS (SELECT doc_id, f, mm,
           |    lag(mm) OVER (PARTITION BY doc_id ORDER BY f) AS pm FROM m),
           |c AS (SELECT doc_id, f,

@@ -351,6 +351,14 @@ object Dedup {
   def prefixFilterNearDups(docs: DataFrame, idCol: String, text: Column,
       tNum: Long = 3, tDen: Long = 5, n: Int = 3,
       candObs: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    // NO persist here, deliberately (tested r18): the shingle relation
+    // feeds five consumers, but they all live inside ONE query, and the
+    // explode ends at a shuffle — AQE's exchange reuse computes it once
+    // and the other four read the same stage (4 ReusedExchange nodes in
+    // the executed plan; explicit persist measured 3.23 s vs 3.15 s
+    // baseline on the sf0.1 gate, i.e. pure overhead). Persist IS the
+    // right tool when the relation crosses SEPARATE executions — that is
+    // exactly what [[recallAudit]] does with its shared shingle cache.
     prefixFilterFromShingles(shingleHashes(docs, idCol, text, n), idCol,
       tNum, tDen, candObs)
 

@@ -637,9 +637,15 @@ object Multimodal {
   /** Scene-STRUCTURED video container: the [[videoPayload]] chunk format
     * (length-prefixed PNGs) with `doc_id % 8 + 6` frames in scenes of
     * `sceneLen`: within a scene consecutive frames are pixel-identical
-    * (row luma `(id + scene·97 + y) mod 256`), across a boundary the
-    * luma base jumps by 97 — the fixture shape a shot-boundary detector
-    * needs, with a closed-form luma the oracle can replay.
+    * (row luma `(id + scene·53) mod 128 + y`), across a boundary the
+    * base jumps by +53 or −75 (mod 128) — so the frame MEAN moves by
+    * ≥ 53 luma at EVERY boundary. The base stays under 128 and the row
+    * offset under 46, so no pixel ever wraps mod 256: a wrap inside the
+    * row window would partially cancel the mean jump and leave ~19% of
+    * boundaries under the detector's 30-luma default threshold (the
+    * original `·97 mod 256` construction had exactly that flaw —
+    * boundaries the fixture claimed detectable were silently
+    * sub-threshold on both engines). Closed-form luma, oracle-replayable.
     */
   def videoPayloadScenes(df: DataFrame, idCol: String = "doc_id",
       sceneLen: Int = 4): DataFrame = {
@@ -664,7 +670,7 @@ object Multimodal {
           val rowBuf = new Array[Int](w)
           var y = 0
           while (y < h) {
-            val v = ((id + (f / sceneLen) * 97L + y) % 256).toInt
+            val v = (((id + (f / sceneLen) * 53L) % 128) + y).toInt
             val rgb = (v << 16) | (v << 8) | v
             java.util.Arrays.fill(rowBuf, rgb)
             img.setRGB(0, y, w, 1, rowBuf, 0, w)

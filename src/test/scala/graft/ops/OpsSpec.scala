@@ -360,6 +360,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sceneCuts detects EVERY designed scene boundary (wrap-free " +
+      "luma: boundary mean jumps 53 or 75, within-scene jumps 0)") {
+    import spark.implicits._
+    // ids chosen to sweep frame counts 6..13 and both jump directions
+    val ids = (0L until 24L).toDF("doc_id")
+    val got = Multimodal.sceneCuts(Multimodal.videoPayloadScenes(ids))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    (0L until 24L).foreach { id =>
+      val nf = id % 8 + 6
+      val expectedCuts = (nf - 1) / 4 // boundaries at f = 4, 8, 12
+      val (frames, cuts, first) = got(id)
+      assert(frames == nf)
+      assert(cuts == expectedCuts,
+        s"doc $id: $cuts of $expectedCuts boundaries detected")
+      assert(first == 4L, s"doc $id: first cut at $first")
+    }
+  }
+
   test("multimodal: aHash from decoded pixels matches an independent " +
       "driver replay, including non-multiple-of-8 dimensions") {
     val ids = spark.range(0, 120, 1, 4).select($"id".as("doc_id"))

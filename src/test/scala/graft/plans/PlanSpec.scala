@@ -483,10 +483,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("prefixFilterNearDups: the rank window is PER-DOCUMENT (no " +
       "single-partition exchange) and every join is an equi-join") {
-    for (p <- Seq(plan(Dedup.prefixFilterNearDups(docs, "doc_id",
-          col("text"))),
-        aqeFinalPlan(Dedup.prefixFilterNearDups(docs, "doc_id",
-          col("text"))))) {
+    // pin the plan-only core (the public wrapper persists+materializes
+    // its result, which would fold this plan into an InMemoryTableScan)
+    def mk() = Dedup.prefixFilterFromShingles(
+      Dedup.shingleHashes(docs, "doc_id", col("text")), "doc_id")
+    for (p <- Seq(plan(mk()), aqeFinalPlan(mk()))) {
       assert(!p.contains("Exchange SinglePartition"),
         s"no global vocabulary rank may appear — the rarity order is " +
           s"computed per document:\n$p")
