@@ -152,7 +152,11 @@ object ArrowIpcSink {
     val confBc = sc.broadcast(
       new SerHadoopConf(df.sparkSession.sessionState.newHadoopConf()))
     withSinkFs(dirPath, confBc.value.value)(_.mkdirs(dirPath))
-    val stalePattern = "batch-(\\d+)-part-\\d+\\.arrows".r
+    // also matches orphaned ".batch-N-part-P.arrows.crc" sidecars (the
+    // ChecksumFileSystem dot-prefixed form) a pre-checksum-off version
+    // of this sink may have left: a replay that plans fewer partitions
+    // must not strand a hidden sidecar for a deleted part file
+    val stalePattern = "\\.?batch-(\\d+)-part-\\d+\\.arrows(\\.crc)?".r
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // replay hygiene: a replayed micro-batch can plan FEWER
@@ -172,7 +176,7 @@ object ArrowIpcSink {
             }
           entries.foreach { st =>
             st.getPath.getName match {
-              case stalePattern(batchId) if batchId == id.toString =>
+              case stalePattern(batchId, _) if batchId == id.toString =>
                 fs.delete(st.getPath, false); ()
               case _ => ()
             }
@@ -197,18 +201,24 @@ object ArrowIpcSink {
       .start()
   }
 
-  /** Run `body` with a PRIVATE (non-cached) FileSystem for `path` with
-    * write checksums disabled, closing it after. The JVM-shared cached
-    * instance must not be used here: `setWriteChecksum(false)` on it
-    * would silently strip `.crc` sidecars from every OTHER local writer
-    * in the JVM, and leaving checksums on would emit hidden
-    * `.arrows.crc` files into the sink dir for consumers to trip over.
+  /** Run `body` with a FileSystem for `path` that never emits `.crc`
+    * sidecars into the sink dir. Only `ChecksumFileSystem` (the local
+    * FS) writes sidecars, and only there is the workaround needed: a
+    * PRIVATE non-cached instance with write checksums off, closed after
+    * use (`setWriteChecksum(false)` on the JVM-shared cached instance
+    * would silently strip `.crc` files from every OTHER local writer in
+    * the JVM). Remote filesystems (HDFS, S3A, …) never write sidecars,
+    * so they use the normal JVM-cached instance — a per-partition
+    * `newInstance` there would bootstrap a full client (connection
+    * pools, SDK init) per task per micro-batch for zero benefit.
     */
   private def withSinkFs[A](path: HPath,
       conf: org.apache.hadoop.conf.Configuration)(
-      body: org.apache.hadoop.fs.FileSystem => A): A = {
-    val fs = org.apache.hadoop.fs.FileSystem.newInstance(
-      path.toUri, conf)
-    try { fs.setWriteChecksum(false); body(fs) } finally fs.close()
-  }
+      body: org.apache.hadoop.fs.FileSystem => A): A =
+    path.getFileSystem(conf) match {
+      case _: org.apache.hadoop.fs.ChecksumFileSystem =>
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(path.toUri, conf)
+        try { fs.setWriteChecksum(false); body(fs) } finally fs.close()
+      case cached => body(cached) // sidecar-free FS: cache is safe as-is
+    }
 }

@@ -181,6 +181,10 @@ class CliWsSmokeSpec extends AnyFunSuite {
         s"expected one message per non-empty partition (>1), got ${msgs.size}")
       assert(sum == parquetRows,
         s"sum of per-partition IPC rows $sum != parquet sink $parquetRows")
+      // duplicate-push detection the sum-target drain would otherwise
+      // lose: once the sink count is reached, the queue must go quiet
+      assert(received.poll(2, java.util.concurrent.TimeUnit.SECONDS) == null,
+        "extra message after the full row count arrived — duplicate push")
     } finally {
       server.close()
       proc.destroyForcibly()

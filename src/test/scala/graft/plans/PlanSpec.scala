@@ -483,10 +483,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("prefixFilterNearDups: the rank window is PER-DOCUMENT (no " +
       "single-partition exchange) and every join is an equi-join") {
-    // pin the plan-only core (the public wrapper persists+materializes
-    // its result, which would fold this plan into an InMemoryTableScan)
-    def mk() = Dedup.prefixFilterFromShingles(
-      Dedup.shingleHashes(docs, "doc_id", col("text")), "doc_id")
+    // pin the PUBLIC entry point (plan-only by deliberate design — see
+    // the r18 measurement note in prefixFilterNearDups), so any future
+    // repartition/persist/exchange added inside the wrapper itself
+    // cannot slip past this gate
+    def mk() = Dedup.prefixFilterNearDups(docs, "doc_id", col("text"))
     for (p <- Seq(plan(mk()), aqeFinalPlan(mk()))) {
       assert(!p.contains("Exchange SinglePartition"),
         s"no global vocabulary rank may appear — the rarity order is " +

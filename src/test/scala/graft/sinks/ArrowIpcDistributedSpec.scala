@@ -89,15 +89,22 @@ class ArrowIpcDistributedSpec extends AnyFunSuite {
       "Hadoop FileSystem (file: URI) — write and replay-cleanup both") {
     val base = tmp("ipc_uri")
     // stale attempt file, planted through plain java.io — the sink's
-    // Hadoop-side glob must still see and delete it
+    // Hadoop-side listing must still see and delete it — plus an
+    // orphaned dot-prefixed checksum sidecar from a pre-checksum-off
+    // version of the sink, which the replay must also clean
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/out"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$base/out/batch-0-part-7.arrows"),
       Array[Byte](9, 9))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/out/.batch-0-part-7.arrows.crc"),
+      Array[Byte](1))
     val df = stream(40).repartition(2)
     ArrowIpcSink.fileSinkDistributed(df, s"file:$base/out", s"$base/ck")
       .awaitTermination(60000)
     assert(!new java.io.File(s"$base/out/batch-0-part-7.arrows").exists())
+    assert(!new java.io.File(s"$base/out/.batch-0-part-7.arrows.crc").exists(),
+      "orphaned legacy checksum sidecar must be cleaned on replay")
     val files = new java.io.File(s"$base/out").listFiles()
       .filter(_.getName.endsWith(".arrows"))
     assert(files.length == 2, s"expected 2 partition files: ${files.toSeq}")
