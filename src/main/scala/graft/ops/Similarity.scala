@@ -53,10 +53,21 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     qdot(a, b).cast("double") / (sqrt(qnorm2(a).cast("double")) * sqrt(qnorm2(b).cast("double")))
 
+  /** Fail-fast existence check for the query id — the contract every
+    * literal-query entry point (pqTopK, lshTopKPartitioned, …) already
+    * enforces via its collect. The broadcast-query forms would
+    * otherwise return an EMPTY top-k for a typoed id, indistinguishable
+    * from "no neighbors". One pushdown-filtered limit-1 job.
+    */
+  private def requireQueryExists(emb: DataFrame, queryId: Long): Unit =
+    require(!emb.filter(col("vec_id") === queryId).isEmpty,
+      s"query vec_id=$queryId not found in the embedding corpus")
+
   /** Brute-force top-k nearest to the vector with id `queryId`.
     * Deterministic: ordered by (cosine desc, vec_id).
     */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    requireQueryExists(emb, queryId)
     val q = emb.filter(col("vec_id") === queryId)
       .select(quantize(col("embedding")).as("qv"))
     emb.filter(col("vec_id") =!= queryId)
@@ -71,11 +82,15 @@ object Similarity {
     * vector's own `maxabs` as the scale — the FAISS-`SQ8` storage
     * layout that cuts the ANN scan's bytes ~4× (one signed byte per
     * dimension plus one scale per vector) at a recall cost measured in
-    * `AnnRecallSpec`, not guessed. The rounding is integer-exact
-    * (`(|x|*254 + m) div 2m` is round-half-up without ever leaving
-    * integer arithmetic), so codes are bit-identical in every engine —
-    * the property the DuckDB oracle parity hangs on. A zero vector
-    * (`m = 0`) codes to all zeros.
+    * `AnnRecallSpec`, not guessed. The rounding `(|x|*254 + m) / 2m`
+    * (round-half-up, truncated) is exact — and therefore bit-identical
+    * across engines, the property the DuckDB oracle parity hangs on —
+    * as long as `|x|·254 + m < 2^53`: Spark's `/` on longs is DOUBLE
+    * division before the long cast, so components beyond ~3.5e13 could
+    * round differently from a pure integer `div`. Quantized embedding
+    * components are ~1e6, eight orders inside the bound; callers
+    * feeding larger scales must re-derive. A zero vector (`m = 0`)
+    * codes to all zeros.
     */
   def int8Codes(qv: Column, m: Column): Column =
     transform(qv, x =>
@@ -97,6 +112,7 @@ object Similarity {
     * score is the same IEEE double everywhere.
     */
   def quantizedTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    requireQueryExists(emb, queryId)
     val coded = emb
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("m", array_max(transform(col("qv"), x => abs(x))))
@@ -222,17 +238,24 @@ object Similarity {
     val coded = emb.filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("codes", pqCodes(col("qv"), cb, cc2, m, kCent, sub))
+      // materialize the row norm ONCE (the pqTopKBatch _vn pattern):
+      // inside when-branches codegen CSE skips conditionally-executed
+      // subtrees, so an inline qnorm2 would re-run the 64-multiply dot
+      // per branch per row on the scan this op exists to make cheap
+      .withColumn("_vn", qnorm2(col("qv")))
     val approxDot = (0 until m).map { s =>
       element_at(typedLit(tab(s).toSeq), col("codes")(s) + 1)
     }.reduce(_ + _)
     coded
       .select(col("vec_id"),
-        when(qnorm2(col("qv")) === 0, lit(0.0)).otherwise(
+        when(col("_vn") === 0, lit(0.0)).otherwise(
           approxDot.cast("double") /
-            (sqrt(qnorm2(col("qv")).cast("double")) * sqrt(lit(qn).cast("double"))))
+            (sqrt(col("_vn").cast("double")) * sqrt(lit(qn).cast("double"))))
           .as("approx_score"),
-        when(qnorm2(col("qv")) === 0, lit(0.0))
-          .otherwise(cosine(col("qv"), typedLit(qv.toSeq))).as("score"))
+        when(col("_vn") === 0, lit(0.0)).otherwise(
+          qdot(col("qv"), typedLit(qv.toSeq)).cast("double") /
+            (sqrt(col("_vn").cast("double")) * sqrt(lit(qn).cast("double"))))
+          .as("score"))
       .orderBy(col("approx_score").desc, col("vec_id"))
       .limit(k)
   }
@@ -255,11 +278,23 @@ object Similarity {
     * coarsest rung of the ladder (int8-pruned 0.82, float multiprobe
     * 0.84), priced accordingly.
     */
-  def randomProject(qv: Column, outDims: Int = 16, dims: Int = 64): Column =
+  def randomProject(qv: Column, outDims: Int = 16, dims: Int = 64): Column = {
+    // same guard as lshBucket, same additive-0 shape (an array-wide
+    // when-wrapper would make every projection dot conditionally
+    // executed): ArrayDotProduct truncates to the shorter operand, so a
+    // vector longer than `dims` would silently rank on its first `dims`
+    // components — the prefilter tier must raise, not quietly drop half
+    // the vector. The guard rides component 0 as a +0 term.
+    val guard = when(size(qv) > dims,
+      raise_error(concat(lit(s"randomProject: vector longer than $dims dims: "),
+        size(qv).cast("string"))).cast("long"))
+      .otherwise(lit(0L))
     array((0 until outDims).map { i =>
       val w = typedLit((0 until dims).map(j => planeWeight(i, j)))
-      floor(qdot(qv, w) / lit(1048576.0)).cast("long")
+      val comp = floor(qdot(qv, w) / lit(1048576.0)).cast("long")
+      if (i == 0) comp + guard else comp
     }: _*)
+  }
 
   /** Brute top-k in the PROJECTED space, exact cosine carried for the
     * rerank — [[quantizedTopK]]'s shape one compression tier down.
@@ -268,6 +303,7 @@ object Similarity {
     */
   def projectedTopK(emb: DataFrame, queryId: Long, k: Int,
       outDims: Int = 16): DataFrame = {
+    requireQueryExists(emb, queryId)
     val coded = emb
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("pv", randomProject(col("qv"), outDims))
@@ -324,6 +360,7 @@ object Similarity {
 
   /** LSH-bucketed top-k: scan only the query's bucket. */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    requireQueryExists(emb, queryId)
     val withBucket = emb
       .withColumn("qv", quantize(col("embedding")))
       .withColumn("bucket", lshBucket(col("qv")))
@@ -357,6 +394,7 @@ object Similarity {
     */
   def lshMultiProbeTopK(emb: DataFrame, queryId: Long, k: Int,
       maxHamming: Int = 1): DataFrame = {
+    requireQueryExists(emb, queryId)
     val withBucket = emb
       .withColumn("qv", quantize(col("embedding")))
       .withColumn("bucket", lshBucket(col("qv")))
@@ -379,11 +417,49 @@ object Similarity {
     * directories — C(p, ≤h) of 2^p at 100 TB. The quantized vector is
     * stored so queries skip re-quantization.
     */
+  /** Layout metadata sidecar (`_graft_num_planes`, underscore-prefixed
+    * so Spark's parquet reader ignores it like `_SUCCESS`): records the
+    * `numPlanes` a bucketed layout was written with, so a reader called
+    * with a mismatched value fails loudly instead of silently probing
+    * wrong buckets (an 8-plane layout probed with the 6-plane default
+    * matches only vectors whose planes 6-7 both dot negative and misses
+    * every distance-1 flip of those planes — plausible-looking, wrong).
+    * Absent sidecar (a pre-metadata layout) is accepted as-is.
+    */
+  private val PlanesMetaName = "_graft_num_planes"
+
+  private def writePlanesMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, numPlanes: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, PlanesMetaName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(numPlanes.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def requirePlanesMatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, numPlanes: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, PlanesMetaName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim
+        finally in.close()
+      require(stored == numPlanes.toString,
+        s"layout at $path was written with numPlanes=$stored but is being " +
+          s"probed with numPlanes=$numPlanes — the probe ball would " +
+          s"silently miss buckets; pass numPlanes=$stored")
+    }
+  }
+
   def writeLshPartitioned(emb: DataFrame, path: String,
-      numPlanes: Int = NumPlanes): Unit =
+      numPlanes: Int = NumPlanes): Unit = {
     emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), numPlanes = numPlanes))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    writePlanesMeta(emb.sparkSession, path, numPlanes) // after the overwrite
+  }
 
   /** Driver-side LSH bucket of a quantized vector — the same integer
     * dot-product signs over the same first-`length` weights as the
@@ -418,6 +494,7 @@ object Similarity {
       queryId: Long, k: Int, maxHamming: Int = 1,
       numPlanes: Int = NumPlanes,
       queryVec: Option[Seq[Long]] = None): DataFrame = {
+    requirePlanesMatch(spark, path, numPlanes)
     val layout = spark.read.parquet(path)
     val qv = queryVec.getOrElse {
       val qRow = layout.filter(col("vec_id") === queryId).select("qv").collect()
@@ -463,9 +540,11 @@ object Similarity {
     * would silently quadruple the scan the layout exists to shrink.
     */
   def writeLshQuantized(emb: DataFrame, path: String,
-      numPlanes: Int = NumPlanes): Unit =
+      numPlanes: Int = NumPlanes): Unit = {
     quantizedLayoutRows(emb, numPlanes)
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    writePlanesMeta(emb.sparkSession, path, numPlanes) // after the overwrite
+  }
 
   /** STREAMING maintenance of the [[writeLshQuantized]] layout — the
     * "index freshness" story at 100 TB: new embeddings append to the
@@ -484,7 +563,10 @@ object Similarity {
     */
   def streamingLshQuantized(emb: DataFrame, path: String, checkpoint: String,
       numPlanes: Int = NumPlanes)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // batches land under out_batch=N and never touch the root, so the
+    // sidecar written once here survives every micro-batch and replay
+    writePlanesMeta(emb.sparkSession, path, numPlanes)
     emb.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -494,6 +576,7 @@ object Similarity {
           .parquet(s"$path/out_batch=$batchId")
       }
       .start()
+  }
 
   /** Fold a [[streamingLshQuantized]] index's finalized batches into a
     * compacted base WITHOUT losing the `bucket=N` partition dirs (the
@@ -532,6 +615,7 @@ object Similarity {
   def quantizedTopKPruned(spark: org.apache.spark.sql.SparkSession,
       path: String, queryVec: Seq[Long], excludeId: Long, k: Int,
       maxHamming: Int = 1, numPlanes: Int = NumPlanes): DataFrame = {
+    requirePlanesMatch(spark, path, numPlanes)
     val (qCodes, qm) = int8CodesOf(queryVec)
     val qn = queryVec.iterator.map(x => x * x).sum
     require(qn != 0L, "zero-norm query vector")
@@ -638,6 +722,22 @@ object Similarity {
       codebook: Option[DataFrame] = None): Unit = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    // signed-byte storage: a code >= 128 would wrap negative and index
+    // the ADC tables from the wrong end at query time
+    require(kCent <= 128, s"kCent=$kCent > 128 does not fit a signed byte")
+    // Degeneracy guard: the default coarse codebook seeds from
+    // vec_id < centroids, and the residual sample always includes
+    // vec_id 0 — a centroid, whose residual is the zero vector. With
+    // stride < centroids MANY sampled ids are centroids (at stride=1,
+    // ALL of them), and the PQ codebook trains on zeros: every vector
+    // encodes to code 0 and ranking silently collapses to inverse-norm
+    // order. Require the stride to clear the seed range (at most the
+    // one zero residual from vec_id 0), or an explicit codebook.
+    require(codebook.isDefined || stride >= centroids,
+      s"stride=$stride < centroids=$centroids trains the residual PQ " +
+        s"codebook mostly on the coarse centroids' own zero residuals " +
+        s"(fully degenerate at stride=1); use stride >= $centroids or " +
+        s"pass an explicit codebook")
     val sub = dims / m
     val spark = emb.sparkSession
     import spark.implicits._
@@ -849,6 +949,7 @@ object Similarity {
       path: String, queries: DataFrame, k: Int, maxHamming: Int = 1,
       numPlanes: Int = NumPlanes, maxBroadcastQueries: Long = 100000L,
       maxProbeLiterals: Int = 4096): DataFrame = {
+    requirePlanesMatch(spark, path, numPlanes)
     val q0 = materializedQueries(queries)
     val layout = spark.read.parquet(path)
     val small = q0.count() <= maxBroadcastQueries
@@ -1260,8 +1361,11 @@ object Similarity {
     var cents: Seq[(Long, Seq[Long])] = q.filter(col("vec_id") < k)
       .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
     for (_ <- 0 until iters) {
-      val centsDf = cents.toDF("cent_id", "cv")
-      val updated = assignToCentroids(q, centsDf)
+      // straight to the literal form: the codebook is ALREADY a driver
+      // Seq — round-tripping it through a DataFrame just so
+      // assignToCentroids can collect it back costs one redundant Spark
+      // job per round (and per caller: ivfKmeansTopK, semanticDedup)
+      val updated = assignToCentroidsLit(q, cents)
         .select(col("cent_id"), posexplode(col("qv")).as(Seq("dim", "v")))
         .groupBy("cent_id", "dim")
         .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv_d"))
@@ -1374,7 +1478,14 @@ object Similarity {
     * `ordered = true` emits each unordered pair once (va < vb, prev-only
     * ring); `false` emits both directions (per-vector consumers).
     */
-  private def candidateCosines(q: DataFrame, ordered: Boolean): DataFrame = {
+  private def candidateCosines(q0: DataFrame, ordered: Boolean): DataFrame = {
+    // a NULL label is an unknown block: the (label, bucket) equi-join
+    // already drops it, but the adjacency-ring window would lump every
+    // null-label vector into ONE partition and pair semantically
+    // unrelated vectors — drop them up front so the approximate form
+    // agrees with nearestNeighborPerVectorExact (whose label join drops
+    // nulls) on exactly this input
+    val q = q0.filter(col("label").isNotNull)
     val withB = q.withColumn("bucket", lshBucket(col("qv"), numPlanes = NnPlanes))
     val bkA = withB.select(col("vec_id").as("va"), col("label"), col("bucket"))
     val bkB = withB.select(col("vec_id").as("vb"), col("label"), col("bucket"))

@@ -309,4 +309,51 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"ivfTopKPartitioned recall@$K: $r%.4f")
     assert(r >= 0.8)
   }
+
+  test("guards fail LOUDLY: degenerate writeIvfPq stride, mismatched " +
+      "layout numPlanes, absent query id, over-length projection input") {
+    // stride below the coarse-centroid range would train the PQ
+    // codebook on zero residuals — fully degenerate at the old default
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.writeIvfPq(emb,
+        java.nio.file.Files.createTempDirectory("ivfpq_bad").toString,
+        stride = 1L)
+    }
+    assert(e1.getMessage.contains("zero"))
+    // kCent beyond a signed byte would wrap codes negative
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.writeIvfPq(emb,
+        java.nio.file.Files.createTempDirectory("ivfpq_bad2").toString,
+        kCent = 200, stride = 29L)
+    }
+    assert(e2.getMessage.contains("signed byte"))
+    // a layout written with 8 planes probed with the 6-plane default
+    // must refuse, not silently probe wrong buckets
+    val lp = java.nio.file.Files.createTempDirectory("lsh_meta").toString
+    Similarity.writeLshQuantized(emb, lp, numPlanes = 8)
+    val q0 = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 7L)
+      .select(Similarity.quantize(
+        org.apache.spark.sql.functions.col("embedding")))
+      .collect().head.getSeq[Long](0)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.quantizedTopKPruned(spark, lp, q0, 7L, K)
+    }
+    assert(e3.getMessage.contains("numPlanes=8"))
+    // matching planes still work (sidecar round-trips)
+    assert(Similarity.quantizedTopKPruned(spark, lp, q0, 7L, K,
+      numPlanes = 8).count() == K)
+    // typoed query id fails fast instead of returning an empty top-k
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, 999999L, K)
+    }
+    assert(e4.getMessage.contains("not found"))
+    // a vector longer than the projection dims raises instead of
+    // silently ranking on its first 64 components
+    val long = Seq((1L, Seq.fill(80)(1000L))).toDF("vec_id", "pv")
+    val e5 = intercept[Exception] {
+      long.select(Similarity.randomProject(
+        org.apache.spark.sql.functions.col("pv"))).collect()
+    }
+    assert(e5.getMessage.contains("longer than 64"))
+  }
 }
