@@ -134,16 +134,17 @@ object CanStream {
     * through the identical expressions in batch.
     */
   def unpackTcpStruct(p: DataFrame): DataFrame = {
-    // 1-based byte i of the packet as an unsigned long
-    def u8(i: Int) = conv(hex(substring(col("packet"), i, 1)), 16, 10).cast("long")
-    // little-endian field at 1-based [off, off+len): bytes concatenated
-    // high-to-low into one hex string; signed=-10 keeps i64 sign bits
-    def leHex(off: Int, len: Int) =
-      concat((off + len - 1 to off by -1).map(i =>
-        hex(substring(col("packet"), i, 1))): _*)
-    val canIdRaw = conv(leHex(1, 4), 16, 10).cast("long")
-    val epochBits = conv(leHex(17, 8), 16, -10).cast("long")
-    val epoch = graft.plans.FloatReinterpret.longBitsToDouble(epochBits)
+    // little-endian field at 1-based [off, off+len) via the zero-
+    // allocation PayloadU64 codegen loop (zero-pads to 8 bytes) — the
+    // previous hex()/concat/conv() string plumbing materialized a
+    // 16-char string PER FIELD PER PACKET on the hot ingest path (the
+    // exact cost PayloadU64's scaladoc documents for the built-ins). An
+    // 8-byte LE read returns the i64 bits directly, sign included.
+    def le(off: Int, len: Int) =
+      graft.plans.PayloadU64(substring(col("packet"), off, len),
+        littleEndian = true)
+    val canIdRaw = le(1, 4)
+    val epoch = graft.plans.FloatReinterpret.longBitsToDouble(le(17, 8))
     p.filter(length(col("packet")) === graft.sources.TcpStructSource.PacketBytes)
       .withColumn("_id_raw", canIdRaw)
       .filter((col("_id_raw").bitwiseAND(0x60000000L)) === 0L) // no RTR/ERR
@@ -154,9 +155,9 @@ object CanStream {
       .withColumn("ts_us", round(epoch * 1000000.0).cast("long"))
       .withColumn("iface", lit("tcp"))
       .withColumn("can_id", col("_id_raw").bitwiseAND(0x1FFFFFFFL))
-      .withColumn("dlc", least(u8(5), lit(8L)).cast("int"))
+      .withColumn("dlc", least(le(5, 1), lit(8L)).cast("int"))
       .withColumn("data", expr("substring(packet, 9, dlc)"))
-      .withColumn("packet_id", conv(leHex(25, 8), 16, -10).cast("long"))
+      .withColumn("packet_id", le(25, 8))
       .select("ts_us", "iface", "can_id", "data", "packet_id")
   }
 
@@ -198,6 +199,10 @@ object CanStream {
   def bucketedStream(wide: DataFrame, cacheMs: Long,
       watermark: String = "0 seconds",
       policy: CombinePolicy = CombinePolicy.LastWins): DataFrame = {
+    // same guard as bucketedStreamFromFrames: a sub-millisecond CLI
+    // --cache truncates to 0 and would otherwise die in window()
+    // analysis with an opaque 'window duration must be greater than 0'
+    require(cacheMs > 0, s"cacheMs must be positive, got $cacheMs")
     val sigCols = wide.columns.filterNot(Set("ts_ms", "ts"))
     val narrow = sigCols.length <= Bucketer.CodegenArgWidthLimit
     val pick: String => org.apache.spark.sql.Column =
@@ -308,7 +313,12 @@ object CanStream {
     val inSchema = wide.schema
     val tsIdx = inSchema.fieldIndex("ts_ms")
     val keyIdx = keyCol.map(inSchema.fieldIndex)
-    val sigIdx = inSchema.indices.filter(i => i != tsIdx && !keyIdx.contains(i))
+    // exclude the event-time "ts" column decoded() appends, like
+    // bucketedStream does — otherwise every caller must .drop("ts") by
+    // hand or get a bogus Timestamp signal column combined per bucket
+    val tsEventIdx = inSchema.fields.indexWhere(_.name == "ts")
+    val sigIdx = inSchema.indices.filter(i =>
+      i != tsIdx && i != tsEventIdx && !keyIdx.contains(i))
     // keyed streams carry the key column through to the output (state is
     // per-key, so each emitted row belongs to exactly one key)
     val outSchema = org.apache.spark.sql.types.StructType(
@@ -322,7 +332,15 @@ object CanStream {
     implicit val rowEnc = Encoders.row(outSchema)
     implicit val strEnc = Encoders.STRING
 
-    wide.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).getOrElse(""))
+    // injective state-key encoding: a bare String.valueOf would route a
+    // null key and the literal string "null" through ONE state group
+    // (merged buckets, nondeterministic emitted key). The prefix byte
+    // separates null from every real value; within one stream the key
+    // column has a single runtime type, so toString stays injective.
+    wide.groupByKey(r => keyIdx.map { i =>
+      val v = r.get(i)
+      if (v == null) "\u0000" else "\u0001" + v.toString
+    }.getOrElse(""))
       .flatMapGroupsWithState[OpenBucket, Row](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Row], state: GroupState[OpenBucket]) =>
@@ -519,7 +537,15 @@ object CanStream {
       (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
         .parquet(tmp.toString)
       writeManifest(fs, root, target, fold.map(_.getName))
-      fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"out_batch=$target"))
+      // rename returns FALSE (no throw) on dest-exists / missing-source /
+      // object-store quirks — proceeding to the fold deletion would then
+      // destroy the only visible copy of the folded rows (the tmp dir is
+      // underscore-prefixed, invisible to partition discovery, and a
+      // reused target id would overwrite it). Abort BEFORE anything
+      // destructive; recovery rolls the staged state back on next run.
+      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"out_batch=$target")),
+        s"compaction rename $tmp -> out_batch=$target returned false; " +
+          "aborting before deleting the fold set (recovery will roll back)")
       fold.foreach(p => fs.delete(p, true))
       fs.delete(manifestPath(root), false)
       ()
@@ -544,7 +570,12 @@ object CanStream {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(manifestPath(root), false)
-    fs.rename(tmp, manifestPath(root))
+    // a false rename would leave NO manifest: a crash between the data
+    // rename and the fold deletion then has no recovery path and leaves
+    // duplicate rows — fail here, before the destructive phase starts
+    require(fs.rename(tmp, manifestPath(root)),
+      s"manifest rename $tmp -> ${manifestPath(root)} returned false; " +
+        "aborting compaction before any partition is touched")
     ()
   }
 
