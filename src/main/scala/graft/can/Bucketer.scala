@@ -198,11 +198,10 @@ object Bucketer {
     */
   private[graft] def frameViews(net: graft.dbc.Network,
       frames: DataFrame): DataFrame = {
-    val ids = net.messages.map(_.id)
-    val known = frames.filter(col("can_id").isin(ids: _*))
-    val withViews = known
-      .withColumn("_be", graft.plans.PayloadU64(col("data"), littleEndian = false))
-      .withColumn("_le", SignalDecoder.leU64(col("_be")))
+    // shared F1 filter + view assembly (SignalDecoder owns it): the _le
+    // view is the direct little-endian PayloadU64 assembly — value-
+    // identical to the byte-reverse of _be this path used to compute
+    val withViews = SignalDecoder.knownWithU64Views(net, frames)
     val muxed = net.messages.filter(_.muxSwitch.isDefined)
     val muxExpr = muxed.foldLeft(lit(0L)) { (acc, m) =>
       when(col("can_id") === lit(m.id),
@@ -372,6 +371,10 @@ object Bucketer {
       numPartitions: Int = 0,
       frameCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : org.apache.spark.sql.DataFrame = {
+    require(cacheMs > 0,
+      s"cacheMs must be positive, got $cacheMs (cacheMs <= 0 means " +
+        "one row per frame — route through Bucketer.bucket, which " +
+        "dispatches that case to BucketMode.PerFrame)")
     val spark = wide.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -381,10 +384,14 @@ object Bucketer {
     // samples once at RDD construction and lost blocks recompute through
     // the SAME partitioner instance; localCheckpoint would truncate
     // lineage and turn any executor loss into an unrecoverable job
-    // failure at the 1000-executor design point. Blocks are released by
-    // the ContextCleaner when the result frame is dropped, or explicitly
-    // by the caller via `sparkContext.getPersistentRDDs` (the verify/bench
-    // harnesses do this between queries).
+    // failure at the 1000-executor design point. Released in `finally`
+    // below after the result materializes — CacheManager holds a strong
+    // reference to persisted plans, so the ContextCleaner would NEVER
+    // release these blocks on its own (a long-running session calling
+    // this per input file would pin one full sorted input copy per call
+    // until eviction). The RESULT (one row per bucket — output-sized)
+    // comes back persisted+materialized instead: the caller owns those
+    // blocks (unpersist when done; harnesses clearCache between queries).
     val sorted = wide.repartitionByRange(parts, col("ts_ms"))
       .sortWithinPartitions("ts_ms")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -439,8 +446,15 @@ object Bucketer {
         }
       }, withSegSchema)
 
-    exactFold(withSeg, cacheMs, Seq("_seg"), policy, forwardFill = false)
-      .drop("_seg")
+    try {
+      val result = exactFold(withSeg, cacheMs, Seq("_seg"), policy,
+          forwardFill = false)
+        .drop("_seg")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try result.count() // materialize while `sorted` is still cached
+      catch { case e: Throwable => result.unpersist(); throw e }
+      result
+    } finally { sorted.unpersist(); () }
   }
 
   /** Exact data-driven bucketing as a sorted fold (T1b) over the
@@ -471,6 +485,9 @@ object Bucketer {
   def exactFold(wide: DataFrame, cacheMs: Double, keyCols: Seq[String],
       policy: CombinePolicy, forwardFill: Boolean,
       closeOrder: CloseOrder = CloseOrder.Clean): DataFrame = {
+    require(cacheMs > 0,
+      s"cacheMs must be positive, got $cacheMs (cacheMs <= 0 means one " +
+        "row per frame — route through Bucketer.bucket's PerFrame dispatch)")
     val inSchema = wide.schema
     val tsIdx = inSchema.fieldIndex("ts_ms")
     val keyIdx = keyCols.map(inSchema.fieldIndex)
@@ -546,9 +563,14 @@ object Bucketer {
             val key = keyIdx.map(r.get)
             var out: Row = null
             // key switch still closes cleanly — the reference is keyless, so
-            // cross-key leakage would be an invention, not fidelity
+            // cross-key leakage would be an invention, not fidelity. An
+            // EMPTY gap-anchor bucket (the previous key's last frame
+            // gap-closed, leaving framesInBucket == 0) dies with its key:
+            // the same framesInBucket > 0 rule emitTrailing applies at
+            // end-of-stream — without it, the same trace emitted an
+            // all-null row here iff another key happened to follow
             if (bucketOpen && key != curKey) {
-              out = closeRow()
+              out = if (framesInBucket > 0L) closeRow() else { closeRow(); null }
               bucketOpen = false
             }
             if (!bucketOpen) {

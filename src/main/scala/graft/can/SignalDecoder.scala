@@ -226,6 +226,19 @@ object SignalDecoder {
     * `carryCols` are passed through unchanged (e.g. `iface` as an exact-
     * bucketing key).
     */
+  /** Known-id frames (F1) with the shared u64 payload views — the ONE
+    * place the id filter and the `_be`/`_le` assembly live, shared by
+    * [[wideFrame]]'s native branch and [[graft.can.Bucketer.frameViews]]
+    * (a fix to id matching or view assembly must reach both paths).
+    */
+  private[graft] def knownWithU64Views(net: Network,
+      frames: DataFrame): DataFrame = {
+    val ids = net.messages.map(_.id)
+    frames.filter(col("can_id").isin(ids: _*)) // F1: unknown ids dropped
+      .withColumn("_be", graft.plans.PayloadU64(col("data"), littleEndian = false))
+      .withColumn("_le", graft.plans.PayloadU64(col("data"), littleEndian = true))
+  }
+
   def wideFrame(net: Network, frames: DataFrame,
       mode: TypingMode = TypingMode.Intended,
       nativeExtract: Boolean = true,
@@ -238,9 +251,7 @@ object SignalDecoder {
       // constant shift/mask per signal
       val canIdType = frames.schema("can_id").dataType
       val outline = net.signalsInOrder.size >= outlineThreshold
-      val withU64 = known
-        .withColumn("_be", graft.plans.PayloadU64(col("data"), littleEndian = false))
-        .withColumn("_le", graft.plans.PayloadU64(col("data"), littleEndian = true))
+      val withU64 = knownWithU64Views(net, frames)
       val sigCols = net.signalsInOrder.map { case (m, s) =>
         if (outline)
           graft.plans.Outline(Seq(col("can_id") -> canIdType,

@@ -96,6 +96,23 @@ class BucketerSpec extends AnyFunSuite {
       Seq(("x", 0.0, 2), ("x", 15.0, 3), ("y", 0.0, 7), ("y", 30.0, 8)))
   }
 
+  test("Keyed DeFacto: an empty gap-anchor bucket dies with its key — " +
+      "no all-null row on key switch (same rule as end-of-stream)") {
+    // key a: frames at 0 and 10 with cacheMs 5 — the frame at 10 lands
+    // in the CLOSED row (DeFacto decode-before-gap-check) and its ts
+    // anchors an empty bucket; key b follows. Before the fix the key
+    // switch emitted Row(a, 10.0, null): present iff another key
+    // happened to follow, absent at end-of-stream.
+    val df = Seq(("a", 0.0, 1), ("a", 10.0, 2), ("b", 20.0, 7))
+      .toDF("k", "ts_ms", "v")
+    val out = Bucketer.exactFold(df, 5.0, Seq("k"), CombinePolicy.LastWins,
+        forwardFill = false, closeOrder = CloseOrder.DeFacto)
+      .orderBy("k", "Time_ms").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getInt(2)))
+    assert(out.toSeq == Seq(("a", 0.0, 2), ("b", 20.0, 7)))
+  }
+
   test("Exact with forward-fill carries values across rows (T5 exact)") {
     val w = wide((0.0, 1, 5.0), (15.0, 2, null), (30.0, null, null))
     val out = Bucketer.exactFold(w, 10.0, Nil, CombinePolicy.LastWins, forwardFill = true)
