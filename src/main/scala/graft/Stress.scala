@@ -164,10 +164,19 @@ object Stress {
   }
 
   private def dedupSpine(spark: SparkSession, dir: String, copies: Int): Unit = {
+    // observed band-bucket cap drops: the number that distinguishes
+    // "identical copies densified the buckets" (expected here — every
+    // copy shares its original's signature, so buckets blow past the cap
+    // by design) from silent recall loss on a production corpus
+    val obs = org.apache.spark.sql.Observation(s"dedup_cap_x$copies")
     val pairs = Dedup.minhashNearDups(docCopies(spark, dir, copies),
-      "doc_id", col("text"))
-    try noop(Dedup.connectedComponents(pairs))
-    finally { pairs.unpersist(); () }
+      "doc_id", col("text"), capObs = Some(obs))
+    try {
+      noop(Dedup.connectedComponents(pairs))
+      System.err.println(s"[stress] dedup copies=$copies " +
+        s"capped_pairs=${obs.get("capped_pairs")} " +
+        s"overcap_members=${obs.get("overcap_members")}")
+    } finally { pairs.unpersist(); () }
   }
 
   /** Worst case for span detection: identical copies make EVERY position

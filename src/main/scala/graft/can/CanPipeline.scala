@@ -40,6 +40,14 @@ object CanPipeline {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** OWNERSHIP NOTE: with `exact = true` and no `exactKeys` (the keyless
+    * distributed-exact path), the returned frame is persisted and
+    * materialized ([[Bucketer.exactDistributed]]'s contract — the persist
+    * is what lets that fold release its sorted-input cache). Long-running
+    * sessions should `result.unpersist()` once done consuming it; every
+    * other configuration returns an ordinary lazy plan and the call is a
+    * no-op.
+    */
   def decodeLog(spark: SparkSession, dbcPath: String, logPath: String,
       cfg: CanPipelineConfig = CanPipelineConfig()): DataFrame = {
     val net = DbcParser.parseFile(dbcPath, cfg.lenientDbc)

@@ -233,6 +233,11 @@ object Main {
           if (wsTarget.isDefined) wsPush(run)
         }
       }
+      // keyless-exact decodeLog results arrive persisted (caller-owned
+      // blocks — see Bucketer.exactDistributed's contract); release them
+      // once written. A no-op for the unpersisted paths.
+      wide.unpersist()
+      ()
     }
 
     mode match {

@@ -73,10 +73,29 @@ object Dedup {
     * window subtree once per branch.
     */
   def bandedCandidates(bands: DataFrame, idCol: String, cap: Int,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil,
+      capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val w = Window.partitionBy("band", "bkey").orderBy(col(idCol))
-    val ranked = bands.withColumn("_rn", row_number().over(w))
-    val a = ranked.filter(col("_rn") <= cap).select(
+    val ranked0 = bands.withColumn("_rn", row_number().over(w))
+    // Observability seam (mirrors prefixFilterNearDups' candObs): a capped
+    // bucket silently drops candidate pairs — recall loss with no number
+    // attached. A member at rank r > cap keeps exactly ONE of its r-1
+    // within-bucket pairs-as-larger-id (the star edge to rank 1), so it
+    // drops r-2; `capped_pairs` sums that per (band, bkey) bucket. It is
+    // an UPPER bound on globally lost candidates (another band can
+    // re-surface the same pair), so observed-missed <= capped_pairs —
+    // the inequality BandCapRecallSpec pins. `overcap_members` counts the
+    // rows past the cap (bucket-degeneracy diagnosis: a ~31-word-style
+    // vocabulary shows up here as counts ~ corpus size).
+    val ranked = capObs match {
+      case Some(o) => ranked0.observe(o,
+        sum(when(col("_rn") > cap, col("_rn") - 2).otherwise(0))
+          .cast("long").as("capped_pairs"),
+        sum(when(col("_rn") > cap, 1).otherwise(0))
+          .cast("long").as("overcap_members"))
+      case None => ranked0
+    }
+    val a = ranked0.filter(col("_rn") <= cap).select(
       (col(idCol).as("doc_a") +: col("band") +: col("bkey") +:
         col("_rn").as("_rn_a") +: carry.map(c => col(c).as(s"${c}_a"))): _*)
     val b = ranked.select(
@@ -161,8 +180,10 @@ object Dedup {
     * (possibly cached) shingle-hash relation.
     */
   def candidatePairsFromShingles(sh: DataFrame, idCol: String,
-      bandCap: Int = BandBucketCap): DataFrame =
-    bandedCandidates(bandKeys(minhashAgg(sh, idCol), idCol), idCol, bandCap)
+      bandCap: Int = BandBucketCap,
+      capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    bandedCandidates(bandKeys(minhashAgg(sh, idCol), idCol), idCol, bandCap,
+      capObs = capObs)
 
   /** Verified near-duplicate pairs: candidates with true shingle-set
     * Jaccard >= threshold. Jaccard is an exact ratio of integer counts.
@@ -177,7 +198,8 @@ object Dedup {
     * before returning; only the (small, candidate-bounded) result stays.
     */
   def minhashNearDups(df: DataFrame, idCol: String, text: Column,
-      threshold: Double = 0.4, bandCap: Int = BandBucketCap): DataFrame = {
+      threshold: Double = 0.4, bandCap: Int = BandBucketCap,
+      capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // The shingle table feeds three consumers (signature agg, verify
     // join ×2), so it is cached — and released deterministically: the
     // (candidate-bounded, small) result is persisted and materialized
@@ -186,7 +208,7 @@ object Dedup {
     // now-uncached shingles — slower, never fatal). Shingle-set sizes ride
     // along in the signature aggregation, so no separate sizes pass exists.
     val sh = shingleHashes(df, idCol, text).cache()
-    try minhashNearDupsFromShingles(sh, idCol, threshold, bandCap)
+    try minhashNearDupsFromShingles(sh, idCol, threshold, bandCap, capObs)
     finally sh.unpersist()
   }
 
@@ -199,10 +221,12 @@ object Dedup {
     * to the caller.
     */
   def minhashNearDupsFromShingles(sh: DataFrame, idCol: String,
-      threshold: Double = 0.4, bandCap: Int = BandBucketCap): DataFrame = {
+      threshold: Double = 0.4, bandCap: Int = BandBucketCap,
+      capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val sig = minhashAgg(sh, idCol)
     val sizes = sig.select(col(idCol), col("nsh"))
-    val cands = bandedCandidates(bandKeys(sig, idCol), idCol, bandCap)
+    val cands = bandedCandidates(bandKeys(sig, idCol), idCol, bandCap,
+      capObs = capObs)
     val common = cands
       .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
       .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
@@ -217,7 +241,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     match { case result =>
       result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      result.count() // materialize while sh is still cached
+      // materialize while sh is still cached; on failure release the
+      // blocks — nobody gets a handle to unpersist them otherwise
+      try result.count()
+      catch { case e: Throwable => result.unpersist(); throw e }
       result
     }
   }

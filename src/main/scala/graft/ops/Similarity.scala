@@ -436,6 +436,17 @@ object Similarity {
     try out.write(numPlanes.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** [[writePlanesMeta]] only when no sidecar exists — the append-mode
+    * variant for streaming maintenance, where an existing sidecar is the
+    * authority on how the already-written buckets were keyed.
+    */
+  private def writePlanesMetaIfAbsent(spark: org.apache.spark.sql.SparkSession,
+      path: String, numPlanes: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, PlanesMetaName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) writePlanesMeta(spark, path, numPlanes)
+  }
+
   private def requirePlanesMatch(spark: org.apache.spark.sql.SparkSession,
       path: String, numPlanes: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, PlanesMetaName)
@@ -564,9 +575,17 @@ object Similarity {
   def streamingLshQuantized(emb: DataFrame, path: String, checkpoint: String,
       numPlanes: Int = NumPlanes)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // batches land under out_batch=N and never touch the root, so the
-    // sidecar written once here survives every micro-batch and replay
-    writePlanesMeta(emb.sparkSession, path, numPlanes)
+    // Streaming APPENDS to an existing layout (unlike writeLsh*, whose
+    // mode=overwrite wipes the old bucketing along with the sidecar), so
+    // the sidecar must be verified, not clobbered: resuming a stream with
+    // a different numPlanes would rewrite the sidecar while existing
+    // out_batch=*/compacted dirs keep the old plane bucketing — readers
+    // would then pass requirePlanesMatch and probe wrong buckets, the
+    // exact silent miss the sidecar exists to prevent. Verify first;
+    // write only when absent. Batches land under out_batch=N and never
+    // touch the root, so the sidecar survives every micro-batch/replay.
+    requirePlanesMatch(emb.sparkSession, path, numPlanes)
+    writePlanesMetaIfAbsent(emb.sparkSession, path, numPlanes)
     emb.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

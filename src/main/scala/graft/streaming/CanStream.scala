@@ -336,10 +336,41 @@ object CanStream {
     // null key and the literal string "null" through ONE state group
     // (merged buckets, nondeterministic emitted key). The prefix byte
     // separates null from every real value; within one stream the key
-    // column has a single runtime type, so toString stays injective.
+    // column has a single runtime type, so toString stays injective —
+    // PROVIDED that type's toString is value-based. Array/binary/struct/
+    // map keys are not: Array[_].toString is the identity hash, different
+    // per executor and per restart, which would scatter one logical key
+    // across state groups nondeterministically. Binary keys get a
+    // canonical hex encoding; other non-atomic key types are rejected
+    // loudly up front (key on a derived string column instead).
+    // NOTE (checkpoint compatibility): this prefix encoding changed the
+    // flatMapGroupsWithState group keys in round 18 — a keyed stream
+    // restarted from a pre-r18 checkpoint orphans its open-bucket state
+    // (those buckets never close/emit). Restart such streams from a fresh
+    // checkpoint; the sinks' overwrite-by-batch idempotence makes replay
+    // safe.
+    keyIdx.foreach { i =>
+      inSchema(i).dataType match {
+        case org.apache.spark.sql.types.BinaryType => // hex-encoded below
+        case dt @ (_: org.apache.spark.sql.types.ArrayType |
+                   _: org.apache.spark.sql.types.MapType |
+                   _: org.apache.spark.sql.types.StructType) =>
+          throw new IllegalArgumentException(
+          s"exactStream key column '${inSchema(i).name}' has non-atomic type " +
+            s"${dt.simpleString}: its toString is identity-based, so state " +
+            "grouping would be nondeterministic across executors/restarts. " +
+            "Key on a derived string column (e.g. hex/concat of the fields).")
+        case _ => () // atomic: toString is value-based
+      }
+    }
+    val keyIsBinary = keyIdx.exists(i =>
+      inSchema(i).dataType == org.apache.spark.sql.types.BinaryType)
     wide.groupByKey(r => keyIdx.map { i =>
       val v = r.get(i)
-      if (v == null) "\u0000" else "\u0001" + v.toString
+      if (v == null) "\u0000"
+      else if (keyIsBinary)
+        "\u0001" + v.asInstanceOf[Array[Byte]].map("%02x".format(_)).mkString
+      else "\u0001" + v.toString
     }.getOrElse(""))
       .flatMapGroupsWithState[OpenBucket, Row](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

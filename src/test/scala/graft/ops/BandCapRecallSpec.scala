@@ -75,4 +75,47 @@ class BandCapRecallSpec extends AnyFunSuite {
     assert(recall >= 0.85,
       f"recall $recall%.3f fell below the documented floor of 0.85")
   }
+
+  test("capObs counter bounds and explains the capped candidate loss") {
+    // near-identical 12-member clusters: every member shares every band
+    // bucket, so cap=4 drops candidates in bulk and the counter must
+    // both fire and UPPER-BOUND the globally missed pairs (a pair the
+    // cap drops in one band can resurface via another band; the counter
+    // counts per-bucket drops, so missed <= counted — the "explains any
+    // missed pair" inequality)
+    val docs = (0 until 5).flatMap { c =>
+      val base = (0 until 40).map(i => s"w${c}_$i")
+      (0 until 12).map { m =>
+        ((c * 12 + m).toLong, (base :+ s"mut$m").mkString(" "))
+      }
+    }
+    val df = docs.toDF("doc_id", "text")
+    val sh = Dedup.shingleHashes(df, "doc_id", col("text")).cache()
+    try {
+      def cands(cap: Int, obs: Option[org.apache.spark.sql.Observation])
+          : Set[(Long, Long)] =
+        Dedup.candidatePairsFromShingles(sh, "doc_id", cap, obs)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val obsCapped = org.apache.spark.sql.Observation("cap4")
+      val obsUncapped = org.apache.spark.sql.Observation("cap1000")
+      val capped = cands(4, Some(obsCapped))
+      val uncapped = cands(1000, Some(obsUncapped))
+
+      assert(obsUncapped.get("capped_pairs") == 0L &&
+        obsUncapped.get("overcap_members") == 0L,
+        "an uncapped run must observe zero drops")
+      val counted = obsCapped.get("capped_pairs").asInstanceOf[Long]
+      val overcap = obsCapped.get("overcap_members").asInstanceOf[Long]
+      assert(counted > 0L && overcap > 0L,
+        "12-member near-identical clusters at cap=4 must hit the cap")
+      val missed = uncapped -- capped
+      assert(missed.nonEmpty, "cap=4 on 12-member clusters must drop pairs")
+      assert(missed.size <= counted,
+        s"counter must explain every missed candidate pair: " +
+          s"missed=${missed.size} > counted=$counted")
+      info(s"cap=4: missed ${missed.size} candidate pairs, counter " +
+        s"counted $counted per-bucket drops across $overcap over-cap rows")
+    } finally { sh.unpersist(); () }
+  }
 }

@@ -109,4 +109,27 @@ class StreamingAnnIndexSpec extends AnyFunSuite {
       .orderBy("vec_id").collect().toSeq
     assert(second == first, "replay must overwrite, not append")
   }
+
+  test("resuming with a mismatched numPlanes fails loudly, sidecar intact") {
+    // streaming APPENDS to an existing layout, so the sidecar is the
+    // authority on how the existing bucket dirs were keyed — a resume
+    // with a different numPlanes must fail BEFORE starting (and must not
+    // rewrite the sidecar, which would let readers probe wrong buckets)
+    val src = tmp("sai3_src"); val base = tmp("sai3")
+    stage(src, 2)
+    drain(src, base) // writes the default-planes sidecar
+    val sidecar = new java.io.File(s"$base/idx/_graft_num_planes")
+    assert(sidecar.exists())
+    val before = new String(
+      java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.streamingLshQuantized(
+        spark.readStream.schema(embSchema).parquet(src),
+        s"$base/idx", s"$base/ckpt2", numPlanes = Similarity.NumPlanes + 2)
+    }
+    assert(e.getMessage.contains("numPlanes"), e.getMessage)
+    val after = new String(
+      java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8")
+    assert(after == before, "a refused resume must not rewrite the sidecar")
+  }
 }

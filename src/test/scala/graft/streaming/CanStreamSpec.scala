@@ -117,6 +117,35 @@ class CanStreamSpec extends AnyFunSuite {
       == rows.toSeq)
   }
 
+  test("keyed exactStream: binary keys group by VALUE (canonical hex), " +
+      "non-atomic key types are rejected loudly") {
+    // Array[Byte].toString is the identity hash — distinct instances with
+    // the same bytes would scatter one logical key across state groups
+    // nondeterministically. The canonical hex encoding must route them
+    // through ONE group: the 4.0-ms row lands in the 0.0-opened bucket.
+    val input = MemoryStream[(Double, Array[Byte], Int)](spark)
+    val wide = input.toDF().toDF("ts_ms", "k", "a")
+    val exact = CanStream.exactStream(wide, cacheMs = 10.0, keyCol = Some("k"))
+    val q = exact.writeStream.format("memory").queryName("sbin")
+      .outputMode("append").start()
+    input.addData((0.0, Array[Byte](1, 2), 1), (4.0, Array[Byte](1, 2), 2),
+      (15.0, Array[Byte](1, 2), 3), (0.0, Array[Byte](9), 7))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sbin").orderBy("Time_ms").collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getDouble(1), r.getInt(2)))
+    // one closed bucket for key [1,2] (opened at 0, closed by 15, last-wins
+    // value 2); [9] and the 15-opened bucket stay open (no EOF)
+    assert(rows.toSeq == Seq((Seq[Byte](1, 2), 0.0, 2)))
+
+    // composite key types have identity-based toString too, but no
+    // canonical encoding — they must be rejected before any state forms
+    val arrKeyed = Seq((0.0, Seq(1, 2), 1)).toDF("ts_ms", "k", "a")
+    val e = intercept[IllegalArgumentException] {
+      CanStream.exactStream(arrKeyed, cacheMs = 10.0, keyCol = Some("k"))
+    }
+    assert(e.getMessage.contains("non-atomic"), e.getMessage)
+  }
+
   test("decoded carries iface through the wide decode for keyed bucketing " +
       "(the CLI --bucket-key path)") {
     val input = MemoryStream[String](spark)
