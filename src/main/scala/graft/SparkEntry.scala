@@ -279,6 +279,43 @@ object SparkEntry {
       |SG_MUL_VAL_ 1632 EA SEL 1-3, 7-7;
       |""".stripMargin
 
+  /** qc_dbc_noise: [[extMuxDbc]] wrapped in the full real-world grammar
+    * noise a tool-exported DBC carries — BOM, CRLF, `VERSION`, an `NS_`
+    * keyword list with trailing whitespace (names `SIG_VALTYPE_` /
+    * `SG_MUL_VAL_` as bare entries), `BS_`/`BU_`, attributes, a global
+    * `VAL_TABLE_`, and a MULTI-LINE `CM_` comment whose body contains
+    * statement lookalikes (a phantom `SG_`, a `SIG_VALTYPE_` that would
+    * throw if consumed). The reference tolerates all of this via dbcppp;
+    * the gate proves the decode is byte-identical to the clean parse —
+    * oracle SQL shared with qc_mux_extended.
+    */
+  private val noisyExtMuxDbc: String =
+    ("\uFEFF" +
+      """VERSION "created by canmatrix 0.9.5"
+        |
+        |NS_ :
+        |	NS_DESC_
+        |	CM_
+        |	BA_DEF_
+        |	SIG_VALTYPE_
+        |	SG_MUL_VAL_
+        |	VAL_TABLE_
+        |
+        |BS_:
+        |
+        |BU_ ECU1 GW
+        |
+        |""".stripMargin + extMuxDbc +
+      """
+        |CM_ SG_ 1632 SEL "selector, see spec
+        | SG_ PhantomSig : 24|8@1+ (1,0) [0|0] "" X
+        |SIG_VALTYPE_ 1632 EA : 2;
+        |end of comment";
+        |BA_DEF_ BO_ "GenMsgCycleTime" INT 0 3600000;
+        |BA_ "GenMsgCycleTime" BO_ 1632 100;
+        |VAL_TABLE_ OnOff 0 "Off" 1 "On";
+        |""".stripMargin).replace("\n", "\r\n")
+
   /** events → candump lines for qc_mux_extended: one frame per event at
     * us = event_id (unique key); byte 0 = SEL (event_id % 9, covering
     * values inside and outside EA's ranges), byte 1 = EA (user_id & 255),
@@ -676,6 +713,20 @@ object SparkEntry {
       // same wideFrame spine — EA decodes for SEL ∈ [1,3] ∪ {7}, EB keeps
       // simple m2 semantics. Line timestamps (= event_id µs) are the key.
       val net = DbcParser.parseString(extMuxDbc)
+      val frames = CandumpParser.parseLines(extMuxLines(events(s, dir)))
+        .withColumnRenamed("ts_us", "ts_ms")
+      SignalDecoder.wideFrame(net, frames)
+        .select(col("ts_ms").cast("long").as("us_key"),
+          col("SEL").as("sel"), col("EA").as("ea"), col("EB").as("eb"))
+        .orderBy("us_key")
+    }),
+
+    "qc_dbc_noise" -> ((s, dir) => {
+      // S5 grammar breadth: the extended-mux decode driven from a DBC
+      // wrapped in full tool-export noise (BOM/CRLF/NS_/CM_ multi-line
+      // with statement lookalikes/attributes) — must decode identically
+      // to qc_mux_extended's clean parse, certified by the same oracle.
+      val net = DbcParser.parseString(noisyExtMuxDbc)
       val frames = CandumpParser.parseLines(extMuxLines(events(s, dir)))
         .withColumnRenamed("ts_us", "ts_ms")
       SignalDecoder.wideFrame(net, frames)
@@ -3658,6 +3709,16 @@ object SparkEntry {
         |ORDER BY us_key""".stripMargin,
 
     "qc_mux_extended" ->
+      """SELECT CAST(event_id AS BIGINT) AS us_key,
+        |  CAST(event_id % 9 AS INTEGER) AS sel,
+        |  CASE WHEN event_id % 9 IN (1,2,3,7)
+        |    THEN CAST(user_id & 255 AS INTEGER) END AS ea,
+        |  CASE WHEN event_id % 9 = 2
+        |    THEN CAST((event_id*13+5) & 255 AS INTEGER) END AS eb
+        |FROM events ORDER BY us_key""".stripMargin,
+
+    "qc_dbc_noise" -> // same decode as qc_mux_extended: the noise-wrapped
+      // DBC must parse to the identical network, so the oracle is shared
       """SELECT CAST(event_id AS BIGINT) AS us_key,
         |  CAST(event_id % 9 AS INTEGER) AS sel,
         |  CASE WHEN event_id % 9 IN (1,2,3,7)

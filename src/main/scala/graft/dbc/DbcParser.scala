@@ -139,14 +139,18 @@ object DbcParser {
     """^\s*SIG_VALTYPE_\s+(\d+)\s+([A-Za-z0-9_]+)\s*:\s*([012])\s*;?\s*$""".r
   // any other SIG_VALTYPE_ shape: the type code is not 0/1/2 → malformed,
   // rejected explicitly rather than silently skipped (a type-3 extended
-  // declaration decoded as integer would be a silent wrong answer)
+  // declaration decoded as integer would be a silent wrong answer).
+  // `\s+\S` (not `\s+.*`): an NS_ section's keyword list names these very
+  // keywords as bare indented entries, and machine-generated files carry
+  // trailing whitespace — "\tSIG_VALTYPE_ " is a legal NS_ entry, not a
+  // malformed declaration; a real declaration always has arguments.
   private val ValTypeMalformedRe =
-    """^\s*SIG_VALTYPE_\s+.*$""".r
+    """^\s*SIG_VALTYPE_\s+\S.*$""".r
   // SG_MUL_VAL_ msgId SigName SwitchName lo1-hi1[, lo2-hi2...];
   private val MulValRe =
     """^\s*SG_MUL_VAL_\s+(\d+)\s+([A-Za-z0-9_]+)\s+([A-Za-z0-9_]+)\s+(.+?)\s*;?\s*$""".r
-  private val MulValMalformedRe =
-    """^\s*SG_MUL_VAL_\s+.*$""".r
+  private val MulValMalformedRe = // \s+\S: see ValTypeMalformedRe
+    """^\s*SG_MUL_VAL_\s+\S.*$""".r
   private val RangeRe = """^(\d+)\s*-\s*(\d+)$""".r
   // VAL_ msgId SigName v1 "label1" v2 "label2" ... ;  (value tables —
   // parsed by the reference's dbcppp as IValueEncodingDescription even
@@ -158,7 +162,15 @@ object DbcParser {
   private val LabelPairRe = """(-?\d+)\s+"([^"]*)"""".r
 
   def parseFile(path: String, lenient: Boolean = false): Network = {
-    val src = Source.fromFile(path)
+    // explicit UTF-8 with REPLACE: the platform default codec (ASCII in
+    // minimal containers) THROWS on a BOM or any non-ASCII comment byte,
+    // and real-world DBC exports carry both (latin-1 vendor comments,
+    // tool-written BOMs). Replacement can only mangle free-text inside
+    // comments/units — every structural token is ASCII.
+    val codec = new scala.io.Codec(java.nio.charset.StandardCharsets.UTF_8)
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val src = Source.fromFile(path)(codec)
     try parse(src.getLines(), lenient) finally src.close()
   }
 
@@ -190,8 +202,26 @@ object DbcParser {
       sigs = Seq.newBuilder[Signal]
     }
 
+    // Multi-line quoted strings (CM_ comments legally span lines in
+    // real-world DBC): a statement line with an ODD number of quotes
+    // opens a string that continues on following lines until a line
+    // restores quote parity. Continuation lines are comment TEXT, never
+    // statements — without this state, a comment line that happens to
+    // look like `SG_ ...` would inject a phantom signal into whatever
+    // message is current. (Heuristic limit, shared with dbcppp-naive
+    // lexers: a stray quote inside the comment body resynchronizes one
+    // line early; DBC strings have no escape syntax to do better with.)
+    var inString = false
+    var first = true
     for (raw <- lines) {
-      val line = raw.replaceAll("[\r\n]+$", "")
+      val stripped = raw.replaceAll("[\r\n]+$", "")
+      // UTF-8 BOM on the first line (common in tool-exported files) would
+      // otherwise glue to the first keyword and skip it silently
+      val line = if (first) stripped.stripPrefix("\uFEFF") else stripped
+      first = false
+      if (inString) {
+        if (line.count(_ == '"') % 2 == 1) inString = false
+      } else {
       line match {
         case BoRe(id, name, dlc, _) =>
           flush()
@@ -258,6 +288,8 @@ object DbcParser {
         // value table (`VAL_ <EnvVarName> ...`) — legal DBC outside our
         // subset, skipped with the other unconsumed keywords below
         case _ => // skip: VERSION, NS_, BS_, BU_, CM_, BA_, VAL_TABLE_, blank, ...
+      }
+      if (line.count(_ == '"') % 2 == 1) inString = true
       }
     }
     flush()

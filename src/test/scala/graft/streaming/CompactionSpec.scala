@@ -121,4 +121,70 @@ class CompactionSpec extends AnyFunSuite {
       "roll-forward left duplicates or lost rows")
     assert(!new java.io.File(s"$out2/_compact_manifest").exists())
   }
+
+  test("a FALSE fs.rename aborts loudly BEFORE the fold deletion; the fold " +
+      "set survives and recovery converges once the cause clears") {
+    // fs.rename reports dest-exists / object-store quirks by RETURNING
+    // false, not throwing — the r18-fixed data-loss window was exactly
+    // this branch falling through to the fold deletion. Force it with a
+    // local filesystem whose data renames return false (the only way to
+    // drive the branch: within one compact call the dest id is freshly
+    // computed from the listing, so a real collision needs a racing
+    // writer or a listing-lagging object store).
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.renamefail.impl", classOf[RenameFailFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("compact_rf").toString
+    val out = s"renamefail://$local/out"
+    RenameFailFs.failDataRenames = false // staging writes rename freely
+    try {
+      Seq((1L, "a")).toDF("id", "payload").write.parquet(s"$out/out_batch=0")
+      Seq((2L, "b")).toDF("id", "payload").write.parquet(s"$out/out_batch=1")
+      Seq((3L, "c")).toDF("id", "payload").write.parquet(s"$out/out_batch=2")
+      val expected = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+
+      RenameFailFs.failDataRenames = true
+      val e = intercept[IllegalArgumentException] {
+        CanStream.compactParquetSink(spark, out)
+      }
+      assert(e.getMessage.contains("aborting before deleting the fold set"),
+        e.getMessage)
+      // nothing destructive happened: every original partition is intact
+      // and row-identical (the staged temp + manifest may linger — that
+      // is recovery's job, not the abort's)
+      assert(partDirs(s"$local/out") ==
+        Seq("out_batch=0", "out_batch=1", "out_batch=2"))
+      assert(spark.read.parquet(s"$out/out_batch=0", s"$out/out_batch=1",
+          s"$out/out_batch=2").select("id", "payload")
+        .as[(Long, String)].collect().toSeq.sorted == expected)
+
+      // cause clears (renames work again): the next run rolls the staged
+      // state back and completes a clean fold
+      RenameFailFs.failDataRenames = false
+      CanStream.compactParquetSink(spark, out)
+      assert(partDirs(s"$local/out") == Seq("out_batch=-1", "out_batch=2"))
+      assert(rowsOf(s"$local/out") == expected)
+      assert(!new java.io.File(s"$local/out/_compact_manifest").exists())
+    } finally {
+      RenameFailFs.failDataRenames = false
+      conf.unset("fs.renamefail.impl")
+    }
+  }
+}
+
+/** A local filesystem whose `out_batch=*` renames return FALSE on demand —
+  * the silent failure mode of object-store renames, undrivable through a
+  * real local FS (see the rename-false test above). Registered under the
+  * `renamefail://` scheme via `fs.renamefail.impl`.
+  */
+class RenameFailFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("renamefail:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (RenameFailFs.failDataRenames && dst.getName.startsWith("out_batch="))
+      false
+    else super.rename(src, dst)
+}
+
+object RenameFailFs {
+  @volatile var failDataRenames = false
 }
