@@ -814,6 +814,41 @@ object SparkEntry {
 
   import graft.ops.{AsOfJoin, Bpe, Chunker, Classify, Dedup, Multimodal, Ranking, Resample, RobustStats, Similarity, SkewJoin, TextAnalysis, UnigramLm, WordPiece, ZOrder}
 
+  /** Zipf-vocabulary derived corpus (r19): the driver-generated documents
+    * table has a ~31-word vocabulary (the recorded standing trap), so its
+    * gates certify nothing about realistic token RARITY. This derives a
+    * large-vocabulary corpus deterministically from `doc_id` — a 3-tier
+    * mixture (10 very-common / 300 mid / 30k rare word types, ~20/30/50%
+    * of token mass), letters-only words so the tokenizer trainers consume
+    * them — using the cross-engine md5 hash, so the DuckDB oracle derives
+    * the IDENTICAL relation and hash-certifies realistic-vocabulary
+    * behavior end to end. Docs with `doc_id % 10 == 1` are planted
+    * near-dup twins of `doc_id - 1` (same tokens, last replaced by a
+    * marker), giving the similarity gates true pairs at J ≈ (L-3)/(L-1).
+    */
+  private[graft] def zipfDocs(s: SparkSession, dir: String): DataFrame = {
+    import TextAnalysis.md5Long
+    def letters(c: Column): Column =
+      translate(c.cast("string"), "0123456789", "abcdefghij")
+    val base = t(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 10 === 1, col("doc_id") - 1)
+        .otherwise(col("doc_id")).as("_b"),
+      (col("doc_id") % 10 === 1).as("_tw"))
+      .withColumn("_len",
+        lit(30L) + md5Long(concat(col("_b").cast("string"), lit("_len"))) % 41L)
+    base.select(col("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1L), col("_len")), tk => {
+        val salt = concat(col("_b").cast("string"), lit("_"), tk.cast("string"))
+        val tier = md5Long(salt) % 100L
+        val hw = md5Long(concat(salt, lit("_w")))
+        when(col("_tw") && (tk === col("_len")), lit("twinmark"))
+          .when(tier < 20, concat(lit("a"), letters(hw % 10)))
+          .when(tier < 50, concat(lit("b"), letters(hw % 300)))
+          .otherwise(concat(lit("c"), letters(hw % 30000)))
+      })).as("text"))
+  }
+
   /** Probe query for the BM25 gate — terms with spread document
     * frequencies in the synthetic corpus (shared with the oracle SQL).
     */
@@ -1042,6 +1077,14 @@ object SparkEntry {
       // see Dedup.prefixFilterNearDups
       Dedup.prefixFilterNearDups(t(s, dir, "documents"), "doc_id",
           col("text"))
+        .orderBy("doc_a", "doc_b")),
+
+    "qz_prefix_join" -> ((s, dir) =>
+      // qd_prefix_join's exact similarity join re-certified on the
+      // Zipf-vocabulary corpus (see zipfDocs): ~30k word types instead
+      // of the documents table's ~31, so the rare-prefix bound carries
+      // real weight and the planted twins are the true pairs
+      Dedup.prefixFilterNearDups(zipfDocs(s, dir), "doc_id", col("text"))
         .orderBy("doc_a", "doc_b")),
 
     "qd_recall_audit" -> ((s, dir) => {
@@ -2011,6 +2054,14 @@ object SparkEntry {
       TextAnalysis.collocationsTopK(t(s, dir, "documents"), col("text"))
         .orderBy(col("dice_micro").desc, col("g"))),
 
+    "qz_collocations" -> ((s, dir) =>
+      // qt_collocations on the Zipf-vocabulary corpus: with 30k word
+      // types the min-count floor and Dice ranking discriminate real
+      // co-occurrence structure (common-tier bigrams) instead of the
+      // everything-co-occurs-with-everything ~31-word regime
+      TextAnalysis.collocationsTopK(zipfDocs(s, dir), col("text"))
+        .orderBy(col("dice_micro").desc, col("g"))),
+
     "qt_tfidf" -> ((s, dir) =>
       // per-doc top-3 TF-IDF keywords with the libm-free micro-unit IDF
       // surrogate (N·10⁶ div df) — two hash aggs, a token-keyed join,
@@ -2372,6 +2423,20 @@ object SparkEntry {
       // unrolled in SQL (HUGEINT product, BIGINT on selection)
       import s.implicits._
       val words = Bpe.wordTable(t(s, dir, "documents"), col("text"))
+      val (merges, fin) = WordPiece.train(words, 3)
+      fin.unpersist()
+      merges.map(m => (m.round, m.a, m.b, m.pairCount, m.scorePico, m.a + m.b))
+        .toDF("round", "sym_a", "sym_b", "pair_count", "score_pico", "merged")
+    }),
+
+    "qz_wordpiece" -> ((s, dir) => {
+      // qt_wordpiece's trainer on the Zipf-vocabulary corpus: the word
+      // table is ~15k distinct types (vs ~31), so the pair/symbol-count
+      // argmax runs in the word-table-bounded regime the 100 TB scale
+      // story claims — ZipfVocabSpec proved the Scala side, this gate
+      // makes the DuckDB oracle certify it too
+      import s.implicits._
+      val words = Bpe.wordTable(zipfDocs(s, dir), col("text"))
       val (merges, fin) = WordPiece.train(words, 3)
       fin.unpersist()
       merges.map(m => (m.round, m.a, m.b, m.pairCount, m.scorePico, m.a + m.b))
@@ -3862,12 +3927,85 @@ object SparkEntry {
     val bpeish = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
     val punct = """[^A-Za-z0-9\s]"""
 
-    val shinglesCte =
-      s"""WITH tk AS (SELECT doc_id, $toks w FROM documents),
+    // Zipf-vocabulary derived corpus — the DuckDB twin of
+    // SparkEntry.zipfDocs (same md5 hash, same tiering, same twins), so
+    // qz_* gates hash-certify realistic-vocabulary behavior end to end
+    val zdocsBody = {
+      val salt = "concat(b, '_', t)"
+      def zw(mod: Int, pfx: String) =
+        s"'$pfx' || translate(CAST(${h(s"concat($salt, '_w')")} % $mod " +
+          "AS VARCHAR), '0123456789', 'abcdefghij')"
+      s"""zdocs AS MATERIALIZED (
+         |  SELECT doc_id, array_to_string(list_transform(range(1, len + 1),
+         |    t -> CASE WHEN tw AND t = len THEN 'twinmark'
+         |      WHEN ${h(salt)} % 100 < 20 THEN ${zw(10, "a")}
+         |      WHEN ${h(salt)} % 100 < 50 THEN ${zw(300, "b")}
+         |      ELSE ${zw(30000, "c")} END), ' ') AS text
+         |  FROM (SELECT doc_id, b, tw,
+         |      30 + ${h("concat(b, '_len')")} % 41 AS len
+         |    FROM (SELECT doc_id,
+         |        CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS b,
+         |        doc_id % 10 = 1 AS tw
+         |      FROM documents) q) q2)""".stripMargin
+    }
+
+    def shinglesCteFrom(src: String, prefix: String = "") =
+      s"""WITH ${prefix}tk AS (SELECT doc_id, $toks w FROM $src),
          |sh AS (SELECT DISTINCT doc_id, ${h("s")} AS sh FROM (
          |  SELECT doc_id, unnest(list_transform(range(len(w)-2),
          |    i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
          |  FROM tk WHERE len(w) >= 3) x)""".stripMargin
+    val shinglesCte = shinglesCteFrom("documents")
+    val zShinglesCte = shinglesCteFrom("zdocs", zdocsBody + ",\n")
+
+    // top-20 Dice collocations, parameterized on the corpus source —
+    // shared by qt_collocations (documents) and qz_collocations (zdocs)
+    def collocationsSql(prefix: String, src: String) =
+      s"""WITH ${prefix}base AS (SELECT $toks AS w FROM $src
+           |  WHERE length(trim(text)) > 0),
+           |uni AS (SELECT unnest(w) AS t FROM base),
+           |c1t AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+           |bg AS (SELECT unnest(list_transform(range(len(w)-1),
+           |    i -> w[i+1]||' '||w[i+2])) AS g FROM base WHERE len(w) >= 2),
+           |cb AS (SELECT g, CAST(count(*) AS BIGINT) AS c12 FROM bg
+           |  GROUP BY 1 HAVING count(*) >= 5)
+           |SELECT cb.g, c12, a.c AS c1, b.c AS c2,
+           |  (2 * c12 * 1000000) // (a.c + b.c) AS dice_micro
+           |FROM cb JOIN c1t a ON split_part(cb.g, ' ', 1) = a.t
+           |JOIN c1t b ON split_part(cb.g, ' ', 2) = b.t
+           |ORDER BY dice_micro DESC, g LIMIT 20""".stripMargin
+
+    // the exact prefix-filter join body (PPJoin-lite on 3-shingles),
+    // shared by qd_prefix_join (documents) and qz_prefix_join (zdocs)
+    val prefixJoinBody = """,
+        |shm AS MATERIALIZED (SELECT doc_id, sh FROM sh),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shm
+        |  GROUP BY doc_id),
+        |dfreq AS (SELECT sh, count(*) AS df FROM shm GROUP BY sh),
+        |rk AS (SELECT x.doc_id, x.sh, sz.n,
+        |    row_number() OVER (PARTITION BY x.doc_id
+        |      ORDER BY d.df, x.sh) AS r
+        |  FROM shm x JOIN dfreq d ON d.sh = x.sh
+        |    JOIN sz ON sz.doc_id = x.doc_id),
+        |pref AS MATERIALIZED (SELECT doc_id, sh, n FROM rk
+        |  WHERE r <= n - ((3*n + 4) // 5) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.n AS na, b.n AS nb
+        |  FROM pref a JOIN pref b ON a.sh = b.sh
+        |    AND a.doc_id < b.doc_id
+        |  WHERE 3 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
+        |ver AS (SELECT c.doc_a, c.doc_b, c.na, c.nb,
+        |    CAST(count(*) AS BIGINT) AS common
+        |  FROM cand c
+        |  JOIN shm ta ON ta.doc_id = c.doc_a
+        |  JOIN shm tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b,
+        |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE)
+        |    AS jaccard
+        |FROM ver WHERE 5 * common >= 3 * (na + nb - common)
+        |ORDER BY doc_a, doc_b""".stripMargin
+
 
     val minhashSig = (0 until Dedup.NumHashes).map { i =>
       s"min((${Dedup.hashA(i)}*(sh%$P)+${Dedup.hashB(i)})%$P) AS m$i"
@@ -4021,15 +4159,16 @@ object SparkEntry {
          |  ORDER BY sp DESC, c DESC, a, b LIMIT 1),
          |w$r AS (SELECT replace(seg, '|'||a||'||'||b||'|', '|'||a||b||'|') AS seg, cnt
          |  FROM $prev CROSS JOIN m$r)""".stripMargin
-    val wpTrainCtes =
-      s"""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-         |  FROM documents),
+    def wpTrainCtesFrom(src: String, prefix: String = "") =
+      s"""WITH ${prefix}tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM $src),
          |wf AS (SELECT w, count(*) AS cnt FROM tok
          |  WHERE regexp_matches(w, '^[A-Za-z]+$$') GROUP BY 1),
          |w0 AS (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS seg, cnt FROM wf),
          |${wpRound(1, "w0")},
          |${wpRound(2, "w1")},
          |${wpRound(3, "w2")}""".stripMargin
+    val wpTrainCtes = wpTrainCtesFrom("documents")
 
     val segmentDedupSql =
       s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents
@@ -4853,20 +4992,12 @@ object SparkEntry {
 
       // unigram + floor-filtered bigram counts, dice in micro units,
       // deterministic top-20 by (dice desc, bigram)
-      "qt_collocations" ->
-        s"""WITH base AS (SELECT $toks AS w FROM documents
-           |  WHERE length(trim(text)) > 0),
-           |uni AS (SELECT unnest(w) AS t FROM base),
-           |c1t AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
-           |bg AS (SELECT unnest(list_transform(range(len(w)-1),
-           |    i -> w[i+1]||' '||w[i+2])) AS g FROM base WHERE len(w) >= 2),
-           |cb AS (SELECT g, CAST(count(*) AS BIGINT) AS c12 FROM bg
-           |  GROUP BY 1 HAVING count(*) >= 5)
-           |SELECT cb.g, c12, a.c AS c1, b.c AS c2,
-           |  (2 * c12 * 1000000) // (a.c + b.c) AS dice_micro
-           |FROM cb JOIN c1t a ON split_part(cb.g, ' ', 1) = a.t
-           |JOIN c1t b ON split_part(cb.g, ' ', 2) = b.t
-           |ORDER BY dice_micro DESC, g LIMIT 20""".stripMargin,
+      "qt_collocations" -> collocationsSql("", "documents"),
+
+      // the same collocation derivation certified on the Zipf-vocabulary
+      // corpus, where Dice + min-count discriminate real structure
+      "qz_collocations" -> collocationsSql(zdocsBody + ",\n", "zdocs"),
+
 
       // tf per (doc, token), df over the distinct (doc, token) relation,
       // micro-unit idf surrogate, per-doc row_number top-3 — the n CTE
@@ -5234,34 +5365,13 @@ object SparkEntry {
       // rarity order (df ASC, hash ASC), same rational-integer
       // prefix/length/acceptance thresholds; shm and pref are
       // multi-referenced → MATERIALIZED
-      "qd_prefix_join" -> (shinglesCte + """,
-        |shm AS MATERIALIZED (SELECT doc_id, sh FROM sh),
-        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shm
-        |  GROUP BY doc_id),
-        |dfreq AS (SELECT sh, count(*) AS df FROM shm GROUP BY sh),
-        |rk AS (SELECT x.doc_id, x.sh, sz.n,
-        |    row_number() OVER (PARTITION BY x.doc_id
-        |      ORDER BY d.df, x.sh) AS r
-        |  FROM shm x JOIN dfreq d ON d.sh = x.sh
-        |    JOIN sz ON sz.doc_id = x.doc_id),
-        |pref AS MATERIALIZED (SELECT doc_id, sh, n FROM rk
-        |  WHERE r <= n - ((3*n + 4) // 5) + 1),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    a.n AS na, b.n AS nb
-        |  FROM pref a JOIN pref b ON a.sh = b.sh
-        |    AND a.doc_id < b.doc_id
-        |  WHERE 3 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
-        |ver AS (SELECT c.doc_a, c.doc_b, c.na, c.nb,
-        |    CAST(count(*) AS BIGINT) AS common
-        |  FROM cand c
-        |  JOIN shm ta ON ta.doc_id = c.doc_a
-        |  JOIN shm tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT doc_a, doc_b,
-        |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE)
-        |    AS jaccard
-        |FROM ver WHERE 5 * common >= 3 * (na + nb - common)
-        |ORDER BY doc_a, doc_b""".stripMargin),
+      "qd_prefix_join" -> (shinglesCte + prefixJoinBody),
+
+      // the same exact prefix-filter join certified on the derived
+      // Zipf-vocabulary corpus (realistic token rarity; planted twins
+      // are the true pairs) — body shared with qd_prefix_join
+      "qz_prefix_join" -> (zShinglesCte + prefixJoinBody),
+
 
       // recall audit: the minhash CTE chain (mp, ≥ 0.4) and the
       // prefix-filter chain share tk/sh; prefix CTEs renamed p* to
@@ -5851,6 +5961,17 @@ object SparkEntry {
       },
 
       "qt_wordpiece" -> (wpTrainCtes +
+        s"""
+           |SELECT round, a AS sym_a, b AS sym_b, c AS pair_count,
+           |  sp AS score_pico, a || b AS merged
+           |FROM (SELECT 1 AS round, * FROM m1 UNION ALL
+           |      SELECT 2, * FROM m2 UNION ALL
+           |      SELECT 3, * FROM m3)
+           |ORDER BY round""".stripMargin),
+
+      // the same 3-round likelihood trainer on the Zipf-vocabulary word
+      // table (~15k distinct types) — the word-table-bounded regime
+      "qz_wordpiece" -> (wpTrainCtesFrom("zdocs", zdocsBody + ",\n") +
         s"""
            |SELECT round, a AS sym_a, b AS sym_b, c AS pair_count,
            |  sp AS score_pico, a || b AS merged
