@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis, Timeseries}
+import graft.ops.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis, Timeseries, UnigramLm}
 
 /** Standing 10× scale-stress harness (the tagged-copy protocol the round
   * notes ran ad-hoc, promoted to a tool): the heaviest operator families
@@ -85,7 +85,16 @@ object Stress {
       "jaccard_est" -> (c => jaccardEst(spark, sfDir, c)),
       "incremental" -> (c => incremental(spark, sfDir, s"$incDir/x$c")),
       "prefix_join" -> (c => prefixJoin(spark, sfDir, c)),
-      "duty_cycle" -> (c => dutyCycle(spark, sfDir, c)))
+      "duty_cycle" -> (c => dutyCycle(spark, sfDir, c)),
+      "split_safe" -> (c => splitSafe(spark, sfDir, c)),
+      "soft_weights" -> (c => softWeightsF(spark, sfDir, c)),
+      "comp_sizes" -> (c => compSizes(spark, sfDir, c)),
+      "unigram" -> (c => unigram(spark, c)))
+    // NOT a family, deliberately: qm_scene_cuts is codec-bound (one JDK
+    // ImageIO decode per stored frame, then a per-video lag window) —
+    // linear in frame count by construction, with no candidate fan-out
+    // or join whose growth a 10× copy test could expose; a family would
+    // measure javax.imageio throughput, not a scale property.
 
     // cleanup in finally: a family failure must not leak the (10×
     // corpus-sized) signed claim stores into the temp dir
@@ -295,6 +304,95 @@ object Stress {
     System.err.println(s"[stress] containment copies=$copies " +
       s"shingle_hits=${obs.get("shingle_hits")}")
     ()
+  }
+
+  /** Contamination-safe split under copy densification: identical copies
+    * densify the verified pair graph ~100×, the pointer-jump closure and
+    * fold hashing run over the label relation, and the cross-fold purity
+    * count joins pair-bounded relations — expected output-sensitive
+    * growth, far below quadratic, with purity REQUIRED to hold (n_cross
+    * = 0 is the operator's contract, checked at 10× too).
+    */
+  private def splitSafe(spark: SparkSession, dir: String, copies: Int): Unit = {
+    val r = Dedup.contaminationSafeSplit(docCopies(spark, dir, copies),
+      "doc_id", col("text"))
+    try {
+      val nCross = r.pairs
+        .join(r.folds.select(col("doc_id").as("doc_a"), col("fold").as("fold_a")), "doc_a")
+        .join(r.folds.select(col("doc_id").as("doc_b"), col("fold").as("fold_b")), "doc_b")
+        .filter(col("fold_a") =!= col("fold_b")).count()
+      require(nCross == 0, s"safe split leaked $nCross cross-fold pairs at x$copies")
+      noop(r.folds)
+    } finally { r.pairs.unpersist(); () }
+  }
+
+  /** Soft dedup weights under the same densification: weight = 1/|comp|
+    * over the closure labels, one label-sized join back to the corpus —
+    * the corpus side is the 10× axis, the label side pair-bounded.
+    */
+  private def softWeightsF(spark: SparkSession, dir: String, copies: Int): Unit = {
+    val d = docCopies(spark, dir, copies)
+    val pairs = Dedup.minhashNearDups(d, "doc_id", col("text"))
+    try noop(Dedup.softWeights(d, "doc_id", pairs))
+    finally { pairs.unpersist(); () }
+  }
+
+  /** Component-size histogram under densification: every original
+    * near-dup component inflates ~10× in membership, the two histogram
+    * aggregations stay label-relation-sized.
+    */
+  private def compSizes(spark: SparkSession, dir: String, copies: Int): Unit = {
+    val pairs = Dedup.minhashNearDups(docCopies(spark, dir, copies),
+      "doc_id", col("text"))
+    try noop(Dedup.connectedComponents(pairs)
+      .groupBy("comp").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_components")))
+    finally { pairs.unpersist(); () }
+  }
+
+  /** Zipf-style generated corpus for the tokenizer-trainer stress: BOTH
+    * the corpus (5k·c docs) and the vocabulary (rare-tier word space
+    * 30k·c) grow with `c` — the double axis the word-table-bounded claim
+    * must survive (10× occurrences alone would leave the DP input
+    * unchanged and measure nothing). Same construction as
+    * SparkEntry.zipfDocs, generated from spark.range so the word space
+    * can scale.
+    */
+  private def zipfCorpus(spark: SparkSession, copies: Int): DataFrame = {
+    import graft.ops.TextAnalysis.md5Long
+    def letters(cl: org.apache.spark.sql.Column) =
+      translate(cl.cast("string"), "0123456789", "abcdefghij")
+    spark.range(5000L * copies).select(col("id").as("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("_len", lit(30L) +
+        md5Long(concat(col("doc_id").cast("string"), lit("_len"))) % 41L)
+      .select(col("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1L), col("_len")), t => {
+          val salt = concat(col("doc_id").cast("string"), lit("_"),
+            t.cast("string"))
+          val tier = md5Long(salt) % 100L
+          val hw = md5Long(concat(salt, lit("_w")))
+          when(tier < 20, concat(lit("a"), letters(hw % 10)))
+            .when(tier < 50, concat(lit("b"), letters(hw % 300)))
+            .otherwise(concat(lit("c"), letters(hw % (30000L * copies))))
+        })).as("text"))
+  }
+
+  /** Unigram-LM trainer + encode (the two heaviest tokenizer gates) at
+    * 10× corpus AND ~10× vocabulary: 2 EM rounds of the per-distinct-word
+    * Viterbi DP, then the corpus-apply join-back — expected ~linear (DP
+    * input and corpus both grow 10×); a per-OCCURRENCE DP would go 100×.
+    */
+  private def unigram(spark: SparkSession, copies: Int): Unit = {
+    val docs = zipfCorpus(spark, copies)
+    val words = UnigramLm.wordTable(docs, col("text"))
+    val model = UnigramLm.train(words, rounds = 2, vocabSize = 64)
+    val seg = words.select(col("w"),
+      UnigramLm.viterbiPath(col("w"), model.probs).as("path"))
+    noop(docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .join(seg, "w")
+      .agg(sum(length(col("path"))).as("total_path_chars"),
+        count(lit(1)).as("n_words")))
   }
 
   /** Events with ts as micros long; copies share user keys, ts +i µs. */
