@@ -40,13 +40,14 @@ object CanPipeline {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** OWNERSHIP NOTE: with `exact = true` and no `exactKeys` (the keyless
-    * distributed-exact path), the returned frame is persisted and
-    * materialized ([[Bucketer.exactDistributed]]'s contract — the persist
-    * is what lets that fold release its sorted-input cache). Long-running
-    * sessions should `result.unpersist()` once done consuming it; every
-    * other configuration returns an ordinary lazy plan and the call is a
-    * no-op.
+  /** OWNERSHIP NOTE: two configurations return a persisted + materialized
+    * frame rather than a lazy plan — `exact = true` with no `exactKeys`
+    * (the keyless distributed-exact path, [[Bucketer.exactDistributed]]'s
+    * contract) and `forwardFill = true` ([[ForwardFill.distributed]]'s) —
+    * because those folds must release their corpus-sized sorted-input
+    * caches before returning. Long-running sessions should
+    * `result.unpersist()` once done consuming it; everywhere else the
+    * call is a no-op.
     */
   def decodeLog(spark: SparkSession, dbcPath: String, logPath: String,
       cfg: CanPipelineConfig = CanPipelineConfig()): DataFrame = {
@@ -114,7 +115,14 @@ object CanPipeline {
           else None
         val b = Bucketer.exactDistributed(wide, cfg.cacheMs, cfg.combine,
           frameCounter = counter)
-        if (cfg.forwardFill) ForwardFill.distributed(b, DbcColumns.TimeCol) else b
+        if (cfg.forwardFill) {
+          // the filled result is materialized before distributed()
+          // returns, so the intermediate exact fold — whose blocks we
+          // own per its contract — releases here, not at the caller
+          val filled = ForwardFill.distributed(b, DbcColumns.TimeCol)
+          b.unpersist()
+          filled
+        } else b
       }
     } else {
       val frameLevel = cfg.cacheMs > 0 && cfg.frameLevelTumbling.getOrElse(

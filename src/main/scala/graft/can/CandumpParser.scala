@@ -23,7 +23,7 @@ object CandumpParser {
     * 3 = iface, 4 = hex id, 5 = hex payload (may be empty; `R` = remote
     * frame → no payload).
     *
-    * Quantifiers are bounded (13 second digits ≈ year 318857, 9 fractional,
+    * Quantifiers are bounded (11 second digits ≈ year 5138, 9 fractional,
     * 8 hex id digits = the 29-bit extended-id space) so a line that passes
     * the gate can never overflow the integer extraction — which lets the
     * malformed-line filter (F2) be a single cheap `RLIKE` instead of
@@ -31,8 +31,15 @@ object CandumpParser {
     * substitutes filter expressions through exchanges, and a multi-extract
     * null filter would re-evaluate its (possibly expensive) input once per
     * field on the pre-shuffle side.
+    *
+    * 11 second digits, not the previous 13: `sec · 10⁶` must stay under
+    * 2⁶³ ≈ 9.2·10¹⁸, and a 12-13-digit epoch would pass the gate then
+    * overflow the micros product — an ANSI throw (one corrupt line kills a
+    * 100 TB job) or a silent wrap with ANSI off. A 12+-digit epoch second
+    * is corruption by construction (year 33658+), so it belongs with the
+    * other malformed shapes F2 drops.
     */
-  private[can] val LineRe = """^\s*\((\d{1,13})\.?(\d{0,9})\)\s+(\S+)\s+([0-9A-Fa-f]{1,8})#R?([0-9A-Fa-f]*)\s*$"""
+  private[can] val LineRe = """^\s*\((\d{1,11})\.?(\d{0,9})\)\s+(\S+)\s+([0-9A-Fa-f]{1,8})#R?([0-9A-Fa-f]*)\s*$"""
 
   /** Parse a DataFrame of raw lines (column `value`) into frames.
     * Output: `ts_us: long, iface: string, can_id: long, data: binary`.

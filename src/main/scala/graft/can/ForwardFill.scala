@@ -49,12 +49,24 @@ object ForwardFill {
     df.select(projected.toIndexedSeq: _*)
   }
 
-  /** Scalable two-pass fill. Result is range-sorted by `orderCol`. */
+  /** Scalable two-pass fill. Result is range-sorted by `orderCol`.
+    *
+    * CONTRACT (the [[Bucketer.exactDistributed]] pattern): the returned
+    * DataFrame is persisted (MEMORY_AND_DISK) and already materialized —
+    * the caller owns the blocks and must `unpersist()` when done (or
+    * clearCache in a harness). The corpus-sized sorted intermediate is
+    * released before returning; lineage stays intact, so a lost result
+    * block recomputes through the (uncached) sort.
+    */
   def distributed(df: DataFrame, orderCol: String, cols: Seq[String] = Nil,
       numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
+    // toIntOption: "spark.sql.shuffle.partitions" may legitimately be
+    // non-numeric ("auto" under some AQE distributions) — fall back to
+    // cluster parallelism instead of throwing (the prefixCore rule)
     val parts = if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+      else spark.conf.get("spark.sql.shuffle.partitions").toIntOption
+        .getOrElse(spark.sparkContext.defaultParallelism)
     val fillCols = if (cols.nonEmpty) cols else df.columns.toSeq.filter(_ != orderCol)
     val schema = df.schema
     val fillIdx = fillCols.map(schema.fieldIndex).toArray
@@ -64,11 +76,14 @@ object ForwardFill {
     // identical partition boundaries because the range partitioner samples
     // once at RDD construction and recomputed blocks reuse the same
     // partitioner instance; localCheckpoint would truncate lineage and make
-    // any executor loss an unrecoverable failure at cluster scale. Blocks
-    // are released by the ContextCleaner when the result frame is dropped,
-    // or explicitly by the caller (the harnesses unpersist between queries).
+    // any executor loss an unrecoverable failure at cluster scale. The
+    // cache is released in `finally` below after the result materializes —
+    // CacheManager pins persisted plans, so leaving it to the
+    // ContextCleaner (the pre-r19 comment's claim, refuted at Bucketer
+    // r18) leaked one full input copy per call in long-running sessions.
     val sorted = df.repartitionByRange(parts, col(orderCol)).sortWithinPartitions(orderCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // Pass 1: per-partition last non-null per fill column.
     val summaries: Array[(Int, Array[Any])] = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -107,6 +122,11 @@ object ForwardFill {
         Row.fromSeq(vals.toIndexedSeq)
       }
     }
-    spark.createDataFrame(filled, schema)
+    val result = spark.createDataFrame(filled, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try result.count() // materialize while `sorted` is still cached
+    catch { case e: Throwable => result.unpersist(); throw e }
+    result
+    } finally { sorted.unpersist(); () }
   }
 }

@@ -77,6 +77,13 @@ final case class Signal(
 ) {
   require(bitLen >= 1 && bitLen <= 64, s"signal $name: bitLen $bitLen out of [1,64]")
   require(startBit >= 0 && startBit < 64, s"signal $name: startBit $startBit out of [0,64)")
+  // the whole field must fit the classic-CAN 8-byte payload: an overlong
+  // declaration is a malformed DBC (or a CAN-FD file, out of scope), and
+  // decoding it would silently zero-extend the out-of-payload bits
+  require(!littleEndian || startBit + bitLen <= 64,
+    s"signal $name: intel field [$startBit, ${startBit + bitLen}) exceeds the 64-bit payload")
+  require(littleEndian || motorolaMsbPos + bitLen <= 64,
+    s"signal $name: motorola field (msb pos $motorolaMsbPos + len $bitLen) exceeds the 64-bit payload")
 
   /** For Motorola (`@0`) signals: the bit offset of the signal's MSB counted
     * from the left of the big-endian byte string (byte 0 = most significant).

@@ -25,8 +25,6 @@ object Multimodal {
     * construction is portable to the oracle.
     */
   def fakePayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = (col(idCol) % 95 + 32).cast("int")
-    val h = ((col(idCol) * 7) % 95 + 32).cast("int")
     df.select(
       col(idCol),
       encode(concat(expr(s"char($idCol % 95 + 32)"), expr(s"char(($idCol * 7) % 95 + 32)"),

@@ -30,6 +30,11 @@ case class CanSignalExtract(child: Expression, startBit: Int, bitLen: Int,
   private val msbPos = (startBit / 8) * 8 + (7 - startBit % 8)
   private val beShift = 64 - msbPos - bitLen
   require(littleEndian || beShift >= 0, s"motorola field exceeds payload")
+  // the Intel twin of the motorola check above: without it an overlong
+  // field silently reads zeros into its high bits (mask past bit 63)
+  // instead of failing like the big-endian side does
+  require(!littleEndian || startBit + bitLen <= 64,
+    s"intel field [$startBit, ${startBit + bitLen}) exceeds the 64-bit payload")
   private val mask = if (bitLen >= 64) -1L else (1L << bitLen) - 1L
   private val signShift = 64 - bitLen
 

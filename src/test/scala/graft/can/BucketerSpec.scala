@@ -157,8 +157,17 @@ class BucketerSpec extends AnyFunSuite {
     }
     val df = rows.toDF("Time_ms", "a", "b").repartition(7)
     val wexp = ForwardFill.windowed(df, "Time_ms").orderBy("Time_ms").collect()
-    val dist = ForwardFill.distributed(df, "Time_ms", numPartitions = 5)
-      .orderBy("Time_ms").collect()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val distDf = ForwardFill.distributed(df, "Time_ms", numPartitions = 5)
+    val dist = distDf.orderBy("Time_ms").collect()
+    // r19 contract: the result arrives persisted (caller-owned) and the
+    // corpus-sized sorted intermediate is ALREADY released — exactly one
+    // net new cached plan, gone after the caller's unpersist (the
+    // Bucketer-r18 ContextCleaner refutation applies here too)
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1,
+      "distributed() must release its sorted input and persist only the result")
+    distDf.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
     assert(wexp.toSeq == dist.toSeq)
     // head rows before any value stay null
     assert(dist.head.isNullAt(2) == (rows.head._3 == null))

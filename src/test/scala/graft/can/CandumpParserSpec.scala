@@ -26,6 +26,16 @@ class CandumpParserSpec extends AnyFunSuite {
     assert(r.isEmpty)
   }
 
+  test("overflow-scale epoch seconds are malformed, not wrapped/thrown") {
+    // 12+ second digits would overflow sec*1e6 past 2^63 (ANSI throw or
+    // silent wrap) — the RLIKE gate must drop them like any corruption,
+    // while an 11-digit epoch (year 5138) still parses exactly
+    val r = parse("(9999999999999.000000) can0 123#00",
+      "(999999999999.5) can0 123#00", "(99999999999.000001) can0 123#00")
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("ts_us") == 99999999999000001L)
+  }
+
   test("empty payload and remote frame allowed") {
     val r = parse("(1.0) can0 1FF#", "(2.0) can0 200#R")
     assert(r.length == 2)

@@ -141,6 +141,22 @@ class DbcGrammarNoiseSpec extends AnyFunSuite {
     assert(DbcParser.parseFile(f.toString) == expected)
   }
 
+  test("overlong signal fields are malformed DBC, both endiannesses") {
+    // an SG_ whose field runs past the 8-byte payload would silently
+    // zero-extend its out-of-payload bits if decoded — r19 makes parse
+    // reject it (classic-CAN scope; CAN-FD files fail here by design)
+    val intel = "BO_ 1 M: 8 E\n SG_ S : 60|8@1+ (1,0) [0|0] \"\" X\n"
+    val e1 = intercept[IllegalArgumentException] {
+      DbcParser.parseString(intel)
+    }
+    assert(e1.getMessage.contains("exceeds the 64-bit payload"), e1.getMessage)
+    val moto = "BO_ 1 M: 8 E\n SG_ S : 60|16@0+ (1,0) [0|0] \"\" X\n"
+    val e2 = intercept[IllegalArgumentException] {
+      DbcParser.parseString(moto)
+    }
+    assert(e2.getMessage.contains("exceeds the 64-bit payload"), e2.getMessage)
+  }
+
   test("relaxed malformed-detectors still reject real malformed declarations") {
     val badValType = clean + "\nSIG_VALTYPE_ 1040 FV : 3;\n"
     val e1 = intercept[IllegalArgumentException] {
