@@ -94,7 +94,11 @@ object ArrowIpcSink {
       }
       total
     } finally {
-      writer.end(); root.close(); allocator.close()
+      // chained finallys: writer.end() can itself throw (broken pipe on a
+      // socket binding) — root/allocator hold NATIVE Arrow memory, and a
+      // long-running stream that fails per batch would leak it otherwise
+      try writer.end()
+      finally { try root.close() finally allocator.close() }
     }
   }
 

@@ -63,7 +63,10 @@ object WebSocketIpc {
 
       val response = readHttpHead(in)
       require(response.startsWith("HTTP/1.1 101"),
-        s"websocket handshake refused: ${response.linesIterator.next()}")
+        // nextOption: a connection dropped before any header byte must
+        // report "refused", not NoSuchElementException from the message
+        s"websocket handshake refused: ${response.linesIterator.nextOption()
+          .getOrElse("<empty response>")}")
       val accept = response.linesIterator
         .find(_.toLowerCase.startsWith("sec-websocket-accept:"))
         .map(_.split(":", 2)(1).trim)
