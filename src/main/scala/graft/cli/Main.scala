@@ -76,6 +76,11 @@ object Main {
     // accept concurrent connections).
     var wsHost = ""; var wsDistributed = false
     var i = 1
+    // uniform flag-error contract (the r18 --ws-host rule, applied to the
+    // whole surface): a flag missing its value or carrying a non-numeric
+    // one exits 2 through usage, never a raw ArrayIndexOutOfBounds /
+    // NumberFormat stack trace
+    try {
     while (i < args.length) {
       args(i) match {
         case "--if" => in = args(i + 1); i += 2
@@ -110,6 +115,14 @@ object Main {
           i += 2
         case other => System.err.println(s"unknown flag $other\n$usage"); sys.exit(2)
       }
+    }
+    } catch {
+      case _: ArrayIndexOutOfBoundsException =>
+        System.err.println(s"flag ${args.last} is missing its value\n$usage")
+        sys.exit(2)
+      case e: NumberFormatException =>
+        System.err.println(s"non-numeric flag value: ${e.getMessage}\n$usage")
+        sys.exit(2)
     }
     if (bucketKey.isDefined && (!exact || cacheMs <= 0)) {
       System.err.println(s"--bucket-key requires --exact and --cache > 0\n$usage")
@@ -265,8 +278,17 @@ object Main {
           case "stream-file" => CanStream.framesFromTextFiles(spark, in,
             if (maxFilesPerTrigger > 0) Some(maxFilesPerTrigger) else None)
           case _ =>
-            val Array(host, port) = in.split(":")
-            CanStream.framesFromSocket(spark, host, port.toInt)
+            // same usage-error contract as --ws-host: a malformed
+            // host:port exits 2 with usage, not MatchError/NumberFormat
+            in.split(":") match {
+              case Array(host, port) if port.toIntOption.exists(
+                  p => p >= 1 && p <= 65535) =>
+                CanStream.framesFromSocket(spark, host, port.toInt)
+              case _ =>
+                System.err.println(
+                  s"--socket needs --if host:port with a numeric port\n$usage")
+                sys.exit(2)
+            }
         }
         // one wide row per decoded frame here, so the frame counter sits on
         // the decode output (same number the reference's msg_count tracks)

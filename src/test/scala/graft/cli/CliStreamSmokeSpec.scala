@@ -26,6 +26,33 @@ class CliStreamSmokeSpec extends AnyFunSuite {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
+  test("flag errors exit 2 through usage, never a raw stack trace") {
+    // the r18 --ws-host rule extended to the whole flag surface in r19:
+    // a flag missing its value (ArrayIndexOutOfBounds before) and a
+    // non-numeric value (NumberFormatException before) both take the
+    // usage path. These exit before SparkSession, so the JVMs are cheap.
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    def run(extra: String*): (Int, String) = {
+      val logFile = java.nio.file.Files.createTempFile("cli_err", ".log").toFile
+      val pb = new ProcessBuilder((Seq(javaBin, "-cp", cp,
+        "graft.cli.Main", "fixtures/mini.dbc") ++ extra): _*)
+      pb.directory(new java.io.File(sys.props("user.dir")))
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(logFile)
+      val proc = pb.start()
+      assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS))
+      (proc.exitValue(), scala.io.Source.fromFile(logFile).mkString)
+    }
+    val (c1, log1) = run("--if", "x.log", "--cache") // value missing
+    assert(c1 == 2, s"expected usage exit 2:\n$log1")
+    assert(log1.contains("missing its value") && log1.contains("usage:"), log1)
+    assert(!log1.contains("ArrayIndexOutOfBounds"), log1)
+    val (c2, log2) = run("--if", "x.log", "--cache", "abc") // non-numeric
+    assert(c2 == 2, s"expected usage exit 2:\n$log2")
+    assert(log2.contains("non-numeric") && log2.contains("usage:"), log2)
+  }
+
   test("CLI batch --exact prints the real packet count (T7 exact metric)") {
     val outDir = java.nio.file.Files.createTempDirectory("cli_exact").toString + "/out"
     val javaBin = sys.props("java.home") + "/bin/java"
