@@ -141,6 +141,15 @@ object DbcParser {
       """\(\s*([^,()]+)\s*,\s*([^,()]+)\s*\)\s*""" +
       """\[\s*([^|\]]+)\s*\|\s*([^|\]]+)\s*\]\s*""" +
       """"([^"]*)"\s*(.*)$""").r
+  // an SG_ line inside a message block that SgRe cannot parse is a
+  // DROPPED SIGNAL — silent schema loss — so it fails loudly like the
+  // malformed-declaration detectors. The one shape named specially:
+  // `m<N>M` (extended multiplexed multiplexor — a signal that is both
+  // gated and a switch), which dbcppp accepts but this engine's
+  // single-switch mux model deliberately does not (applyMulVals rejects
+  // nested switches for the same reason).
+  private val SgNestedMuxRe = """^\s*SG_\s+\S+\s+m\d+M\s*:.*$""".r
+  private val SgMalformedRe = """^\s*SG_\s+\S.*$""".r
   // SIG_VALTYPE_ msgId SigName : type;   (0 int, 1 float32, 2 float64)
   private val ValTypeRe =
     """^\s*SIG_VALTYPE_\s+(\d+)\s+([A-Za-z0-9_]+)\s*:\s*([012])\s*;?\s*$""".r
@@ -256,6 +265,13 @@ object DbcParser {
             mux = mux,
             isFlt32 = isFlt
           )
+        case SgNestedMuxRe() if current.isDefined =>
+          throw new IllegalArgumentException(
+            "extended multiplexed multiplexor (m<N>M) is unsupported — " +
+              s"the mux model is single-switch per message: $line")
+        case SgMalformedRe() if current.isDefined =>
+          throw new IllegalArgumentException(
+            s"malformed SG_ line (the signal would be silently dropped): $line")
         case ValTypeRe(id, name, t) =>
           val vt = t match {
             case "1" => ValType.Float32

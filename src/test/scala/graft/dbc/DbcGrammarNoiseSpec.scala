@@ -157,6 +157,27 @@ class DbcGrammarNoiseSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("exceeds the 64-bit payload"), e2.getMessage)
   }
 
+  test("unparseable SG_ lines inside a message are loud, not dropped signals") {
+    // r19: a failed SG_ parse used to fall to the skip case — silent
+    // schema loss. The nested-mux shape gets its own message; any other
+    // malformed SG_ inside a block names the generic drop hazard. An
+    // orphan SG_ before any BO_ still skips (no message to lose it from).
+    val nested = "BO_ 1 M: 8 E\n SG_ SEL M : 0|8@1+ (1,0) [0|0] \"\" X\n" +
+      " SG_ S2 m1M : 8|8@1+ (1,0) [0|0] \"\" X\n"
+    val e1 = intercept[IllegalArgumentException] {
+      DbcParser.parseString(nested)
+    }
+    assert(e1.getMessage.contains("m<N>M"), e1.getMessage)
+    val mangled = "BO_ 1 M: 8 E\n SG_ S : 0|8@1 (1,0) [0|0] \"\" X\n" // no sign
+    val e2 = intercept[IllegalArgumentException] {
+      DbcParser.parseString(mangled)
+    }
+    assert(e2.getMessage.contains("malformed SG_"), e2.getMessage)
+    // orphan SG_ with no open message: ignorable, like today
+    val orphan = "SG_ S : 0|8@1+ (1,0) [0|0] \"\" X\n" + clean.stripPrefix("\n")
+    assert(DbcParser.parseString(orphan) == expected)
+  }
+
   test("relaxed malformed-detectors still reject real malformed declarations") {
     val badValType = clean + "\nSIG_VALTYPE_ 1040 FV : 3;\n"
     val e1 = intercept[IllegalArgumentException] {
