@@ -318,6 +318,24 @@ class PlanSpec extends AnyFunSuite {
       s"frame-level tumbling fell out of hash aggregation:\n$p")
   }
 
+  test("zipfDocs generation is map-only; the zipf prefix join never " +
+      "goes cartesian") {
+    // the derived Zipf corpus (r19 qz_* gates) must add ZERO cost beyond
+    // a projection — the md5 word synthesis is one pass over the scan —
+    // and the prefix join over it keeps the equi-join shape (its no-
+    // false-negative rarity bound is only a win if the join stays keyed)
+    val dir = java.nio.file.Files.createTempDirectory("plan_zipf").toString
+    (0L until 40L).map(i => (i, "x")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val gen = plan(graft.SparkEntry.zipfDocs(spark, dir))
+    assert(!gen.contains("Exchange"), s"generation must be map-only:\n$gen")
+    val pj = plan(Dedup.prefixFilterNearDups(
+      graft.SparkEntry.zipfDocs(spark, dir), "doc_id", col("text")))
+    assert(!pj.contains("CartesianProduct") &&
+      !pj.contains("BroadcastNestedLoopJoin"),
+      s"zipf prefix join must stay an equi-join:\n$pj")
+  }
+
   test("AQE-on: ANN scans still broadcast, never cartesian") {
     val emb = (0L until 50L)
       .map(i => (i, Array.tabulate(8)(d => ((i + d) % 7).toFloat)))
