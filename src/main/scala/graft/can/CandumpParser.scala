@@ -33,11 +33,13 @@ object CandumpParser {
     * field on the pre-shuffle side.
     *
     * 11 second digits, not the previous 13: `sec · 10⁶` must stay under
-    * 2⁶³ ≈ 9.2·10¹⁸, and a 12-13-digit epoch would pass the gate then
-    * overflow the micros product — an ANSI throw (one corrupt line kills a
-    * 100 TB job) or a silent wrap with ANSI off. A 12+-digit epoch second
-    * is corruption by construction (year 33658+), so it belongs with the
-    * other malformed shapes F2 drops.
+    * 2⁶³ ≈ 9.2·10¹⁸. The hard overflow line is 13 digits (9.99…·10¹² ·
+    * 10⁶ ≈ 10¹⁹ — an ANSI throw where one corrupt line kills a 100 TB
+    * job, or a silent wrap with ANSI off); 12 digits (≤ 9.99…·10¹⁷)
+    * still fits. The bound is deliberately one digit tighter than the
+    * overflow argument requires: an epoch past year 5138 (12 digits) is
+    * corruption by construction, so it belongs with the other malformed
+    * shapes F2 drops rather than decoding as an absurd timestamp.
     */
   private[can] val LineRe = """^\s*\((\d{1,11})\.?(\d{0,9})\)\s+(\S+)\s+([0-9A-Fa-f]{1,8})#R?([0-9A-Fa-f]*)\s*$"""
 

@@ -193,12 +193,17 @@ object DbcParser {
   def parseString(content: String, lenient: Boolean = false): Network =
     parse(content.linesIterator, lenient)
 
-  /** `lenient = true` downgrades UNMATCHED `SIG_VALTYPE_`/`SG_MUL_VAL_`
-    * declarations (message id / signal name matching nothing parsed — e.g.
-    * a vendor DBC referencing messages outside the parsed subset) from an
-    * error to a warning. Mistyped declarations (bad type code, bad range
-    * syntax, width mismatch, unknown/nested mux switch) always throw: they
-    * would change the decode of a signal that IS present.
+  /** `lenient = true` downgrades three classes of defect from an error
+    * to a warning: UNMATCHED `SIG_VALTYPE_`/`SG_MUL_VAL_` declarations
+    * (message id / signal name matching nothing parsed — e.g. a vendor
+    * DBC referencing messages outside the parsed subset); unparseable
+    * `SG_` lines (including the extended-mux-multiplexor `m<N>M` form,
+    * which dbcppp accepts) — the offending SIGNAL is dropped, everything
+    * else parses; and a quoted string still open at EOF (the swallowed
+    * tail is warned about instead of throwing). Mistyped declarations
+    * that would change the decode of a signal that IS present (bad type
+    * code, bad range syntax, width mismatch, unknown mux switch) always
+    * throw, in both modes.
     */
   def parse(lines: Iterator[String], lenient: Boolean = false): Network = {
     val messages = Seq.newBuilder[Message]
@@ -227,16 +232,24 @@ object DbcParser {
     // message is current. (Heuristic limit, shared with dbcppp-naive
     // lexers: a stray quote inside the comment body resynchronizes one
     // line early; DBC strings have no escape syntax to do better with.)
+    // The opener is tracked so a string still open at EOF — one corrupted
+    // odd-quote line silently swallowing every following statement,
+    // including SG_ lines — is loud (a dropped file TAIL is the same
+    // silent-schema-loss failure mode the SgMalformedRe guard closes).
     var inString = false
+    var stringOpener: String = null
+    var stringOpenerLineNo = 0
+    var lineNo = 0
     var first = true
     for (raw <- lines) {
+      lineNo += 1
       val stripped = raw.replaceAll("[\r\n]+$", "")
       // UTF-8 BOM on the first line (common in tool-exported files) would
       // otherwise glue to the first keyword and skip it silently
       val line = if (first) stripped.stripPrefix("\uFEFF") else stripped
       first = false
       if (inString) {
-        if (line.count(_ == '"') % 2 == 1) inString = false
+        if (line.count(_ == '"') % 2 == 1) { inString = false; stringOpener = null }
       } else {
       line match {
         case BoRe(id, name, dlc, _) =>
@@ -265,13 +278,24 @@ object DbcParser {
             mux = mux,
             isFlt32 = isFlt
           )
+        // Unparseable SG_ lines: strict mode fails loudly (the signal
+        // would otherwise vanish from the schema without a trace);
+        // lenient mode logs and drops ONLY the offending signal, so a
+        // vendor DBC carrying one extended-mux-multiplexor signal (legal
+        // DBC, parsed by the reference's dbcppp) still yields the rest of
+        // the file — dropping the signal changes no other signal's decode
+        // (a SG_MUL_VAL_ that names the dropped signal as its switch
+        // still fails in applyMulVals, where it matters).
         case SgNestedMuxRe() if current.isDefined =>
-          throw new IllegalArgumentException(
-            "extended multiplexed multiplexor (m<N>M) is unsupported — " +
-              s"the mux model is single-switch per message: $line")
+          val msg = "extended multiplexed multiplexor (m<N>M) is " +
+            s"unsupported — the mux model is single-switch per message: $line"
+          if (lenient) log.warn(msg + " — signal dropped (lenient parse)")
+          else throw new IllegalArgumentException(msg)
         case SgMalformedRe() if current.isDefined =>
-          throw new IllegalArgumentException(
-            s"malformed SG_ line (the signal would be silently dropped): $line")
+          val msg =
+            s"malformed SG_ line (the signal would be silently dropped): $line"
+          if (lenient) log.warn(msg + " — signal dropped (lenient parse)")
+          else throw new IllegalArgumentException(msg)
         case ValTypeRe(id, name, t) =>
           val vt = t match {
             case "1" => ValType.Float32
@@ -312,8 +336,20 @@ object DbcParser {
         // subset, skipped with the other unconsumed keywords below
         case _ => // skip: VERSION, NS_, BS_, BU_, CM_, BA_, VAL_TABLE_, blank, ...
       }
-      if (line.count(_ == '"') % 2 == 1) inString = true
+      if (line.count(_ == '"') % 2 == 1) {
+        inString = true; stringOpener = line; stringOpenerLineNo = lineNo
       }
+      }
+    }
+    if (inString) {
+      // every statement from the opener to EOF was consumed as string
+      // text — if the opener was a corrupted line rather than a real
+      // multi-line comment, that is a silently-dropped file tail
+      val msg = "unterminated quoted string at EOF — every statement " +
+        s"after line $stringOpenerLineNo was read as string text, not " +
+        s"parsed; opener: $stringOpener"
+      if (lenient) log.warn(msg + " (lenient parse)")
+      else throw new IllegalArgumentException(msg)
     }
     flush()
     applyValLabels(

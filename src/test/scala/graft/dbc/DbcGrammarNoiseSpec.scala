@@ -178,6 +178,45 @@ class DbcGrammarNoiseSpec extends AnyFunSuite {
     assert(DbcParser.parseString(orphan) == expected)
   }
 
+  test("lenient mode drops ONLY the unparseable SG_ signal, keeping the " +
+      "rest of the file (r19 ADVICE: the m<N>M vendor-DBC case)") {
+    // dbcppp parses extended-mux-multiplexor signals; our mux model does
+    // not — lenient must degrade to the pre-r19 behavior (signal dropped)
+    // WITH a warning, instead of failing the whole file
+    val nested = "BO_ 1 M: 8 E\n SG_ SEL M : 0|8@1+ (1,0) [0|0] \"\" X\n" +
+      " SG_ S2 m1M : 8|8@1+ (1,0) [0|0] \"\" X\n" +
+      " SG_ S3 m1 : 16|8@1+ (1,0) [0|0] \"\" X\n"
+    val n = DbcParser.parseString(nested, lenient = true)
+    assert(n.messageById(1L).signals.map(_.name) == Seq("SEL", "S3"),
+      "only the m<N>M signal drops; its siblings parse")
+    val mangled = "BO_ 1 M: 8 E\n SG_ OK : 0|8@1+ (1,0) [0|0] \"\" X\n" +
+      " SG_ S : 8|8@1 (1,0) [0|0] \"\" X\n" // no sign — unparseable
+    val n2 = DbcParser.parseString(mangled, lenient = true)
+    assert(n2.messageById(1L).signals.map(_.name) == Seq("OK"))
+    // the full clean corpus is untouched by lenient mode
+    assert(DbcParser.parseString(clean, lenient = true) == expected)
+  }
+
+  test("a quoted string still open at EOF is loud: strict throws, " +
+      "lenient warns and parses the prefix (swallowed-tail corruption)") {
+    // one corrupted odd-quote line flips the parser into string mode and
+    // every following statement — including whole messages — reads as
+    // comment text; without the EOF check that is silent schema loss
+    val tail = clean +
+      "\nCM_ BO_ 1040 \"corrupted comment with no closing quote\n" +
+      "BO_ 9 Tail: 8 E\n SG_ T : 0|8@1+ (1,0) [0|0] \"\" X\n"
+    val e = intercept[IllegalArgumentException] {
+      DbcParser.parseString(tail)
+    }
+    assert(e.getMessage.contains("unterminated quoted string"), e.getMessage)
+    assert(e.getMessage.contains("CM_ BO_ 1040"), e.getMessage)
+    // lenient: the pre-opener prefix parses; the swallowed tail is warned
+    val n = DbcParser.parseString(tail, lenient = true)
+    assert(n == expected, "lenient parse keeps everything before the opener")
+    // a LEGAL multi-line comment that closes before EOF stays accepted
+    assert(DbcParser.parseString(clean + "\n" + multiLineCm + "\n") == expected)
+  }
+
   test("relaxed malformed-detectors still reject real malformed declarations") {
     val badValType = clean + "\nSIG_VALTYPE_ 1040 FV : 3;\n"
     val e1 = intercept[IllegalArgumentException] {
