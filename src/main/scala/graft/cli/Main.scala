@@ -304,6 +304,11 @@ object Main {
             CanStream.bucketedStreamFromFrames(net, frames, cacheMs.toLong,
               observe = PipelineMetrics.observeFrames)
           else CanStream.bucketedStream(wide, cacheMs.toLong)
+        // exact mode carries graft-encoded flatMapGroupsWithState keys:
+        // refuse a checkpoint written under an older key format BEFORE
+        // start() (a silent restart would orphan all open-bucket state)
+        if (exact && cacheMs > 0)
+          CanStream.requireExactStateFormat(spark, s"$out.checkpoint")
         val q = CanStream.parquetSink(bucketed, out, s"$out.checkpoint",
           Trigger.ProcessingTime("1 second"),
           effectiveStatePartitions(statePartitions, exact, cacheMs, bucketKey))

@@ -346,9 +346,12 @@ object CanStream {
     // NOTE (checkpoint compatibility): this prefix encoding changed the
     // flatMapGroupsWithState group keys in round 18 — a keyed stream
     // restarted from a pre-r18 checkpoint orphans its open-bucket state
-    // (those buckets never close/emit). Restart such streams from a fresh
-    // checkpoint; the sinks' overwrite-by-batch idempotence makes replay
-    // safe.
+    // (those buckets never close/emit). [[requireExactStateFormat]]
+    // detects that restart at query start via the checkpoint's
+    // _graft_state_format marker and refuses it loudly (the CLI exact
+    // path calls it; library callers starting their own query should
+    // too). Recovery: restart from a fresh checkpoint — the sinks'
+    // overwrite-by-batch idempotence makes replay safe.
     keyIdx.foreach { i =>
       inSchema(i).dataType match {
         case org.apache.spark.sql.types.BinaryType => // hex-encoded below
@@ -447,6 +450,71 @@ object CanStream {
     * is session-global, so concurrent query starts on the SAME session
     * should be serialized by the caller (started queries are unaffected).
     */
+  /** Current [[exactStream]] state-key format. v2 = the round-18
+    * injective `\u0000`/`\u0001` prefix encoding with hex-canonical
+    * binary keys; v1 (pre-r18) keyed groups on bare `String.valueOf`.
+    * The two produce DISJOINT flatMapGroupsWithState group keys, so
+    * restarting a v1 checkpoint under v2 does not fail — it silently
+    * orphans every open-bucket state entry (buckets that never close or
+    * emit). [[requireExactStateFormat]] turns that silence into a loud
+    * refusal at query start.
+    */
+  val ExactStateFormatVersion = 2
+
+  private val StateFormatMarker = "_graft_state_format"
+
+  /** Checkpoint-compatibility gate for [[exactStream]] queries: call with
+    * the query's `checkpointLocation` BEFORE `start()` (the CLI exact
+    * path does). Semantics:
+    *
+    *   - fresh checkpoint (no offsets history): stamps
+    *     `<checkpoint>/_graft_state_format` with
+    *     [[ExactStateFormatVersion]] and returns;
+    *   - marker present and equal: returns (normal restart);
+    *   - marker present and different, or an EXISTING checkpoint with no
+    *     marker (written by a pre-marker build, whose state keys may use
+    *     the v1 encoding): throws with the recovery options spelled out.
+    *
+    * The marker rides inside the checkpoint dir so it is cleaned up,
+    * copied, and versioned together with the state it describes.
+    */
+  def requireExactStateFormat(spark: SparkSession, checkpoint: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(checkpoint)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, StateFormatMarker)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (content != ExactStateFormatVersion.toString)
+        throw new IllegalStateException(
+          s"exactStream checkpoint $checkpoint carries state format " +
+            s"'$content', this build writes $ExactStateFormatVersion — " +
+            "restarting would orphan or misroute open-bucket state. " +
+            "Restart from a fresh checkpoint (replay is safe: the sinks " +
+            "overwrite by batch id).")
+    } else {
+      val offsets = new org.apache.hadoop.fs.Path(dir, "offsets")
+      val hasHistory = fs.exists(offsets) && fs.listStatus(offsets).nonEmpty
+      if (hasHistory)
+        throw new IllegalStateException(
+          s"exactStream checkpoint $checkpoint has committed offsets but " +
+            "no state-format marker: it was written by a build predating " +
+            s"format $ExactStateFormatVersion (the injective key " +
+            "encoding), and its open-bucket state would be SILENTLY " +
+            "ORPHANED — buckets that never close or emit. Either restart " +
+            "from a fresh checkpoint (safe: sinks overwrite by batch id), " +
+            s"or — only if the checkpoint is known to be format " +
+            s"$ExactStateFormatVersion from a pre-marker build — accept " +
+            s"it by writing '$ExactStateFormatVersion' to " +
+            s"$checkpoint/$StateFormatMarker.")
+      val out = fs.create(marker, /* overwrite = */ false)
+      try out.write(s"$ExactStateFormatVersion\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   def withStatePartitions[T](spark: SparkSession, n: Option[Int])(start: => T): T =
     n match {
       case None => start
