@@ -107,6 +107,20 @@ object SparkEntry {
 
   private def hex2(c: Column): Column = lpad(hex(c), 2, "0")
 
+  /** Module opens a bare `java` child JVM needs to host a SparkSession on
+    * JDK 17 (what spark-submit injects itself) — build.sbt's list, needed
+    * here because qc_cli_roundtrip spawns the real CLI as a child process.
+    */
+  private val Jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
   /** Shared signal relation of the Gopher filter gates
     * (qt_filter_report / qt_filter_ledger): ONE definition of the five
     * thresholds' inputs so the report and the ledger cannot drift. The
@@ -646,6 +660,49 @@ object SparkEntry {
       s.read.parquet(s"$tmp/out")
         .filter(col(DbcColumns.TimeCol) < horizonUs)
         .orderBy(DbcColumns.TimeCol)
+    }),
+
+    "qc_cli_roundtrip" -> ((s, dir) => {
+      // The CLI surface end-to-end under the driver oracle (VERDICT r19
+      // item 6 — the last gap between what the sbt smokes prove and what
+      // the driver certifies): the same synthesized candump lines as
+      // qc_pipeline_decode, staged once per JVM as a text log, decoded by
+      // the REAL graft.cli.Main in a CHILD JVM (own SparkSession — the
+      // spark-submit deployment shape, not an in-process call) with
+      // `--file --no-adjust-timestamp` to parquet, read back and reshaped
+      // to qc_pipeline_decode's output — whose oracle SQL this gate
+      // SHARES: the CLI path must be hash-indistinguishable from the
+      // library path. ts recovery: Time_ms = µs/1000.0 carries ≤ 0.12 µs
+      // representation error at epoch scale (ulp(1.7e12)/2 · 1000), so
+      // round(Time_ms·1000) is the exact original integer.
+      val in = stagedInput("qcli", dir) { p =>
+        canLines(events(s, dir)).select("value").write.mode("overwrite").text(p)
+      }
+      val work = scratchDir("graft_qcli")
+      val dbcPath = s"$work/oracle.dbc"
+      java.nio.file.Files.write(java.nio.file.Paths.get(dbcPath),
+        canTestDbc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val outDir = s"$work/out" // fresh per call: the CLI sink is append-mode
+      val logFile = new java.io.File(s"$work/cli.log")
+      val cmd = Seq(sys.props("java.home") + "/bin/java") ++ Jdk17AddOpens ++ Seq(
+        "-Xmx3g", "-Dspark.ui.enabled=false", "-Dspark.master=local[4]",
+        "-Dspark.sql.shuffle.partitions=4",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", sys.props("java.class.path"), "graft.cli.Main", dbcPath,
+        "--if", in, "--of", outDir, "--file", "--no-adjust-timestamp")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(logFile)
+      val proc = pb.start()
+      val done = proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { proc.destroyForcibly(); () }
+      require(done && proc.exitValue() == 0,
+        s"cli.Main child failed (done=$done): " +
+          scala.io.Source.fromFile(logFile).mkString.takeRight(2000))
+      val wide = s.read.parquet(outDir)
+      wide.select(
+        round(col(DbcColumns.TimeCol) * 1000).cast("long").as("ts_us") +:
+          wide.columns.filter(_ != DbcColumns.TimeCol).map(col).toSeq: _*)
     }),
 
     "qc_decode_defacto" -> ((s, dir) => {
@@ -3888,7 +3945,12 @@ object SparkEntry {
     case base =>
       // the streaming decode run must produce byte-identical results to the
       // batch spine, so it shares the same oracle
-      val all = base + ("qc_stream_decode" -> base("qc_pipeline_decode")) ++ opsOracles
+      val all = base +
+        ("qc_stream_decode" -> base("qc_pipeline_decode")) +
+        // the CLI child-process roundtrip reshapes to the library decode's
+        // exact output — one oracle, three execution paths (expression API,
+        // streaming engine, deployed CLI)
+        ("qc_cli_roundtrip" -> base("qc_pipeline_decode")) ++ opsOracles
       // the streaming session run shares the batch session oracle the same way
       val all2 = all + ("qc_stream_sessions" -> all("q17_session_window"))
       // the partition-pruned ANN layouts must return the exact candidates
