@@ -107,19 +107,14 @@ object SparkEntry {
 
   private def hex2(c: Column): Column = lpad(hex(c), 2, "0")
 
-  /** Module opens a bare `java` child JVM needs to host a SparkSession on
-    * JDK 17 (what spark-submit injects itself) — build.sbt's list, needed
-    * here because qc_cli_roundtrip spawns the real CLI as a child process.
+  /** Module options a bare `java` child JVM needs to host a SparkSession
+    * on JDK 17+ (what spark-submit injects itself), taken from Spark's own
+    * launcher so the list can never go stale against the running Spark
+    * version — needed because qc_cli_roundtrip spawns the real CLI as a
+    * child process.
     */
-  private val Jdk17AddOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+  private val Jdk17AddOpens: Seq[String] =
+    org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptionArray().toSeq
 
   /** Shared signal relation of the Gopher filter gates
     * (qt_filter_report / qt_filter_ledger): ONE definition of the five

@@ -61,18 +61,11 @@ object Stress {
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect() // session warmup, untimed
 
-    // UNTIMED setup for the incremental family: sign the day-1 corpus
-    // into claim stores at base and 10× scale once — the one-time cost
-    // dedupAgainstStore exists to avoid re-paying is exactly what must
-    // stay OUT of the timed body for the ratio to measure the claim.
+    // claim-store home for the incremental family — signed below, after
+    // family selection, and only when that family is selected (the
+    // one-time cost dedupAgainstStore exists to avoid re-paying must
+    // stay OUT of the timed body for the ratio to measure the claim)
     val incDir = Files.createTempDirectory("stress_incstore").toString
-    val onlyEnv = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    if (onlyEnv.forall(_.contains("incremental")))
-      Seq(1, 10).foreach { c =>
-        Dedup.buildClaimStore(docCopies(spark, sfDir, c), "doc_id",
-          col("text"), s"$incDir/x$c")
-      }
 
     val families: Seq[(String, Int => Unit)] = Seq(
       "dedup" -> (c => dedupSpine(spark, sfDir, c)),
@@ -103,16 +96,31 @@ object Stress {
 
     // SPARK_GRAFT_STRESS_ONLY=<name>[,<name>…]: adjudication filter (the
     // bench BENCH_ONLY precedent) — rerun a suspect family in isolation
-    // without paying for the whole board
-    val selected = onlyEnv match {
+    // without paying for the whole board. Validated HERE, before any
+    // setup work: a set-but-empty value or a typo'd name must abort
+    // loudly up front, not select zero families (a silent no-op board)
+    // or pay the corpus-sized claim-store signing first.
+    val selected = sys.env.get("SPARK_GRAFT_STRESS_ONLY") match {
       case None => families
-      case Some(names) =>
+      case Some(raw) =>
+        val names = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        require(names.nonEmpty,
+          "SPARK_GRAFT_STRESS_ONLY is set but names no families " +
+            s"(known: ${families.map(_._1).mkString(", ")})")
         val unknown = names -- families.map(_._1).toSet
         require(unknown.isEmpty,
           s"SPARK_GRAFT_STRESS_ONLY names unknown families: $unknown " +
             s"(known: ${families.map(_._1).mkString(", ")})")
         families.filter(f => names(f._1))
     }
+
+    // UNTIMED setup for the incremental family (only when selected):
+    // sign the day-1 corpus into claim stores at base and 10× scale once
+    if (selected.exists(_._1 == "incremental"))
+      Seq(1, 10).foreach { c =>
+        Dedup.buildClaimStore(docCopies(spark, sfDir, c), "doc_id",
+          col("text"), s"$incDir/x$c")
+      }
 
     // cleanup in finally: a family failure must not leak the (10×
     // corpus-sized) signed claim stores into the temp dir

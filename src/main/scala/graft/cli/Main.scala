@@ -306,9 +306,19 @@ object Main {
           else CanStream.bucketedStream(wide, cacheMs.toLong)
         // exact mode carries graft-encoded flatMapGroupsWithState keys:
         // refuse a checkpoint written under an older key format BEFORE
-        // start() (a silent restart would orphan all open-bucket state)
-        if (exact && cacheMs > 0)
+        // start() (a silent restart would orphan all open-bucket state).
+        // EVERY durable checkpoint that will hold exactStream state is
+        // gated — the influx and ws side queries re-execute the same
+        // stateful plan against their OWN checkpoints, which would
+        // otherwise reopen the exact orphaning this gate closes (the
+        // console side query uses a temporary checkpoint; no restart).
+        if (exact && cacheMs > 0) {
           CanStream.requireExactStateFormat(spark, s"$out.checkpoint")
+          if (influxHost.length > 2)
+            CanStream.requireExactStateFormat(spark, s"$out.influx-checkpoint")
+          if (wsTarget.isDefined)
+            CanStream.requireExactStateFormat(spark, s"$out.ws-checkpoint")
+        }
         val q = CanStream.parquetSink(bucketed, out, s"$out.checkpoint",
           Trigger.ProcessingTime("1 second"),
           effectiveStatePartitions(statePartitions, exact, cacheMs, bucketKey))

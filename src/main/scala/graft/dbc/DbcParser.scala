@@ -148,8 +148,8 @@ object DbcParser {
   // gated and a switch), which dbcppp accepts but this engine's
   // single-switch mux model deliberately does not (applyMulVals rejects
   // nested switches for the same reason).
-  private val SgNestedMuxRe = """^\s*SG_\s+\S+\s+m\d+M\s*:.*$""".r
-  private val SgMalformedRe = """^\s*SG_\s+\S.*$""".r
+  private val SgNestedMuxRe = """^\s*SG_\s+(\S+)\s+m\d+M\s*:.*$""".r
+  private val SgMalformedRe = """^\s*SG_\s+(\S+).*$""".r
   // SIG_VALTYPE_ msgId SigName : type;   (0 int, 1 float32, 2 float64)
   private val ValTypeRe =
     """^\s*SIG_VALTYPE_\s+(\d+)\s+([A-Za-z0-9_]+)\s*:\s*([012])\s*;?\s*$""".r
@@ -199,7 +199,9 @@ object DbcParser {
     * DBC referencing messages outside the parsed subset); unparseable
     * `SG_` lines (including the extended-mux-multiplexor `m<N>M` form,
     * which dbcppp accepts) — the offending SIGNAL is dropped, everything
-    * else parses; and a quoted string still open at EOF (the swallowed
+    * else parses, and a `SG_MUL_VAL_` dependent whose switch was dropped
+    * degrades with it (see [[applyMulVals]]); and a quoted string still
+    * open at EOF (the swallowed
     * tail is warned about instead of throwing). Mistyped declarations
     * that would change the decode of a signal that IS present (bad type
     * code, bad range syntax, width mismatch, unknown mux switch) always
@@ -214,6 +216,9 @@ object DbcParser {
     val valTypes = Map.newBuilder[(Long, String), ValType]
     val mulVals = Map.newBuilder[(Long, String), (String, Seq[(Long, Long)])]
     val valLabels = Map.newBuilder[(Long, String), Seq[(Long, String)]]
+    // (msgId, sigName) of signals the LENIENT parse dropped — consumed by
+    // applyMulVals to degrade dependents of a dropped switch (see below)
+    val droppedSigs = Set.newBuilder[(Long, String)]
 
     def flush(): Unit = {
       current.foreach { case (id, name, dlc) =>
@@ -283,19 +288,25 @@ object DbcParser {
         // lenient mode logs and drops ONLY the offending signal, so a
         // vendor DBC carrying one extended-mux-multiplexor signal (legal
         // DBC, parsed by the reference's dbcppp) still yields the rest of
-        // the file — dropping the signal changes no other signal's decode
-        // (a SG_MUL_VAL_ that names the dropped signal as its switch
-        // still fails in applyMulVals, where it matters).
-        case SgNestedMuxRe() if current.isDefined =>
+        // the file. Dropped names are RECORDED: a SG_MUL_VAL_ naming a
+        // dropped signal as its switch makes its target's gate
+        // unrepresentable, and applyMulVals drops that dependent too
+        // (never simple-gates it — the round-10 rule) instead of failing
+        // the file the lenient parse just saved.
+        case SgNestedMuxRe(nm) if current.isDefined =>
           val msg = "extended multiplexed multiplexor (m<N>M) is " +
             s"unsupported — the mux model is single-switch per message: $line"
-          if (lenient) log.warn(msg + " — signal dropped (lenient parse)")
-          else throw new IllegalArgumentException(msg)
-        case SgMalformedRe() if current.isDefined =>
+          if (lenient) {
+            log.warn(msg + " — signal dropped (lenient parse)")
+            droppedSigs += ((current.get._1, nm))
+          } else throw new IllegalArgumentException(msg)
+        case SgMalformedRe(nm) if current.isDefined =>
           val msg =
             s"malformed SG_ line (the signal would be silently dropped): $line"
-          if (lenient) log.warn(msg + " — signal dropped (lenient parse)")
-          else throw new IllegalArgumentException(msg)
+          if (lenient) {
+            log.warn(msg + " — signal dropped (lenient parse)")
+            droppedSigs += ((current.get._1, nm))
+          } else throw new IllegalArgumentException(msg)
         case ValTypeRe(id, name, t) =>
           val vt = t match {
             case "1" => ValType.Float32
@@ -355,7 +366,7 @@ object DbcParser {
     applyValLabels(
       applyMulVals(
         applyValTypes(Network(messages.result()), valTypes.result(), lenient),
-        mulVals.result(), lenient),
+        mulVals.result(), lenient, droppedSigs.result()),
       valLabels.result(), lenient)
   }
 
@@ -423,22 +434,40 @@ object DbcParser {
   /** Attaches collected `SG_MUL_VAL_` declarations: the named signal's mux
     * gate becomes the declared range set ([[Mux.ExtRanges]]), replacing its
     * simple `m<N>` value. Always rejected (even lenient): a declaration
-    * whose switch is not the message's `M` signal — nested (multiplexed-
-    * multiplexor) extended muxing is unsupported and decoding it with
-    * simple semantics would be silently wrong — or one naming a signal
-    * that is not multiplexed at all. Unmatched (message/signal absent)
-    * follows the [[applyValTypes]] lenient rule.
+    * whose switch is a PRESENT signal other than the message's `M` signal
+    * — nested (multiplexed-multiplexor) extended muxing is unsupported and
+    * decoding it with simple semantics would be silently wrong — or one
+    * naming a signal that is not multiplexed at all. One lenient carve-out
+    * (`dropped`): if the declared switch is a signal the lenient parse
+    * already dropped (an m<N>M multiplexor), the target's gate is
+    * unrepresentable, so the TARGET is dropped too with a warning — the
+    * whole extended-mux cluster degrades together; simple-gating the
+    * survivor would decode wrongly (the round-10 rule), and throwing would
+    * fail the exact vendor file the lenient SG_ drop just saved (real
+    * extended-mux DBC always carries SG_MUL_VAL_ lines). Unmatched
+    * (message/signal absent) follows the [[applyValTypes]] lenient rule.
     */
   private def applyMulVals(net: Network,
       mv: Map[(Long, String), (String, Seq[(Long, Long)])],
-      lenient: Boolean): Network = {
+      lenient: Boolean,
+      dropped: Set[(Long, String)] = Set.empty): Network = {
     if (mv.isEmpty) net
     else {
       val matched = Set.newBuilder[(Long, String)]
       val out = Network(net.messages.map { m =>
-        m.copy(signals = m.signals.map { s =>
+        m.copy(signals = m.signals.flatMap { s =>
           lookupDecl(m, s, mv, matched) match {
-            case None => s
+            case None => Some(s)
+            case Some((sw, ranges)) if dropped((m.id, sw)) =>
+              // dropped is non-empty only under lenient (strict threw at
+              // the SG_ line); checked before resolving the top switch so
+              // a message whose ONLY multiplexor was dropped degrades too
+              log.warn(s"SG_MUL_VAL_ on ${m.name}.${s.name}: switch '$sw' " +
+                "was dropped by the lenient parse (unsupported m<N>M " +
+                "multiplexor) — dropping this range-gated signal too; its " +
+                "gate cannot be represented and simple-gating it would " +
+                "decode wrongly")
+              None
             case Some((sw, ranges)) =>
               val topSwitch = m.muxSwitch.getOrElse(throw new IllegalArgumentException(
                 s"SG_MUL_VAL_ on ${m.name}.${s.name}: message has no mux switch"))
@@ -448,7 +477,7 @@ object DbcParser {
                   "multiplexing is unsupported")
               require(s.mux.isInstanceOf[Mux.Value],
                 s"SG_MUL_VAL_ on ${m.name}.${s.name}: signal is not multiplexed (no m<N>)")
-              s.copy(mux = Mux.ExtRanges(ranges))
+              Some(s.copy(mux = Mux.ExtRanges(ranges)))
           }
         })
       })

@@ -427,29 +427,6 @@ object CanStream {
         unix_millis(col("session_window.end")).as("session_end_ms"),
         col("n_events"))
 
-  /** Starts a streaming query with `spark.sql.shuffle.partitions`
-    * temporarily set to `n` — the knob that sizes a stateful query's
-    * state-store partition count.
-    *
-    * A stateful streaming aggregation takes its partitioning from
-    * `spark.sql.shuffle.partitions` at the query's FIRST start and freezes
-    * it into the checkpoint (Spark re-reads the value from the offset log
-    * on every restart), so it must be sized to the query's key cardinality
-    * and rate — NOT inherited from the batch-oriented session default.
-    * Every micro-batch commits one state-store delta per partition per
-    * stateful operator, so over-provisioned partitions are pure per-batch
-    * commit overhead (measured on the frame-level tumbling gate at
-    * local[32], identical data and results: 32 partitions ≈ 6.7 s vs
-    * 4 partitions ≈ 3.2 s); under-provisioned partitions cap stateful
-    * parallelism for the life of the checkpoint. Rule of thumb: enough
-    * partitions that each holds a comfortable share of DISTINCT KEYS
-    * (frames: can_id × mux values; sessions: active users), growing with
-    * sustained input rate — not with the batch cluster's core count.
-    *
-    * The session conf is restored after `start` returns; the set/restore
-    * is session-global, so concurrent query starts on the SAME session
-    * should be serialized by the caller (started queries are unaffected).
-    */
   /** Current [[exactStream]] state-key format. v2 = the round-18
     * injective `\u0000`/`\u0001` prefix encoding with hex-canonical
     * binary keys; v1 (pre-r18) keyed groups on bare `String.valueOf`.
@@ -515,6 +492,29 @@ object CanStream {
     }
   }
 
+  /** Starts a streaming query with `spark.sql.shuffle.partitions`
+    * temporarily set to `n` — the knob that sizes a stateful query's
+    * state-store partition count.
+    *
+    * A stateful streaming aggregation takes its partitioning from
+    * `spark.sql.shuffle.partitions` at the query's FIRST start and freezes
+    * it into the checkpoint (Spark re-reads the value from the offset log
+    * on every restart), so it must be sized to the query's key cardinality
+    * and rate — NOT inherited from the batch-oriented session default.
+    * Every micro-batch commits one state-store delta per partition per
+    * stateful operator, so over-provisioned partitions are pure per-batch
+    * commit overhead (measured on the frame-level tumbling gate at
+    * local[32], identical data and results: 32 partitions ≈ 6.7 s vs
+    * 4 partitions ≈ 3.2 s); under-provisioned partitions cap stateful
+    * parallelism for the life of the checkpoint. Rule of thumb: enough
+    * partitions that each holds a comfortable share of DISTINCT KEYS
+    * (frames: can_id × mux values; sessions: active users), growing with
+    * sustained input rate — not with the batch cluster's core count.
+    *
+    * The session conf is restored after `start` returns; the set/restore
+    * is session-global, so concurrent query starts on the SAME session
+    * should be serialized by the caller (started queries are unaffected).
+    */
   def withStatePartitions[T](spark: SparkSession, n: Option[Int])(start: => T): T =
     n match {
       case None => start

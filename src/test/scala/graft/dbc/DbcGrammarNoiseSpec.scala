@@ -195,6 +195,24 @@ class DbcGrammarNoiseSpec extends AnyFunSuite {
     assert(n2.messageById(1L).signals.map(_.name) == Seq("OK"))
     // the full clean corpus is untouched by lenient mode
     assert(DbcParser.parseString(clean, lenient = true) == expected)
+    // the REALISTIC vendor shape: extended mux always comes with
+    // SG_MUL_VAL_ lines. A dependent whose declared switch is the
+    // dropped m<N>M signal degrades WITH it (never simple-gated, never
+    // failing the file); dependents of the surviving top switch keep
+    // their ranges.
+    val vendor = "BO_ 1 M: 8 E\n SG_ SEL M : 0|8@1+ (1,0) [0|0] \"\" X\n" +
+      " SG_ S2 m1M : 8|8@1+ (1,0) [0|0] \"\" X\n" +
+      " SG_ S3 m1 : 16|8@1+ (1,0) [0|0] \"\" X\n" +
+      " SG_ S4 m2 : 24|8@1+ (1,0) [0|0] \"\" X\n" +
+      "SG_MUL_VAL_ 1 S3 S2 2-2;\n" + // gate on the DROPPED switch
+      "SG_MUL_VAL_ 1 S4 SEL 2-3;\n" // gate on the surviving top switch
+    val nv = DbcParser.parseString(vendor, lenient = true)
+    assert(nv.messageById(1L).signals.map(_.name) == Seq("SEL", "S4"),
+      "S2 (m<N>M) and its dependent S3 degrade together; S4 survives")
+    assert(nv.messageById(1L).signals.find(_.name == "S4").get.mux ==
+      Mux.ExtRanges(Seq((2L, 3L))))
+    // strict mode still fails the same file at the SG_ line
+    assertThrows[IllegalArgumentException](DbcParser.parseString(vendor))
   }
 
   test("a quoted string still open at EOF is loud: strict throws, " +
