@@ -493,4 +493,26 @@ class CacheDisciplineSpec extends AnyFunSuite with ops.StreamingFixture {
         CombinePolicy.LastWins, numPartitions = 3))
     }
   }
+
+  // ---- composition: the exact shape that leaked in r19 ------------------
+  // CanPipeline.decodeLog(exact, forwardFill) chains exactDistributed →
+  // ForwardFill.distributed and must release the intermediate fold it
+  // owns (its OWNERSHIP NOTE); the leaf tests above can't see a leak in
+  // the composition glue, and that glue is where the r19 instance lived.
+
+  test("CanPipeline.decodeLog exact+forwardFill returns to cache baseline " +
+      "(composed ownership)") {
+    val log = java.nio.file.Files.createTempDirectory("cds_decode").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$log/a.log"),
+      (0 until 120).map { i =>
+        val raw = 100 + i
+        val hex = f"${raw & 0xFF}%02X${(raw >> 8) & 0xFF}%02X0000"
+        f"(${i * 5000L / 1000000}%d.${i * 5000L % 1000000}%06d) vcan0 100#$hex"
+      }.mkString("\n").getBytes("UTF-8"))
+    checkEntry("decodeLog(exact, ffill)") {
+      owned(graft.can.CanPipeline.decodeLog(spark, "fixtures/mini.dbc", log,
+        graft.can.CanPipelineConfig(cacheMs = 12.0, exact = true,
+          forwardFill = true)))
+    }
+  }
 }
