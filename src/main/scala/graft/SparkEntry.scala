@@ -162,6 +162,11 @@ object SparkEntry {
     */
   private lazy val stageRoot = scratchDir("graft_stage")
 
+  /** One shutdown-hooked scratch root for ALL qc_cli_roundtrip runs in
+    * this JVM; each run gets a fresh subdirectory under it (see the gate).
+    */
+  private lazy val qcliRoot = scratchDir("graft_qcli")
+
   /** Deterministic per-JVM staging location for (gate, input dir) —
     * shared by [[stagedInput]] and the bucketed-layout gate so there is
     * exactly one keying scheme. The readable tail disambiguates; the hash
@@ -673,7 +678,13 @@ object SparkEntry {
       val in = stagedInput("qcli", dir) { p =>
         canLines(events(s, dir)).select("value").write.mode("overwrite").text(p)
       }
-      val work = scratchDir("graft_qcli")
+      // ONE shutdown-hooked root per JVM (the stageRoot pattern), a fresh
+      // subdirectory per call: a long-lived adjudication driver re-running
+      // this gate must not accumulate one shutdown hook + one orphaned
+      // /tmp tree per rep until JVM exit
+      val work = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get(qcliRoot), "run")
+        .toString
       val dbcPath = s"$work/oracle.dbc"
       java.nio.file.Files.write(java.nio.file.Paths.get(dbcPath),
         canTestDbc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -887,6 +898,14 @@ object SparkEntry {
       when(col("doc_id") % 10 === 1, col("doc_id") - 1)
         .otherwise(col("doc_id")).as("_b"),
       (col("doc_id") % 10 === 1).as("_tw"))
+      // fan the SEED rows out before the per-token md5 synthesis: the
+      // bench documents table is one parquet split, so without this the
+      // whole ~2×tokens md5 workload runs on a single scan task (guide
+      // §2.5 input skew — measured 1.12 s single-task vs ~0.1 s spread;
+      // every qz gate re-derives this corpus, some under several distinct
+      // downstream partitionings). Three narrow columns ride the shuffle;
+      // the derived text never does.
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("_len",
         lit(30L) + md5Long(concat(col("_b").cast("string"), lit("_len"))) % 41L)
     base.select(col("doc_id"),

@@ -149,7 +149,13 @@ object DbcParser {
   // single-switch mux model deliberately does not (applyMulVals rejects
   // nested switches for the same reason).
   private val SgNestedMuxRe = """^\s*SG_\s+(\S+)\s+m\d+M\s*:.*$""".r
-  private val SgMalformedRe = """^\s*SG_\s+(\S+).*$""".r
+  // name capture restricted to identifier characters: a malformed line
+  // whose first token is NOT a plausible signal name (`SG_ : 0|8@1+ ...`)
+  // must not record a meaningless key like ':' in droppedSigs (nor have
+  // the warning assert that token is a name) — nameless lines fall to
+  // SgNamelessRe and are reported as unparseable without a name claim.
+  private val SgMalformedRe = """^\s*SG_\s+([A-Za-z0-9_]+).*$""".r
+  private val SgNamelessRe = """^\s*SG_\b.*$""".r
   // SIG_VALTYPE_ msgId SigName : type;   (0 int, 1 float32, 2 float64)
   private val ValTypeRe =
     """^\s*SIG_VALTYPE_\s+(\d+)\s+([A-Za-z0-9_]+)\s*:\s*([012])\s*;?\s*$""".r
@@ -307,6 +313,12 @@ object DbcParser {
             log.warn(msg + " — signal dropped (lenient parse)")
             droppedSigs += ((current.get._1, nm))
           } else throw new IllegalArgumentException(msg)
+        case SgNamelessRe() if current.isDefined =>
+          // no identifier-shaped token after SG_ — nothing to record in
+          // droppedSigs (there is no name a SG_MUL_VAL_ could reference)
+          val msg = s"unparseable SG_ line with no signal name: $line"
+          if (lenient) log.warn(msg + " — line dropped (lenient parse)")
+          else throw new IllegalArgumentException(msg)
         case ValTypeRe(id, name, t) =>
           val vt = t match {
             case "1" => ValType.Float32
@@ -458,10 +470,16 @@ object DbcParser {
         m.copy(signals = m.signals.flatMap { s =>
           lookupDecl(m, s, mv, matched) match {
             case None => Some(s)
-            case Some((sw, ranges)) if dropped((m.id, sw)) =>
+            case Some((sw, ranges))
+                if dropped((m.id, sw)) && !m.signals.exists(_.name == sw) =>
               // dropped is non-empty only under lenient (strict threw at
               // the SG_ line); checked before resolving the top switch so
-              // a message whose ONLY multiplexor was dropped degrades too
+              // a message whose ONLY multiplexor was dropped degrades too.
+              // The absence check keeps the carve-out honest: a malformed
+              // SG_ line whose captured token happens to COLLIDE with the
+              // name of a signal that parsed fine must not drop that
+              // signal's valid SG_MUL_VAL_ dependents — a PRESENT switch
+              // always takes the normal ExtRanges path below
               log.warn(s"SG_MUL_VAL_ on ${m.name}.${s.name}: switch '$sw' " +
                 "was dropped by the lenient parse (unsupported m<N>M " +
                 "multiplexor) — dropping this range-gated signal too; its " +

@@ -166,14 +166,21 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH band keys: one row per (doc, band) with a hashed band signature. */
-  def bandKeys(sig: DataFrame, idCol: String): DataFrame = {
+  /** LSH band keys: one row per (doc, band) with a hashed band signature.
+    * `carry` columns of `sig` (e.g. the shingle-set size `nsh`) ride along
+    * — a few bytes per band row, so downstream consumers can avoid a
+    * corpus-sized join back to the signature table (see
+    * [[minhashNearDupsFromShingles]]).
+    */
+  def bandKeys(sig: DataFrame, idCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val bands = (0 until numBands).map { b =>
       val cols = (0 until BandSize).map(r => col(s"m${b * BandSize + r}"))
       struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bkey"))
     }
-    sig.select(col(idCol), explode(array(bands: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    sig.select(col(idCol) +: carry.map(col) :+ explode(array(bands: _*)).as("bk"): _*)
+      .select(col(idCol) +: carry.map(col) :+
+        col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
   }
 
   /** Candidate pairs from LSH banding (distinct, a < b) over a
@@ -224,19 +231,23 @@ object Dedup {
       threshold: Double = 0.4, bandCap: Int = BandBucketCap,
       capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val sig = minhashAgg(sh, idCol)
-    val sizes = sig.select(col(idCol), col("nsh"))
-    val cands = bandedCandidates(bandKeys(sig, idCol), idCol, bandCap,
-      capObs = capObs)
-    val common = cands
+    // shingle-set sizes RIDE THE BANDING as carry columns (8 bytes per
+    // band row) instead of joining the corpus-sized signature table back
+    // onto the verified pairs twice — two fewer shuffle joins on the
+    // spine (r21, guide §2.3 "shuffle keys and metadata instead of
+    // payloads"); nsh_a/nsh_b are functionally dependent on the pair ids,
+    // so grouping by them changes no group and the jaccard is unchanged
+    val cands = bandedCandidates(bandKeys(sig, idCol, carry = Seq("nsh")),
+      idCol, bandCap, carry = Seq("nsh"), capObs = capObs)
+    cands
       .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
       .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
       .filter(col("sha") === col("shb"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+      .groupBy("doc_a", "doc_b", "nsh_a", "nsh_b")
+      .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
-        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+        col("n_common").cast("double") /
+          (col("nsh_a") + col("nsh_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     match { case result =>
@@ -401,11 +412,19 @@ object Dedup {
       tNum: Long = 3, tDen: Long = 5,
       candObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
-    val sz = tk.groupBy(idCol).agg(count(lit(1)).as("n"))
     val dfreq = tk.groupBy("sh").agg(count(lit(1)).as("df"))
-    val rk = tk.join(dfreq, "sh").join(sz, idCol)
+    // per-doc shingle count `n` rides the SAME per-document window
+    // partitioning the rank needs anyway (count over an unordered frame),
+    // instead of a separate groupBy + join back — one less aggregation
+    // exchange on the exact-join spine (r21, guide §2.4: two operations
+    // keyed the same way share one exchange). The df join stays a join:
+    // dfreq is vocabulary-shaped (broadcastable at bench scale, SMJ at
+    // 100 TB), while `n` keyed by doc would always re-shuffle the corpus.
+    val wDoc = Window.partitionBy(idCol)
+    val rk = tk.join(dfreq, "sh")
+      .withColumn("n", count(lit(1)).over(wDoc))
       .withColumn("r", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("df"), col("sh"))))
+        wDoc.orderBy(col("df"), col("sh"))))
     // ⌈t·n⌉ in pure integer arithmetic — `div`, not `/` (Column `/` is
     // double division and loses exactness on wide counts)
     val pref = rk.filter(col("r") <=

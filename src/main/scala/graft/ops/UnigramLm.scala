@@ -104,9 +104,22 @@ object UnigramLm {
               concat(prev("p"), lit("|"), piece, lit("|")).as("p")))
           })
         }
-        val best = cands.reduce((a, b) =>
-          when(b.isNull, a).when(a.isNull, b)
-            .when(a("s") >= b("s"), a).otherwise(b))
+        // fold the candidates through a LAMBDA accumulator, not a plain
+        // Column reduce: `cands.reduce((a, b) => when(..., a)...(b))`
+        // splices the left operand's WHOLE SUBTREE into the result 3-4
+        // times per level, so four candidates expand to ~60 copies of the
+        // substr/map-lookup trees — a plan whose analysis, canonicalization
+        // and per-AQE-stage stringification dominated the unigram gates'
+        // wall (driver-sampled r21; same left-fold semantics, first
+        // maximum wins, shorter-piece tie-break preserved: candidates are
+        // in k-ascending order and only a STRICTLY greater score replaces
+        // the running best — `best("s") >= c("s")` keeps best on ties).
+        val best = aggregate(
+          array(cands: _*),
+          lit(null).cast("struct<s:double,p:string>"),
+          (bst, c) =>
+            when(c.isNull, bst).when(bst.isNull, c)
+              .when(bst("s") >= c("s"), bst).otherwise(c))
         concat(acc, array(best))
       })
     element_at(stepped, length(word) + 1)("p")

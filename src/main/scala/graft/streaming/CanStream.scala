@@ -464,6 +464,16 @@ object CanStream {
       val content =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
+      // empty/whitespace content = a partially-written marker (a crash
+      // between create and write): its own message, not a confusing
+      // version mismatch against ''
+      if (content.isEmpty)
+        throw new IllegalStateException(
+          s"exactStream checkpoint $checkpoint has an EMPTY state-format " +
+            s"marker ($StateFormatMarker) — a previous run crashed while " +
+            "stamping it. If the checkpoint has no offsets history, delete " +
+            "the marker (or the checkpoint) and restart; otherwise treat " +
+            "it as a pre-marker checkpoint and restart fresh.")
       if (content != ExactStateFormatVersion.toString)
         throw new IllegalStateException(
           s"exactStream checkpoint $checkpoint carries state format " +
@@ -486,9 +496,20 @@ object CanStream {
             s"$ExactStateFormatVersion from a pre-marker build — accept " +
             s"it by writing '$ExactStateFormatVersion' to " +
             s"$checkpoint/$StateFormatMarker.")
-      val out = fs.create(marker, /* overwrite = */ false)
-      try out.write(s"$ExactStateFormatVersion\n".getBytes("UTF-8"))
-      finally out.close()
+      // overwrite=false so two concurrent gates on the same fresh
+      // checkpoint can't clobber each other; the LOSER of that race (or a
+      // retry after another process just stamped it) re-reads the marker
+      // and validates it like the exists-branch instead of surfacing a
+      // raw FileAlreadyExistsException
+      try {
+        val out = fs.create(marker, /* overwrite = */ false)
+        try out.write(s"$ExactStateFormatVersion\n".getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException =>
+          requireExactStateFormat(spark, checkpoint)
+      }
     }
   }
 

@@ -152,10 +152,12 @@ class CacheDisciplineSpec extends AnyFunSuite with ops.StreamingFixture {
 
   // ---- the enumeration pin -----------------------------------------
 
-  /** Files under src/main that contain `persist(` — if a new file joins
-    * this set, a human must extend the entries below (or document why
-    * the new persist cannot leak) and then update this pin. Grep-exact:
-    * `grep -rl "\.persist(" src/main/scala` minus `unpersist`-only hits.
+  /** Files under src/main that contain a `.persist(` CALL SITE — if a new
+    * file joins this set, a human must extend the entries below (or
+    * document why the new persist cannot leak) and then update this pin.
+    * Grep-exact: `grep -rl "\.persist(" src/main/scala`. The dot keeps the
+    * pin anchored to call sites: a scaladoc that merely MENTIONS
+    * `persist(` (the house commentary style) must not turn this red.
     */
   private val PersistingFiles = Set(
     "ops/CorpusSelect.scala", "ops/WordPiece.scala", "ops/Similarity.scala",
@@ -168,8 +170,9 @@ class CacheDisciplineSpec extends AnyFunSuite with ops.StreamingFixture {
     java.nio.file.Files.walk(root).forEach { p =>
       if (p.toString.endsWith(".scala")) {
         val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        // count persists that are not unpersists
-        if ("(?<!un)persist\\(".r.findFirstIn(src).isDefined)
+        // call-site shape (`.persist(`): matches the documented grep and
+        // skips prose mentions in comments; `.unpersist(` never matches
+        if ("\\.persist\\(".r.findFirstIn(src).isDefined)
           found += root.relativize(p).toString
       }
     }

@@ -318,17 +318,26 @@ class PlanSpec extends AnyFunSuite {
       s"frame-level tumbling fell out of hash aggregation:\n$p")
   }
 
-  test("zipfDocs generation is map-only; the zipf prefix join never " +
-      "goes cartesian") {
-    // the derived Zipf corpus (r19 qz_* gates) must add ZERO cost beyond
-    // a projection — the md5 word synthesis is one pass over the scan —
-    // and the prefix join over it keeps the equi-join shape (its no-
-    // false-negative rarity bound is only a win if the join stays keyed)
+  test("zipfDocs generation is one fan-out plus projection; the zipf " +
+      "prefix join never goes cartesian") {
+    // the derived Zipf corpus (r19 qz_* gates) must add no relational
+    // cost beyond the md5-synthesis projection — no joins, no
+    // aggregations. r21: the synthesis is fanned out over the cluster by
+    // ONE round-robin exchange of the narrow seed columns (the bench
+    // parquet is a single split, so a purely map-only derivation ran the
+    // whole per-token md5 workload on one task); the heavy derived text
+    // still never shuffles. The prefix join over it keeps the equi-join
+    // shape (its no-false-negative rarity bound is only a win if the
+    // join stays keyed).
     val dir = java.nio.file.Files.createTempDirectory("plan_zipf").toString
     (0L until 40L).map(i => (i, "x")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val gen = plan(graft.SparkEntry.zipfDocs(spark, dir))
-    assert(!gen.contains("Exchange"), s"generation must be map-only:\n$gen")
+    assert(!gen.contains("Join") && !gen.contains("Aggregate"),
+      s"generation must stay join/agg-free:\n$gen")
+    assert("Exchange".r.findAllIn(gen).size == 1 &&
+      gen.contains("RoundRobinPartitioning"),
+      s"generation must fan out through exactly one round-robin exchange:\n$gen")
     val pj = plan(Dedup.prefixFilterNearDups(
       graft.SparkEntry.zipfDocs(spark, dir), "doc_id", col("text")))
     assert(!pj.contains("CartesianProduct") &&
