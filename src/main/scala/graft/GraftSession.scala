@@ -21,6 +21,35 @@ object GraftSession {
     */
   val CodegenMaxFields = 1024
 
+  /** Shuffle-writer selection floor, applied at session BUILD time (a
+    * static core conf, not runtime-settable — hence [[staticTuning]]
+    * rather than [[tune]]). Below `spark.shuffle.sort.bypassMergeThreshold`
+    * reducers, Spark's map tasks use the bypass-merge writer, which opens
+    * ONE FILE PER REDUCER per map task — M·R shuffle files per exchange.
+    * The sort-based writer produces one data file + one index per map
+    * task (M·2) at the cost of an in-memory partition-id sort. File
+    * creation is the dominant term for the many small exchanges a
+    * relational pipeline runs (measured here with the Probe sampler:
+    * 803/3,000 task-thread samples inside `FileOutputStream.open` from
+    * `DiskBlockObjectWriter`, and gates with several shuffles losing
+    * ~0.3-0.5 s per 32-map exchange to it; with the floor at 1,
+    * qt_quality_outliers 2.78 → 1.47 s, qd_prefix_join 5.26 → 4.15 s,
+    * qt_dsir 1.41 → 0.90 s isolated min-of-5). At production scale the
+    * default threshold (200) already disables bypass for any wide
+    * shuffle — this floor only changes SMALL-reducer-count exchanges,
+    * where fewer files is the right call on shared filesystems too.
+    * Parameterised via SPARK_GRAFT_BYPASS_MERGE (an operator can restore
+    * the Spark default with =200).
+    */
+  val BypassMergeThreshold: String =
+    sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1")
+
+  /** Build-time (static) conf shared by every graft-created session:
+    * see [[BypassMergeThreshold]].
+    */
+  def staticTuning(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.shuffle.sort.bypassMergeThreshold", BypassMergeThreshold)
+
   /** Applies graft runtime tuning to an existing session (all keys are
     * runtime-settable SQL confs).
     */

@@ -25,6 +25,26 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The documents table, fanned out across the session's cores WHEN the
+    * file layout under-parallelizes the scan — the bench corpus is one
+    * 594 KB parquet row group, ONE scan split at any split-size setting,
+    * so every gate whose first stage does heavy per-row text work
+    * (tokenize, per-gram md5, regex segmentation) serializes that stage
+    * onto a single task (measured: qt_dsir 2.6 s isolated with three
+    * ~0.9 s single-task stages on a 32-core host). Guide §2.5 "input
+    * skew: repartition immediately after the read". The condition makes
+    * it scale-adaptive, not a local tune: a real many-split corpus
+    * (100 TB has ≥ thousands of splits ≥ cores) takes the `else` branch
+    * and the plan is byte-identical to the plain scan — the shuffle only
+    * exists where the alternative is a 1/32-utilized stage, where it
+    * moves the corpus once (594 KB here) to parallelize everything after.
+    */
+  private def docsFanned(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "documents")
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** events.ts has shipped under two physical parquet encodings across
     * testdata generations: TIMESTAMP(NANOS) (which Spark 4 refuses to map to
     * TimestampType — read as a nanos long via the legacy conf and truncate)
@@ -996,7 +1016,7 @@ object SparkEntry {
       // quality score (median via histogram + two-pass prefix-combine —
       // no global sort; see RobustStats), flag = dev > 3·MAD. The
       // robust center ignores the template-spam bursts that drag a mean
-      val scored = t(s, dir, "documents")
+      val scored = docsFanned(s, dir)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"),
           round(TextAnalysis.qualityScore(col("text")) * 1000000)
@@ -1133,7 +1153,7 @@ object SparkEntry {
       // corpus-wide, merged per doc into maximal token intervals
       // (gaps-and-islands); per-doc span stats, zeros for clean docs
       Dedup.duplicatedSpans(
-          t(s, dir, "documents").filter(length(trim(col("text"))) > 0),
+          docsFanned(s, dir).filter(length(trim(col("text"))) > 0),
           "doc_id", col("text"))
         .orderBy("doc_id")
     }),
@@ -1278,7 +1298,7 @@ object SparkEntry {
     }),
 
     "qd_simhash" -> ((s, dir) => {
-      Dedup.simhash(t(s, dir, "documents"), "doc_id", col("text")).orderBy("doc_id")
+      Dedup.simhash(docsFanned(s, dir), "doc_id", col("text")).orderBy("doc_id")
     }),
 
     "qt_length_buckets" -> ((s, dir) => {
@@ -1860,7 +1880,7 @@ object SparkEntry {
 
     "qd_simhash_pairs" -> ((s, dir) => {
       // hamming-banded near-dup pairing over the simhash signatures
-      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", col("text"))
+      Dedup.simhashNearDups(docsFanned(s, dir), "doc_id", col("text"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -2146,7 +2166,7 @@ object SparkEntry {
       // perplexity); cutoffs are exact histogram quantiles via the
       // two-pass prefix-combine (no global window), bucket assignment
       // map-only — see TextAnalysis.perplexityBuckets
-      TextAnalysis.perplexityBuckets(t(s, dir, "documents"), "doc_id",
+      TextAnalysis.perplexityBuckets(docsFanned(s, dir), "doc_id",
           col("text"))
         .orderBy("doc_id")),
 
@@ -2351,7 +2371,7 @@ object SparkEntry {
       val stagedText = concat_ws("", transform(toksC, x =>
         concat(x, when(pmod(TextAnalysis.md5Long(x), lit(5L)) === 0,
           lit("\n")).otherwise(lit(" ")))))
-      val staged = t(s, dir, "documents")
+      val staged = docsFanned(s, dir)
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), stagedText.as("text"))
       Dedup.lineDedup(staged, "doc_id", "text").orderBy("doc_id")
@@ -2364,7 +2384,7 @@ object SparkEntry {
       // document — the shift-robust complement of qd_segment_dedup's
       // fixed windows (head-to-head case in CdcDedupSpec). Keep-first
       // corpus-wide, rebuild in document order
-      Dedup.cdcSegmentDedup(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.cdcSegmentDedup(docsFanned(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -2380,7 +2400,7 @@ object SparkEntry {
       // buckets. Chaining/store-interop is spec'd in
       // DedupAgainstStoreSpec
       val tmp = scratchDir("graft_qinc")
-      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val docs = docsFanned(s, dir).select("doc_id", "text")
       Dedup.buildClaimStore(docs.filter(col("doc_id") % 3 =!= 0),
         "doc_id", col("text"), s"$tmp/claims")
       Dedup.dedupAgainstStore(docs.filter(col("doc_id") % 3 === 0),
@@ -2464,7 +2484,7 @@ object SparkEntry {
       // alphanumeric token of every document with the trained merge
       // table (Bpe.segment — a fold of replaces inside array HOFs, fully
       // map-only after training) and aggregate symbol counts per lang
-      val d = t(s, dir, "documents")
+      val d = docsFanned(s, dir)
       val (merges, fin) = Bpe.train(Bpe.wordTable(d, col("text")), 3)
       fin.unpersist()
       val toksF = filter(TextAnalysis.tokens(col("text")),
@@ -2519,7 +2539,7 @@ object SparkEntry {
       // likelihood-trained merge table): merge application is
       // order-for-order BPE apply — Bpe.segment with the WordPiece
       // table — so the corpus-scale encode shares that map-only path
-      val d = t(s, dir, "documents")
+      val d = docsFanned(s, dir)
       val (merges, fin) = WordPiece.train(Bpe.wordTable(d, col("text")), 3)
       fin.unpersist()
       val asBpe = merges.map(m => Bpe.Merge(m.round, m.a, m.b, m.pairCount))
@@ -2584,7 +2604,7 @@ object SparkEntry {
       // per-doc work never shuffles; see CorpusSelect.targetMatchScores
       // for the 100 TB shape and the integer micro-unit surrogate of
       // the DSIR log-ratio.
-      val base = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+      val base = docsFanned(s, dir).filter(length(trim(col("text"))) > 0)
       graft.ops.CorpusSelect.targetMatchScores(
           base, col("lang") === "en", "text", "doc_id",
           buckets = 256, maxLiteral = graft.ops.TextAnalysis.MaxLiteralVocab)

@@ -166,10 +166,10 @@ object Main {
         s"--state-partitions applies to streaming modes only\n$usage")
       sys.exit(2)
     }
-    val spark = SparkSession.builder()
+    val spark = graft.GraftSession.staticTuning(SparkSession.builder()
       .appName("graft-can")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .getOrCreate()
     graft.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")

@@ -148,8 +148,14 @@ object Dedup {
     * table is often a single parquet row group.
     */
   def shingleHashes(df: DataFrame, idCol: String, text: Column, n: Int = 3): DataFrame =
-    df.select(col(idCol), tokens(text).as("_toks"))
+    df.select(col(idCol), text.as("_text"))
+      // fan out BEFORE tokenizing: the exchange then carries the raw text
+      // (strictly fewer bytes than its own token array), and the tokenize
+      // itself parallelizes instead of running on the single-row-group
+      // scan task — projections are not pushed below a round-robin
+      // repartition, so the placement holds in the physical plan
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), tokens(col("_text")).as("_toks"))
       .filter(size(col("_toks")) >= n) // sequence(0, neg) would run backwards
       .select(col(idCol),
         explode(array_distinct(shinglesOfTokens(col("_toks"), n))).as("shingle"))

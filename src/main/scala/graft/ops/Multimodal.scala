@@ -20,6 +20,76 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Fan a narrow synthesis seed out across the session's cores before the
+    * per-row codec work. The synthesis entry points below are fixture
+    * generators: their input is an id column (8 bytes/row), but their
+    * OUTPUT is the product of a real PNG/WAV encode per row — orders of
+    * magnitude more compute than the seed's size suggests. A small bench
+    * corpus arrives as ONE parquet split (594 KB at sf0.1 under a 4 MB
+    * split size), so without this the whole synthesis+codec chain — and
+    * every narrow decode stage chained after it — serializes onto a
+    * single task (measured: qm_scene_cuts 5.0 s isolated on a 32-core
+    * host, single-task stages). Round-robin on the seed is the guide's
+    * input-skew fix ("repartition immediately after the read") and costs
+    * 8 bytes/row at ANY scale; a real deployment decodes stored payloads
+    * through the decode* entry points, whose partitioning is untouched.
+    */
+  private def fanOutSeed(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Per-partition Java Sound provider lookup. `AudioSystem.write` /
+    * `AudioSystem.getAudioInputStream` route EVERY call through
+    * `JDK13Services.getProviders` — a `static synchronized` ServiceLoader
+    * scan with no cache: one global lock plus a provider walk per clip.
+    * Serial code never notices; 32 concurrent decode tasks serialize on
+    * that lock and run SLOWER than one task (measured on this box:
+    * decodeAudio 0.50 s on one task → 1.9 s wall / 63 s summed task time
+    * at 32 tasks). Loading the providers ONCE per partition (guide §4.5:
+    * initialise heavyweight state once per task, not per row) keeps the
+    * REAL JDK codec — the same `WaveFileReader`/`WaveFileWriter` service
+    * classes AudioSystem itself dispatches to — minus the per-row lock.
+    * First-success-wins over the provider list is AudioSystem's own
+    * dispatch rule.
+    */
+  private def wavReaders(): Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator.asScala.toSeq
+      // WAVE-capable providers first: the JDK's SoftMidiAudioFileReader
+      // otherwise probes every clip by calling MidiSystem.getSequence,
+      // which re-enters the synchronized JDK13Services registry per call
+      // — the very lock this helper exists to avoid (sampled: 2,741/3,000
+      // task-thread samples BLOCKED in that probe before this reorder)
+      .sortBy(r => if (r.getClass.getSimpleName.contains("Wave")) 0 else 1)
+  }
+  private def wavWriters(): Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator.asScala.toSeq
+  }
+  private def readWav(readers: Seq[javax.sound.sampled.spi.AudioFileReader],
+      bytes: Array[Byte], what: => String): javax.sound.sampled.AudioInputStream = {
+    readers.foreach { rd =>
+      try return rd.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+    }
+    // no registered provider accepted the payload — same terminal state
+    // AudioSystem reports, with the doc context added
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      s"no AudioFileReader accepted the payload for $what")
+  }
+  private def writeWav(writers: Seq[javax.sound.sampled.spi.AudioFileWriter],
+      ais: javax.sound.sampled.AudioInputStream,
+      out: java.io.OutputStream, what: => String): Unit = {
+    val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    writers.find(_.isFileTypeSupported(t, ais)).getOrElse(
+      throw new IllegalStateException(
+        s"no WAVE AudioFileWriter available for $what"))
+      .write(ais, t, out): Unit
+  }
+
   /** Fake media payload: 2-byte header (w, h in 32..126, single-byte UTF-8)
     * followed by the document text bytes. Built as expressions so the
     * construction is portable to the oracle.
@@ -82,7 +152,7 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
-    df.mapPartitions { it =>
+    fanOutSeed(df).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // no temp-file spills per encode
       it.map { r =>
         val id = r.getLong(idIdx)
@@ -245,15 +315,28 @@ object Multimodal {
       bandCap: Int = Dedup.BandBucketCap): DataFrame = {
     require(maxHamming < 8,
       s"pigeonhole guarantee needs maxHamming ($maxHamming) < 8 bands")
-    val banded = hashes.select(col("doc_id"), col("ahash"),
+    // the 64 hash bits ride the banding as two 32-bit integers (16 bytes
+    // per band row instead of the 80-byte bit string — guide §2.3
+    // "narrower types"), parsed ONCE per document here; the verify is
+    // then one xor+bit_count per half instead of 64 per-pair substring
+    // compares (measured: the post-banding verify stage was a 2.4 s
+    // single task at sf0.1 — AQE coalesces the tiny candidate relation
+    // to one partition, so per-pair cost is the whole lever). conv(·,2,
+    // 10) of a 32-char '0'/'1' slice is ≤ 2^32−1, exact in a long under
+    // ANSI; hamming(a,b) = Σ bit_count(half_a xor half_b) is
+    // position-for-position the old character compare.
+    val hi = conv(substring(col("ahash"), 1, 32), 2, 10).cast("long")
+    val lo = conv(substring(col("ahash"), 33, 32), 2, 10).cast("long")
+    val banded = hashes.select(col("doc_id"), hi.as("_hi"), lo.as("_lo"),
         explode(array((0 until 8).map(b =>
           struct(lit(b).as("band"),
             substring(col("ahash"), b * 8 + 1, 8).as("bkey"))): _*)).as("bk"))
-      .select(col("doc_id"), col("ahash"), col("bk.band"), col("bk.bkey"))
-    val ham = (0 until 64).map(i =>
-      when(substring(col("ahash_a"), i + 1, 1) =!=
-        substring(col("ahash_b"), i + 1, 1), 1).otherwise(0)).reduce(_ + _)
-    Dedup.bandedCandidates(banded, "doc_id", bandCap, carry = Seq("ahash"))
+      .select(col("doc_id"), col("_hi"), col("_lo"),
+        col("bk.band"), col("bk.bkey"))
+    val ham = bit_count(col("_hi_a").bitwiseXOR(col("_hi_b"))) +
+      bit_count(col("_lo_a").bitwiseXOR(col("_lo_b")))
+    Dedup.bandedCandidates(banded, "doc_id", bandCap,
+        carry = Seq("_hi", "_lo"))
       .select(col("doc_a"), col("doc_b"), ham.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
@@ -332,9 +415,10 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
-    df.mapPartitions { it =>
+    fanOutSeed(df).mapPartitions { it =>
       import javax.sound.sampled._
       val fmt = new AudioFormat(AudioRate.toFloat, 16, 1, true, false) // 16-bit LE mono
+      val writers = wavWriters() // once per task — see wavWriters
       it.map { r =>
         val id = r.getLong(idIdx)
         val n = (id % 800 + 100).toInt
@@ -348,7 +432,7 @@ object Multimodal {
         }
         val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
         val bos = new java.io.ByteArrayOutputStream()
-        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+        writeWav(writers, ais, bos, s"doc_id=$id")
         Row(id, bos.toByteArray)
       }
     }(Encoders.row(schema))
@@ -364,11 +448,11 @@ object Multimodal {
     val idIdx = payloads.schema.fieldIndex(idCol)
     val pIdx = payloads.schema.fieldIndex("payload")
     payloads.mapPartitions { it =>
-      import javax.sound.sampled._
+      val readers = wavReaders() // once per task — see wavReaders
       it.map { r =>
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](pIdx)
-        val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        val ais = readWav(readers, bytes, s"$idCol=$id")
         try {
           val fmt = ais.getFormat
           require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
@@ -404,9 +488,10 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
-    df.mapPartitions { it =>
+    fanOutSeed(df).mapPartitions { it =>
       import javax.sound.sampled._
       val fmt = new AudioFormat(AudioRate.toFloat, 16, 1, true, false)
+      val writers = wavWriters() // once per task — see wavWriters
       it.map { r =>
         val id = r.getLong(idIdx)
         val n = (id % 800 + 100).toInt
@@ -423,7 +508,7 @@ object Multimodal {
         val ais = new AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
         val bos = new java.io.ByteArrayOutputStream()
-        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+        writeWav(writers, ais, bos, s"doc_id=$id")
         Row(id, bos.toByteArray)
       }
     }(Encoders.row(schema))
@@ -450,12 +535,11 @@ object Multimodal {
       StructField("afp", org.apache.spark.sql.types.StringType,
         nullable = false)))
     payloads.mapPartitions { it =>
-      import javax.sound.sampled._
+      val readers = wavReaders() // once per task — see wavReaders
       it.map { r =>
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](pIdx)
-        val ais = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val ais = readWav(readers, bytes, s"$idCol=$id")
         try {
           val fmt = ais.getFormat
           require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
@@ -535,7 +619,7 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
-    df.mapPartitions { it =>
+    fanOutSeed(df).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(idIdx)
@@ -652,7 +736,7 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
-    df.mapPartitions { it =>
+    fanOutSeed(df).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(idIdx)
