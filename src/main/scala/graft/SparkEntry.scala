@@ -39,8 +39,16 @@ object SparkEntry {
     * exists where the alternative is a 1/32-utilized stage, where it
     * moves the corpus once (594 KB here) to parallelize everything after.
     */
-  private def docsFanned(s: SparkSession, dir: String): DataFrame = {
-    val df = t(s, dir, "documents")
+  private def docsFanned(s: SparkSession, dir: String): DataFrame =
+    fannedScan(s, t(s, dir, "documents"))
+
+  /** Generic form of [[docsFanned]] for any under-split scan (the bench
+    * tables are each ONE parquet row group, so byte-range splitting
+    * yields empty tasks plus one task holding every row — lineitem's 11
+    * "splits" are 10 empties + 600k rows). Same scale-adaptive trigger:
+    * a real many-split scan takes the `else` branch untouched.
+    */
+  private def fannedScan(s: SparkSession, df: DataFrame): DataFrame = {
     val p = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
@@ -211,6 +219,20 @@ object SparkEntry {
     p
   }
 
+  /** The narrow event seed fanned out across cores BEFORE the per-row
+    * line synthesis below: the bench events parquet is 1-2 scan splits,
+    * so with the repartition placed AFTER the synthesis projection (the
+    * r20 shape) the format_string/hex work itself ran on the scan tasks
+    * — a measured 0.6 s two-task stage in qc_ts_normalize with one task
+    * carrying it all. Fanning the projected seed first moves only the
+    * 3-4 input longs per row through the exchange and parallelizes the
+    * synthesis and everything after it (guide §2.5 input skew + §2.3
+    * project before the exchange).
+    */
+  private def fanEv(ev: DataFrame, cols: String*): DataFrame =
+    ev.select(cols.map(col): _*)
+      .repartition(ev.sparkSession.sparkContext.defaultParallelism)
+
   private def canLines(ev: DataFrame): DataFrame = {
     val e = col("event_id"); val u = col("user_id")
     val v = round(col("value") * 100).cast("long")
@@ -222,13 +244,10 @@ object SparkEntry {
       e % 2, (e * 31 + u).bitwiseAND(255))
     val payloadHex = concat(d.map(hex2): _*)
     val idHex = when(u % 2 === 0, "100").otherwise("200")
-    // the bench parquet has a single row group (scan = 1 task); fan the
-    // synthesized lines out the way a many-file 100 TB input would be
-    ev.select(
+    fanEv(ev, "event_id", "user_id", "value", "ts").select(
       e.as("event_id"),
       format_string("(%d.%06d) vcan0 %s#%s",
         expr("unix_micros(ts) div 1000000"), us % 1000000L, idHex, payloadHex).as("value"))
-      .repartition(ev.sparkSession.sparkContext.defaultParallelism)
   }
 
   /** events → candump lines for message M3 (id 0x300): bytes 0-3 are IEEE-754
@@ -250,10 +269,9 @@ object SparkEntry {
       e.bitwiseAND(255), shiftrightunsigned(e, 8).bitwiseAND(255),
       shiftrightunsigned(e, 16).bitwiseAND(255), shiftrightunsigned(e, 24).bitwiseAND(255))
     val payloadHex = concat(d.map(hex2): _*)
-    ev.select(
+    fanEv(ev, "event_id", "user_id", "ts").select(
       format_string("(%d.%06d) vcan0 300#%s",
         expr("unix_micros(ts) div 1000000"), us % 1000000L, payloadHex).as("value"))
-      .repartition(ev.sparkSession.sparkContext.defaultParallelism)
   }
 
   /** Standalone network for qc_sig_valtype: standard-DBC `SIG_VALTYPE_`
@@ -289,13 +307,14 @@ object SparkEntry {
       shiftleft(e.cast("long"), 32)) // bytes 4-7: SEQ2 = event_id
     val dbits = lit(0x3FF0000000000000L).bitwiseOR(e % 8388608L)
       .bitwiseOR(when(u % 2 === 1, Long.MinValue).otherwise(0L))
-    val fLine = ev.select(format_string("(%d.%06d) vcan0 410#%s",
+    val seed = fanEv(ev, "event_id", "user_id")
+    val fLine = seed.select(format_string("(%d.%06d) vcan0 410#%s",
       expr("(event_id*2) div 1000000"), expr("(event_id*2) % 1000000"),
       leHex(fbits)).as("value"))
-    val dLine = ev.select(format_string("(%d.%06d) vcan0 510#%s",
+    val dLine = seed.select(format_string("(%d.%06d) vcan0 510#%s",
       expr("(event_id*2+1) div 1000000"), expr("(event_id*2+1) % 1000000"),
       leHex(dbits)).as("value"))
-    fLine.union(dLine).repartition(ev.sparkSession.sparkContext.defaultParallelism)
+    fLine.union(dLine)
   }
 
   /** Standalone network for qc_mux_extended: standard-DBC extended
@@ -359,10 +378,10 @@ object SparkEntry {
     val e = col("event_id"); val u = col("user_id")
     val payloadHex = concat(Seq(
       e % 9, u.bitwiseAND(255), (e * 13 + 5).bitwiseAND(255)).map(hex2): _*)
-    ev.select(format_string("(%d.%06d) vcan0 660#%s",
-      expr("event_id div 1000000"), expr("event_id % 1000000"),
-      payloadHex).as("value"))
-      .repartition(ev.sparkSession.sparkContext.defaultParallelism)
+    fanEv(ev, "event_id", "user_id").select(
+      format_string("(%d.%06d) vcan0 660#%s",
+        expr("event_id div 1000000"), expr("event_id % 1000000"),
+        payloadHex).as("value"))
   }
 
   /** The oracle-side byte CTE (kept in one place; spliced into qc_* SQL). */
@@ -2708,14 +2727,17 @@ object SparkEntry {
       // assign, codebook driver-sized by definition) into
       // groupedBudgetPrefix (two-pass prefix, no per-group window sort);
       // integer micro-unit quality order per the portability doctrine.
-      val emb = t(s, dir, "embeddings")
+      // fannedScan: the embeddings parquet is one row group, so the two
+      // Lloyd rounds' assignment+aggregate jobs each ran serial (probe:
+      // four ~0.2-0.4 s single-task stages per rep)
+      val emb = fannedScan(s, t(s, dir, "embeddings"))
       val cents = Similarity.kmeansCodebook(emb, k = 8, iters = 2)
       val q = emb.select(col("vec_id"),
         Similarity.quantize(col("embedding")).as("qv"))
       val assigned = Similarity.assignToCentroids(q, cents)
         .select(col("vec_id").as("doc_id"),
           col("cent_id").cast("string").as("cluster"))
-      val d = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+      val d = docsFanned(s, dir).filter(length(trim(col("text"))) > 0)
         .join(assigned, "doc_id")
         .select(col("doc_id"), col("cluster"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
@@ -3534,6 +3556,13 @@ object SparkEntry {
       // percentile aggregate (a broadcast of the 3-row sketch result +
       // one codegen'd conditional count vs an object-hash buffer of
       // every value per group)
+      // NOT fanned (r21, measured): lineitem is one 600k-row row group,
+      // so the HLL+percentile partial agg runs on the single non-empty
+      // scan task — but fanning it inserts a 10 MB 3-column shuffle
+      // whose map side runs ONCE PER CONSUMING BRANCH (sk and rank both
+      // re-scan; the repartition exchange is not reused across them),
+      // and the two map sides cost more than the parallel agg saves
+      // (isolated min-of-5: 1.68 s plain vs 2.18 s fanned)
       val l = t(s, dir, "lineitem")
       // NOT persisted: the sketch aggregate feeds both the broadcast rank
       // pass and the final join, but its shuffle exchange sits below the
