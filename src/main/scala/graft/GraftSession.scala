@@ -41,8 +41,22 @@ object GraftSession {
     * Parameterised via SPARK_GRAFT_BYPASS_MERGE (an operator can restore
     * the Spark default with =200).
     */
-  val BypassMergeThreshold: String =
-    sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1")
+  val BypassMergeThreshold: String = {
+    val v = sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1")
+    // fail fast with an actionable message: a non-numeric value would
+    // otherwise surface only at session build as a generic Spark conf
+    // error far from the env var that caused it
+    require(v.nonEmpty && v.forall(_.isDigit),
+      s"SPARK_GRAFT_BYPASS_MERGE must be a nonnegative integer, got '$v'")
+    v
+  }
+
+  /** NOTE: static (build-time) confs take effect only on the session that
+    * creates the JVM's SparkContext — a `getOrCreate` that reuses an
+    * existing session silently keeps that session's shuffle writer
+    * selection. Entry points that must guarantee the floor should build
+    * the session themselves (the CLI, Bench, Verify and Stress all do).
+    */
 
   /** Build-time (static) conf shared by every graft-created session:
     * see [[BypassMergeThreshold]].

@@ -48,9 +48,27 @@ object SparkEntry {
     * "splits" are 10 empties + 600k rows). Same scale-adaptive trigger:
     * a real many-split scan takes the `else` branch untouched.
     */
+  /** Memoized fan-out decisions: `df.rdd.getNumPartitions` forces a full
+    * physical-planning + RDD-conversion pass of the scan purely to read
+    * the split count — paid once per query BUILD (~13 builders × every
+    * bench rep) without this. The decision is planning METADATA (file
+    * layout × session split config), not a query result: it is keyed by
+    * the scan's resolved input files and the session's parallelism, both
+    * fixed for a given (session, table) — the same lifetime Spark's own
+    * file-listing cache has.
+    */
+  private val fanDecisions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private def fannedScan(s: SparkSession, df: DataFrame): DataFrame = {
     val p = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val files = df.inputFiles
+    val under =
+      if (files.isEmpty) df.rdd.getNumPartitions < p // non-file plan: no stable key
+      else fanDecisions.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$p:${files.sorted.mkString(",")}",
+        _ => df.rdd.getNumPartitions < p).booleanValue()
+    if (under) df.repartition(p) else df
   }
 
   /** events.ts has shipped under two physical parquet encodings across
@@ -2047,11 +2065,17 @@ object SparkEntry {
       val r = Dedup.contaminationSafeSplit(
         t(s, dir, "documents"), "doc_id", col("text"))
       try {
-        val fa = r.folds.select(col("doc_id").as("doc_a"), col("fold").as("fold_a"))
-        val fb = r.folds.select(col("doc_id").as("doc_b"), col("fold").as("fold_b"))
+        // folds is evaluated THREE times without this (both sides of the
+        // purity-count join, then the gate output), and each evaluation
+        // re-runs the corpus ⋈ components rep-join — checkpoint it once
+        // (r22, guide §5 "caching is worth it when a DataFrame is reused";
+        // localCheckpoint also truncates the component-iteration lineage)
+        val folds = r.folds.localCheckpoint()
+        val fa = folds.select(col("doc_id").as("doc_a"), col("fold").as("fold_a"))
+        val fb = folds.select(col("doc_id").as("doc_b"), col("fold").as("fold_b"))
         val nCross = r.pairs.join(fa, "doc_a").join(fb, "doc_b")
           .filter(col("fold_a") =!= col("fold_b")).count()
-        r.folds.withColumn("n_cross", lit(nCross)).orderBy("doc_id")
+        folds.withColumn("n_cross", lit(nCross)).orderBy("doc_id")
       } finally r.pairs.unpersist()
     }),
 

@@ -198,6 +198,38 @@ object Dedup {
     bandedCandidates(bandKeys(minhashAgg(sh, idCol), idCol), idCol, bandCap,
       capObs = capObs)
 
+  /** Exact intersection sizes for candidate pairs, by ARRAY INTERSECTION
+    * instead of explode-join-aggregate (r22): each doc's distinct shingle
+    * hashes are collected into one array (a single aggregation over the
+    * shared shingle relation — its exchange is reused by both join
+    * sides), the candidate-bounded pair relation joins the two arrays,
+    * and `n_common = size(array_intersect(...))` is computed per pair
+    * with no intermediate row blowup. The previous shape joined the pair
+    * relation back to the EXPLODED shingle rows twice and hash-aggregated
+    * the matches by pair key — |candidates| × |shingles per doc|
+    * intermediate rows (measured 102.8 CPU-seconds in qd_recall_audit's
+    * verify stage at sf0.1, ~8M rows through two joins and a wide-key
+    * hashAgg; the sampler put the time in BytesToBytesMap lookups and
+    * UnsafeRow writes). Array containment is order-invariant, the inputs
+    * are distinct by construction ([[shingleHashes]] explodes
+    * array_distinct), so the size equals the old COUNT exactly; pairs
+    * with an empty intersection now surface with n_common = 0 instead of
+    * vanishing in the inner join — callers that must preserve the old
+    * drop-silently behavior filter on n_common > 0.
+    *
+    * Extra columns on `cands` (na/nb, nsh/m* carries) pass through.
+    */
+  private def withCommonCounts(sh: DataFrame, idCol: String,
+      cands: DataFrame): DataFrame = {
+    val docArr = sh.groupBy(col(idCol)).agg(collect_list(col("sh")).as("_shs"))
+    cands
+      .join(docArr.select(col(idCol).as("doc_a"), col("_shs").as("_sa")), "doc_a")
+      .join(docArr.select(col(idCol).as("doc_b"), col("_shs").as("_sb")), "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .drop("_sa", "_sb")
+  }
+
   /** Verified near-duplicate pairs: candidates with true shingle-set
     * Jaccard >= threshold. Jaccard is an exact ratio of integer counts.
     * Candidate fan-out per band bucket is bounded by `bandCap` (all-pairs
@@ -245,6 +277,14 @@ object Dedup {
     // so grouping by them changes no group and the jaccard is unchanged
     val cands = bandedCandidates(bandKeys(sig, idCol, carry = Seq("nsh")),
       idCol, bandCap, carry = Seq("nsh"), capObs = capObs)
+    // explode-join-aggregate verify, deliberately NOT [[withCommonCounts]]
+    // (measured r22): banded candidates are FEW by construction — the
+    // point of LSH — so both verify joins broadcast the candidate side
+    // and stream the cached shingle relation map-side with no corpus
+    // shuffle; the array form's collect_list aggregation would ADD one
+    // (qd_jaccard_est 1.09 → 1.44 s isolated under it). The array form
+    // wins only where the candidate×shingle product explodes — the
+    // prefix-filter exact join (see prefixFilterFromShingles).
     cands
       .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
       .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
@@ -331,33 +371,55 @@ object Dedup {
     * Output: (doc_a, doc_b, jaccard, est_jaccard).
     */
   def jaccardEstimates(docs: DataFrame, idCol: String,
-      text: Column): DataFrame = {
-    val pairs = minhashNearDups(docs, idCol, text)
+      text: Column, threshold: Double = 0.4): DataFrame = {
+    // The signatures the estimate needs are ALREADY computed once by the
+    // spine's own minhashAgg — ride them through the banding as carry
+    // columns (nsh's r21 treatment, generalized: 16 longs ≈ 128 bytes per
+    // 4-rows-per-doc band relation) instead of re-deriving them with a
+    // SECOND corpus-wide tokenize+shingle+16×array_min pass and joining
+    // that back onto the pairs twice (r22, guide §2.3 "shuffle keys and
+    // metadata instead of payloads" — here the metadata rides, the
+    // recompute disappears). m*_a/m*_b are functionally dependent on the
+    // pair ids (one signature per doc), so widening the verify's grouping
+    // key changes no group and the jaccard is unchanged; the estimate is
+    // the same |{i : mᵃᵢ = mᵇᵢ}| / k over the same signature values
+    // (withMinhashCols and minhashAgg are interchangeable by contract).
+    val sh = shingleHashes(docs, idCol, text).cache()
     try {
-      val sigs = withMinhashCols(docs.select(col(idCol), text.as("_t")),
-        col("_t")).drop("_t", "nsh")
-      val members = pairs.select(col("doc_a").as(idCol))
-        .unionByName(pairs.select(col("doc_b").as(idCol))).distinct()
-      val mSigs = sigs.join(members, Seq(idCol), "left_semi")
-      def side(tag: String) = mSigs.select(
-        col(idCol).as(s"doc_$tag") +:
-          (0 until NumHashes).map(i => col(s"m$i").as(s"_${tag}_m$i")): _*)
+      val mCols = (0 until NumHashes).map(i => s"m$i")
+      val carry = "nsh" +: mCols
+      val sig = minhashAgg(sh, idCol)
+      val cands = bandedCandidates(bandKeys(sig, idCol, carry = carry),
+        idCol, BandBucketCap, carry = carry)
+      // explode-join-aggregate verify on the banded (small) candidate
+      // set — same reasoning as [[minhashNearDupsFromShingles]]; the m*
+      // carries ride the grouping key (functionally dependent on the
+      // pair ids, so no group changes)
+      val groupKeys = Seq("doc_a", "doc_b", "nsh_a", "nsh_b") ++
+        mCols.flatMap(m => Seq(s"${m}_a", s"${m}_b"))
       val est = (0 until NumHashes).map { i =>
-        when(col(s"_a_m$i") === col(s"_b_m$i"), 1).otherwise(0)
+        when(col(s"m${i}_a") === col(s"m${i}_b"), 1).otherwise(0)
       }.reduce(_ + _).cast("double") / NumHashes
-      val result = pairs
-        .join(side("a"), "doc_a")
-        .join(side("b"), "doc_b")
+      val result = cands
+        .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
+        .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
+        .filter(col("sha") === col("shb"))
+        .groupBy(groupKeys.map(col): _*)
+        .agg(count(lit(1)).as("n_common"))
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("nsh_a") + col("nsh_b") - col("n_common")))
+        .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"),
           est.as("est_jaccard"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try result.count()
+      try result.count() // materialize while sh is still cached
       catch { case e: Throwable =>
         result.unpersist()
         throw e
       }
       result
-    } finally { pairs.unpersist(); () }
+    } finally { sh.unpersist(); () }
   }
 
   /** EXACT similarity join by prefix filtering (AllPairs/PPJoin,
@@ -455,11 +517,11 @@ object Dedup {
       .map(o => candRaw.observe(o, count(lit(1)).as("candidate_pairs")))
       .getOrElse(candRaw)
       .distinct()
-    cand
-      .join(tk.select(col(idCol).as("doc_a"), col("sh")), "doc_a")
-      .join(tk.select(col(idCol).as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("common"))
+    // array-intersection verify (see [[withCommonCounts]]): acceptance
+    // needs common > 0 because tNum > 0, so the zero-overlap rows the
+    // old inner join dropped are filtered identically here
+    withCommonCounts(tk, idCol, cand)
+      .withColumnRenamed("n_common", "common")
       .filter(lit(tDen) * col("common") >=
         lit(tNum) * (col("na") + col("nb") - col("common")))
       .select(col("doc_a"), col("doc_b"),
@@ -489,18 +551,42 @@ object Dedup {
     val sh = shingleHashes(docs, idCol, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val mh = minhashNearDupsFromShingles(sh, idCol, lshThreshold)
-      try {
-        val result = prefixFilterFromShingles(sh, idCol, tNum, tDen)
-          .join(mh.select(col("doc_a"), col("doc_b"),
-            lit(true).as("found_by_minhash")), Seq("doc_a", "doc_b"), "left")
+      // When lshThreshold <= tNum/tDen, the minhash VERIFY stage is
+      // provably redundant for this audit: every audited pair has true
+      // jaccard >= tNum/tDen (the exact join's own acceptance), and the
+      // verify filters candidates on that same true jaccard — so an
+      // exact pair is in the verified minhash output iff the banding
+      // surfaced it as a CANDIDATE at all. Joining candidate membership
+      // directly removes the verify's two corpus-shingle joins and its
+      // intersection aggregation from the spine (r22, guide §1.2 "don't
+      // compute things you throw away"); the double comparison is safe
+      // because the verify's jaccard is a correctly-rounded quotient of
+      // the same integers the exact side accepts on (any ratio >=
+      // tNum/tDen rounds to >= the tNum.toDouble/tDen literal). Above
+      // tNum/tDen the verify DOES filter (an exact pair can be a
+      // candidate yet fail the stricter lsh threshold), so the full
+      // verified pipeline runs.
+      def joined(found: DataFrame): DataFrame =
+        prefixFilterFromShingles(sh, idCol, tNum, tDen)
+          .join(found, Seq("doc_a", "doc_b"), "left")
           .withColumn("found_by_minhash",
             coalesce(col("found_by_minhash"), lit(false)))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try result.count() // materialize while sh + mh are still cached
+      def materialize(df: DataFrame): DataFrame = {
+        val result =
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try result.count() // materialize while the inputs are still cached
         catch { case e: Throwable => result.unpersist(); throw e }
         result
-      } finally { mh.unpersist(); () }
+      }
+      if (lshThreshold <= tNum.toDouble / tDen) {
+        materialize(joined(candidatePairsFromShingles(sh, idCol)
+          .select(col("doc_a"), col("doc_b"), lit(true).as("found_by_minhash"))))
+      } else {
+        val mh = minhashNearDupsFromShingles(sh, idCol, lshThreshold)
+        try materialize(joined(mh.select(col("doc_a"), col("doc_b"),
+          lit(true).as("found_by_minhash"))))
+        finally { mh.unpersist(); () }
+      }
     } finally sh.unpersist()
   }
 
@@ -1196,16 +1282,28 @@ object Dedup {
     */
   def keepBestInGroups(docs: DataFrame, idCol: String, score: Column,
       groups: DataFrame): DataFrame = {
-    val scored = docs.select(col(idCol), score.as("_score"))
     val g = groups.select(col("id").as(idCol), col("comp"))
-    val member = scored.join(g, Seq(idCol))
+    // score evaluated AFTER a member semi-join, so the (typically
+    // expensive — a text-statistics pass) score expression runs only on
+    // the pair-graph-bounded member set, not the whole corpus; and the
+    // singleton branch never computes it at all — its output columns are
+    // the id alone (r22, guide §1.2 "don't compute things you throw
+    // away"). Semi-then-score is value-identical to score-then-join: a
+    // member row's score does not depend on the join. The comp attach
+    // joins the NARROW (id, score) relation on the same id key the semi
+    // used (one shared exchange when g is not broadcastable; none when
+    // it is — the common, pair-bounded case).
+    val member = docs.join(g.select(idCol), Seq(idCol), "left_semi")
+      .select(col(idCol), score.as("_score"))
+      .join(g, Seq(idCol))
     val keepers = member.groupBy("comp")
       .agg(max(struct(col("_score"), (-col(idCol)).as("_nid"))).as("_best"))
       .select(col("comp"), (-col("_best._nid")).as("keeper"))
     val grouped = member.join(keepers, "comp")
       .select(col(idCol), col("comp"), col("keeper"),
         (col(idCol) === col("keeper")).as("kept"))
-    val singles = scored.join(g.select(idCol), Seq(idCol), "left_anti")
+    val singles = docs.select(col(idCol))
+      .join(g.select(idCol), Seq(idCol), "left_anti")
       .select(col(idCol), col(idCol).as("comp"), col(idCol).as("keeper"),
         lit(true).as("kept"))
     grouped.unionByName(singles)
@@ -1771,22 +1869,33 @@ object Dedup {
     */
   def dropLedger(docs: DataFrame, idCol: String, text: Column,
       threshold: Double = 0.4): DataFrame = {
-    // one signature tier: keeper = min id per sig; returns the ledger
-    // rows of this tier and its survivor set (the next tier's input)
-    def tier(in: DataFrame, sig: Column, reason: String)
-        : (DataFrame, DataFrame) = {
-      val signed = in.withColumn("_sig", sig)
-      val keepers = signed.groupBy("_sig").agg(min(col(idCol)).as("_keeper"))
-      val joined = signed.join(keepers, "_sig")
-      (joined.filter(col(idCol) =!= col("_keeper"))
-          .select(col(idCol), lit(reason).as("reason"),
-            col("_keeper").as("keeper")),
-        joined.filter(col(idCol) === col("_keeper"))
-          .select(col(idCol), col("_text")))
-    }
+    // Decide the two signature tiers on NARROW rows (guide §8 "decide
+    // with small rows, move big rows once" — r22): both signatures are
+    // derived in ONE map pass, each tier's keeper is a min-id window
+    // over its signature partitioning (the r20/r21 shape joined the
+    // TEXT-CARRYING relation back to a per-sig keeper aggregate, twice —
+    // the corpus text rode two signature-keyed shuffles purely to carry
+    // the drop decision). Tier-2 keepers are computed among tier-1
+    // survivors via a conditional min over the same window relation —
+    // identical semantics (min id per bow-sig among exact-tier
+    // survivors). Text is re-attached ONCE, by an id-keyed semi-join,
+    // only for the minhash tier's survivor set.
     val base = docs.select(col(idCol), text.as("_text"))
-    val (exactDrop, s1) = tier(base, md5(col("_text")), "exact")
-    val (bowDrop, s2) = tier(s1, bowSignature(col("_text")), "bow")
+    val sigs = base.select(col(idCol), md5(col("_text")).as("_sig1"),
+      bowSignature(col("_text")).as("_sig2"))
+    val lab = sigs
+      .withColumn("_k1", min(col(idCol)).over(Window.partitionBy("_sig1")))
+      .withColumn("_k2", min(when(col(idCol) === col("_k1"), col(idCol)))
+        .over(Window.partitionBy("_sig2")))
+    val exactDrop = lab.filter(col(idCol) =!= col("_k1"))
+      .select(col(idCol), lit("exact").as("reason"), col("_k1").as("keeper"))
+    val bowDrop = lab
+      .filter(col(idCol) === col("_k1") && col(idCol) =!= col("_k2"))
+      .select(col(idCol), lit("bow").as("reason"), col("_k2").as("keeper"))
+    val s2 = base.join(
+      lab.filter(col(idCol) === col("_k1") && col(idCol) === col("_k2"))
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
 
     val pairs = minhashNearDups(s2, idCol, col("_text"), threshold)
     val comps = connectedComponents(pairs) // (id, comp), checkpointed

@@ -34,8 +34,14 @@ object Multimodal {
     * 8 bytes/row at ANY scale; a real deployment decodes stored payloads
     * through the decode* entry points, whose partitioning is untouched.
     */
-  private def fanOutSeed(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def fanOutSeed(df: DataFrame, idCol: String): DataFrame =
+    // project to the id column FIRST so the narrow-seed invariant ("8
+    // bytes/row at ANY scale") is enforced here rather than assumed of
+    // the caller: a library caller passing the full documents table must
+    // not shuffle its payload columns (the mapPartitions below blocks
+    // column pruning, so the projection cannot be left to Catalyst)
+    df.select(col(idCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Per-partition Java Sound provider lookup. `AudioSystem.write` /
     * `AudioSystem.getAudioInputStream` route EVERY call through
@@ -51,24 +57,69 @@ object Multimodal {
     * First-success-wins over the provider list is AudioSystem's own
     * dispatch rule.
     */
-  private def wavReaders(): Seq[javax.sound.sampled.spi.AudioFileReader] = {
+  /** A minimal valid RIFF/WAVE clip (44-byte canonical header + one
+    * 16-bit mono sample) used to probe reader CAPABILITY at init — see
+    * [[wavReaders]].
+    */
+  private lazy val probeWavBytes: Array[Byte] = {
+    val dataSize = 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(1.toShort) // mono
+      .putInt(8000)        // sample rate
+      .putInt(16000)       // byte rate
+      .putShort(2.toShort) // block align
+      .putShort(16.toShort) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      .putShort(0.toShort)
+    bb.array()
+  }
+
+  /** WAVE-capable providers first, decided by CAPABILITY (each reader is
+    * probed once, per JVM, with [[probeWavBytes]]): the JDK's
+    * SoftMidiAudioFileReader otherwise probes every clip by calling
+    * MidiSystem.getSequence, which re-enters the synchronized
+    * JDK13Services registry per call — the very lock this helper exists
+    * to avoid (sampled: 2,741/3,000 task-thread samples BLOCKED in that
+    * probe before the reorder). Probing beats matching on the provider's
+    * class NAME, which silently degrades back to the slow path if the
+    * JDK class is renamed. Accepting readers keep ServiceLoader order
+    * among themselves (AudioSystem's own first-success-wins rule);
+    * non-accepting ones stay as fallbacks. Cached per JVM: SPI provider
+    * instances are stateless services (AudioSystem itself holds them
+    * globally across threads).
+    */
+  private lazy val wavReadersOrdered: Seq[javax.sound.sampled.spi.AudioFileReader] = {
     import scala.jdk.CollectionConverters._
-    java.util.ServiceLoader
+    val all = java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileReader])
       .iterator.asScala.toSeq
-      // WAVE-capable providers first: the JDK's SoftMidiAudioFileReader
-      // otherwise probes every clip by calling MidiSystem.getSequence,
-      // which re-enters the synchronized JDK13Services registry per call
-      // — the very lock this helper exists to avoid (sampled: 2,741/3,000
-      // task-thread samples BLOCKED in that probe before this reorder)
-      .sortBy(r => if (r.getClass.getSimpleName.contains("Wave")) 0 else 1)
+    val (wave, rest) = all.partition { r =>
+      try {
+        r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(probeWavBytes)).close()
+        true
+      } catch { case _: Exception => false }
+    }
+    if (wave.isEmpty)
+      System.err.println("[graft] no registered AudioFileReader accepted a " +
+        "canonical WAV probe — audio decode will fall back to slow probing")
+    wave ++ rest
   }
-  private def wavWriters(): Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+  private def wavReaders(): Seq[javax.sound.sampled.spi.AudioFileReader] =
+    wavReadersOrdered
+  private lazy val wavWritersLoaded: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
     import scala.jdk.CollectionConverters._
     java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
       .iterator.asScala.toSeq
   }
+  private def wavWriters(): Seq[javax.sound.sampled.spi.AudioFileWriter] =
+    wavWritersLoaded
   private def readWav(readers: Seq[javax.sound.sampled.spi.AudioFileReader],
       bytes: Array[Byte], what: => String): javax.sound.sampled.AudioInputStream = {
     readers.foreach { rd =>
@@ -148,11 +199,11 @@ object Multimodal {
     * oracle (h ≤ 126 < 256 ⇒ the row-gray sequence wraps at most once).
     */
   def imagePayload(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val idIdx = df.schema.fieldIndex(idCol)
+    val idIdx = 0 // fanOutSeed projects to idCol alone
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
-    fanOutSeed(df).mapPartitions { it =>
+    fanOutSeed(df, idCol).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // no temp-file spills per encode
       it.map { r =>
         val id = r.getLong(idIdx)
@@ -411,11 +462,11 @@ object Multimodal {
     * RIFF/WAVE container.
     */
   def audioPayload(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val idIdx = df.schema.fieldIndex(idCol)
+    val idIdx = 0 // fanOutSeed projects to idCol alone
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
-    fanOutSeed(df).mapPartitions { it =>
+    fanOutSeed(df, idCol).mapPartitions { it =>
       import javax.sound.sampled._
       val fmt = new AudioFormat(AudioRate.toFloat, 16, 1, true, false) // 16-bit LE mono
       val writers = wavWriters() // once per task — see wavWriters
@@ -484,11 +535,11 @@ object Multimodal {
     * does once any burst exists).
     */
   def audioPayloadMarked(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val idIdx = df.schema.fieldIndex(idCol)
+    val idIdx = 0 // fanOutSeed projects to idCol alone
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
-    fanOutSeed(df).mapPartitions { it =>
+    fanOutSeed(df, idCol).mapPartitions { it =>
       import javax.sound.sampled._
       val fmt = new AudioFormat(AudioRate.toFloat, 16, 1, true, false)
       val writers = wavWriters() // once per task — see wavWriters
@@ -615,11 +666,11 @@ object Multimodal {
     * sequence wraps at most once, same derivation as [[imagePayload]]).
     */
   def videoPayload(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val idIdx = df.schema.fieldIndex(idCol)
+    val idIdx = 0 // fanOutSeed projects to idCol alone
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
-    fanOutSeed(df).mapPartitions { it =>
+    fanOutSeed(df, idCol).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(idIdx)
@@ -732,11 +783,11 @@ object Multimodal {
   def videoPayloadScenes(df: DataFrame, idCol: String = "doc_id",
       sceneLen: Int = 4): DataFrame = {
     require(sceneLen >= 1, s"sceneLen must be >= 1, got $sceneLen")
-    val idIdx = df.schema.fieldIndex(idCol)
+    val idIdx = 0 // fanOutSeed projects to idCol alone
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
-    fanOutSeed(df).mapPartitions { it =>
+    fanOutSeed(df, idCol).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(idIdx)
