@@ -41,8 +41,22 @@ object GraftSession {
     * Parameterised via SPARK_GRAFT_BYPASS_MERGE (an operator can restore
     * the Spark default with =200).
     */
+  /* r22 A/B (isolated min-of-5, qc_bucket + qs_ivf families + the r21
+   * floor's winners + q18, sf0.1 CPUS=32, slice totals):
+   * threshold 1 → 8.13 s, 8 → 7.72 s, 16 → 7.86 s, 200 (Spark default,
+   * bypass for every exchange here) → 10.69 s. 200 loses big on the
+   * multi-shuffle text gates (qt_quality_outliers 2.00 vs 1.05, qt_dsir
+   * 1.07 vs 0.45, qd_dup_spans 1.42 vs 0.73, qc_bucket_exact 0.80 vs
+   * 0.57) — the M·R file-creation tax the floor exists to avoid; 8
+   * restores the bypass writer for genuinely tiny-R exchanges
+   * (single-digit repartitions, streaming state at 8 partitions) where
+   * the sort-writer's partition-id sort is pure overhead, and edges out
+   * 1 consistently (qc_bucket_tumbling 0.32 vs 0.39, qc_time_migration
+   * 0.11 vs 0.14, qc_gap_report 0.36 vs 0.44, q18 1.70 vs 1.78) with no
+   * query worse. At production scale the choice only touches R ≤ 8
+   * exchanges either way. */
   val BypassMergeThreshold: String = {
-    val v = sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1")
+    val v = sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "8")
     // fail fast with an actionable message: a non-numeric value would
     // otherwise surface only at session build as a generic Spark conf
     // error far from the env var that caused it
