@@ -970,6 +970,17 @@ object SparkEntry {
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("_len",
         lit(30L) + md5Long(concat(col("_b").cast("string"), lit("_len"))) % 41L)
+      // materialize the fanned seed as a HARD barrier (r22): consumers'
+      // text filters (`length(trim(text)) > 0`, `size(toks) >= n`) were
+      // being predicate-pushed BELOW the round-robin exchange, and the
+      // pushed copy re-synthesizes the whole per-token md5 text on the
+      // single scan task just to test non-emptiness — a measured 1.15 s
+      // single-task stage PER CONSUMER BRANCH in qz_collocations (two of
+      // them, concurrent). localCheckpoint computes the 4-column seed
+      // once per build (5000 rows at sf0.1) and nothing can push below
+      // it; the bench harness releases the blocks between reps, so every
+      // rep still computes from the parquet input.
+      .localCheckpoint()
     base.select(col("doc_id"),
       concat_ws(" ", transform(sequence(lit(1L), col("_len")), tk => {
         val salt = concat(col("_b").cast("string"), lit("_"), tk.cast("string"))
