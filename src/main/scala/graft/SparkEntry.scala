@@ -250,6 +250,14 @@ object SparkEntry {
   private def fanEv(ev: DataFrame, cols: String*): DataFrame =
     ev.select(cols.map(col): _*)
       .repartition(ev.sparkSession.sparkContext.defaultParallelism)
+      // materialize the fanned seed as a HARD pushdown barrier (r22, the
+      // zipfDocs treatment): the parser's validity filter was being
+      // predicate-pushed BELOW this exchange, and the pushed copy
+      // re-synthesized the full candump line (format_string + hex +
+      // RLIKE) per event ON THE 1-2 SCAN TASKS — paid by every qc decode
+      // gate. The checkpoint computes the 3-4 seed longs once per build;
+      // the bench harness releases the blocks between reps.
+      .localCheckpoint()
 
   private def canLines(ev: DataFrame): DataFrame = {
     val e = col("event_id"); val u = col("user_id")
