@@ -1906,7 +1906,7 @@ object SparkEntry {
       // candidates, exact shingle Jaccard >= 0.5 confirms. Train side is
       // map-only (no shuffle) up to candidate verification; all
       // eval-derived relations are broadcast — see Dedup.fuzzyDecontaminate
-      Dedup.fuzzyDecontaminate(t(s, dir, "documents"), "doc_id", col("text"),
+      Dedup.fuzzyDecontaminate(docsFanned(s, dir), "doc_id", col("text"),
           TextAnalysis.md5Long(col("text")) % 20 === 1)
         .orderBy("doc_id")
     }),
