@@ -37,9 +37,9 @@ object Multimodal {
   private def fanOutSeed(df: DataFrame, idCol: String): DataFrame =
     // project to the id column FIRST so the narrow-seed invariant ("8
     // bytes/row at ANY scale") is enforced here rather than assumed of
-    // the caller: a library caller passing the full documents table must
-    // not shuffle its payload columns (the mapPartitions below blocks
-    // column pruning, so the projection cannot be left to Catalyst)
+    // the caller (the mapPartitions below blocks column pruning, so the
+    // projection cannot be left to Catalyst); measured plan-identical on
+    // the gates, which already pre-project
     df.select(col(idCol))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
 
@@ -199,7 +199,7 @@ object Multimodal {
     * oracle (h ≤ 126 < 256 ⇒ the row-gray sequence wraps at most once).
     */
   def imagePayload(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val idIdx = 0 // fanOutSeed projects to idCol alone
+    val idIdx = fanOutSeed(df, idCol).schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
@@ -462,7 +462,7 @@ object Multimodal {
     * RIFF/WAVE container.
     */
   def audioPayload(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val idIdx = 0 // fanOutSeed projects to idCol alone
+    val idIdx = fanOutSeed(df, idCol).schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
@@ -535,7 +535,7 @@ object Multimodal {
     * does once any burst exists).
     */
   def audioPayloadMarked(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val idIdx = 0 // fanOutSeed projects to idCol alone
+    val idIdx = fanOutSeed(df, idCol).schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
@@ -666,7 +666,7 @@ object Multimodal {
     * sequence wraps at most once, same derivation as [[imagePayload]]).
     */
   def videoPayload(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val idIdx = 0 // fanOutSeed projects to idCol alone
+    val idIdx = fanOutSeed(df, idCol).schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
@@ -783,7 +783,7 @@ object Multimodal {
   def videoPayloadScenes(df: DataFrame, idCol: String = "doc_id",
       sceneLen: Int = 4): DataFrame = {
     require(sceneLen >= 1, s"sceneLen must be >= 1, got $sceneLen")
-    val idIdx = 0 // fanOutSeed projects to idCol alone
+    val idIdx = fanOutSeed(df, idCol).schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
